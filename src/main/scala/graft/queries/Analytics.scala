@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytic queries over the TPC-H-ish testdata: grouped aggregation,
+  * multi-way joins, window top-k, ordered limits. The reference itself
+  * only ever computes MAX (SURVEY.md §2.5) — these prove the rebuilt
+  * engine on the workloads the reference's warehouse would actually serve,
+  * and act as the benchmark headliners.
+  *
+  * Scale notes: q1 is a pure map-side-partial aggregation (one exchange on
+  * the 2×2 group key); q3 broadcasts `customer` (the only small input) so
+  * the orders⋈lineitem shuffle is the single heavy exchange; the window
+  * top-k rides Spark 4's WindowGroupLimit rewrite (per-partition top-k
+  * before the shuffle).
+  */
+object Analytics {
+
+  // TPC-H Q1-style pricing summary over lineitem.
+  def pricingSummaryQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      round(sum(col("l_quantity")), 2).as("sum_qty"),
+      round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("sum_disc_price"),
+      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+      round(avg(col("l_quantity")), 4).as("avg_qty"),
+      round(avg(col("l_extendedprice")), 4).as("avg_price"),
+      round(avg(col("l_discount")), 4).as("avg_disc"),
+      count(lit(1)).as("count_order"))
+  }
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // TPC-H Q3-style: revenue of BUILDING-segment orders, top 10.
+  // Ordering is total on (rounded revenue desc, o_orderkey) in BOTH
+  // engines, so the LIMIT boundary is deterministic.
+  def topRevenueQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+  val topRevenueSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // Window top-k: top 3 orders per customer by total price.
+  def windowTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank").cast("long").as("rank"))
+  }
+  val windowTopKSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       CAST(row_number() OVER
+      |         (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |         AS BIGINT) AS rank
+      |FROM orders
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin
+
+  // Grouped multi-aggregate stats over the events stream table.
+  def eventStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_users"),
+      round(sum(col("value")), 2).as("sum_value"),
+      round(avg(col("value")), 4).as("avg_value"),
+      expr("min(ts) div 1000").as("min_ts_us"),
+      expr("max(ts) div 1000").as("max_ts_us"))
+  }
+  val eventStatsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       count(DISTINCT user_id) AS n_users,
+      |       round(sum(value), 2) AS sum_value,
+      |       round(avg(value), 4) AS avg_value,
+      |       min(epoch_ns(ts)) // 1000 AS min_ts_us,
+      |       max(epoch_ns(ts)) // 1000 AS max_ts_us
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  // Star-join rollup: revenue by region/nation (denormalize → aggregate).
+  def regionRevenueQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region")
+    val ord = Tables.load(spark, dir, "orders")
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_revenue"))
+  }
+  val regionRevenueSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (pricingSummaryQ _),
+    "q3_top_revenue" -> (topRevenueQ _),
+    "q_window_topk" -> (windowTopKQ _),
+    "q_event_stats" -> (eventStatsQ _),
+    "q_region_revenue" -> (regionRevenueQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q3_top_revenue" -> topRevenueSql,
+    "q_window_topk" -> windowTopKSql,
+    "q_event_stats" -> eventStatsSql,
+    "q_region_revenue" -> regionRevenueSql)
+}

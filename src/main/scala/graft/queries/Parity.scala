@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.EtlOps
+
+/** Parity queries: one per reference operator family (SURVEY.md §2),
+  * exercised against the driver testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules used throughout (driver hash-compares values after
+  * sorting columns by name):
+  *  - never emit a raw TIMESTAMP column — emit BIGINT epoch micros
+  *    (`ts div 1000` on the nanos-as-long events table == DuckDB
+  *    `epoch_us`) or a formatted string;
+  *  - every window ordering is total (explicit tie-breaker columns);
+  *  - computed doubles that involve re-associated arithmetic (sums) are
+  *    rounded; pass-through doubles are emitted raw (bit-identical);
+  *  - INTEGER columns are cast to BIGINT on both sides.
+  */
+object Parity {
+
+  private val T0 = EtlOps.FixedClock       // audit clock for DWD snapshots
+  private val T1 = EtlOps.FixedClockLater  // audit clock for the merge run
+  /** 2024-01-16 00:00:00 UTC in epoch nanos — events ODS/DWD split point. */
+  private val CutoffNs = 1705363200000000000L
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  // ---------------------------------------------------------------- G1/P6
+  // Latest-partition selection (reference SimpleDataCleanUtils.scala:19-20).
+  def latestPartitionQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("etl_date", date_format(col("l_shipdate"), "yyyyMMdd"))
+    EtlOps.latestPartition(li, "etl_date")
+      .groupBy(col("etl_date").as("latest_etl_date"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+  val latestPartitionSql: String =
+    """SELECT strftime(l_shipdate, '%Y%m%d') AS latest_etl_date,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y%m%d') =
+      |      (SELECT max(strftime(l_shipdate, '%Y%m%d')) FROM lineitem)
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------ Pattern A
+  // Audit-append (reference SimpleDataCleanUtils.scala:8-34).
+  def auditAppendQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("etl_date", date_format(col("l_shipdate"), "yyyyMMdd"))
+    val latest = EtlOps.latestPartition(li, "etl_date")
+    EtlOps.withAudit(latest, "dwd", "user1", T0).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"),
+      col("l_returnflag"), col("l_linestatus"), col("etl_date"),
+      col("dwd_insert_user"), fmt(col("dwd_insert_time")).as("dwd_insert_time"),
+      col("dwd_modify_user"), fmt(col("dwd_modify_time")).as("dwd_modify_time"))
+  }
+  val auditAppendSql: String =
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |       l_quantity, l_extendedprice, l_returnflag, l_linestatus,
+       |       strftime(l_shipdate, '%Y%m%d') AS etl_date,
+       |       'user1' AS dwd_insert_user, '$T0' AS dwd_insert_time,
+       |       'user1' AS dwd_modify_user, '$T0' AS dwd_modify_time
+       |FROM lineitem
+       |WHERE strftime(l_shipdate, '%Y%m%d') =
+       |      (SELECT max(strftime(l_shipdate, '%Y%m%d')) FROM lineitem)""".stripMargin
+
+  // ------------------------------------------------------------- W1 + P8
+  // Top-1-per-key dedup (reference CustomerInfDataClean.scala:41-45).
+  def dedupLatestQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    EtlOps.dedupLatest(ev, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"), col("props"))
+  }
+  val dedupLatestSql: String =
+    """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |       event_type, value, props
+      |FROM events
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1""".stripMargin
+
+  // ------------------------------------------------------------ Pattern B
+  // SCD-style latest-record merge (reference CustomerInfDataClean.scala:22-88):
+  // DWD snapshot = deduped events before the cutoff (with T0 audit);
+  // ODS snapshot = raw events on/after the cutoff (no audit columns —
+  // exercises the allowMissingColumns union, defect A-3 fix).
+  def scdMergeQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val dwdSnap = EtlOps.withAudit(
+      EtlOps.dedupLatest(ev.filter(col("ts") < CutoffNs), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc)),
+      "dwd", "user1", T0)
+    val odsSnap = ev.filter(col("ts") >= CutoffNs)
+    EtlOps.scdMerge(odsSnap, dwdSnap, Seq("user_id"), "ts",
+      Seq(col("event_id").desc), "user1", T1)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"), col("data_source"),
+        fmt(col("dwd_insert_time")).as("dwd_insert_time"),
+        fmt(col("dwd_modify_time")).as("dwd_modify_time"))
+  }
+  val scdMergeSql: String =
+    s"""WITH dwd AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, value,
+       |         'dwd' AS data_source,
+       |         '$T0' AS dwd_insert_time, '$T0' AS dwd_modify_time
+       |  FROM events WHERE epoch_ns(ts) < $CutoffNs
+       |  QUALIFY row_number() OVER
+       |    (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1
+       |), ods AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, value,
+       |         'ods' AS data_source,
+       |         '$T1' AS dwd_insert_time, '$T1' AS dwd_modify_time
+       |  FROM events WHERE epoch_ns(ts) >= $CutoffNs
+       |), unioned AS (
+       |  SELECT * FROM ods UNION ALL SELECT * FROM dwd
+       |)
+       |SELECT user_id, event_id, ts_ns // 1000 AS ts_us, event_type, value,
+       |       data_source, dwd_insert_time, dwd_modify_time
+       |FROM unioned
+       |QUALIFY row_number() OVER
+       |  (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1""".stripMargin
+
+  // ------------------------------------------------------------ Pattern C
+  // Bi-store full-outer coalesce merge (reference
+  // OrderMasterDataClean.scala:157-187). "Hive" snapshot = orders before
+  // 2000-01-01; "HBase" snapshot = orders from 1998-01-01 with marker
+  // values, so left-precedence is observable in the overlap window.
+  def coalesceMergeQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("o_date", col("o_orderdate").cast("date"))
+    val leftSnap = o.filter(col("o_date") < lit("2000-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_date"), col("o_orderpriority"))
+    val rightSnap = o.filter(col("o_date") >= lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 100000.0d).as("o_totalprice"),
+        col("o_date"), lit("HBASE").as("o_orderpriority"))
+    EtlOps.coalesceMerge(leftSnap, rightSnap, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_date"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+  }
+  val coalesceMergeSql: String =
+    """WITH l AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+      |), r AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         o_totalprice + 100000.0 AS o_totalprice,
+      |         o_orderdate, 'HBASE' AS o_orderpriority
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+      |)
+      |SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+      |       coalesce(l.o_custkey, r.o_custkey) AS o_custkey,
+      |       coalesce(l.o_orderstatus, r.o_orderstatus) AS o_orderstatus,
+      |       coalesce(l.o_totalprice, r.o_totalprice) AS o_totalprice,
+      |       strftime(coalesce(l.o_orderdate, r.o_orderdate), '%Y-%m-%d') AS o_orderdate,
+      |       coalesce(l.o_orderpriority, r.o_orderpriority) AS o_orderpriority
+      |FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------- S3 / P9
+  // Keyed-snapshot scan with rowkey regex (reference
+  // OrderMasterDataClean.scala:76-95): row keys embed the date.
+  def keyedSnapshotScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").withColumn("row_key",
+      concat_ws("_", col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd")))
+    EtlOps.keyedSnapshotScan(o, "row_key", ".*19960[12].*")
+      .select(col("row_key"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+  }
+  val keyedSnapshotScanSql: String =
+    """WITH keyed AS (
+      |  SELECT concat(o_orderkey, '_', strftime(o_orderdate, '%Y%m%d')) AS row_key, *
+      |  FROM orders
+      |)
+      |SELECT row_key, o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM keyed WHERE regexp_matches(row_key, '.*19960[12].*')""".stripMargin
+
+  // ------------------------------------------------------------ Pattern D
+  // Star denormalization (reference CustomerAddrLevelAggrDataClean.scala:22-44):
+  // customer ⟕ nation ⟕ region, dims broadcast, then DWS audit columns.
+  def denormalizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+      .withColumnRenamed("n_nationkey", "c_nationkey")
+    val reg = Tables.load(spark, dir, "region")
+      .withColumnRenamed("r_regionkey", "n_regionkey")
+    val denorm = EtlOps.denormalize(cust, Seq(
+      (nat, Seq("c_nationkey"), Seq("n_name", "n_regionkey")),
+      (reg, Seq("n_regionkey"), Seq("r_name"))))
+    EtlOps.withAudit(denorm, "dws", "user1", T0)
+      .withColumn("etl_date", lit("20240101"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name"), col("r_name"),
+        col("dws_insert_user"), fmt(col("dws_insert_time")).as("dws_insert_time"),
+        col("dws_modify_user"), fmt(col("dws_modify_time")).as("dws_modify_time"),
+        col("etl_date"))
+  }
+  val denormalizeSql: String =
+    s"""SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name, r.r_name,
+       |       'user1' AS dws_insert_user, '$T0' AS dws_insert_time,
+       |       'user1' AS dws_modify_user, '$T0' AS dws_modify_time,
+       |       '20240101' AS etl_date
+       |FROM customer c
+       |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
+  // ----------------------------------------------------------------- U1
+  // unionByName with missing-column fill (reference
+  // CustomerInfDataClean.scala:37 + defect A-3).
+  def unionByNameQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("props"), col("value"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
+    clicks.unionByName(purchases, allowMissingColumns = true)
+  }
+  val unionByNameSql: String =
+    """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+      |FROM events WHERE event_type = 'click'
+      |UNION ALL BY NAME
+      |SELECT props, value, user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_latest_partition" -> (latestPartitionQ _),
+    "p_audit_append" -> (auditAppendQ _),
+    "p_dedup_latest" -> (dedupLatestQ _),
+    "p_scd_merge" -> (scdMergeQ _),
+    "p_coalesce_merge" -> (coalesceMergeQ _),
+    "p_keyed_snapshot_scan" -> (keyedSnapshotScanQ _),
+    "p_denormalize" -> (denormalizeQ _),
+    "p_union_by_name" -> (unionByNameQ _))
+
+  val oracles: Map[String, String] = Map(
+    "p_latest_partition" -> latestPartitionSql,
+    "p_audit_append" -> auditAppendSql,
+    "p_dedup_latest" -> dedupLatestSql,
+    "p_scd_merge" -> scdMergeSql,
+    "p_coalesce_merge" -> coalesceMergeSql,
+    "p_keyed_snapshot_scan" -> keyedSnapshotScanSql,
+    "p_denormalize" -> denormalizeSql,
+    "p_union_by_name" -> unionByNameSql)
+}

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque BINARY columns
+  * with typed metadata, and a partition-wise decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake — it derives pseudo "decoded media"
+  * metadata (dimensions, frame count, content id) purely from the bytes.
+  * The Spark-side plumbing is real: binary column handling, a typed
+  * Dataset boundary, mapPartitions batch shape (one codec init per
+  * partition, streamed rows), and a schema contract identical to what a
+  * real decoder would return.
+  *
+  * Scale: decode runs partition-parallel with no shuffle; a real codec
+  * (JNI/FFI) would be initialized once per partition exactly where
+  * `MessageDigest.getInstance` sits now.
+  */
+object Multimodal {
+
+  /** Typed metadata row a real decoder would emit. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, content_id: String,
+                       width: Long, height: Long, frames: Long)
+
+  /** STUB decode: a real implementation would parse the container format
+    * (JPEG/PNG/WAV/MP4) here. This fake derives deterministic metadata
+    * from the payload so results are reproducible and oracle-checkable.
+    */
+  def decodeStub(docId: Long, bytes: Array[Byte], nChars: Long,
+                 digest: java.security.MessageDigest): MediaMeta = {
+    digest.reset()
+    val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+    MediaMeta(
+      doc_id = docId,
+      n_bytes = bytes.length.toLong,
+      content_id = hex,
+      width = bytes.length.toLong % 640L,
+      height = (bytes.length.toLong * 7L) % 480L,
+      frames = nChars % 30L)
+  }
+
+  /** Attach the media payload as a BINARY column (stand-in for reading
+    * image/audio bytes from a blob store column). */
+  def withMediaBinary(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("media", col(textCol).cast("binary"))
+
+  /** Partition-wise decode: BINARY payload → typed MediaMeta rows.
+    * One digest (⇒ one codec) instance per partition, rows streamed.
+    */
+  def extractMeta(docs: DataFrame): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMediaBinary(docs, "text")
+      .select(col("doc_id"), col("media"), col("n_chars"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes, nChars) =>
+          decodeStub(id, bytes, nChars, digest)
+        }
+      }
+  }
+}

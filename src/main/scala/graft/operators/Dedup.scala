@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Document-deduplication operators for large-scale training-data
+  * pipelines: exact (hash-groupBy), MinHash+LSH banding, SimHash, and
+  * n-gram Jaccard verification.
+  *
+  * Scale design (100 TB corpus):
+  *  - Exact dedup is one hash-shuffle on a 32-hex-char fingerprint —
+  *    the minimum possible; no text travels through the shuffle except
+  *    one representative per group (min doc_id).
+  *  - MinHash signatures are computed row-local with array higher-order
+  *    functions (no explode, no shuffle); only the (band, bandKey,
+  *    doc_id) triples — 4 small rows per document — are shuffled for the
+  *    LSH bucket self-join. Candidate verification joins shingle sets
+  *    back by doc_id (two hash joins), so full pairwise comparison never
+  *    happens: cost is O(candidates), not O(n²).
+  *  - SimHash is row-local; near-dup banding on 12-bit sub-keys follows
+  *    the same bucket-join pattern.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-text md5 fingerprint: one row per distinct
+    * fingerprint with the surviving (minimum) doc id and the group size.
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(TextFns.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** MinHash signature columns m0..m15 over distinct k-shingles.
+    *
+    * The md5-derived 32-bit shingle hashes are materialized ONCE into an
+    * intermediate array (`__shh`) and each signature slot is a cheap
+    * affine-min over those ints — without this, every slot recomputes
+    * every shingle md5 (16× the hashing cost, the dominant term).
+    */
+  def withMinhashSignature(docs: DataFrame, textCol: String,
+                           k: Int = 5): DataFrame = {
+    val sh = docs.withColumn("__sh", TextFns.shingles(col(textCol), k))
+      .withColumn("__shh", transform(col("__sh"), s => TextFns.hash32(s)))
+    TextFns.MinhashSeeds.zipWithIndex.foldLeft(sh) {
+      case (df, ((a, b), j)) =>
+        df.withColumn(s"m$j", array_min(transform(col("__shh"),
+          h => (lit(a) * h + lit(b)) % TextFns.MinhashP)))
+    }.drop("__shh")
+  }
+
+  /** LSH candidate pairs + exact shingle-Jaccard verification.
+    *
+    * Banding: 4 bands × 4 rows over the 16-slot signature. Documents
+    * sharing any band key become a candidate pair; pairs are then
+    * verified with exact Jaccard over their distinct shingle sets and
+    * kept if >= `threshold`.
+    *
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    * to 4 decimals.
+    */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sig = withMinhashSignature(docs, textCol, k)
+      .select(col(idCol).as("doc_id") +: col("__sh") +:
+        (0 until 16).map(j => col(s"m$j")): _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
+            .as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shSets = sig.select(col("doc_id"), col("__sh"))
+    cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")),
+        "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")),
+        "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 48-bit SimHash per document (portable md5-derived token hashes). */
+  def withSimhash(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("__th", TextFns.tokenHashes48(col(textCol)))
+      .withColumn("simhash", TextFns.simhash48("__th"))
+      .drop("__th")
+
+  /** Word n-gram Jaccard similarity between two text columns (exact
+    * verification metric for near-dup candidates). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    def grams(t: Column): Column = {
+      val toks = split(lower(trim(t)), "\\s+")
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
+    val ga = grams(a)
+    val gb = grams(b)
+    round(size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double"), 4)
+  }
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Sessionize, Similarity}
+
+/** Training-data pipeline queries: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), text analysis (stats, language-ID, fingerprints),
+  * embedding similarity (brute-force + near-dup), sessionization, and
+  * multimodal metadata extraction.
+  *
+  * Dedup fixtures: the documents table has no natural duplicates, so the
+  * dedup queries run on a mutated corpus — documents unioned with exact
+  * copies (ids +2_000_000) or near-copies with the first 10 chars removed
+  * (ids +1_000_000). The mutation is pure SQL, so the DuckDB oracle
+  * builds the identical corpus and every pipeline stage stays
+  * deterministic and comparable.
+  */
+object TrainingData {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** documents ∪ near-copies (first 10 chars dropped, ids +1e6). */
+  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    d.union(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, 11)").as("text")))
+  }
+  private val nearDupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 11) FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ exact dedup
+  def dedupExactQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.union(d.select((col("doc_id") + 2000000L).as("doc_id"),
+      col("text")))
+    Dedup.exactDedup(corpus, "text", "doc_id")
+  }
+  val dedupExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents)
+      |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS keeper_id, count(*) AS dup_count
+      |FROM corpus GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- text stats
+  def textStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(t).cast("long").as("char_len"),
+      TextFns.tokenCount(t).as("token_cnt"),
+      TextFns.punctCount(t).as("punct_cnt"),
+      TextFns.wordSetCount(t, TextFns.EnWords).as("stopword_cnt"),
+      round(TextFns.wordSetCount(t, TextFns.EnWords).cast("double") /
+        greatest(TextFns.tokenCount(t), lit(1L)).cast("double"), 4)
+        .as("stopword_ratio"),
+      round(TextFns.punctCount(t).cast("double") /
+        greatest(length(t).cast("long"), lit(1L)).cast("double"), 4)
+        .as("punct_ratio"))
+  }
+  val textStatsSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS char_len,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_cnt,
+       |  CAST(length(text) - length(regexp_replace(text, '$punct', '', 'g')) AS BIGINT) AS punct_cnt,
+       |  CAST(len(regexp_extract_all(lower(text), '$sw')) AS BIGINT) AS stopword_cnt,
+       |  round(len(regexp_extract_all(lower(text), '$sw'))::DOUBLE /
+       |        greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stopword_ratio,
+       |  round((length(text) - length(regexp_replace(text, '$punct', '', 'g')))::DOUBLE /
+       |        greatest(length(text), 1), 4) AS punct_ratio
+       |FROM documents""".stripMargin
+  }
+
+  // -------------------------------------------------------------- lang id
+  def langIdQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      TextFns.langId(col("text")).as("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+  val langIdSql: String = {
+    def cnt(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val (en, de, fr, es) = (cnt(TextFns.EnWords), cnt(TextFns.DeWords),
+      cnt(TextFns.FrWords), cnt(TextFns.EsWords))
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+       |         WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |         WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |         WHEN $fr >= $es THEN 'fr'
+       |         ELSE 'es' END AS pred_lang
+       |  FROM documents)
+       |SELECT doc_id, lang, pred_lang, pred_lang = lang AS correct
+       |FROM scored""".stripMargin
+  }
+
+  // ---------------------------------------------------------- fingerprints
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFns.fingerprintMd5(col("text")).as("fp_md5"),
+      TextFns.rollingHash(col("text")).as("fp_roll"))
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+      |  list_reduce(
+      |    list_concat([CAST(0 AS BIGINT)],
+      |      list_transform(range(1, length(text)+1),
+      |        i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (a, c) -> (a*31 + c) % 1000000007) AS fp_roll
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------- simhash
+  def simhashQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(docs(spark, dir).select(col("doc_id"), col("text")),
+      "text").select(col("doc_id"), col("simhash"))
+  val simhashSql: String =
+    """WITH th AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split_regex(trim(lower(text)), '\s+'),
+      |      t -> list_sum(list_transform(range(12),
+      |             c -> (strpos('0123456789abcdef', substr(md5(t), CAST(c+1 AS INT), 1))-1)::BIGINT
+      |                  << (4*(11-c))))) AS hashes
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(48), k ->
+      |    CASE WHEN list_sum(list_transform(hashes,
+      |           h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
+      |    AS BIGINT) AS simhash
+      |FROM th""".stripMargin
+
+  // ------------------------------------------------------- n-gram jaccard
+  // Word-bigram Jaccard between each document and its near-copy.
+  def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      Dedup.ngramJaccard(col("text"), expr("substring(text, 11)"), 2)
+        .as("jaccard2"))
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ta,
+      |    string_split_regex(lower(trim(substr(text, 11))), '\s+') AS tb
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(ta)-1, 1)+1),
+      |      i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1])) AS ga,
+      |    list_distinct(list_transform(range(1, greatest(len(tb)-1, 1)+1),
+      |      i -> tb[CAST(i AS INT)] || ' ' || tb[CAST(i AS INT)+1])) AS gb
+      |  FROM toks)
+      |SELECT doc_id,
+      |  round(len(list_filter(ga, x -> list_contains(gb, x)))::DOUBLE /
+      |        (len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x)))),
+      |        4) AS jaccard2
+      |FROM grams""".stripMargin
+
+  // --------------------------------------------------------- minhash + LSH
+  def minhashDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text", "doc_id",
+      k = 5, threshold = 0.5)
+  val minhashDedupSql: String = {
+    val p = TextFns.MinhashP
+    val mins = TextFns.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a*h + $b) % $p) AS m$j"
+    }.mkString(",\n    ")
+    def bandSel(b: Int) = {
+      val ms = (0 until 4).map(r => s"m${4 * b + r}")
+      s"SELECT doc_id, $b AS band, concat(${ms.mkString(", '_', ")}) AS bkey FROM sig"
+    }
+    s"""WITH corpus AS (
+       |  $nearDupCorpusSql),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+       |      i -> substr(text, CAST(i AS INT), 5))) AS shingles
+       |  FROM corpus),
+       |shr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hr AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(8),
+       |      c -> (strpos('0123456789abcdef', substr(md5(s), CAST(c+1 AS INT), 1))-1)::BIGINT
+       |           << (4*(7-c)))) AS h
+       |  FROM shr),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hr GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until 4).map(bandSel).mkString("\n  UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))::DOUBLE /
+       |          (len(sa.shingles) + len(sb.shingles)
+       |           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))),
+       |          4) AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  // -------------------------------------------------------- cosine top-k
+  def cosineTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5)
+  }
+  val cosineTopKSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, vec AS q_v FROM v WHERE vec_id < 20),
+      |s AS (
+      |  SELECT q.q_id, c.vec_id AS n_id,
+      |    round(list_dot_product(q.q_v, c.vec) /
+      |          (sqrt(list_dot_product(q.q_v, q.q_v)) *
+      |           sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim
+      |  FROM q JOIN v c ON c.vec_id != q.q_id)
+      |SELECT q_id, n_id, sim,
+      |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+      |       AS BIGINT) AS rank
+      |FROM s
+      |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+
+  // -------------------------------------------------- embedding near-dup
+  // Bounded corpus slice (vec_id < 500) ∪ doubled copies (ids +100000,
+  // vectors ×2 ⇒ cosine exactly 1.0) so near-dup pairs provably exist.
+  def embeddingNearDupQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), x => x * 2.0d).as("v")))
+    Similarity.nearDupPairs(corpus, "vec_id", "v", 0.98)
+  }
+  val embeddingNearDupSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 500),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM base),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |          (sqrt(list_dot_product(a.v, a.v)) *
+      |           sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.98""".stripMargin
+
+  // --------------------------------------------------------- sessionize
+  def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(Tables.load(spark, dir, "events"),
+      "user_id", "ts", "event_id", "value")
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+      |                   OR tsn - lag(tsn) OVER w > 1800000000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      |s2 AS (
+      |  SELECT *, sum(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING)
+      |    AS sess_idx
+      |  FROM s)
+      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+      |       min(tsn) // 1000 AS session_start_us,
+      |       max(tsn) // 1000 AS session_end_us,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM s2 GROUP BY user_id, sess_idx""".stripMargin
+
+  // --------------------------------------------------- multimodal metadata
+  def multimodalMetaQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(docs(spark, dir)).toDF()
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_id,
+      |  CAST(strlen(text) % 640 AS BIGINT) AS width,
+      |  CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
+      |  CAST(n_chars % 30 AS BIGINT) AS frames
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------- ANN via LSH (no oracle —
+  // approximate operator; recall vs the exact baseline is asserted in
+  // SimilaritySpec instead, so this gets the driver's rows-only check).
+  def annLshQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> (dedupExactQ _),
+    "x_text_stats" -> (textStatsQ _),
+    "x_lang_id" -> (langIdQ _),
+    "x_fingerprint" -> (fingerprintQ _),
+    "x_simhash" -> (simhashQ _),
+    "x_ngram_jaccard" -> (ngramJaccardQ _),
+    "x_minhash_dedup" -> (minhashDedupQ _),
+    "x_cosine_topk" -> (cosineTopKQ _),
+    "x_embedding_neardup" -> (embeddingNearDupQ _),
+    "x_sessionize" -> (sessionizeQ _),
+    "x_multimodal_meta" -> (multimodalMetaQ _),
+    "x_ann_lsh" -> (annLshQ _))
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_exact" -> dedupExactSql,
+    "x_text_stats" -> textStatsSql,
+    "x_lang_id" -> langIdSql,
+    "x_fingerprint" -> fingerprintSql,
+    "x_simhash" -> simhashSql,
+    "x_ngram_jaccard" -> ngramJaccardSql,
+    "x_minhash_dedup" -> minhashDedupSql,
+    "x_cosine_topk" -> cosineTopKSql,
+    "x_embedding_neardup" -> embeddingNearDupSql,
+    "x_sessionize" -> sessionizeSql,
+    "x_multimodal_meta" -> multimodalMetaSql)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups identical normalized texts") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "something else"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "text", "doc_id").collect()
+    assert(out.length == 2)
+    val byKeeper = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeeper(1L) == 2L) // docs 1+2 collapse, keeper is min id
+    assert(byKeeper(3L) == 1L)
+  }
+
+  test("minhash near-dup pairs find planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the wide green field towards the river bank"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " today"),          // near-dup of 1
+      (3L, "completely different content about databases and queries " +
+        "with nothing shared at all in any shingle of text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccard: identical texts = 1.0, disjoint texts = 0.0") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.ngramJaccard($"t1", $"t2", 2),
+      Dedup.ngramJaccard($"t1", $"t3", 2)).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: identical texts hash equal; near texts within hamming 16") {
+    val base = "spark catalyst optimizer rewrites logical plans into " +
+      "physical plans using cost based and rule based passes"
+    val df = Seq((1L, base), (2L, base), (3L, base + " quickly"))
+      .toDF("doc_id", "text")
+    val out = Dedup.withSimhash(df, "text")
+      .select($"doc_id", $"simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    val ham = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(ham <= 16, s"hamming distance $ham too large for near-dup")
+  }
+
+  test("minhash signature is permutation-stable (same text → same sig)") {
+    val df1 = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val df2 = Seq((9L, "abcdefghij")).toDF("doc_id", "text")
+    val s1 = Dedup.withMinhashSignature(df1, "text")
+      .select((0 until 16).map(j => col(s"m$j")): _*).head().toSeq
+    val s2 = Dedup.withMinhashSignature(df2, "text")
+      .select((0 until 16).map(j => col(s"m$j")): _*).head().toSeq
+    assert(s1 == s2)
+  }
+
+  test("langId picks zh on CJK text and en on English text") {
+    val df = Seq((1L, "这是一个中文文档 测试"), (2L, "the cat and the dog in the house"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextFns.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "zh" && out(2L) == "en")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: parallel vectors = 1.0, orthogonal = 0.0") {
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 4.0), Seq(-2.0, 1.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      round(Similarity.cosine($"a", $"b"), 9),
+      round(Similarity.cosine($"a", $"c"), 9)).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self, returns k rows") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val out = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", 5)
+    val grouped = out.collect().groupBy(_.getLong(0))
+    assert(grouped.keySet == Set(0L, 1L, 2L))
+    grouped.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sortBy(-_)), "rank order == sim order")
+      assert(!rows.exists(r => r.getLong(1) == r.getLong(0)), "self excluded")
+    }
+  }
+
+  test("lshTopK achieves reasonable recall@5 against the exact baseline") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 16 tables × 6 bits over 64-dim near-random synthetic data: per-table
+    // collision for a sim≈0.35 neighbor is ~0.05, so union recall ≈ 0.4-0.6;
+    // assert well above chance (5/500 = 1%).
+    assert(recall > 0.2, s"recall@5 $recall too low for 16-table LSH")
+  }
+
+  test("nearDupPairs finds the planted doubled vector with sim 1.0") {
+    val emb = Tables.load(spark, sf0001, "embeddings").filter($"vec_id" < 10)
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    val corpus = emb.union(emb.select(($"vec_id" + 100L).as("vec_id"),
+      transform($"v", x => x * 2.0d).as("v")))
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "v", 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0 until 10).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 100 && p._3 == 1.0),
+        s"missing planted pair $i")
+    }
+  }
+}

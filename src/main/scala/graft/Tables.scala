@@ -22,6 +22,9 @@ object Tables {
     // Bench sessions included). BIGINT nanos is also exactly DuckDB's
     // epoch_ns(ts) — total-order parity with the oracle at full precision.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Native expressions ride along on every load so each query path
+    // (driver sessions included) can resolve them. Idempotent.
+    graft.functions.native.NativeFns.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

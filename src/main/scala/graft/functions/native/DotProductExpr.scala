@@ -1,0 +1,109 @@
+package graft.functions.native
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding dot product.
+  *
+  * The pure-DataFrame formulation (`aggregate(zip_with(a,b,*), 0d, +)`)
+  * is correct but interpreted — Spark's higher-order functions don't
+  * participate in whole-stage codegen, and they allocate a zipped
+  * intermediate array per row. This expression generates a tight
+  * primitive double loop inside WholeStageCodegen instead: no
+  * intermediate array, no lambda-variable boxing. Fold order is ascending
+  * index, exactly like the HOF version and DuckDB's list_dot_product, so
+  * results stay bit-identical to the oracle.
+  *
+  * Null handling: null array → null result (BinaryExpression default);
+  * null ELEMENTS are not expected (embedding vectors) and read as 0.0.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level access for the native expressions.
+  * Spark 4 no longer exposes public Column-from-Expression construction,
+  * so the expression is exposed through the session function registry and
+  * invoked with call_function.
+  */
+object NativeFns {
+  val DotName = "graft_dot"
+  val MinhashName = "graft_minhash_sig"
+  val LshName = "graft_lsh_buckets"
+
+  /** Idempotent; called from Tables.load so every query path (including
+    * driver-built sessions) has the functions available. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      DotName, exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MinhashName, exprs => MinhashSigExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      LshName, exprs => LshBucketsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+  }
+
+  def dotNative(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  def minhashSig(shingles: Column): Column =
+    call_function(MinhashName, shingles)
+
+  def lshBucketArr(v: Column, tables: Int, bits: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(LshName, v, lit(tables), lit(bits))
+  }
+}

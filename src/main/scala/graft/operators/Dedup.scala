@@ -42,12 +42,11 @@ object Dedup {
   def withMinhashSignature(docs: DataFrame, textCol: String,
                            k: Int = 5): DataFrame = {
     val sh = docs.withColumn("__sh", TextFns.shingles(col(textCol), k))
-      .withColumn("__shh", transform(col("__sh"), s => TextFns.hash32(s)))
-    TextFns.MinhashSeeds.zipWithIndex.foldLeft(sh) {
-      case (df, ((a, b), j)) =>
-        df.withColumn(s"m$j", array_min(transform(col("__shh"),
-          h => (lit(a) * h + lit(b)) % TextFns.MinhashP)))
-    }.drop("__shh")
+      .withColumn("__sig",
+        graft.functions.native.NativeFns.minhashSig(col("__sh")))
+    (0 until TextFns.MinhashSeeds.length).foldLeft(sh) {
+      case (df, j) => df.withColumn(s"m$j", col("__sig").getItem(j))
+    }.drop("__sig")
   }
 
   /** LSH candidate pairs + exact shingle-Jaccard verification.
@@ -62,9 +61,17 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    // The signature relation feeds three consumers (both sides of the
+    // band self-join and the shingle-set verification join); Spark has no
+    // common-subexpression reuse across joins, so without persisting, the
+    // shingling+hashing subtree runs three times. Persisting the
+    // signature stage is what a production LSH dedup does between
+    // candidate generation and verification (MEMORY_AND_DISK: spills
+    // instead of recomputing at 100 TB).
     val sig = withMinhashSignature(docs, textCol, k)
       .select(col(idCol).as("doc_id") +: col("__sh") +:
         (0 until 16).map(j => col(s"m$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map { b =>
         struct(lit(b).as("band"),

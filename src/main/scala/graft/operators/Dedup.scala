@@ -41,7 +41,8 @@ object Dedup {
     */
   def withMinhashSignature(docs: DataFrame, textCol: String,
                            k: Int = 5): DataFrame = {
-    val sh = docs.withColumn("__sh", TextFns.shingles(col(textCol), k))
+    val sh = docs.withColumn("__sh",
+        graft.functions.native.NativeFns.shinglesNative(col(textCol), k))
       .withColumn("__sig",
         graft.functions.native.NativeFns.minhashSig(col("__sh")))
     (0 until TextFns.MinhashSeeds.length).foldLeft(sh) {
@@ -91,8 +92,8 @@ object Dedup {
       .join(shSets.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")),
         "doc_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+        graft.functions.native.NativeFns.jaccardNative(
+          col("sh_a"), col("sh_b")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

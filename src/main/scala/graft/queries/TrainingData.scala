@@ -301,14 +301,59 @@ object TrainingData {
       |  CAST(n_chars % 30 AS BIGINT) AS frames
       |FROM documents""".stripMargin
 
-  // ------------------------------------------- ANN via LSH (no oracle —
-  // approximate operator; recall vs the exact baseline is asserted in
-  // SimilaritySpec instead, so this gets the driver's rows-only check).
+  // --------------------------------------------------- ANN via LSH
+  // Approximate, but fully deterministic: the oracle reproduces the
+  // multi-table hyperplane bucketing (LshBucketsExpr's affine ±1 plane
+  // signs) with nested DuckDB list lambdas, so even the approximate
+  // operator is value-checked, not just row-counted. Bucket bits compare
+  // a float projection against 0 — fold-order differences between
+  // engines would need |proj| < ~1e-12 to flip a bit (never observed;
+  // projections are O(1)).
   def annLshQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
       "vec_id", "embedding", 5)
   }
+  val annLshSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |projs AS (
+      |  SELECT vec_id, vec,
+      |    list_transform(range(96), j ->
+      |      list_sum(list_transform(range(1, len(vec)+1), i ->
+      |        vec[CAST(i AS INT)] *
+      |        CASE WHEN ((j*2654435761 + i*40503) % 97) % 2 = 0
+      |             THEN 1.0 ELSE -1.0 END))) AS pj
+      |  FROM v),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    list_transform(range(16), t ->
+      |      list_sum(list_transform(range(6), r ->
+      |        CASE WHEN pj[CAST(t*6+r+1 AS INT)] > 0
+      |             THEN (CAST(1 AS BIGINT) << r) ELSE CAST(0 AS BIGINT) END)))
+      |      AS bk
+      |  FROM projs),
+      |bands AS (
+      |  SELECT vec_id, t AS tbl, bk[CAST(t+1 AS INT)] AS bucket
+      |  FROM buckets, range(16) tt(t)),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      |  FROM (SELECT * FROM bands WHERE vec_id < 20) q
+      |  JOIN bands c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |              AND q.vec_id != c.vec_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |    round(list_dot_product(qv.vec, cv.vec) /
+      |          (sqrt(list_dot_product(qv.vec, qv.vec)) *
+      |           sqrt(list_dot_product(cv.vec, cv.vec))), 4) AS sim
+      |  FROM cand
+      |  JOIN v qv ON qv.vec_id = cand.q_id
+      |  JOIN v cv ON cv.vec_id = cand.n_id)
+      |SELECT q_id, n_id, sim,
+      |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+      |       AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> (dedupExactQ _),
@@ -335,5 +380,6 @@ object TrainingData {
     "x_cosine_topk" -> cosineTopKSql,
     "x_embedding_neardup" -> embeddingNearDupSql,
     "x_sessionize" -> sessionizeSql,
-    "x_multimodal_meta" -> multimodalMetaSql)
+    "x_multimodal_meta" -> multimodalMetaSql,
+    "x_ann_lsh" -> annLshSql)
 }

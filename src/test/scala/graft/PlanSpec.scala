@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.EtlOps
+
+/** Physical-plan shape assertions — the 100 TB design claims, checked
+  * against what Catalyst actually produces:
+  * filters reach the parquet scan, dims broadcast, rank=1 windows get
+  * the WindowGroupLimit rewrite, and no operator collects to the driver.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("keyedSnapshotScan pushes the regex-adjacent filter to the scan") {
+    val o = Tables.load(spark, sf0001, "orders")
+    val p = plan(o.filter(col("o_orderstatus") === "F"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("column pruning reaches the scan (2-col projection reads 2 cols)") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val p = plan(li.select(col("l_orderkey"), col("l_quantity")))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("denormalize broadcasts every dimension (fact side never shuffles)") {
+    val cust = Tables.load(spark, sf0001, "customer")
+    val nat = Tables.load(spark, sf0001, "nation")
+      .withColumnRenamed("n_nationkey", "c_nationkey")
+    val p = plan(EtlOps.denormalize(cust,
+      Seq((nat, Seq("c_nationkey"), Seq("n_name")))))
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("dedupLatest gets the Spark-4 WindowGroupLimit top-1 rewrite") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val p = plan(EtlOps.dedupLatest(ev, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc)))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("latestPartition is a broadcast join, not a driver collect") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .withColumn("etl_date", date_format(col("l_shipdate"), "yyyyMMdd"))
+    val p = plan(EtlOps.latestPartition(li, "etl_date"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+}

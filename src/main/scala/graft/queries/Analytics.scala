@@ -140,17 +140,78 @@ object Analytics {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  // Hierarchical rollup (region → nation → grand total) — subtotal rows
+  // carry NULL group keys in both engines.
+  def rollupRevenueQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region")
+    val ord = Tables.load(spark, dir, "orders")
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_revenue"))
+  }
+  val rollupRevenueSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  // Anti join: customers with no order since 2001 (NOT EXISTS). Every
+  // customer has SOME order in the synthetic data, so the right side is
+  // date-restricted to make the anti set non-empty at every sf.
+  def antiJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("2001-01-01"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01')""".stripMargin
+
+  // Salted two-phase aggregation over the hot event_type keys — result is
+  // exactly the plain GROUP BY (the oracle's form); the salt only shapes
+  // the shuffle.
+  def saltedAggQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    graft.ops.SkewOps.saltedSumCount(ev, Seq("event_type"), Seq("value"),
+      saltSource = "event_id", saltBuckets = 16)
+      .select(col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+  }
+  val saltedAggSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
     "q_window_topk" -> (windowTopKQ _),
     "q_event_stats" -> (eventStatsQ _),
-    "q_region_revenue" -> (regionRevenueQ _))
+    "q_region_revenue" -> (regionRevenueQ _),
+    "q_rollup_revenue" -> (rollupRevenueQ _),
+    "q_anti_join" -> (antiJoinQ _),
+    "q_salted_agg" -> (saltedAggQ _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,
     "q_window_topk" -> windowTopKSql,
     "q_event_stats" -> eventStatsSql,
-    "q_region_revenue" -> regionRevenueSql)
+    "q_region_revenue" -> regionRevenueSql,
+    "q_rollup_revenue" -> rollupRevenueSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_salted_agg" -> saltedAggSql)
 }

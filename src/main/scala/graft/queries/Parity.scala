@@ -236,6 +236,51 @@ object Parity {
       |SELECT props, value, user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  // ---------------------------------------------- Pattern C end-to-end
+  // The reference's most complex job (OrderMasterDataClean) in one flow:
+  // "Hive" side = latest monthly partition of orders; "HBase" side =
+  // keyed snapshot filtered by rowkey regex; full-outer coalesce merge
+  // with left precedence; audit columns; right-only rows get their
+  // etl_date backfilled from the latest partition (defect A-5 fix,
+  // SURVEY §7.4 — as written the reference leaves them null).
+  def bistoreMergeQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("etl_date", date_format(col("o_orderdate"), "yyyyMM"))
+    val hive = EtlOps.latestPartition(o, "etl_date")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("etl_date"))
+    val hbase = EtlOps.keyedSnapshotScan(
+        o.withColumn("row_key", concat_ws("_", col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd"))),
+        "row_key", ".*_2000.*")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val merged = EtlOps.coalesceMerge(hive, hbase, "o_orderkey")
+    EtlOps.withAudit(merged, "dwd", "user1", T0)
+      .withColumn("etl_date", coalesce(col("etl_date"), lit("200108")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("etl_date"),
+        col("dwd_insert_user"), fmt(col("dwd_insert_time")).as("dwd_insert_time"))
+  }
+  val bistoreMergeSql: String =
+    s"""WITH o AS (
+       |  SELECT *, strftime(o_orderdate, '%Y%m') AS etl_date FROM orders),
+       |hive AS (
+       |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, etl_date
+       |  FROM o WHERE etl_date = (SELECT max(etl_date) FROM o)),
+       |hbase AS (
+       |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+       |  FROM o
+       |  WHERE regexp_matches(concat(o_orderkey, '_', strftime(o_orderdate, '%Y%m%d')),
+       |                       '.*_2000.*'))
+       |SELECT coalesce(h.o_orderkey, b.o_orderkey) AS o_orderkey,
+       |       coalesce(h.o_custkey, b.o_custkey) AS o_custkey,
+       |       coalesce(h.o_totalprice, b.o_totalprice) AS o_totalprice,
+       |       coalesce(h.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       |       coalesce(h.etl_date, '200108') AS etl_date,
+       |       'user1' AS dwd_insert_user, '$T0' AS dwd_insert_time
+       |FROM hive h FULL OUTER JOIN hbase b ON h.o_orderkey = b.o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- S1 / P7
   // Pure-SQL path with a scalar subquery — the reference's Pattern C form
   // of latest-partition selection (OrderMasterDataClean.scala:70-72:
@@ -268,7 +313,8 @@ object Parity {
     "p_keyed_snapshot_scan" -> (keyedSnapshotScanQ _),
     "p_denormalize" -> (denormalizeQ _),
     "p_union_by_name" -> (unionByNameQ _),
-    "p_sql_scalar_subquery" -> (sqlScalarSubqueryQ _))
+    "p_sql_scalar_subquery" -> (sqlScalarSubqueryQ _),
+    "p_bistore_merge" -> (bistoreMergeQ _))
 
   val oracles: Map[String, String] = Map(
     "p_latest_partition" -> latestPartitionSql,
@@ -279,5 +325,6 @@ object Parity {
     "p_keyed_snapshot_scan" -> keyedSnapshotScanSql,
     "p_denormalize" -> denormalizeSql,
     "p_union_by_name" -> unionByNameSql,
-    "p_sql_scalar_subquery" -> sqlScalarSubquerySql)
+    "p_sql_scalar_subquery" -> sqlScalarSubquerySql,
+    "p_bistore_merge" -> bistoreMergeSql)
 }

@@ -122,6 +122,24 @@ object EtlOps {
           .otherwise(coalesce(col("dwd_modify_time"), now)))
   }
 
+  /** Pattern B extended — SCD Type-2 history: instead of keeping only the
+    * newest row per key (scdMerge), keep EVERY version with its validity
+    * interval: valid_from = its own order value, valid_to = the next
+    * version's (null while current), plus an is_current flag. The
+    * reference's warehouse stores dim_* tables as upsert snapshots; this
+    * is the standard upgrade when history must be queryable.
+    * One window shuffle on the key — same cost shape as dedupLatest.
+    */
+  def scd2History(df: DataFrame, keys: Seq[String],
+                  orderCol: String, tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).asc +: tieBreakers: _*)
+    df.withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Pattern C — bi-store full-outer merge with left-side precedence
     * (reference OrderMasterDataClean.scala:157-187: Hive latest partition
     * FULL OUTER JOIN HBase snapshot on the business key, then per-column

@@ -195,6 +195,26 @@ object Analytics {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // Exact interpolated percentiles (sort-based aggregate) — Spark's
+  // percentile() and DuckDB's quantile_cont() both use linear
+  // interpolation over the sorted values.
+  def percentilesQ(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.groupBy(col("o_orderstatus")).agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+      round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+      round(min(col("o_totalprice")), 2).as("min_price"),
+      round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+  val percentilesSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -203,7 +223,8 @@ object Analytics {
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
     "q_anti_join" -> (antiJoinQ _),
-    "q_salted_agg" -> (saltedAggQ _))
+    "q_salted_agg" -> (saltedAggQ _),
+    "q_percentiles" -> (percentilesQ _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
@@ -213,5 +234,6 @@ object Analytics {
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_anti_join" -> antiJoinSql,
-    "q_salted_agg" -> saltedAggSql)
+    "q_salted_agg" -> saltedAggSql,
+    "q_percentiles" -> percentilesSql)
 }

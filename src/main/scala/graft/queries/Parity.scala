@@ -281,6 +281,29 @@ object Parity {
        |       'user1' AS dwd_insert_user, '$T0' AS dwd_insert_time
        |FROM hive h FULL OUTER JOIN hbase b ON h.o_orderkey = b.o_orderkey""".stripMargin
 
+  // --------------------------------------------- Pattern B → SCD Type-2
+  // Full version history with validity intervals per user (events as the
+  // mutating dimension): every event is a version; valid_to = next
+  // version's timestamp, open-ended for the current one.
+  def scd2HistoryQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 50)
+    EtlOps.scd2History(ev, Seq("user_id"), "ts", Seq(col("event_id")))
+      .select(col("user_id"), col("event_id"),
+        expr("valid_from div 1000").as("valid_from_us"),
+        expr("valid_to div 1000").as("valid_to_us"),
+        col("is_current"), col("event_type"), col("value"))
+  }
+  val scd2HistorySql: String =
+    """SELECT user_id, event_id,
+      |  epoch_ns(ts) // 1000 AS valid_from_us,
+      |  lead(epoch_ns(ts)) OVER w // 1000 AS valid_to_us,
+      |  lead(epoch_ns(ts)) OVER w IS NULL AS is_current,
+      |  event_type, value
+      |FROM events
+      |WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)""".stripMargin
+
   // ------------------------------------------------------------- S1 / P7
   // Pure-SQL path with a scalar subquery — the reference's Pattern C form
   // of latest-partition selection (OrderMasterDataClean.scala:70-72:
@@ -314,7 +337,8 @@ object Parity {
     "p_denormalize" -> (denormalizeQ _),
     "p_union_by_name" -> (unionByNameQ _),
     "p_sql_scalar_subquery" -> (sqlScalarSubqueryQ _),
-    "p_bistore_merge" -> (bistoreMergeQ _))
+    "p_bistore_merge" -> (bistoreMergeQ _),
+    "p_scd2_history" -> (scd2HistoryQ _))
 
   val oracles: Map[String, String] = Map(
     "p_latest_partition" -> latestPartitionSql,
@@ -326,5 +350,6 @@ object Parity {
     "p_denormalize" -> denormalizeSql,
     "p_union_by_name" -> unionByNameSql,
     "p_sql_scalar_subquery" -> sqlScalarSubquerySql,
-    "p_bistore_merge" -> bistoreMergeSql)
+    "p_bistore_merge" -> bistoreMergeSql,
+    "p_scd2_history" -> scd2HistorySql)
 }

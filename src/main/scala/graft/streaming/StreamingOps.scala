@@ -45,6 +45,15 @@ object StreamingOps {
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup — the streaming side of the batch W1 pattern:
+    * drop events already seen for the key within the watermark horizon
+    * (state pruned as event time advances; unbounded keys stay bounded).
+    */
+  def dedupStream(src: DataFrame, keyCols: Seq[String],
+                  watermark: String = "30 minutes"): DataFrame =
+    src.withWatermark("event_time", watermark)
+      .dropDuplicates(keyCols :+ "event_time")
+
   case class UserSessionState(nEvents: Long, sumValue: Double,
                               lastTsUs: Long)
   case class UserSessionUpdate(user_id: Long, n_events: Long,

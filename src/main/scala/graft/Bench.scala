@@ -24,10 +24,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         fn(spark, sfDir).count() // plan + codegen + IO warmup (untimed)
+        // drop data caches the warmup created (operators that persist
+        // internally, e.g. the MinHash signature stage) so the timed run
+        // measures the real pipeline cost, not a cache read
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -104,6 +104,72 @@ object Dedup {
       .withColumn("simhash", TextFns.simhash48("__th"))
       .drop("__th")
 
+  /** Connected components over an undirected pair graph: every PAIRED
+    * node is labeled with the minimum node id of its component (the
+    * cluster representative). Nodes with no pair do not appear in the
+    * output — a dedup drop-stage must left-join and
+    * `coalesce(cluster_rep, doc_id)` to keep singletons.
+    *
+    * Iterative min-label propagation with pointer doubling: each round
+    * every node takes the min of (its label, its neighbors' labels, its
+    * label's label). The compression hop halves chain lengths, so rounds
+    * needed = O(log diameter), not O(diameter). Each round ends with a
+    * localCheckpoint — this both materializes the round (blocks on
+    * executors) and truncates the logical plan, without which the
+    * per-round plan nesting grows until driver-side analysis OOMs.
+    * Only the changed-row count crosses the driver. Throws if
+    * `maxRounds` is hit without convergence — silent partial labels
+    * would poison the downstream drop decisions.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 50,
+                          iterPartitions: Int = 8): DataFrame = {
+    // the label/edge relations are tiny compared to the pair-generation
+    // work upstream; iterating at full shuffle parallelism pays ~5 stages
+    // of task-scheduling overhead per round for near-empty partitions.
+    // `iterPartitions` bounds the per-round constant — raise it when the
+    // pair graph itself is huge.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .repartition(iterPartitions)
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val merged = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+      // pointer-doubling hop: follow my label to ITS label
+      val updated = merged.alias("m")
+        .join(merged.select(col("doc_id").as("label"),
+          col("label").as("label2")).alias("p"), Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("label2"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("label", "old"),
+        Seq("doc_id")).where(col("label") =!= col("old")).count()
+      converged = changed == 0
+      labels = updated
+      rounds += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(component diameter too large) — raise maxRounds")
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (exact
     * verification metric for near-dup candidates). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

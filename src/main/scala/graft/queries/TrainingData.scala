@@ -171,7 +171,10 @@ object TrainingData {
   def minhashDedupQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text", "doc_id",
       k = 5, threshold = 0.5)
-  val minhashDedupSql: String = {
+  /** The minhash pipeline as a reusable WITH-clause body ending in the
+    * `j` (verified pairs) CTE — shared by the pairs query and the
+    * connected-components clustering oracle. */
+  private val minhashCtes: String = {
     val p = TextFns.MinhashP
     val mins = TextFns.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a*h + $b) % $p) AS m$j"
@@ -180,7 +183,7 @@ object TrainingData {
       val ms = (0 until 4).map(r => s"m${4 * b + r}")
       s"SELECT doc_id, $b AS band, concat(${ms.mkString(", '_', ")}) AS bkey FROM sig"
     }
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  $nearDupCorpusSql),
        |sh AS (
        |  SELECT doc_id,
@@ -212,9 +215,36 @@ object TrainingData {
        |          4) AS jaccard
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b)
-       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
   }
+
+  val minhashDedupSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  // ------------------------------------------- near-dup clustering
+  // Connected components over the verified near-dup pair graph, each doc
+  // labeled with its cluster representative (the component's min doc_id)
+  // — the stage that actually decides which duplicates to drop. The
+  // oracle computes the same closure with a recursive CTE.
+  def dedupClustersQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir),
+      "text", "doc_id", k = 5, threshold = 0.5)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+  }
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+       |SELECT n AS doc_id, min(m) AS cluster_rep
+       |FROM reach GROUP BY n""".stripMargin
 
   // -------------------------------------------------------- cosine top-k
   def cosineTopKQ(spark: SparkSession, dir: String): DataFrame = {
@@ -428,6 +458,30 @@ object TrainingData {
        |WHERE char_len >= 100 AND token_cnt >= 15 AND punct_ratio <= 0.1""".stripMargin
   }
 
+  // -------------------------------------- deterministic dataset split
+  // Content-hash bucketing into train/valid/test (80/10/10): stable
+  // under reshuffling, re-ingestion, and engine choice — the split
+  // follows the document, not the row order or an RNG seed.
+  def datasetSplitQ(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextFns.hash32(col("text")) % 100
+    docs(spark, dir).select(
+      col("doc_id"), bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+  }
+  val datasetSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(8),
+      |      c -> (strpos('0123456789abcdef', substr(md5(text), CAST(c+1 AS INT), 1))-1)::BIGINT
+      |           << (4*(7-c)))) % 100 AS BIGINT) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> (dedupExactQ _),
     "x_text_stats" -> (textStatsQ _),
@@ -442,7 +496,9 @@ object TrainingData {
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_ann_lsh" -> (annLshQ _),
     "x_asof_join" -> (asOfJoinQ _),
-    "x_quality_filter" -> (qualityFilterQ _))
+    "x_quality_filter" -> (qualityFilterQ _),
+    "x_dedup_clusters" -> (dedupClustersQ _),
+    "x_dataset_split" -> (datasetSplitQ _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
@@ -458,5 +514,7 @@ object TrainingData {
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_ann_lsh" -> annLshSql,
     "x_asof_join" -> asOfJoinSql,
-    "x_quality_filter" -> qualityFilterSql)
+    "x_quality_filter" -> qualityFilterSql,
+    "x_dedup_clusters" -> dedupClustersSql,
+    "x_dataset_split" -> datasetSplitSql)
 }

@@ -65,6 +65,14 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("connectedComponents labels chains and keeps components separate") {
+    // chain 1-2-3 plus pair 10-11: components {1,2,3} rep 1, {10,11} rep 10
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("langId picks zh on CJK text and en on English text") {
     val df = Seq((1L, "这是一个中文文档 测试"), (2L, "the cat and the dog in the house"))
       .toDF("doc_id", "text")

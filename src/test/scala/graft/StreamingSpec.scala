@@ -52,8 +52,10 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.runToMemory(
       StreamingOps.dedupStream(src, Seq("user_id")), "dedup_out")
     val out = spark.table("dedup_out").count()
+    // event_time is microsecond-truncated, so the batch baseline must
+    // dedup at the same precision
     val batch = Tables.load(spark, sf0001, "events")
-      .selectExpr("user_id", "ts").distinct().count()
+      .selectExpr("user_id", "ts div 1000").distinct().count()
     assert(out == batch)
   }
 

@@ -1,0 +1,144 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.EtlOps
+import graft.operators.Dedup
+import graft.queries.Parity
+import graft.sources.Sinks
+
+/** Runnable warehouse jobs — the reference ships 12 spark-submit mains,
+  * one per table (SURVEY.md §0); a user switching to this library runs
+  * the same pipelines through these, re-targeted at the testdata
+  * entities. Each job = read → pattern op(s) → partitioned parquet write.
+  *
+  * Run: sbt "runMain graft.jobs.JobRunner <job|all> <sfDir> <outDir>"
+  */
+object Jobs {
+
+  private val T0 = EtlOps.FixedClock
+
+  /** Pattern A (reference SimpleDataCleanUtils.processTable, 5 jobs):
+    * latest partition → audit stamp → append into DWD. */
+  private def auditAppendJob(table: String, dateCol: Option[String])(
+      spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val src = Tables.load(spark, sfDir, table)
+    val withPart = dateCol match {
+      case Some(c) => src.withColumn("etl_date",
+        date_format(col(c), "yyyyMMdd"))
+      case None => src.withColumn("etl_date", lit("20240101"))
+    }
+    val latest = EtlOps.latestPartition(withPart, "etl_date")
+    Sinks.appendPartitioned(EtlOps.withAudit(latest, "dwd", "user1", T0),
+      s"$outDir/dwd_$table", Seq("etl_date"))
+  }
+
+  /** Pattern B (reference CustomerInf/CouponInfo/ProductInfo): SCD merge
+    * of the latest ODS slice into the DWD snapshot, dynamic-partition
+    * overwrite. */
+  private def scdMergeEventsJob(spark: SparkSession, sfDir: String,
+                                outDir: String): Unit = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val cutoff = 1705363200000000000L
+    val dwd = EtlOps.withAudit(
+      EtlOps.dedupLatest(ev.filter(col("ts") < cutoff), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc)), "dwd", "user1", T0)
+    val ods = ev.filter(col("ts") >= cutoff)
+    val merged = EtlOps.scdMerge(ods, dwd, Seq("user_id"), "ts",
+      Seq(col("event_id").desc))
+      .withColumn("etl_date", lit("20240116"))
+    Sinks.overwriteDynamicPartitions(merged, s"$outDir/dwd_user_latest",
+      Seq("etl_date"))
+  }
+
+  /** Pattern C (reference OrderMaster/OrderDetail/ProductBrowse):
+    * bi-store full-outer coalesce merge, append. */
+  private def bistoreOrdersJob(spark: SparkSession, sfDir: String,
+                               outDir: String): Unit = {
+    val merged = Parity.bistoreMergeQ(spark, sfDir)
+    Sinks.appendPartitioned(merged, s"$outDir/fact_order_master",
+      Seq("etl_date"))
+  }
+
+  /** Pattern D (reference CustomerAddrLevelAggr): star denormalize →
+    * DWS overwrite. */
+  private def dwsCustomerRegionJob(spark: SparkSession, sfDir: String,
+                                   outDir: String): Unit = {
+    val denorm = Parity.denormalizeQ(spark, sfDir)
+    Sinks.overwriteAll(denorm, s"$outDir/dws_customer_region",
+      Seq("etl_date"))
+  }
+
+  /** The modern flagship: full corpus-cleaning pipeline — exact dedup,
+    * near-dup clustering, quality filter, deterministic split — writing
+    * the cleaned training corpus partitioned by split. */
+  private def cleanCorpusJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // 1. exact dedup: keep min doc_id per normalized fingerprint
+    val keepers = Dedup.exactDedup(docs, "text", "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+    val exactDeduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    // 2. near-dup clustering: drop non-representative cluster members
+    val pairs = Dedup.minhashNearDupPairs(exactDeduped, "text", "doc_id",
+      k = 5, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val cleaned = exactDeduped.join(clusters, Seq("doc_id"), "left")
+      .where(col("cluster_rep").isNull ||
+        col("cluster_rep") === col("doc_id"))
+      .drop("cluster_rep")
+    // 3. quality filter + 4. deterministic split
+    val scored = cleaned
+      .withColumn("token_cnt",
+        graft.functions.TextFns.tokenCount(col("text")))
+      .where(col("n_chars") >= 50 && col("token_cnt") >= 10)
+      .withColumn("split",
+        when(graft.functions.TextFns.hash32(col("text")) % 100 < 80, "train")
+          .when(graft.functions.TextFns.hash32(col("text")) % 100 < 90, "valid")
+          .otherwise("test"))
+    Sinks.overwriteAll(scored, s"$outDir/clean_corpus", Seq("split"))
+  }
+
+  val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "clean_region" -> (auditAppendJob("region", None) _),
+    "clean_nation" -> (auditAppendJob("nation", None) _),
+    "clean_customer" -> (auditAppendJob("customer", None) _),
+    "clean_supplier" -> (auditAppendJob("supplier", None) _),
+    "clean_part" -> (auditAppendJob("part", None) _),
+    "clean_orders" -> (auditAppendJob("orders", Some("o_orderdate")) _),
+    "clean_lineitem" -> (auditAppendJob("lineitem", Some("l_shipdate")) _),
+    "merge_user_latest" -> (scdMergeEventsJob _),
+    "bistore_order_master" -> (bistoreOrdersJob _),
+    "dws_customer_region" -> (dwsCustomerRegionJob _),
+    "clean_corpus" -> (cleanCorpusJob _))
+}
+
+object JobRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(jobName, sfDir, outDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val targets =
+      if (jobName == "all") Jobs.all.toSeq.sortBy(_._1)
+      else Seq(jobName -> Jobs.all.getOrElse(jobName, {
+        System.err.println(s"unknown job '$jobName'; available: " +
+          ("all" +: Jobs.all.keys.toSeq.sorted).mkString(", "))
+        spark.stop()
+        sys.exit(2)
+      }))
+    targets.foreach { case (name, job) =>
+      val t0 = System.nanoTime()
+      job(spark, sfDir, outDir)
+      println(f"[job] $name done in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

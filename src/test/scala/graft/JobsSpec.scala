@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Jobs
+
+class JobsSpec extends SparkSpec {
+
+  test("every job runs end-to-end and writes non-empty output") {
+    val out = Files.createTempDirectory("graft_jobs").toString
+    Jobs.all.toSeq.sortBy(_._1).foreach { case (name, job) =>
+      job(spark, sf0001, out)
+    }
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs.size == Jobs.all.size,
+      s"expected ${Jobs.all.size} output tables, got $dirs")
+    dirs.foreach { d =>
+      assert(spark.read.parquet(s"$out/$d").count() > 0, s"$d is empty")
+    }
+  }
+
+  test("clean_corpus drops planted near-duplicates and splits the rest") {
+    val out = Files.createTempDirectory("graft_corpus").toString
+    Jobs.all("clean_corpus")(spark, sf0001, out)
+    val corpus = spark.read.parquet(s"$out/clean_corpus")
+    val n = corpus.count()
+    val total = Tables.load(spark, sf0001, "documents").count()
+    assert(n > 0 && n <= total)
+    val splits = corpus.select(col("split").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")) && splits("train"))
+  }
+
+  test("audit-append job is append-semantics (second run doubles rows)") {
+    val out = Files.createTempDirectory("graft_append").toString
+    Jobs.all("clean_region")(spark, sf0001, out)
+    val once = spark.read.parquet(s"$out/dwd_region").count()
+    Jobs.all("clean_region")(spark, sf0001, out)
+    val twice = spark.read.parquet(s"$out/dwd_region").count()
+    assert(twice == 2 * once)
+  }
+}

@@ -181,6 +181,23 @@ object Analytics {
       |  WHERE o.o_custkey = c.c_custkey
       |    AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01')""".stripMargin
 
+  // Semi join: customers WITH at least one 2001 order (EXISTS) — the
+  // complement of q_anti_join, completing the join-type coverage.
+  def semiJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("2001-01-01"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01')""".stripMargin
+
   // Salted two-phase aggregation over the hot event_type keys — result is
   // exactly the plain GROUP BY (the oracle's form); the salt only shapes
   // the shuffle.
@@ -224,7 +241,8 @@ object Analytics {
     "q_rollup_revenue" -> (rollupRevenueQ _),
     "q_anti_join" -> (antiJoinQ _),
     "q_salted_agg" -> (saltedAggQ _),
-    "q_percentiles" -> (percentilesQ _))
+    "q_percentiles" -> (percentilesQ _),
+    "q_semi_join" -> (semiJoinQ _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
@@ -235,5 +253,6 @@ object Analytics {
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_anti_join" -> antiJoinSql,
     "q_salted_agg" -> saltedAggSql,
-    "q_percentiles" -> percentilesSql)
+    "q_percentiles" -> percentilesSql,
+    "q_semi_join" -> semiJoinSql)
 }

@@ -83,6 +83,48 @@ object StreamingOps {
       }
   }
 
+  /** Continuous warehouse ingestion: every micro-batch is SCD-merged
+    * into a parquet snapshot table — the streaming upgrade of the
+    * reference's Pattern B batch upsert. foreachBatch bridges the stream
+    * to the batch EtlOps.scdMerge, so batch and streaming ingestion share
+    * ONE merge implementation (identical semantics by construction).
+    *
+    * The snapshot is localCheckpoint'ed before the overwrite (Spark
+    * cannot overwrite a path it is lazily reading; the checkpoint
+    * materializes executor-side blocks and truncates the file lineage,
+    * no driver collect). At scale the target would be a transactional
+    * table format; the merge logic is unchanged.
+    */
+  def continuousScdMerge(src: DataFrame, targetDir: String,
+                         keys: Seq[String], orderCol: String,
+                         tieBreakers: Seq[String]): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val q = src.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_scd_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val tgt = new java.io.File(targetDir)
+        val merged =
+          if (tgt.exists()) {
+            val snapshot = spark.read.parquet(targetDir).localCheckpoint(true)
+            graft.ops.EtlOps.scdMerge(batch.drop("event_time"), snapshot,
+              keys, orderCol,
+              tieBreakers.map(org.apache.spark.sql.functions.col(_).desc))
+          } else {
+            graft.ops.EtlOps.withAudit(
+              graft.ops.EtlOps.dedupLatest(batch.drop("event_time"), keys,
+                (org.apache.spark.sql.functions.col(orderCol).desc +:
+                  tieBreakers.map(org.apache.spark.sql.functions.col(_).desc))))
+          }
+        merged.drop("data_source").write.mode("overwrite").parquet(targetDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available input is processed (local smoke harness). */
   def runToMemory(df: DataFrame, name: String,

@@ -59,6 +59,44 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("continuous SCD merge converges to the batch merge result") {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_scd_target").toString + "/snap"
+    // stream the events dir through foreachBatch scd-merge
+    val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)
+    StreamingOps.continuousScdMerge(src, target,
+      Seq("user_id"), "ts", Seq("event_id"))
+    val streamed = spark.read.parquet(target)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: newest event per user over the same input
+    val batch = graft.ops.EtlOps.dedupLatest(
+      Tables.load(spark, sf0001, "events"), Seq("user_id"),
+      Seq(org.apache.spark.sql.functions.col("ts").desc,
+        org.apache.spark.sql.functions.col("event_id").desc))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("continuous SCD merge is idempotent against an existing snapshot") {
+    // a single-file source is one micro-batch, so one run only exercises
+    // the bootstrap branch; a second run with a fresh checkpoint hits the
+    // scdMerge-against-existing-target branch and must change nothing
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_scd_idem").toString + "/snap"
+    def run(): Unit = StreamingOps.continuousScdMerge(
+      StreamingOps.eventStream(spark, eventsDir, eventsSchema),
+      target, Seq("user_id"), "ts", Seq("event_id"))
+    run()
+    val first = spark.read.parquet(target)
+      .select("user_id", "event_id").collect().map(_.toSeq).toSet
+    run()
+    val second = spark.read.parquet(target)
+      .select("user_id", "event_id").collect().map(_.toSeq).toSet
+    assert(first == second)
+  }
+
   test("stateful per-user session stream accumulates across users") {
     val src = StreamingOps.eventStream(spark, eventsDir,
       eventsSchema)

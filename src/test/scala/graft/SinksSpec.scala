@@ -50,6 +50,31 @@ class SinksSpec extends SparkSpec {
     assert(dates == Set("20240103"))
   }
 
+  test("compact collapses many small files into few, preserving rows") {
+    val path = tmp() + "/t"
+    val df = spark.range(10000).selectExpr("id", "id % 7 as v")
+      .repartition(40) // 40 small files
+    df.write.parquet(path)
+    val before = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 30)
+    Sinks.compact(spark, path, targetFileMB = 128)
+    val after = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after <= 2, s"still $after files")
+    assert(spark.read.parquet(path).count() == 10000)
+  }
+
+  test("sorted append writes row groups that prune on the sort column") {
+    val path = tmp() + "/s"
+    val df = spark.range(100000).selectExpr("id", "id * 2 as v")
+      .repartition(2)
+    Sinks.appendPartitionedSorted(df.withColumn("etl_date", lit("d1")),
+      path, Seq("etl_date"), Seq("id"))
+    val out = spark.read.parquet(path).where($"id" === 12345L)
+    assert(out.count() == 1)
+  }
+
   test("partition pruning reads only the filtered etl_date directory") {
     val path = tmp()
     Sinks.overwriteAll(

@@ -181,6 +181,21 @@ object Analytics {
       |  WHERE o.o_custkey = c.c_custkey
       |    AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01')""".stripMargin
 
+  // Full CUBE over (orderstatus, orderpriority): all grouping-set
+  // combinations including cross-margins (rollup covers the hierarchy
+  // case; cube completes the grouping-sets family).
+  def cubeStatusQ(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+  val cubeStatusSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   // Semi join: customers WITH at least one 2001 order (EXISTS) — the
   // complement of q_anti_join, completing the join-type coverage.
   def semiJoinQ(spark: SparkSession, dir: String): DataFrame = {
@@ -242,7 +257,8 @@ object Analytics {
     "q_anti_join" -> (antiJoinQ _),
     "q_salted_agg" -> (saltedAggQ _),
     "q_percentiles" -> (percentilesQ _),
-    "q_semi_join" -> (semiJoinQ _))
+    "q_semi_join" -> (semiJoinQ _),
+    "q_cube_status" -> (cubeStatusQ _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
@@ -254,5 +270,6 @@ object Analytics {
     "q_anti_join" -> antiJoinSql,
     "q_salted_agg" -> saltedAggSql,
     "q_percentiles" -> percentilesSql,
-    "q_semi_join" -> semiJoinSql)
+    "q_semi_join" -> semiJoinSql,
+    "q_cube_status" -> cubeStatusSql)
 }

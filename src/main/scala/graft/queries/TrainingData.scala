@@ -458,6 +458,49 @@ object TrainingData {
        |WHERE char_len >= 100 AND token_cnt >= 15 AND punct_ratio <= 0.1""".stripMargin
   }
 
+  // ------------------------------------------------------- TF-IDF
+  // Top-5 TF-IDF terms per document: token explode → term frequency →
+  // document frequency → smoothed idf — the classic keyword-extraction
+  // pipeline. One shuffle for tf, one small dfreq aggregate broadcast
+  // back. Scores round(4); rank tie-broken by term on both engines.
+  def tfidfQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("d"))
+    val n = d.agg(count(lit(1)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("c") *
+        log((col("nn") + 1.0d) / (col("d") + 1.0d)), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS d FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.c * ln((n.nn + 1.0) / (dfreq.d + 1.0)), 4) AS score
+      |  FROM tf JOIN dfreq USING (term), n)
+      |SELECT doc_id, term, score,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+      |       AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5""".stripMargin
+
   // -------------------------------------- deterministic dataset split
   // Content-hash bucketing into train/valid/test (80/10/10): stable
   // under reshuffling, re-ingestion, and engine choice — the split
@@ -498,7 +541,8 @@ object TrainingData {
     "x_asof_join" -> (asOfJoinQ _),
     "x_quality_filter" -> (qualityFilterQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
-    "x_dataset_split" -> (datasetSplitQ _))
+    "x_dataset_split" -> (datasetSplitQ _),
+    "x_tfidf" -> (tfidfQ _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
@@ -516,5 +560,6 @@ object TrainingData {
     "x_asof_join" -> asOfJoinSql,
     "x_quality_filter" -> qualityFilterSql,
     "x_dedup_clusters" -> dedupClustersSql,
-    "x_dataset_split" -> datasetSplitSql)
+    "x_dataset_split" -> datasetSplitSql,
+    "x_tfidf" -> tfidfSql)
 }

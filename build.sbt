@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output must NOT pass through sbt's logger: the driver
 // parses Bench's single JSON stdout line, and LoggedOutput would
 // prefix it with "[info] ".
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -40,13 +40,15 @@ object Profile {
     val sig = Dedup.withMinhashSignature(corpus, "text", 5)
     time("signature")(sig.select(sum(col("m0"))).collect())
     spark.catalog.clearCache()
-    val pairs = Dedup.minhashNearDupPairs(corpus, "text", "doc_id", 5, 0.5)
-    val nPairs = time("minhash pairs e2e")(pairs.count())
+    // minhashNearDupPairs materializes eagerly — time construction too
+    val nPairs = time("minhash pairs e2e")(
+      Dedup.minhashNearDupPairs(corpus, "text", "doc_id", 5, 0.5).count())
     println(s"[profile] pairs=$nPairs")
     spark.catalog.clearCache()
-    val pairs2 = Dedup.minhashNearDupPairs(corpus, "text", "doc_id", 5, 0.5)
     time("cc e2e")(
-      Dedup.connectedComponents(pairs2, "doc_a", "doc_b").count())
+      Dedup.connectedComponents(
+        Dedup.minhashNearDupPairs(corpus, "text", "doc_id", 5, 0.5),
+        "doc_a", "doc_b").count())
     spark.stop()
   }
 }

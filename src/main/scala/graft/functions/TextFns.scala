@@ -84,6 +84,24 @@ object TextFns {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
+  /** Polynomial codepoint hash of a string:
+    * fold(h = (h*31 + codepoint) mod 1e9+7) — the portable shingle hash.
+    * DuckDB computes the identical value with list_reduce over
+    * unicode(); ShingleHashesExpr is the fused one-pass native form.
+    */
+  val PolyP: Long = 1000000007L
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % PolyP)
+
+  /** HOF mirror of ShingleHashesExpr (distinct poly-hashes of the
+    * k-shingles; distinctness on the hash value). Kept for bit-equality
+    * testing of the native expression. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => polyHash(s)))
+
   /** Portable 32-bit hash: first 8 hex chars of md5 as an unsigned int.
     * DuckDB computes the identical value from the same md5 hex. */
   def hash32(s: Column): Column =

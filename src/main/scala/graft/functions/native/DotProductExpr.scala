@@ -83,6 +83,7 @@ object NativeFns {
   val MinhashName = "graft_minhash_sig"
   val LshName = "graft_lsh_buckets"
   val ShinglesName = "graft_shingles"
+  val ShingleHashesName = "graft_shingle_hashes"
   val JaccardName = "graft_jaccard"
 
   /** Idempotent; called from Tables.load so every query path (including
@@ -101,6 +102,9 @@ object NativeFns {
       ShinglesName, exprs => ShinglesExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
+      ShingleHashesName, exprs => ShingleHashesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
       JaccardName, exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
   }
 
@@ -117,6 +121,11 @@ object NativeFns {
   def shinglesNative(text: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(ShinglesName, text, lit(k))
+  }
+
+  def shingleHashes(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(ShingleHashesName, text, lit(k))
   }
 
   def jaccardNative(a: Column, b: Column): Column =

@@ -1,31 +1,26 @@
 package graft.functions.native
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native MinHash signature: array<string> shingles → array<long>(16).
+/** Native MinHash signature: array<long> shingle hashes (from
+  * ShingleHashesExpr) → array<long>(16).
   *
-  * Computes, in ONE pass over the shingle array:
-  *   h(s)  = first 4 bytes of md5(utf8(s)) as an unsigned big-endian int
-  *           (identical to conv(substring(md5(s),1,8),16,10) and to the
-  *           DuckDB hex-digit fold — md5 is md5 everywhere)
-  *   m_j   = min over s of (a_j * h(s) + b_j) mod P
-  * using TextFns.MinhashSeeds/MinhashP.
+  * Computes, in ONE pass over the hash array:
+  *   m_j = min over h of (a_j * h + b_j) mod P
+  * using TextFns.MinhashSeeds/MinhashP. h < 2^30 (mod 1e9+7) and
+  * a_j < 2^30 keep a_j*h < 2^60 — no signed overflow.
   *
-  * The HOF formulation materializes the md5 as a hex STRING, parses it
-  * back with conv(), and walks the array once per signature slot (16
-  * passes, 5M hex-string round-trips at sf0.1). This expression digests
-  * raw bytes and keeps 16 running minima — one MessageDigest per thread,
-  * zero intermediate allocation per shingle. CodegenFallback: the md5
-  * digest dominates; codegen of the loop shell would not move the
-  * needle.
+  * The HOF formulation walks the array once per signature slot (16
+  * interpreted passes with a lambda-boxed accumulator each). This
+  * expression keeps 16 running minima in a primitive array — one pass,
+  * zero allocation per element. CodegenFallback: the one-pass loop is
+  * already the cheapest stage of the pipeline; codegen of the loop
+  * shell would not move the needle.
   */
 case class MinhashSigExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -34,17 +29,14 @@ case class MinhashSigExpr(child: Expression)
   private val p = graft.functions.TextFns.MinhashP
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${dt.simpleString}")
+      s"$prettyName requires array<long>, got ${dt.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "graft_minhash_sig"
-
-  @transient private lazy val digest: MessageDigest =
-    MessageDigest.getInstance("MD5")
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -52,11 +44,7 @@ case class MinhashSigExpr(child: Expression)
     val mins = Array.fill(seeds.length)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      digest.reset()
-      val d = digest.digest(s.getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h = arr.getLong(i)
       var j = 0
       while (j < seeds.length) {
         val (a, b) = seeds(j)

@@ -156,15 +156,20 @@ object TrainingData {
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, greatest(len(ta)-1, 1)+1),
-      |      i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1])) AS ga,
-      |    list_distinct(list_transform(range(1, greatest(len(tb)-1, 1)+1),
-      |      i -> tb[CAST(i AS INT)] || ' ' || tb[CAST(i AS INT)+1])) AS gb
+      |    CASE WHEN len(ta) >= 2 THEN
+      |      list_distinct(list_transform(range(1, len(ta)),
+      |        i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1]))
+      |    ELSE [] END AS ga,
+      |    CASE WHEN len(tb) >= 2 THEN
+      |      list_distinct(list_transform(range(1, len(tb)),
+      |        i -> tb[CAST(i AS INT)] || ' ' || tb[CAST(i AS INT)+1]))
+      |    ELSE [] END AS gb
       |  FROM toks)
       |SELECT doc_id,
-      |  round(len(list_filter(ga, x -> list_contains(gb, x)))::DOUBLE /
-      |        (len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x)))),
-      |        4) AS jaccard2
+      |  CASE WHEN len(ga) + len(gb) = 0 THEN 0.0 ELSE
+      |    round(len(list_filter(ga, x -> list_contains(gb, x)))::DOUBLE /
+      |          (len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x)))),
+      |          4) END AS jaccard2
       |FROM grams""".stripMargin
 
   // --------------------------------------------------------- minhash + LSH
@@ -187,16 +192,16 @@ object TrainingData {
        |  $nearDupCorpusSql),
        |sh AS (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
-       |      i -> substr(text, CAST(i AS INT), 5))) AS shingles
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, greatest(length(text)-4, 1)+1),
+       |        i -> substr(text, CAST(i AS INT), 5)),
+       |      s -> list_reduce(
+       |             list_concat([CAST(0 AS BIGINT)],
+       |               list_transform(range(1, length(s)+1),
+       |                 c -> CAST(unicode(substr(s, CAST(c AS INT), 1)) AS BIGINT))),
+       |             (a, c) -> (a*31 + c) % 1000000007))) AS hashes
        |  FROM corpus),
-       |shr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |hr AS (
-       |  SELECT doc_id,
-       |    list_sum(list_transform(range(8),
-       |      c -> (strpos('0123456789abcdef', substr(md5(s), CAST(c+1 AS INT), 1))-1)::BIGINT
-       |           << (4*(7-c)))) AS h
-       |  FROM shr),
+       |hr AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |    $mins
@@ -209,9 +214,9 @@ object TrainingData {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |j AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    round(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))::DOUBLE /
-       |          (len(sa.shingles) + len(sb.shingles)
-       |           - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))),
+       |    round(len(list_filter(sa.hashes, x -> list_contains(sb.hashes, x)))::DOUBLE /
+       |          (len(sa.hashes) + len(sb.hashes)
+       |           - len(list_filter(sa.hashes, x -> list_contains(sb.hashes, x)))),
        |          4) AS jaccard
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a

@@ -48,31 +48,72 @@ object Sinks {
     df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").partitionBy(partCols: _*).parquet(path)
 
+  /** Partition columns of a parquet directory, inferred from its
+    * `col=value` subdirectory layout (the same convention Spark's
+    * PartitioningAwareFileIndex discovers). Empty for an unpartitioned
+    * table.
+    */
+  def partitionColumnsOf(path: String): Seq[String] = {
+    def walk(dir: java.io.File, acc: List[String]): List[String] = {
+      val sub = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (sub.isEmpty) acc.reverse
+      else walk(sub.head, sub.head.getName.takeWhile(_ != '=') :: acc)
+    }
+    walk(new java.io.File(path), Nil)
+  }
+
   /** Small-file compaction: rewrite a parquet table into files of
     * roughly `targetFileMB` each. Streaming/micro-batch ingestion and
     * fine-grained dynamic partitions accumulate small files that poison
     * scan parallelism and NameNode-style metadata at scale; periodic
-    * compaction is the standard remedy. The rewrite goes through a
-    * temporary directory, then atomically swaps via rename.
+    * compaction is the standard remedy.
+    *
+    * The original partition layout is preserved: partition columns are
+    * taken from `partCols` or, by default, inferred from the `col=value`
+    * directory structure, and the rewrite re-applies `partitionBy` —
+    * without this the rewrite would flatten the layout and lose
+    * partition pruning for every later read.
+    *
+    * Swap protocol (crash-safe at every step): write to `<path>__compact_tmp`,
+    * rename the live table aside to `<path>__compact_old`, rename tmp into
+    * place, then delete the old copy. Each rename is checked; on failure
+    * the live table is either still at `path` or restored from the
+    * `__compact_old` copy — data is never deleted before the replacement
+    * is in place.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetFileMB: Int = 128): Unit = {
+              targetFileMB: Int = 128,
+              partCols: Seq[String] = null): Unit = {
     val src = new java.io.File(path)
     require(src.exists(), s"no table at $path")
+    val parts = Option(partCols).getOrElse(partitionColumnsOf(path))
     val bytes = java.nio.file.Files.walk(src.toPath)
       .filter(p => p.toString.endsWith(".parquet"))
       .mapToLong(p => p.toFile.length()).sum()
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    // coalesce-per-partition would need a shuffle; a plain coalesce gives
+    // nFiles tasks and partitionBy splits each task's rows into its
+    // partition directories — good enough for small-file compaction.
     val df = spark.read.parquet(path).coalesce(nFiles)
-      .localCheckpoint(true) // materialize before deleting the source
-    val tmp = path + "__compact_tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
+      .localCheckpoint(true) // materialize before touching the source
+    val tmp = new java.io.File(path + "__compact_tmp")
+    val old = new java.io.File(path + "__compact_old")
+    def rm(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    rm(src)
-    new java.io.File(tmp).renameTo(src)
-    ()
+    rm(tmp); rm(old) // leftovers from a previous crashed attempt
+    val w = df.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(tmp.getPath)
+    if (!src.renameTo(old))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!tmp.renameTo(src)) {
+      old.renameTo(src) // restore the live table before failing
+      throw new java.io.IOException(
+        s"compact: could not move compacted data into $path (original restored)")
+    }
+    rm(old)
   }
 }

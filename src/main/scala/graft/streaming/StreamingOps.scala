@@ -55,31 +55,82 @@ object StreamingOps {
       .dropDuplicates(keyCols :+ "event_time")
 
   case class UserSessionState(nEvents: Long, sumValue: Double,
-                              lastTsUs: Long)
-  case class UserSessionUpdate(user_id: Long, n_events: Long,
-                               sum_value: Double, last_ts_us: Long)
+                              startTsNs: Long, lastTsNs: Long)
+  case class UserSessionClosed(user_id: Long, n_events: Long,
+                               sum_value: Double, session_start_us: Long,
+                               session_end_us: Long)
 
-  /** Stateful per-user running session stats via mapGroupsWithState —
-    * the streaming analog of operators.Sessionize, with state expiry
-    * standing in for the 30-minute session gap.
+  /** Stateful per-user SESSIONIZATION via flatMapGroupsWithState — the
+    * streaming analog of operators.Sessionize with identical gap
+    * semantics: a new session starts when an event arrives more than
+    * `gapMinutes` of event time after the previous one.
+    *
+    * Sessions close two ways, both emitting a UserSessionClosed row:
+    *  - in-batch: a later event for the user arrives past the gap;
+    *  - on timeout: the event-time watermark passes lastEvent+gap
+    *    (EventTimeTimeout + setTimeoutTimestamp), at which point the
+    *    state is REMOVED — per-user state is bounded by activity, never
+    *    lifetime (round-1 advice: NoTimeout grew state unboundedly and
+    *    never split sessions).
+    *
+    * The still-open trailing session of a user stays in state until the
+    * watermark advances past its gap; a finite input's last sessions are
+    * therefore intentionally unemitted (exactly the watermark contract).
     */
-  def userSessionStream(src: DataFrame): Dataset[UserSessionUpdate] = {
+  def userSessionStream(src: DataFrame,
+                        gapMinutes: Int = 30): Dataset[UserSessionClosed] = {
     val spark = src.sparkSession
     import spark.implicits._
-    src.selectExpr("user_id", "ts div 1000 as ts_us", "value")
-      .as[(Long, Long, Double)]
+    // gap decisions run on full NANOSECOND precision, exactly like the
+    // batch sessionizer (Sessionize gaps on the raw ts nanos; a
+    // microsecond-truncated diff could flip a boundary-case split)
+    val gapNs = gapMinutes * 60L * 1000000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    // the watermark column must survive into the stateful operator's
+    // input, so event_time rides along (unused by the lambda)
+    src.withWatermark("event_time", s"$gapMinutes minutes")
+      .selectExpr("user_id", "ts", "value", "event_time")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[(Long, Long, Double)],
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
          state: GroupState[UserSessionState]) =>
-          val batch = rows.toSeq
-          val prev = state.getOption.getOrElse(UserSessionState(0L, 0.0, 0L))
-          val next = UserSessionState(
-            prev.nEvents + batch.size,
-            prev.sumValue + batch.map(_._3).sum,
-            math.max(prev.lastTsUs, if (batch.isEmpty) 0L else batch.map(_._2).max))
-          state.update(next)
-          UserSessionUpdate(userId, next.nEvents, next.sumValue, next.lastTsUs)
+          def emit(s: UserSessionState) =
+            UserSessionClosed(userId, s.nEvents, s.sumValue,
+              s.startTsNs / 1000, s.lastTsNs / 1000)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(s))
+          } else {
+            // session splitting depends only on ts gaps; sums/counts are
+            // order-independent, so sorting by ts alone is total enough
+            val evs = rows.toArray.sortBy(_._2)
+            val closed = scala.collection.mutable.ArrayBuffer
+              .empty[UserSessionClosed]
+            var cur = state.getOption
+            evs.foreach { case (_, tsNs, v, _) =>
+              cur = cur match {
+                case Some(s) if tsNs - s.lastTsNs <= gapNs =>
+                  Some(UserSessionState(s.nEvents + 1, s.sumValue + v,
+                    s.startTsNs, tsNs))
+                case Some(s) =>
+                  closed += emit(s)
+                  Some(UserSessionState(1L, v, tsNs, tsNs))
+                case None =>
+                  Some(UserSessionState(1L, v, tsNs, tsNs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must stay ahead of the current watermark
+              // (late stragglers would otherwise ask for a past timeout)
+              state.setTimeoutTimestamp(math.max(s.lastTsNs / 1000000 + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
       }
   }
 

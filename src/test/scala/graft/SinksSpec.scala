@@ -65,6 +65,28 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 10000)
   }
 
+  test("compact preserves a partitioned layout and its values") {
+    val path = tmp() + "/pt"
+    val df = (1 to 1000).map(i => (s"2024010${i % 3 + 1}", i.toLong))
+      .toDF("etl_date", "v").repartition(20)
+    Sinks.appendPartitioned(df, path, Seq("etl_date"))
+    assert(Sinks.partitionColumnsOf(path) == Seq("etl_date"))
+    Sinks.compact(spark, path, targetFileMB = 128)
+    // layout still partitioned: etl_date=... subdirectories survive
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("etl_date="))
+    assert(dirs.length == 3, s"partition dirs lost: ${dirs.toSeq}")
+    assert(new java.io.File(path + "__compact_tmp").exists() == false)
+    assert(new java.io.File(path + "__compact_old").exists() == false)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000)
+    // each partition directory is compacted to few files
+    val files = new java.io.File(path + "/etl_date=20240101").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"partition dir still has $files files")
+    assert(back.where($"etl_date" === "20240101").count() > 0)
+  }
+
   test("sorted append writes row groups that prune on the sort column") {
     val path = tmp() + "/s"
     val df = spark.range(100000).selectExpr("id", "id * 2 as v")

@@ -97,18 +97,34 @@ class StreamingSpec extends SparkSpec {
     assert(first == second)
   }
 
-  test("stateful per-user session stream accumulates across users") {
-    val src = StreamingOps.eventStream(spark, eventsDir,
-      eventsSchema)
+  test("session stream emits gap-closed sessions that match the batch " +
+    "sessionizer (open trailing sessions excluded)") {
+    val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)
     StreamingOps.runToMemory(
       StreamingOps.userSessionStream(src).toDF(), "sess_out",
-      OutputMode.Update())
+      OutputMode.Append())
     val out = spark.table("sess_out")
-    val users = Tables.load(spark, sf0001, "events")
-      .select("user_id").distinct().count()
-    assert(out.select("user_id").distinct().count() == users)
-    // totals match the batch aggregate
-    val batchN = Tables.load(spark, sf0001, "events").count()
-    assert(out.agg(sum("n_events")).head().getLong(0) == batchN)
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+      .collect().map(_.toSeq).toSet
+    // batch reference: gap-closed sessions MUST all be emitted; trailing
+    // sessions are emitted iff the final watermark passed their timeout
+    // (Spark runs one extra batch to fire pending timeouts), so the
+    // stream result must sit between "all non-trailing" and "all".
+    val batch = graft.operators.Sessionize.sessionStats(
+      Tables.load(spark, sf0001, "events"),
+      "user_id", "ts", "event_id", "value")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val marked = batch
+      .withColumn("last_idx", max(col("sess_idx")).over(w))
+      .select(col("user_id"), col("n_events"), col("session_start_us"),
+        col("session_end_us"), (col("sess_idx") === col("last_idx")).as("trailing"))
+      .collect()
+    val nonTrailing = marked.filter(!_.getBoolean(4))
+      .map(_.toSeq.take(4)).toSet
+    val all = marked.map(_.toSeq.take(4)).toSet
+    assert(nonTrailing.subsetOf(out), "a gap-closed session was not emitted")
+    assert(out.subsetOf(all), "stream emitted a session batch doesn't have")
+    // timeouts really fire: strictly more than the in-batch closures
+    assert(out.size > nonTrailing.size, "no trailing session ever timed out")
   }
 }

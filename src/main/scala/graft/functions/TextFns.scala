@@ -127,6 +127,35 @@ object TextFns {
     array_min(transform(shingleArr,
       s => (lit(a) * hash32(s) + lit(b)) % MinhashP))
 
+  /** BPE-ish subword-boundary tokenization (regex only — the shape a
+    * byte-pair tokenizer's pre-tokenizer uses): letter runs, digit
+    * chunks of at most 3 (BPE tokenizers split long numbers), and
+    * single non-alphanumeric marks. The class is kept inside the
+    * RE2 ∩ java.util.regex subset (explicit whitespace class, no \s)
+    * so Spark and DuckDB tokenize identically.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]{1,3}|[^ \\t\\n\\rA-Za-z0-9]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  // PII scrubbing patterns (RE2 ∩ Java subset; explicit whitespace class)
+  val UrlPattern = "https?://[^ \\t\\n\\r]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumPattern = "[0-9]{7,}"
+
+  /** Redact URLs, then emails, then 7+-digit runs (order matters: URLs
+    * may contain digits/@). The same three regexp_replace calls run on
+    * the oracle side. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      LongNumPattern, "<NUM>")
+
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Array of portable 48-bit hashes of the whitespace tokens of
     * lower(trim(text)) — materialize this once (withColumn) before
     * feeding simhash48, so the md5s aren't recomputed per bit. */

@@ -85,6 +85,7 @@ object NativeFns {
   val ShinglesName = "graft_shingles"
   val ShingleHashesName = "graft_shingle_hashes"
   val JaccardName = "graft_jaccard"
+  val SimhashName = "graft_simhash"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. */
@@ -106,6 +107,8 @@ object NativeFns {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       JaccardName, exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SimhashName, exprs => SimhashExpr(exprs.head), "built-in")
   }
 
   def dotNative(a: Column, b: Column): Column = call_function(DotName, a, b)
@@ -130,4 +133,7 @@ object NativeFns {
 
   def jaccardNative(a: Column, b: Column): Column =
     call_function(JaccardName, a, b)
+
+  def simhashNative(text: Column): Column =
+    call_function(SimhashName, text)
 }

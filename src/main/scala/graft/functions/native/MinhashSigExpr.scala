@@ -66,6 +66,98 @@ case class MinhashSigExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Native 48-bit SimHash of a text column in one pass: tokens of
+  * trim(lower(text)) split on whitespace, each hashed to 48 bits via the
+  * first 6 md5 bytes (identical to TextFns.hash48's hex-prefix fold),
+  * then the classic ±1 bit votes, bit k set iff the vote is strictly
+  * positive.
+  *
+  * Replaces the HOF pipeline tokenHashes48 → simhash48, whose outer
+  * aggregate walks the token-hash array 48 times with interpreted
+  * lambdas and whose md5 goes through a hex-string round trip. Here:
+  * one digest per token, 48 primitive counters, no intermediate arrays.
+  * Bit-equality with the HOF form is asserted in tests and by the
+  * unchanged x_simhash DuckDB oracle.
+  */
+case class SimhashExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  @transient private lazy val digest: java.security.MessageDigest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  // Java-regex \s members (the HOF form splits on "\\s+")
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    // lower(ROOT) + space-trim reproduce Spark's lower()/trim() for the
+    // locale-independent cases (asserted bit-equal on real docs in tests)
+    var s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s = s.substring(lo, hi)
+    val votes = new Array[Int](48)
+    def vote(tok: String): Unit = {
+      digest.reset()
+      val d = digest.digest(
+        tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      var k = 0
+      while (k < 48) {
+        if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+    }
+    val n = s.length
+    if (n == 0) {
+      vote("") // split("", "\s+") == [""]: one empty token
+    } else {
+      // Java split emits a leading "" when the string starts with a
+      // separator (trim only strips spaces, so e.g. a leading tab)
+      if (isWs(s.charAt(0))) vote("")
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        if (i > start) vote(s.substring(start, i))
+      }
+    }
+    var out = 0L
+    var k = 0
+    while (k < 48) {
+      if (votes(k) > 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native multi-table LSH bucketing: array<double> vector →
   * array<long>(tables), one bucket id per table.
   *

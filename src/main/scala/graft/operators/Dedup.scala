@@ -108,11 +108,58 @@ object Dedup {
     out
   }
 
-  /** 48-bit SimHash per document (portable md5-derived token hashes). */
+  /** 48-bit SimHash per document — one-pass native expression
+    * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);
+    * bit-identical to the HOF pipeline tokenHashes48→simhash48. */
   def withSimhash(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("__th", TextFns.tokenHashes48(col(textCol)))
-      .withColumn("simhash", TextFns.simhash48("__th"))
-      .drop("__th")
+    docs.withColumn("simhash",
+      graft.functions.native.NativeFns.simhashNative(col(textCol)))
+
+  /** SimHash near-dup STAR edges via banded bucketing: the 48-bit
+    * simhash is split into 4 bands of 12 bits; in every (band, value)
+    * bucket each document is paired with the bucket's MINIMUM doc id
+    * (the hub), then the FULL hamming distance is verified <=
+    * `maxHamming`.
+    *
+    * Star edges, not cliques, are the 100 TB-safe shape: a bucket of m
+    * near-identical documents yields m-1 edges instead of m(m-1)/2 (a
+    * 2000-duplicate cluster is 2k rows, not 2M), while connectivity for
+    * a downstream connectedComponents drop-stage is preserved — every
+    * bucket member reaches the hub directly. The trade-off is that
+    * cross-member similarity is only implied transitively; a pair whose
+    * hub edge fails verification can drop out even if the pair itself
+    * is close (same contract as production fuzzy-dedup pipelines that
+    * cluster on bucket membership).
+    *
+    * simhash is row-local; the per-bucket hub is ONE aggregation over
+    * (band, 12-bit key, doc_id, simhash) thin rows, and verification is
+    * a bit_count on the edge itself — no pairwise join at any point.
+    *
+    * Returns (doc_a, doc_b, hamming) with doc_a = hub < doc_b, distinct
+    * across bands.
+    */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 6): DataFrame = {
+    val sh = withSimhash(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol).as("doc_id"), col("simhash"))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xFFFL))
+            .as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bkey"))
+    val hubs = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("hub_id"),
+        min_by(col("simhash"), col("doc_id")).as("hub_sim"))
+    bands.join(hubs, Seq("band", "bkey"))
+      .where(col("doc_id") =!= col("hub_id"))
+      .select(col("hub_id").as("doc_a"), col("doc_id").as("doc_b"),
+        bit_count(col("hub_sim").bitwiseXOR(col("simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** Connected components over an undirected pair graph: every PAIRED
     * node is labeled with the minimum node id of its component (the

@@ -104,6 +104,62 @@ object Similarity {
         posexplode(buckets).as(Seq("tbl", "bucket")))
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * `nlist` inverted lists; a query probes only its `nprobe` nearest
+    * lists and brute-forces within them — the standard scale path when
+    * queries are many (LSH) or lists can be pre-partitioned on disk.
+    *
+    * The quantizer's k-means training is STUBBED deterministically
+    * (centroids = the `nlist` lowest-id corpus vectors) so the whole
+    * operator is oracle-reproducible end to end; swapping in trained
+    * centroids changes recall, not the search path. Assignment is a
+    * broadcast of the tiny centroid table against the corpus — at scale
+    * this is a map-side pass whose output would be written bucketed by
+    * `list_id` so each probe reads only nprobe/nlist of the data.
+    *
+    * All rankings are total: assignment breaks cosine ties on c_id,
+    * probing on c_id, final ranking on (round(sim,4) desc, n_id).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_v"))
+      .withColumn("c_norm", norm(col("c_v")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_norm", norm(col("n_v")))
+    val wAssign = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("c_id"), col("n_id"), col("n_v"), col("n_norm"))
+    val q = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_norm"), col("c_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    probes.join(assigned, Seq("c_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(
+        dot(col("q_v"), col("n_v")) / (col("q_norm") * col("n_norm")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Approximate top-k: candidates are rows sharing a bucket in any of
     * the LSH tables, deduped, then exact-cosine reranked. Candidate
     * generation is a hash join on (table, bucket) — no cross product.

@@ -247,6 +247,36 @@ object Analytics {
       |  round(max(o_totalprice), 2) AS max_price
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  // Range join via time-bucket banding (operators.RangeJoin): for each
+  // purchase, the user's clicks in the 10 minutes before it. The naive
+  // inequality join has no equi key; the operator turns it into a hash
+  // join on (user_id, ts-bucket) — the shape that survives 100 TB.
+  def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.operators.RangeJoin.countInWindow(purchases, clicks,
+      Seq("user_id"), "ts", "ts", "event_id", 600L * 1000000000L)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("n_in_window").as("n_clicks"),
+        coalesce(expr("last_ts_in_window div 1000"), lit(-1L))
+          .as("last_click_us"))
+  }
+  val rangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type FROM events),
+      |p AS (SELECT user_id, event_id, tsn FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, tsn FROM e WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.tsn // 1000 AS ts_us,
+      |  count(c.tsn) AS n_clicks,
+      |  coalesce(max(c.tsn) // 1000, -1) AS last_click_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND c.tsn >= p.tsn - 600000000000 AND c.tsn < p.tsn
+      |GROUP BY p.user_id, p.event_id, p.tsn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -258,7 +288,8 @@ object Analytics {
     "q_salted_agg" -> (saltedAggQ _),
     "q_percentiles" -> (percentilesQ _),
     "q_semi_join" -> (semiJoinQ _),
-    "q_cube_status" -> (cubeStatusQ _))
+    "q_cube_status" -> (cubeStatusQ _),
+    "q_range_join" -> (rangeJoinQ _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
@@ -271,5 +302,6 @@ object Analytics {
     "q_salted_agg" -> saltedAggSql,
     "q_percentiles" -> percentilesSql,
     "q_semi_join" -> semiJoinSql,
-    "q_cube_status" -> cubeStatusSql)
+    "q_cube_status" -> cubeStatusSql,
+    "q_range_join" -> rangeJoinSql)
 }

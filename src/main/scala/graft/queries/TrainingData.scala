@@ -122,24 +122,65 @@ object TrainingData {
       |FROM documents""".stripMargin
 
   // -------------------------------------------------------------- simhash
+  /** th/sh CTE bodies computing the 48-bit simhash of `srcRel(doc_id,
+    * text)` — shared by the simhash query and the banded-pair oracle. */
+  private def simhashCtes(srcRel: String): String =
+    s"""th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> list_sum(list_transform(range(12),
+       |             c -> (strpos('0123456789abcdef', substr(md5(t), CAST(c+1 AS INT), 1))-1)::BIGINT
+       |                  << (4*(11-c))))) AS hashes
+       |  FROM $srcRel),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(48), k ->
+       |      CASE WHEN list_sum(list_transform(hashes,
+       |             h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |           THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS simhash
+       |  FROM th)""".stripMargin
+
   def simhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(docs(spark, dir).select(col("doc_id"), col("text")),
       "text").select(col("doc_id"), col("simhash"))
   val simhashSql: String =
-    """WITH th AS (
-      |  SELECT doc_id,
-      |    list_transform(string_split_regex(trim(lower(text)), '\s+'),
-      |      t -> list_sum(list_transform(range(12),
-      |             c -> (strpos('0123456789abcdef', substr(md5(t), CAST(c+1 AS INT), 1))-1)::BIGINT
-      |                  << (4*(11-c))))) AS hashes
-      |  FROM documents)
-      |SELECT doc_id,
-      |  CAST(list_sum(list_transform(range(48), k ->
-      |    CASE WHEN list_sum(list_transform(hashes,
-      |           h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-      |         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
-      |    AS BIGINT) AS simhash
-      |FROM th""".stripMargin
+    s"""WITH ${simhashCtes("documents")}
+       |SELECT doc_id, simhash FROM sh""".stripMargin
+
+  // ------------------------------------------------- simhash banded pairs
+  // Near + exact copies so both hamming-0 and small-hamming pairs exist.
+  private def simhashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    d.union(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text")))
+      .union(d.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+  private val simhashCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, substr(text, 11) FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents)""".stripMargin
+
+  def simhashPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(simhashCorpus(spark, dir), "text", "doc_id",
+      maxHamming = 6)
+  val simhashPairsSql: String =
+    s"""WITH $simhashCorpusSql,
+       |${simhashCtes("corpus")},
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS band,
+       |         (simhash >> CAST(12*b AS INT)) & 4095 AS bkey
+       |  FROM sh, range(4) t(b)),
+       |hubs AS (
+       |  SELECT band, bkey, min(doc_id) AS hub_id,
+       |         arg_min(simhash, doc_id) AS hub_sim
+       |  FROM bands GROUP BY band, bkey)
+       |SELECT DISTINCT h.hub_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(h.hub_sim, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands b JOIN hubs h USING (band, bkey)
+       |WHERE b.doc_id != h.hub_id
+       |  AND bit_count(xor(h.hub_sim, b.simhash)) <= 6""".stripMargin
 
   // ------------------------------------------------------- n-gram jaccard
   // Word-bigram Jaccard between each document and its near-copy.
@@ -336,6 +377,67 @@ object TrainingData {
       |  CAST(n_chars % 30 AS BIGINT) AS frames
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------- BPE-ish tokens
+  def tokenBpeQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(t).cast("long").as("char_len"),
+      TextFns.bpeTokenCount(t).as("bpe_cnt"),
+      TextFns.tokenCount(t).as("ws_cnt"),
+      round(length(t).cast("double") /
+        greatest(TextFns.bpeTokenCount(t), lit(1L)).cast("double"), 4)
+        .as("chars_per_token"))
+  }
+  val tokenBpeSql: String = {
+    // the pattern string embeds verbatim: both regex engines receive the
+    // same backslash-t/n/r sequences
+    val p = TextFns.BpePattern
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS char_len,
+       |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS bpe_cnt,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_cnt,
+       |  round(length(text)::DOUBLE /
+       |        greatest(len(regexp_extract_all(text, '$p')), 1), 4)
+       |    AS chars_per_token
+       |FROM documents""".stripMargin
+  }
+
+  // ------------------------------------------------------- PII scrubbing
+  // The synthetic corpus carries no natural PII, so deterministic PII is
+  // appended (identically on both engines) before scrubbing — the query
+  // proves the redaction path, not the generator.
+  def piiScrubQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com see http://ex.com/p/"), col("doc_id"),
+      lit(" ref "), col("doc_id") * 1234567L + 7654321L)
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFns.patternCount(t, TextFns.UrlPattern).as("n_urls"),
+      TextFns.patternCount(t, TextFns.EmailPattern).as("n_emails"),
+      TextFns.patternCount(t, TextFns.LongNumPattern).as("n_nums"),
+      TextFns.scrubPii(t).as("clean_text"))
+  }
+  val piiScrubSql: String = {
+    val url = TextFns.UrlPattern
+    val email = TextFns.EmailPattern
+    val num = TextFns.LongNumPattern
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com see http://ex.com/p/'
+       |         || doc_id || ' ref ' || (doc_id*1234567 + 7654321) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_nums,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$url', '<URL>', 'g'),
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$num', '<NUM>', 'g') AS clean_text
+       |FROM c""".stripMargin
+  }
+
   // --------------------------------------------------- ANN via LSH
   // Approximate, but fully deterministic: the oracle reproduces the
   // multi-table hyperplane bucketing (LshBucketsExpr's affine ±1 plane
@@ -389,6 +491,47 @@ object TrainingData {
       |       AS BIGINT) AS rank
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+
+  // --------------------------------------------------- ANN via IVF
+  // IVF with a deterministically stubbed coarse quantizer (centroids =
+  // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
+  // brute force are all oracle-reproduced, so the approximate operator
+  // is value-checked end to end like the LSH one.
+  def annIvfQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5)
+  }
+  val annIvfSql: String = {
+    def cos(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, vec AS c_v FROM v ORDER BY vec_id LIMIT 16),
+       |assigned AS (
+       |  SELECT n.vec_id AS n_id, n.vec AS n_v, c.c_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${cos("n.vec", "c.c_v")} DESC, c.c_id) AS rn
+       |  FROM v n CROSS JOIN cents c),
+       |a2 AS (SELECT c_id, n_id, n_v FROM assigned WHERE rn = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${cos("q.vec", "c.c_v")} DESC, c.c_id) AS rn
+       |  FROM v q CROSS JOIN cents c WHERE q.vec_id < 20),
+       |p2 AS (SELECT q_id, q_v, c_id FROM probes WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p2.q_id, a2.n_id,
+       |    round(${cos("p2.q_v", "a2.n_v")}, 4) AS sim
+       |  FROM p2 JOIN a2 USING (c_id) WHERE p2.q_id != a2.n_id)
+       |SELECT q_id, n_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+       |       AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+  }
 
   // ------------------------------------------------------- as-of join
   // For every purchase, the user's latest click at-or-before it
@@ -547,7 +690,11 @@ object TrainingData {
     "x_quality_filter" -> (qualityFilterQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dataset_split" -> (datasetSplitQ _),
-    "x_tfidf" -> (tfidfQ _))
+    "x_tfidf" -> (tfidfQ _),
+    "x_simhash_pairs" -> (simhashPairsQ _),
+    "x_token_bpe" -> (tokenBpeQ _),
+    "x_pii_scrub" -> (piiScrubQ _),
+    "x_ann_ivf" -> (annIvfQ _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
@@ -566,5 +713,9 @@ object TrainingData {
     "x_quality_filter" -> qualityFilterSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dataset_split" -> datasetSplitSql,
-    "x_tfidf" -> tfidfSql)
+    "x_tfidf" -> tfidfSql,
+    "x_simhash_pairs" -> simhashPairsSql,
+    "x_token_bpe" -> tokenBpeSql,
+    "x_pii_scrub" -> piiScrubSql,
+    "x_ann_ivf" -> annIvfSql)
 }

@@ -73,6 +73,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("simhash banded pairs find exact copies at hamming 0") {
+    val base = "spark catalyst optimizer rewrites logical plans into " +
+      "physical plans using cost based and rule based passes"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact copy → hamming 0, must pair
+      (3L, "utterly unrelated text with other words entirely different " +
+        "subject matter no overlap in any token at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.get((1L, 2L)).contains(0L))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("langId picks zh on CJK text and en on English text") {
     val df = Seq((1L, "这是一个中文文档 测试"), (2L, "the cat and the dog in the house"))
       .toDF("doc_id", "text")

@@ -62,6 +62,17 @@ class ShinglesSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("native simhash == HOF tokenHashes48->simhash48 on real docs") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(100)
+      .withColumn("__th", TextFns.tokenHashes48(col("text")))
+    val mismatch = docs.select(
+      NativeFns.simhashNative(col("text")).as("native"),
+      TextFns.simhash48("__th").as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("native jaccard == intersect/union sizes on real shingle sets") {
     val docs = Tables.load(spark, sf0001, "documents").limit(60)
       .select($"doc_id",

@@ -45,6 +45,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"recall@5 $recall too low for 16-table LSH")
   }
 
+  test("ivfTopK achieves reasonable recall@5 against the exact baseline") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@5 $recall too low")
+    // every query got results and ranks are within k
+    assert(ivf.map(_._1) == exact.map(_._1))
+  }
+
   test("nearDupPairs finds the planted doubled vector with sim 1.0") {
     val emb = Tables.load(spark, sf0001, "embeddings").filter($"vec_id" < 10)
       .select($"vec_id", Similarity.asDouble($"embedding").as("v"))

@@ -218,9 +218,11 @@ object TrainingData {
     Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text", "doc_id",
       k = 5, threshold = 0.5)
   /** The minhash pipeline as a reusable WITH-clause body ending in the
-    * `j` (verified pairs) CTE — shared by the pairs query and the
-    * connected-components clustering oracle. */
-  private val minhashCtes: String = {
+    * `j` (verified pairs) CTE — shared by the pairs query, the
+    * connected-components clustering oracle, and the end-to-end drop
+    * oracle. `corpusSql` supplies the `corpus(doc_id, text)` relation
+    * body. */
+  private def minhashCtesOver(corpusSql: String): String = {
     val p = TextFns.MinhashP
     val mins = TextFns.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a*h + $b) % $p) AS m$j"
@@ -230,7 +232,7 @@ object TrainingData {
       s"SELECT doc_id, $b AS band, concat(${ms.mkString(", '_', ")}) AS bkey FROM sig"
     }
     s"""corpus AS (
-       |  $nearDupCorpusSql),
+       |  $corpusSql),
        |sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
@@ -265,7 +267,7 @@ object TrainingData {
   }
 
   val minhashDedupSql: String =
-    s"""WITH $minhashCtes
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)}
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
   // ------------------------------------------- near-dup clustering
@@ -279,7 +281,7 @@ object TrainingData {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE ${minhashCtesOver(nearDupCorpusSql)},
        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -291,6 +293,51 @@ object TrainingData {
        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
        |SELECT n AS doc_id, min(m) AS cluster_rep
        |FROM reach GROUP BY n""".stripMargin
+
+  // ---------------------------------------------- end-to-end dedup drop
+  // The decision stage a pretraining pipeline actually ships: exact
+  // dedup (fingerprint keepers) -> MinHash near-dup clustering on the
+  // survivors -> final surviving doc set (cluster reps + singletons).
+  // Composes exactDedup, minhashNearDupPairs and connectedComponents
+  // end to end, value-checked against the same composition in DuckDB
+  // (recursive CTE for the clustering closure).
+  def dedupDropQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = simhashCorpus(spark, dir) // originals ∪ near ∪ exact copies
+    val keepers = Dedup.exactDedup(corpus, "text", "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+    val c2 = corpus.join(keepers, Seq("doc_id"))
+    val pairs = Dedup.minhashNearDupPairs(c2, "text", "doc_id", 5, 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    c2.join(clusters, Seq("doc_id"), "left")
+      .where(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+      .select(col("doc_id"))
+  }
+  val dedupDropSql: String = {
+    val survivorsCorpus =
+      "SELECT c.doc_id, c.text FROM corpus3 c JOIN keep1 USING (doc_id)"
+    s"""WITH RECURSIVE corpus3 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, substr(text, 11) FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM corpus3),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |${minhashCtesOver(survivorsCorpus)},
+       |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |reps AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n)
+       |SELECT k.doc_id FROM keep1 k LEFT JOIN reps r USING (doc_id)
+       |WHERE r.cluster_rep IS NULL OR r.cluster_rep = k.doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------- cosine top-k
   def cosineTopKQ(spark: SparkSession, dir: String): DataFrame = {
@@ -694,7 +741,8 @@ object TrainingData {
     "x_simhash_pairs" -> (simhashPairsQ _),
     "x_token_bpe" -> (tokenBpeQ _),
     "x_pii_scrub" -> (piiScrubQ _),
-    "x_ann_ivf" -> (annIvfQ _))
+    "x_ann_ivf" -> (annIvfQ _),
+    "x_dedup_drop" -> (dedupDropQ _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
@@ -717,5 +765,6 @@ object TrainingData {
     "x_simhash_pairs" -> simhashPairsSql,
     "x_token_bpe" -> tokenBpeSql,
     "x_pii_scrub" -> piiScrubSql,
-    "x_ann_ivf" -> annIvfSql)
+    "x_ann_ivf" -> annIvfSql,
+    "x_dedup_drop" -> dedupDropSql)
 }

@@ -36,4 +36,27 @@ object SkewOps {
     partial.groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Skew-safe equi-join of a hot-keyed fact against a small dimension:
+    * the fact side gets a deterministic salt (hash of `saltSource` mod
+    * `saltBuckets`), the dimension is exploded to every salt value, and
+    * the join key becomes (key, salt) — so one hot key spreads over
+    * `saltBuckets` reducers instead of one. The result set is exactly
+    * the unsalted inner join (salting is invisible to semantics), which
+    * is what the oracle runs.
+    *
+    * This is the explicit form of what AQE skew-join does adaptively;
+    * use it when the skew is known ahead of time (a 100 TB events table
+    * with a handful of dominant keys) or when AQE's post-shuffle split
+    * cannot help (e.g. the hot key exceeds a single executor's memory
+    * during the map phase).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltSource: String, saltBuckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(crc32(col(saltSource).cast("string")), lit(saltBuckets)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+    saltedFact.join(explodedDim, keys :+ "__salt").drop("__salt")
+  }
 }

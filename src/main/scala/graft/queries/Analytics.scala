@@ -277,6 +277,93 @@ object Analytics {
       |  AND c.tsn >= p.tsn - 600000000000 AND c.tsn < p.tsn
       |GROUP BY p.user_id, p.event_id, p.tsn""".stripMargin
 
+  // JSON column extraction: events.props is a JSON string; extract a
+  // field (codegen'd get_json_object path, no UDF) and aggregate.
+  // Integer sums are exact, so avg is reproducible without rounding
+  // games; rounded anyway for uniformity.
+  def jsonExtractQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       min(k) AS min_k, max(k) AS max_k, round(avg(k), 4) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  // Pivot: per-user event counts, one column per (explicitly listed)
+  // event type — the explicit value list keeps the output schema static,
+  // which is also what a 100 TB pivot needs (no value-discovery scan).
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def pivotQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  val pivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  // Explicit GROUPING SETS with grouping_id disambiguation (rollup and
+  // cube are verified elsewhere; this is the general form).
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  // Skew-safe salted join (SkewOps.saltedJoin): events' 15-user key is
+  // extreme skew; the salt spreads each hot key over 8 sub-keys. The
+  // result is exactly the unsalted join, which the oracle runs.
+  def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") < 15)
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    graft.ops.SkewOps.saltedJoin(ev, dim, Seq("user_id"), "event_id", 8)
+      .groupBy(col("user_id"), col("c_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+  val saltedJoinSql: String =
+    """SELECT e.user_id, c.c_name, count(*) AS n,
+      |       round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |WHERE c.c_custkey < 15
+      |GROUP BY e.user_id, c.c_name""".stripMargin
+
+  // Sketch aggregates: HLL++ approximate distinct alongside the exact
+  // count. NO DuckDB oracle — DuckDB's approx_count_distinct uses a
+  // different sketch, so values can't hash-match; the driver records the
+  // weaker rows-only check. Spark's HLL++ itself is deterministic
+  // (order-independent merge), asserted in tests.
+  def approxDistinctQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -289,7 +376,12 @@ object Analytics {
     "q_percentiles" -> (percentilesQ _),
     "q_semi_join" -> (semiJoinQ _),
     "q_cube_status" -> (cubeStatusQ _),
-    "q_range_join" -> (rangeJoinQ _))
+    "q_range_join" -> (rangeJoinQ _),
+    "q_json_extract" -> (jsonExtractQ _),
+    "q_pivot" -> (pivotQ _),
+    "q_grouping_sets" -> (groupingSetsQ _),
+    "q_salted_join" -> (saltedJoinQ _),
+    "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
@@ -303,5 +395,10 @@ object Analytics {
     "q_percentiles" -> percentilesSql,
     "q_semi_join" -> semiJoinSql,
     "q_cube_status" -> cubeStatusSql,
-    "q_range_join" -> rangeJoinSql)
+    "q_range_join" -> rangeJoinSql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_pivot" -> pivotSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_salted_join" -> saltedJoinSql)
+    // q_approx_distinct intentionally has no oracle (sketch mismatch)
 }

@@ -51,4 +51,35 @@ class PlanSpec extends SparkSpec {
     val p = plan(EtlOps.latestPartition(li, "etl_date"))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
+
+  test("saltedJoin equals the plain join and salts the shuffle key") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = Tables.load(spark, sf0001, "customer")
+      .filter(col("c_custkey") < 15)
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val salted = graft.ops.SkewOps.saltedJoin(ev, dim, Seq("user_id"),
+        "event_id", 8)
+      .select("user_id", "event_id", "c_name")
+      .collect().map(_.toSeq).toSet
+    val plain = ev.join(dim, Seq("user_id"))
+      .select("user_id", "event_id", "c_name")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // with broadcast off, the join must hash on (user_id, __salt), so
+    // each hot user key spreads over several shuffle partitions
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.ops.SkewOps.saltedJoin(ev, dim, Seq("user_id"),
+        "event_id", 8))
+      assert(p.contains("__salt"), s"salt key absent from plan:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), s"unexpected broadcast:\n$p")
+    }
+  }
+
+  test("range join plans as an equi hash/merge join, never nested-loop") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val p = plan(graft.queries.Analytics.rangeJoinQ(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n$p")
+  }
 }

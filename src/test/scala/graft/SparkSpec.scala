@@ -17,4 +17,16 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** Run `f` with session confs temporarily set, restoring after. */
+  def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -129,8 +129,10 @@ case class SimhashExpr(child: Expression)
     if (n == 0) {
       vote("") // split("", "\s+") == [""]: one empty token
     } else {
-      // Java split emits a leading "" when the string starts with a
-      // separator (trim only strips spaces, so e.g. a leading tab)
+      // Spark's split() is Java split with limit=-1: a leading separator
+      // yields a leading "" token, and — unlike Java's default limit=0 —
+      // a trailing separator KEEPS its trailing "" token (trim only
+      // strips spaces, so a leading/trailing tab survives to split)
       if (isWs(s.charAt(0))) vote("")
       var i = 0
       while (i < n) {
@@ -139,6 +141,7 @@ case class SimhashExpr(child: Expression)
         while (i < n && !isWs(s.charAt(i))) i += 1
         if (i > start) vote(s.substring(start, i))
       }
+      if (isWs(s.charAt(n - 1))) vote("")
     }
     var out = 0L
     var k = 0

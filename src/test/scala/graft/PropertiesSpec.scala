@@ -52,6 +52,88 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join == naive theta join on random timestamps") {
+    val W = 100L // window
+    val gen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(60, for {
+        k <- Gen.choose(1L, 4L)
+        id <- Gen.choose(1L, 100000L)
+        t <- Gen.choose(0L, 1000L) // many bucket-boundary collisions
+      } yield (k, id, t)).map(_.distinctBy(_._2))
+    (0 until 8).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      if (rows.nonEmpty) {
+        val left = rows.toDF("k", "id", "ts")
+        val right = rows.map(r => (r._1, r._3 + (r._2 % 7) - 3))
+          .toDF("k", "ts")
+        val got = graft.operators.RangeJoin.countInWindow(
+          left, right, Seq("k"), "ts", "ts", "id", W)
+          .select($"id", $"n_in_window")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val exp = rows.map { case (k, id, t) =>
+          id -> rows.map(r => (r._1, r._3 + (r._2 % 7) - 3))
+            .count(c => c._1 == k && c._2 >= t - W && c._2 < t).toLong
+        }.toMap
+        assert(got == exp, s"range join mismatch on sample $i")
+      }
+    }
+  }
+
+  test("native shingle/simhash expressions == HOF forms on random unicode") {
+    val textGen: Gen[String] = Gen.listOfN(30, Gen.frequency(
+      5 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('中'),
+      1 -> Gen.const('\t'), 1 -> Gen.oneOf('é', 'ß', '.', '!')))
+      .map(_.mkString)
+    val texts = (0 until 40).map(i =>
+      textGen.pureApply(Gen.Parameters.default, Seed(11L + i)))
+    val df = texts.toDF("text")
+    import graft.functions.native.NativeFns
+    import graft.functions.TextFns
+    val mism = df
+      .withColumn("__th", TextFns.tokenHashes48(col("text")))
+      .select(
+        (array_sort(NativeFns.shingleHashes($"text", 5)) =!=
+          array_sort(TextFns.shingleHashes($"text", 5))).as("d1"),
+        (NativeFns.simhashNative($"text") =!=
+          TextFns.simhash48("__th")).as("d2"))
+      .where($"d1" || $"d2").count()
+    assert(mism == 0)
+  }
+
+  test("connectedComponents rep = min of component on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, for {
+        a <- Gen.choose(1L, 15L)
+        b <- Gen.choose(1L, 15L)
+        if a != b
+      } yield (a, b)).map(_.distinct)
+    (0 until 6).foreach { i =>
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(23L + i))
+      if (edges.nonEmpty) {
+        // reference union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.flatMap { case (_, members) =>
+          val rep = members.min
+          members.map(_ -> rep)
+        }
+        val got = graft.operators.Dedup.connectedComponents(
+          edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"cc mismatch on sample $i: $edges")
+      }
+    }
+  }
+
   test("scdMerge output keys = keys(ods) ∪ keys(dwd); audit never null") {
     samples(10).sliding(2).foreach { case Seq(o, d) =>
       if (o.nonEmpty && d.nonEmpty) {

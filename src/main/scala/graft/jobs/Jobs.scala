@@ -89,10 +89,13 @@ object Jobs {
       .where(col("cluster_rep").isNull ||
         col("cluster_rep") === col("doc_id"))
       .drop("cluster_rep")
-    // 3. quality filter + 4. deterministic split
+    // 3. PII scrub + 4. quality filter + 5. deterministic split
     val scored = cleaned
+      .withColumn("text", graft.functions.TextFns.scrubPii(col("text")))
       .withColumn("token_cnt",
         graft.functions.TextFns.tokenCount(col("text")))
+      .withColumn("bpe_token_cnt",
+        graft.functions.TextFns.bpeTokenCount(col("text")))
       .where(col("n_chars") >= 50 && col("token_cnt") >= 10)
       .withColumn("split",
         when(graft.functions.TextFns.hash32(col("text")) % 100 < 80, "train")

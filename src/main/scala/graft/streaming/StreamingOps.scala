@@ -134,6 +134,35 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked STREAM-STREAM join: purchases joined to the same
+    * user's clicks in the `windowMinutes` before them — the streaming
+    * twin of the batch RangeJoin/as-of attribution.
+    *
+    * Both sides carry a watermark and the join condition bounds c_time
+    * within [p_time - window, p_time), so Spark can expire buffered
+    * state: a click older than the watermark minus the window can never
+    * match a future purchase and is dropped. Without the time bound the
+    * state store would grow with the full history of both streams.
+    */
+  def streamStreamAttribution(events: DataFrame,
+                              windowMinutes: Int = 10,
+                              watermark: String = "30 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", watermark)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("event_time").as("c_time"))
+      .withWatermark("c_time", watermark)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_time") >= col("p_time") -
+            expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("c_time") < col("p_time"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Continuous warehouse ingestion: every micro-batch is SCD-merged
     * into a parquet snapshot table — the streaming upgrade of the
     * reference's Pattern B batch upsert. foreachBatch bridges the stream

@@ -59,6 +59,31 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("stream-stream attribution join equals the batch theta join") {
+    val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)
+    StreamingOps.runToMemory(
+      StreamingOps.streamStreamAttribution(src), "attr_out")
+    val out = spark.table("attr_out")
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.load(spark, sf0001, "events")
+    val W = 600L * 1000000000L
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("c_us"))
+    // event_time is microsecond-truncated, so the batch baseline bounds
+    // at the same precision
+    val batch = p.join(c,
+        col("user_id") === col("c_uid") &&
+          col("c_us") >= col("p_us") - W / 1000 && col("c_us") < col("p_us"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .collect().map(_.toSeq).toSet
+    assert(out == batch)
+    assert(out.nonEmpty)
+  }
+
   test("continuous SCD merge converges to the batch merge result") {
     val target = java.nio.file.Files
       .createTempDirectory("graft_scd_target").toString + "/snap"

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.native._
+
+/** Cluster-grade registration of graft's native Catalyst expressions.
+  *
+  * On a real deployment the library's functions should exist in every
+  * session from the moment it is built — not be patched into the
+  * registry by the first table load — so this is the standard Spark
+  * plug-in shape:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  * Injected functions become catalog-resolvable in SQL text
+  * (`SELECT graft_dot(a, b)`) as well as through the
+  * [[graft.functions.native.NativeFns]] Column wrappers.
+  *
+  * `NativeFns.register` remains as the sessionized fallback for
+  * sessions built without the extension (e.g. the driver's own
+  * harness), and both paths install the exact same builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, doc, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, doc),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  /** (name, one-line doc, builder) for every native expression; the
+    * single source of truth shared by the extension injection and
+    * NativeFns.register. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (NativeFns.DotName,
+      "graft_dot(a, b) - double-array dot product (codegen'd)",
+      es => DotProductExpr(es(0), es(1))),
+    (NativeFns.MinhashName,
+      "graft_minhash_sig(hashes) - 16-slot MinHash signature, one pass",
+      es => MinhashSigExpr(es.head)),
+    (NativeFns.LshName,
+      "graft_lsh_buckets(vec, tables, bits) - hyperplane LSH bucket ids",
+      es => LshBucketsExpr(es(0),
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int])),
+    (NativeFns.ShinglesName,
+      "graft_shingles(text, k) - distinct character k-shingles",
+      es => ShinglesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    (NativeFns.ShingleHashesName,
+      "graft_shingle_hashes(text, k) - distinct poly-hashes of k-shingles",
+      es => ShingleHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    (NativeFns.JaccardName,
+      "graft_jaccard(a, b) - Jaccard similarity of two long arrays",
+      es => JaccardExpr(es(0), es(1))),
+    (NativeFns.SimhashName,
+      "graft_simhash(text) - 48-bit SimHash over token hashes, one pass",
+      es => SimhashExpr(es.head)))
+}

@@ -156,6 +156,29 @@ object TextFns {
   def patternCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** Boilerplate strip: remove HTML-ish tags (`<[^>]*>` — RE2 ∩ Java
+    * safe, no backtracking), then collapse whitespace and trim. The
+    * standard first pass over web-crawl text before fingerprinting or
+    * quality scoring. */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Within-document repetition: fraction of repeated word n-grams,
+    * `1 - distinct/total` over the n-grams of lower(trim(text)) — the
+    * Gopher-style "repetitious document" quality signal. 0.0 when the
+    * text has fewer than n tokens (no grams → nothing repeated). */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    round(when(size(grams) === 0, lit(0.0d))
+      .otherwise(lit(1.0d) -
+        size(array_distinct(grams)).cast("double") /
+          size(grams).cast("double")), 4)
+  }
+
   /** Array of portable 48-bit hashes of the whitespace tokens of
     * lower(trim(text)) — materialize this once (withColumn) before
     * feeding simhash48, so the md5s aren't recomputed per bit. */

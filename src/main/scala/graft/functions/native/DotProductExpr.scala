@@ -88,27 +88,17 @@ object NativeFns {
   val SimhashName = "graft_simhash"
 
   /** Idempotent; called from Tables.load so every query path (including
-    * driver-built sessions) has the functions available. */
+    * driver-built sessions) has the functions available. Sessions built
+    * with [[graft.GraftExtensions]] already have them injected; skipping
+    * the already-registered names keeps re-loads from logging a
+    * "function replaced" warning per query. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      DotName, exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      MinhashName, exprs => MinhashSigExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      LshName, exprs => LshBucketsExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      ShinglesName, exprs => ShinglesExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      ShingleHashesName, exprs => ShingleHashesExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      JaccardName, exprs => JaccardExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      SimhashName, exprs => SimhashExpr(exprs.head), "built-in")
+    graft.GraftExtensions.functions.foreach { case (name, _, builder) =>
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   def dotNative(a: Column, b: Column): Column = call_function(DotName, a, b)

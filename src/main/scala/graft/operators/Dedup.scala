@@ -257,6 +257,31 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** Incremental dedup: which rows of a NEW batch are novel relative to
+    * an already-ingested corpus — the shape every continuously-fed
+    * training-data pipeline runs (today's crawl vs everything ingested
+    * so far). Returns one row per surviving fingerprint:
+    * (fingerprint, keeper_id) where keeper_id is the minimum batch id.
+    *
+    * Two-stage: (1) within-batch exact dedup (hash aggregation on the
+    * 32-hex fingerprint, partial map-side combine); (2) LEFT ANTI join
+    * against the corpus's fingerprint projection. At 100 TB the corpus
+    * side ships only its fingerprint column (column-pruned scan, 32
+    * bytes/doc); in production that projection would be a maintained
+    * fingerprint table so the anti-join never rescans raw text. Both
+    * stages shuffle on the same key, so AQE plans them back-to-back.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val keep = batch
+      .select(TextFns.fingerprintMd5(col(textCol)).as("fingerprint"),
+        col(idCol))
+      .groupBy("fingerprint").agg(min(col(idCol)).as("keeper_id"))
+    val seen = corpus.select(
+      TextFns.fingerprintMd5(col(textCol)).as("fingerprint"))
+    keep.join(seen, Seq("fingerprint"), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (exact
     * verification metric for near-dup candidates). A side with fewer
     * than n tokens contributes an EMPTY gram set; if both sides are

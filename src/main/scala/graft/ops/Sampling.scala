@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deterministic, engine-portable sampling operators.
+  *
+  * Spark's own `sample`/`sampleBy` draw from a seeded RNG whose stream
+  * depends on partitioning — results change when the file splits do,
+  * which makes runs irreproducible across cluster layouts and
+  * impossible to oracle-check. These operators instead hash a stable
+  * row key (md5-prefix fold, identical in any engine) so the same row
+  * is always in or out of the sample regardless of partitioning,
+  * parallelism, or engine:
+  *
+  *  - reproducible train/eval carve-outs over a 100 TB corpus (re-runs
+  *    and backfills pick the same rows);
+  *  - no shuffle, no RNG state: the filter is a row-local codegen'd
+  *    predicate pushed at the scan, so sampling 0.1% of 100 TB reads
+  *    and keeps nothing else in memory.
+  *
+  * Reference anchor: the reference has no sampling at all; this extends
+  * its warehouse repertoire the way its deterministic-timestamp device
+  * (common/SimpleDataCleanUtils.scala:15-16) trades wall-clock for
+  * reproducibility.
+  */
+object Sampling {
+
+  /** Keep-rates are resolved to integer basis points ON THE DRIVER
+    * (math.round of a Scala constant) — a `rate*10000` computed as a
+    * column would truncate, and 0.05*10000 is 499.999… in binary
+    * floating point: the row at bucket 499 would flip engines. */
+  private def basisPoints(rate: Double): Long = {
+    val bp = math.round(rate * 10000d)
+    require(bp >= 0 && bp <= 10000, s"rate $rate outside [0,1]")
+    bp
+  }
+
+  /** The in-sample predicate: hash32(key) % 10000 < basis-points. */
+  private def inSample(key: Column, bp: Column): Column =
+    TextFns.hash32(key.cast("string")) % 10000L < bp
+
+  /** Keep each row with probability ~`rate`, decided by the stable
+    * `key` column — same key, same decision, everywhere. */
+  def deterministicSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(inSample(key, lit(basisPoints(rate))))
+
+  /** Stratified deterministic sample: per-stratum keep-rates, rows of
+    * unlisted strata kept at `defaultRate`. The decision key is
+    * `stratum:key` so changing one stratum's rate never reshuffles
+    * another's picks. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val bp = rates.toSeq.sortBy(_._1).foldLeft(lit(basisPoints(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(basisPoints(r))).otherwise(acc)
+    }
+    df.where(inSample(concat_ws(":", stratum, key.cast("string")), bp))
+  }
+}

@@ -720,7 +720,155 @@ object TrainingData {
       |       ELSE 'test' END AS split
       |FROM b""".stripMargin
 
+  /** DuckDB reproduction of TextFns.hash32: fold the first 8 hex chars
+    * of md5 into an unsigned 32-bit value (bit-identical; established by
+    * the x_dataset_split oracle). */
+  private def duckHash32(e: String): String =
+    s"""CAST(list_sum(list_transform(range(8),
+       |      c -> (strpos('0123456789abcdef', substr(md5($e), CAST(c+1 AS INT), 1))-1)::BIGINT
+       |           << (4*(7-c)))) AS BIGINT)""".stripMargin
+
+  // -------------------------------------------------------- repetition ratio
+  // Gopher-style repetitious-document signal: fraction of repeated word
+  // bigrams/trigrams inside each document.
+  def repetitionQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFns.repetitionRatio(col("text"), 2).as("rep2"),
+      TextFns.repetitionRatio(col("text"), 3).as("rep3"))
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ta
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ta) >= 2 THEN
+      |      list_transform(range(1, len(ta)),
+      |        i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1])
+      |    ELSE [] END AS g2,
+      |    CASE WHEN len(ta) >= 3 THEN
+      |      list_transform(range(1, len(ta)-1),
+      |        i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1] || ' ' || ta[CAST(i AS INT)+2])
+      |    ELSE [] END AS g3
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CASE WHEN len(g2) = 0 THEN 0.0
+      |       ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4) END AS rep2,
+      |  CASE WHEN len(g3) = 0 THEN 0.0
+      |       ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4) END AS rep3
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------------- boilerplate strip
+  // HTML-tag removal + whitespace normalization over a tag-wrapped corpus
+  // (the raw documents carry no markup, so the fixture adds it on both
+  // engines identically).
+  def htmlStripQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      concat(lit("<p class=\"c\"> "), col("text"), lit(" </p> <br/>"))
+        .as("html"))
+      .select(
+        col("doc_id"),
+        TextFns.stripHtml(col("html")).as("clean"),
+        length(TextFns.stripHtml(col("html"))).cast("long").as("clean_len"))
+  val htmlStripSql: String =
+    """WITH tagged AS (
+      |  SELECT doc_id, '<p class="c"> ' || text || ' </p> <br/>' AS html
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |         '\s+', ' ', 'g')) AS clean
+      |  FROM tagged)
+      |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_len
+      |FROM stripped""".stripMargin
+
+  // ----------------------------------------------------------- top-k vocab
+  def vocabTopKQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.topKVocab(docs(spark, dir), "text", 100)
+  val vocabTopKSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT token, count(*) AS cnt FROM tok
+      |  WHERE length(token) > 0 GROUP BY 1)
+      |SELECT token, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+      |FROM c ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------- stratified sampling
+  // Deterministic hash-bucket sampling with per-language rates (en kept
+  // at 50%, zh 20%, de 5%, everything else 10%).
+  def sampleStratifiedQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+      docs(spark, dir), col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.05), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"))
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${duckHash32("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000 <
+       |  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+       |            WHEN 'de' THEN 500 ELSE 1000 END""".stripMargin
+
+  // --------------------------------------------------- incremental dedup
+  // New crawl batch vs already-ingested corpus: a third of the batch is
+  // novel text (and arrives duplicated inside the batch), the rest
+  // duplicates the corpus; only the novel fingerprints survive, keyed by
+  // the minimum batch id.
+  def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val novel = d.where(col("doc_id") % 3 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" graft-batch-"),
+        (col("doc_id") % 7).cast("string")).as("text"))
+    val corpusDups = d.where(col("doc_id") % 3 =!= 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val batchDups = novel.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.incrementalDedup(novel.union(corpusDups).union(batchDups),
+      d, "text", "doc_id")
+  }
+  val dedupIncrementalSql: String =
+    """WITH novel AS (
+      |  SELECT doc_id + 2000000 AS nid,
+      |         text || ' graft-batch-' || CAST(doc_id % 7 AS VARCHAR) AS ntext
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |batch AS (
+      |  SELECT nid AS doc_id, ntext AS text FROM novel
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 3 != 0
+      |  UNION ALL
+      |  SELECT nid + 1000000, ntext FROM novel),
+      |keep AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |         min(doc_id) AS keeper_id
+      |  FROM batch GROUP BY 1)
+      |SELECT fingerprint, keeper_id FROM keep
+      |WHERE fingerprint NOT IN (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |  FROM documents)""".stripMargin
+
+  // -------------------------------------------------- per-language profile
+  def langStatsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.languageStats(docs(spark, dir), "text", "lang")
+  val langStatsSql: String =
+    """SELECT lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+      |  CAST(sum(CASE WHEN length(text) >= 100
+      |       AND len(string_split_regex(trim(text), '\s+')) >= 15
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_substantial
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_repetition" -> (repetitionQ _),
+    "x_html_strip" -> (htmlStripQ _),
+    "x_vocab_topk" -> (vocabTopKQ _),
+    "x_sample_stratified" -> (sampleStratifiedQ _),
+    "x_dedup_incremental" -> (dedupIncrementalQ _),
+    "x_lang_stats" -> (langStatsQ _),
     "x_dedup_exact" -> (dedupExactQ _),
     "x_text_stats" -> (textStatsQ _),
     "x_lang_id" -> (langIdQ _),
@@ -745,6 +893,12 @@ object TrainingData {
     "x_dedup_drop" -> (dedupDropQ _))
 
   val oracles: Map[String, String] = Map(
+    "x_repetition" -> repetitionSql,
+    "x_html_strip" -> htmlStripSql,
+    "x_vocab_topk" -> vocabTopKSql,
+    "x_sample_stratified" -> sampleStratifiedSql,
+    "x_dedup_incremental" -> dedupIncrementalSql,
+    "x_lang_stats" -> langStatsSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_text_stats" -> textStatsSql,
     "x_lang_id" -> langIdSql,

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Corpus, Dedup}
+import graft.ops.Sampling
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKVocab ranks by count desc then token asc") {
+    val docs = Seq(
+      (1L, "b b b a a c"), (2L, "a d d"), (3L, "  ")).toDF("doc_id", "text")
+    val out = Corpus.topKVocab(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: a=3 b=3 d=2 c=1; top-3 with token tie-break a<b
+    assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
+  }
+
+  test("topKVocab plans TakeOrderedAndProject, not a global sort") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Corpus.topKVocab(docs, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("languageStats aggregates per language") {
+    val docs = Seq(
+      (1L, "one two three", "en"), (2L, "uno dos", "es"),
+      (3L, "four five six seven", "en")).toDF("doc_id", "text", "lang")
+    val en = Corpus.languageStats(docs, "text", "lang")
+      .where($"lang" === "en").collect().head
+    assert(en.getLong(1) == 2L)                       // n_docs
+    assert(en.getLong(2) == 13L + 19L)                // sum_chars
+    assert(en.getDouble(3) == 3.5)                    // avg tokens (3+4)/2
+    assert(en.getLong(4) == 0L)                       // none pass the bar
+  }
+
+  test("repetitionRatio: all-same bigrams ~ repeated, distinct text = 0") {
+    val df = Seq(("a a a a", "w x y z")).toDF("rep", "uniq")
+    val r = df.select(
+      TextFns.repetitionRatio($"rep", 2),
+      TextFns.repetitionRatio($"uniq", 2),
+      TextFns.repetitionRatio(lit("short"), 2)).collect().head
+    assert(r.getDouble(0) == 0.6667) // 3 grams, 1 distinct -> 1 - 1/3
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0)    // fewer than n tokens
+  }
+
+  test("stripHtml removes tags and collapses whitespace") {
+    val df = Seq("<p class=\"x\">Hello  <b>big</b>\n world</p><br/>")
+      .toDF("html")
+    assert(df.select(TextFns.stripHtml($"html")).collect().head.getString(0)
+      == "Hello big world")
+  }
+
+  test("deterministic sample is partition-invariant and repeatable") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Sampling.deterministicSample(docs, $"doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), $"doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)                  // layout changes never change the pick
+    assert(a.size > 60 && a.size < 140) // ~100 of 400
+  }
+
+  test("stratifiedSample honors per-stratum rates") {
+    val docs = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(
+        docs, $"lang", $"doc_id", Map("en" -> 1.0), defaultRate = 0.0)
+      .collect()
+    assert(out.length == 100)       // every en row, no zh row
+    assert(out.forall(_.getString(1) == "en"))
+  }
+
+  test("incrementalDedup keeps only batch-novel fingerprints, min id wins") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Seen  Before"),   // dup of corpus (normalized)
+      (11L, "brand new"),      // novel
+      (12L, "brand  NEW"))     // within-batch dup of 11
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(1))
+    assert(out.toSeq == Seq(11L))
+  }
+}

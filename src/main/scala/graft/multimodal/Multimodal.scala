@@ -62,4 +62,51 @@ object Multimodal {
         }
       }
   }
+
+  /** Video frame sampling: one row per kept frame, every `stride`-th
+    * frame of each media row (frame 0 always kept). The fan-out is a
+    * row-local generate (sequence + explode — no shuffle, no driver
+    * loop); each frame gets a stable uid so downstream per-frame stages
+    * (dedup, embedding) can key on it. Media with zero frames (images /
+    * corrupt rows) simply produce no output rows.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
+    meta.toDF()
+      .where(col("frames") > 0)
+      .select(col("doc_id"), col("content_id"), col("frames"),
+        explode(sequence(lit(0L), col("frames") - 1L, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("content_id"), lit(":"),
+          col("frame_idx").cast("string"))).as("frame_uid"))
+
+  /** STUB resize: a real implementation would decode, scale to `w`×`h`
+    * and re-encode each payload. The deterministic fake keeps the batch
+    * PLUMBING a real codec needs — rows are processed in `batchSize`
+    * groups per partition (the mapInPandas/Arrow batch shape: one FFI
+    * call per BATCH, not per row) and the output schema is the real
+    * one: (doc_id, media binary, out_w, out_h).
+    */
+  def resizeStub(docs: DataFrame, w: Int, h: Int,
+                 batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMediaBinary(docs, "text")
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real codec: init once per partition, invoked once per batch
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            digest.reset()
+            val seed = digest.digest(bytes)
+            // fake "pixels": w*h bytes cycled from the content digest,
+            // so output size is exactly the resize contract
+            val out = Array.tabulate[Byte](w * h)(i => seed(i % seed.length))
+            (id, out, w.toLong, h.toLong)
+          }
+        }
+      }.toDF("doc_id", "media", "out_w", "out_h")
+  }
 }

@@ -424,6 +424,25 @@ object TrainingData {
       |  CAST(n_chars % 30 AS BIGINT) AS frames
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------- video frame sampling
+  // Every 5th frame of each media row (frames from the stubbed decode),
+  // with a stable per-frame uid — the row-local fan-out stage a video
+  // pipeline runs before per-frame dedup/embedding.
+  def frameSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.extractMeta(docs(spark, dir)), 5)
+  val frameSampleSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id, md5(text) AS content_id,
+      |         CAST(n_chars % 30 AS BIGINT) AS frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, content_id,
+      |         unnest(range(0, frames, 5)) AS frame_idx
+      |  FROM meta WHERE frames > 0)
+      |SELECT doc_id, frame_idx,
+      |  md5(content_id || ':' || CAST(frame_idx AS VARCHAR)) AS frame_uid
+      |FROM f""".stripMargin
+
   // ---------------------------------------------------- BPE-ish tokens
   def tokenBpeQ(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -864,6 +883,7 @@ object TrainingData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_repetition" -> (repetitionQ _),
+    "x_frame_sample" -> (frameSampleQ _),
     "x_html_strip" -> (htmlStripQ _),
     "x_vocab_topk" -> (vocabTopKQ _),
     "x_sample_stratified" -> (sampleStratifiedQ _),
@@ -894,6 +914,7 @@ object TrainingData {
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
+    "x_frame_sample" -> frameSampleSql,
     "x_html_strip" -> htmlStripSql,
     "x_vocab_topk" -> vocabTopKSql,
     "x_sample_stratified" -> sampleStratifiedSql,

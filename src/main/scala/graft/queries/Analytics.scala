@@ -97,6 +97,51 @@ object Analytics {
       |QUALIFY row_number() OVER
       |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin
 
+  // Gap-filled daily per-user event counts (resample with explicit
+  // zero rows between each user's first and last active day).
+  def gapFillQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.gapFilledCounts(
+      Tables.load(spark, dir, "events"), "user_id", "ts", "value", 86400L)
+  val gapFillSql: String =
+    """WITH b AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket, value
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, bucket, count(*) AS n_events,
+      |         round(sum(value), 4) AS sum_value
+      |  FROM b GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      |      FROM b GROUP BY 1),
+      |cal AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM s)
+      |SELECT cal.user_id, cal.bucket,
+      |  coalesce(c.n_events, 0) AS n_events,
+      |  coalesce(c.sum_value, 0.0) AS sum_value
+      |FROM cal LEFT JOIN c USING (user_id, bucket)""".stripMargin
+
+  // Set operations: customers ordering in 1995 split into EXCEPT
+  // (1995-only) and INTERSECT (both years) against the 1996 cohort —
+  // the two set ops the reference's repertoire lacks (SURVEY.md §2.8).
+  def setOpsQ(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    def cohort(y: String) =
+      ord.where(date_format(col("o_orderdate"), "yyyy") === y)
+        .select(col("o_custkey"))
+    val a = cohort("1995")
+    val b = cohort("1996")
+    a.except(b).withColumn("tag", lit("only_1995"))
+      .unionAll(a.intersect(b).withColumn("tag", lit("both")))
+  }
+  val setOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE strftime(o_orderdate, '%Y') = '1995'),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE strftime(o_orderdate, '%Y') = '1996')
+      |SELECT o_custkey, 'only_1995' AS tag
+      |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT o_custkey, 'both' AS tag
+      |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)""".stripMargin
+
   // Grouped multi-aggregate stats over the events stream table.
   def eventStatsQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -369,6 +414,8 @@ object Analytics {
     "q3_top_revenue" -> (topRevenueQ _),
     "q_window_topk" -> (windowTopKQ _),
     "q_event_stats" -> (eventStatsQ _),
+    "q_gapfill" -> (gapFillQ _),
+    "q_set_ops" -> (setOpsQ _),
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
     "q_anti_join" -> (antiJoinQ _),
@@ -388,6 +435,8 @@ object Analytics {
     "q3_top_revenue" -> topRevenueSql,
     "q_window_topk" -> windowTopKSql,
     "q_event_stats" -> eventStatsSql,
+    "q_gapfill" -> gapFillSql,
+    "q_set_ops" -> setOpsSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_anti_join" -> antiJoinSql,

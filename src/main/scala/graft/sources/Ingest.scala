@@ -32,11 +32,19 @@ object Ingest {
     * valid JSON or a field fails type conversion; blank lines drop. */
   def readJsonl(spark: SparkSession, path: String,
                 schema: StructType): (DataFrame, DataFrame) = {
-    val parseSchema = withCorrupt(schema) // validate before path resolution
-    split(schema, lines(spark, path).withColumn("j",
-      from_json(col("raw_line"), parseSchema,
-        Map("columnNameOfCorruptRecord" -> Corrupt))))
+    withCorrupt(schema) // validate before path resolution
+    splitLines(lines(spark, path), schema)
   }
+
+  /** JSONL split over an already-loaded `raw_line` frame — the shared
+    * core of the batch reader and the streaming foreachBatch ingester
+    * (StreamingOps.ingestJsonlStream), so both paths parse and
+    * quarantine identically. */
+  def splitLines(linesDf: DataFrame, schema: StructType): (DataFrame, DataFrame) =
+    split(schema, linesDf
+      .where(length(trim(col("raw_line"))) > 0)
+      .withColumn("j", from_json(col("raw_line"), withCorrupt(schema),
+        Map("columnNameOfCorruptRecord" -> Corrupt))))
 
   /** (clean, quarantine) split of a CSV directory (no header handling —
     * headers are metadata; pass them out-of-band like any large feed
@@ -44,13 +52,13 @@ object Ingest {
     * the line is structurally malformed. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               options: Map[String, String] = Map.empty): (DataFrame, DataFrame) =
-    split(schema, lines(spark, path).withColumn("j",
-      from_csv(col("raw_line"), withCorrupt(schema),
+    split(schema, lines(spark, path)
+      .where(length(trim(col("raw_line"))) > 0)
+      .withColumn("j", from_csv(col("raw_line"), withCorrupt(schema),
         options + ("columnNameOfCorruptRecord" -> Corrupt))))
 
   private def lines(spark: SparkSession, path: String): DataFrame =
     spark.read.textFile(path).toDF("raw_line")
-      .where(length(trim(col("raw_line"))) > 0)
 
   private def withCorrupt(schema: StructType): StructType = {
     require(!schema.fieldNames.contains(Corrupt),

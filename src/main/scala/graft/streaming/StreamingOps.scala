@@ -207,6 +207,34 @@ object StreamingOps {
 
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available input is processed (local smoke harness). */
+  /** Continuous ingestion with quarantine: a text-line stream split by
+    * the SAME parse expression as the batch Ingest layer, clean rows to
+    * one parquet table and raw corrupt lines to a replayable quarantine
+    * table — per micro-batch, exactly-once via the checkpoint.
+    *
+    * foreachBatch is the bridge: one streaming query, two sinks (a
+    * stream can't fork after start), and within a batch the split frame
+    * is persisted so parse work isn't done twice.
+    */
+  def ingestJsonlStream(spark: SparkSession, inDir: String,
+                        schema: StructType, cleanDir: String,
+                        quarantineDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lines = spark.readStream.text(inDir).toDF("raw_line")
+    lines.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_ingest").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val df = batch.persist()
+        try {
+          val (clean, quarantine) =
+            graft.sources.Ingest.splitLines(df, schema)
+          clean.write.mode("append").parquet(cleanDir)
+          quarantine.write.mode("append").parquet(quarantineDir)
+        } finally { df.unpersist(); () }
+      }
+      .start()
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream.outputMode(outputMode)

@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("streaming JSONL ingest splits clean/quarantine like the batch reader") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val in = java.nio.file.Files.createTempDirectory("graft_sin")
+    val cleanDir = java.nio.file.Files
+      .createTempDirectory("graft_sclean").toString + "/t"
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft_sq").toString + "/t"
+    java.nio.file.Files.write(in.resolve("a.txt"),
+      Seq("""{"id": 1, "v": 0.5}""", """broken""", """{"id": 2, "v": 1.5}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val q = StreamingOps.ingestJsonlStream(
+      spark, in.toString, schema, cleanDir, qDir)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(cleanDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 0.5), (2L, 1.5)))
+    assert(spark.read.parquet(qDir).collect()
+      .map(_.getString(0)).toSeq == Seq("broken"))
+  }
+
   test("continuous SCD merge converges to the batch merge result") {
     val target = java.nio.file.Files
       .createTempDirectory("graft_scd_target").toString + "/snap"

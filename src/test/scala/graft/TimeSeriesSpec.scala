@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFilledCounts zero-fills the quiet buckets inside each span") {
+    val ns = 1000000000L
+    // user 1: events in buckets 0 and 3 (width 10s); user 2: bucket 5 only
+    val ev = Seq(
+      (1L, 1L * ns, 1.0), (1L, 2L * ns, 2.0), (1L, 35L * ns, 4.0),
+      (2L, 55L * ns, 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFilledCounts(ev, "user_id", "ts", "value", 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 5) // user 1 buckets 0..3, user 2 bucket 5
+    assert(out((1L, 0L)) == (2L, 3.0))
+    assert(out((1L, 1L)) == (0L, 0.0)) // filled gap
+    assert(out((1L, 2L)) == (0L, 0.0)) // filled gap
+    assert(out((1L, 3L)) == (1L, 4.0))
+    assert(out((2L, 5L)) == (1L, 8.0))
+  }
+
+  test("an idle key contributes no buckets outside its span") {
+    val ev = Seq((9L, 1000000000L, 1.0)).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFilledCounts(ev, "user_id", "ts", "value", 10L)
+    assert(out.count() == 1)
+  }
+}

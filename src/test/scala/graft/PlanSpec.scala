@@ -82,4 +82,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"range join fell back to nested loop:\n$p")
   }
+
+  test("deterministic sampling is a shuffle-free pushed-scan filter") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val p = plan(graft.ops.Sampling.stratifiedSample(
+      docs, col("lang"), col("doc_id"), Map("en" -> 0.5), 0.1))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    // the `*(n)` prefix marks whole-stage-codegen'd operators
+    assert(p.contains("*(1) Filter"), s"filter not codegen'd:\n$p")
+  }
+
+  test("incrementalDedup ships only fingerprints from the corpus side") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val batch = docs.limit(100)
+    val p = plan(graft.operators.Dedup.incrementalDedup(
+      batch, docs, "text", "doc_id"))
+    // corpus scan pruned to the fingerprint input column only
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"corpus scan not pruned to text:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+  }
+
+  test("gap fill reuses one events scan partitioning (no extra exchange)") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val p = plan(graft.operators.TimeSeries.gapFilledCounts(
+      ev, "user_id", "ts", "value", 86400L))
+    // two aggregations + join, but all keyed compatibly: at most the
+    // hash exchanges on user_id(,bucket) — never a cartesian/calendar join
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"calendar generation must stay row-local:\n$p")
+    assert(p.contains("Generate"), s"sequence+explode missing:\n$p")
+  }
 }

@@ -104,7 +104,46 @@ object Jobs {
     Sinks.overwriteAll(scored, s"$outDir/clean_corpus", Seq("split"))
   }
 
+  /** Feed ingestion with quarantine: the events table's raw `props`
+    * JSON strings parsed against an explicit schema; clean rows land in
+    * an ODS table, unparseable lines in a replayable quarantine. */
+  private def ingestPropsJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val lines = Tables.load(spark, sfDir, "events")
+      .select(col("props").as("raw_line"))
+    val (clean, quarantine) = graft.sources.Ingest.splitLines(
+      lines, StructType(Seq(StructField("k", LongType))))
+    clean.write.mode("overwrite").parquet(s"$outDir/ods_props")
+    quarantine.write.mode("overwrite").parquet(s"$outDir/ods_props_quarantine")
+  }
+
+  /** Corpus report: per-language profile + top-200 vocabulary — the
+    * mixture-weight inputs, written as two small summary tables. */
+  private def corpusReportJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.Corpus.languageStats(docs, "text", "lang")
+      .write.mode("overwrite").parquet(s"$outDir/corpus_lang_stats")
+    graft.operators.Corpus.topKVocab(docs, "text", 200)
+      .write.mode("overwrite").parquet(s"$outDir/corpus_vocab")
+  }
+
+  /** Stratified corpus sample: deterministic per-language carve-out
+    * written partitioned by language for downstream mixture assembly. */
+  private def sampleCorpusJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sampled = graft.ops.Sampling.stratifiedSample(
+      docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.05), defaultRate = 0.1)
+    Sinks.overwriteAll(sampled, s"$outDir/corpus_sample", Seq("lang"))
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "ingest_props" -> (ingestPropsJob _),
+    "corpus_report" -> (corpusReportJob _),
+    "sample_corpus" -> (sampleCorpusJob _),
     "clean_region" -> (auditAppendJob("region", None) _),
     "clean_nation" -> (auditAppendJob("nation", None) _),
     "clean_customer" -> (auditAppendJob("customer", None) _),

@@ -54,6 +54,40 @@ object StreamingOps {
     src.withWatermark("event_time", watermark)
       .dropDuplicates(keyCols :+ "event_time")
 
+  /** Streaming exact dedup on the business key ALONE — Spark's
+    * dropDuplicatesWithinWatermark: unlike [[dedupStream]] (which keys
+    * state on (key, event_time) and only drops exact-time repeats),
+    * this drops ANY later duplicate of a key seen within the watermark
+    * horizon, and the state store evicts each key once the watermark
+    * passes it — the semantics of an at-least-once upstream producer
+    * being collapsed to effectively-once.
+    */
+  def dedupKeysStream(src: DataFrame, keyCols: Seq[String],
+                      watermark: String = "30 minutes"): DataFrame =
+    src.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Built-in session-window aggregation — the declarative twin of
+    * [[userSessionStream]]: same 30-minute-gap session semantics, but
+    * expressed as `groupBy(session_window(...))` so Catalyst manages
+    * the session state store (merging windows, watermark eviction)
+    * instead of hand-rolled flatMapGroupsWithState code. Emits one row
+    * per CLOSED session (watermark past session end + gap).
+    *
+    * Prefer this form when the per-session output is plain aggregates;
+    * the flatMapGroupsWithState form remains for session logic a
+    * groupBy can't express (e.g. emitting mid-session milestones).
+    */
+  def sessionWindowStream(src: DataFrame,
+                          gapMinutes: Int = 30): DataFrame =
+    src.withWatermark("event_time", s"$gapMinutes minutes")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   case class UserSessionState(nEvents: Long, sumValue: Double,
                               startTsNs: Long, lastTsNs: Long)
   case class UserSessionClosed(user_id: Long, n_events: Long,

@@ -14,10 +14,14 @@ class JobsSpec extends SparkSpec {
       job(spark, sf0001, out)
     }
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
-    assert(dirs.size == Jobs.all.size,
-      s"expected ${Jobs.all.size} output tables, got $dirs")
+    // ingest_props and corpus_report emit two tables each
+    assert(dirs.size == Jobs.all.size + 2,
+      s"expected ${Jobs.all.size + 2} output tables, got $dirs")
     dirs.foreach { d =>
-      assert(spark.read.parquet(s"$out/$d").count() > 0, s"$d is empty")
+      val n = spark.read.parquet(s"$out/$d").count()
+      // the quarantine table is rightly empty when every line parses
+      if (d.endsWith("_quarantine")) assert(n == 0, s"$d not empty")
+      else assert(n > 0, s"$d is empty")
     }
   }
 

@@ -143,6 +143,45 @@ class StreamingSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("dropDuplicatesWithinWatermark collapses each key to one row") {
+    val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)
+    StreamingOps.runToMemory(
+      StreamingOps.dedupKeysStream(src, Seq("user_id")), "dedupk_out")
+    val out = spark.table("dedupk_out").select("user_id")
+      .collect().map(_.getLong(0))
+    val users = Tables.load(spark, sf0001, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    // one micro-batch => watermark still at epoch => no mid-stream
+    // eviction, so output is exactly one row per distinct key
+    assert(out.length == out.distinct.length, "a key was emitted twice")
+    assert(out.toSet == users)
+  }
+
+  test("session_window aggregation matches the stateful sessionizer on " +
+    "closed sessions") {
+    val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)
+    StreamingOps.runToMemory(
+      StreamingOps.sessionWindowStream(src), "sessw_out",
+      OutputMode.Append())
+    val built = spark.table("sessw_out")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    StreamingOps.runToMemory(
+      StreamingOps.userSessionStream(src).toDF(), "sessc_out",
+      OutputMode.Append())
+    val custom = spark.table("sessc_out")
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    // both emit exactly the closed sessions; trailing-session timeout
+    // behavior may differ by one final batch, so compare the common core
+    assert(built.nonEmpty)
+    val overlap = built.intersect(custom)
+    assert(overlap.size >= (built.size min custom.size) * 9 / 10,
+      s"session sets diverge: built=${built.size} custom=${custom.size} " +
+        s"overlap=${overlap.size}")
+  }
+
   test("session stream emits gap-closed sessions that match the batch " +
     "sessionizer (open trailing sessions excluded)") {
     val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)

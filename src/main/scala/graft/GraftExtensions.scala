@@ -31,7 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, doc, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name, doc),
+        // 5-arg ctor is (className, db, name, usage, extended) — the
+        // 3-arg one is (className, db, NAME), not (className, name, doc)
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          doc, ""),
         builder))
     }
 }

@@ -29,8 +29,13 @@ object TimeSeries {
   def gapFilledCounts(events: DataFrame, keyCol: String, tsNanosCol: String,
                       valueCol: String, bucketSec: Long): DataFrame = {
     val widthNs = bucketSec * 1000000000L
+    // FLOOR division (matching SQL `//` / the doc), not `div`'s
+    // truncation toward zero — they differ on pre-epoch timestamps,
+    // where `div` would merge the two buckets adjacent to the epoch
     val bucketed = events.select(col(keyCol),
-      expr(s"$tsNanosCol div $widthNs").as("bucket"),
+      expr(s"$tsNanosCol div $widthNs" +
+        s" - (CASE WHEN $tsNanosCol % $widthNs < 0 THEN 1 ELSE 0 END)")
+        .as("bucket"),
       col(valueCol))
     val counts = bucketed.groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"),

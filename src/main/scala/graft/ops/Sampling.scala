@@ -57,6 +57,11 @@ object Sampling {
     val bp = rates.toSeq.sortBy(_._1).foldLeft(lit(basisPoints(defaultRate))) {
       case (acc, (s, r)) => when(stratum === s, lit(basisPoints(r))).otherwise(acc)
     }
-    df.where(inSample(concat_ws(":", stratum, key.cast("string")), bp))
+    // a NULL stratum falls through the when-chain to defaultRate; its
+    // decision key is pinned to ":key" explicitly (concat_ws would give
+    // the same string by skipping the null, but silently — and a plain
+    // SQL `stratum || ':' || key` oracle must spell the same coalesce)
+    df.where(inSample(
+      concat(coalesce(stratum, lit("")), lit(":"), key.cast("string")), bp))
   }
 }

@@ -727,11 +727,8 @@ object TrainingData {
         .otherwise("test").as("split"))
   }
   val datasetSplitSql: String =
-    """WITH b AS (
-      |  SELECT doc_id,
-      |    CAST(list_sum(list_transform(range(8),
-      |      c -> (strpos('0123456789abcdef', substr(md5(text), CAST(c+1 AS INT), 1))-1)::BIGINT
-      |           << (4*(7-c)))) % 100 AS BIGINT) AS bucket
+    s"""WITH b AS (
+      |  SELECT doc_id, ${duckHash32("text")} % 100 AS bucket
       |  FROM documents)
       |SELECT doc_id, bucket,
       |  CASE WHEN bucket < 80 THEN 'train'
@@ -826,7 +823,7 @@ object TrainingData {
       .select(col("doc_id"), col("lang"))
   val sampleStratifiedSql: String =
     s"""SELECT doc_id, lang FROM documents
-       |WHERE ${duckHash32("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000 <
+       |WHERE ${duckHash32("coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 10000 <
        |  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
        |            WHEN 'de' THEN 500 ELSE 1000 END""".stripMargin
 

@@ -116,4 +116,54 @@ object Sinks {
     }
     rm(old)
   }
+
+  /** Z-ordered write: cluster rows on the interleaved-bit curve over
+    * `cols` so files (and parquet row groups) are tight in EVERY listed
+    * dimension at once — the layout that makes multi-predicate scans
+    * prune at 100 TB, where a single-column sort only helps its own
+    * column. Standard lakehouse OPTIMIZE ZORDER semantics, expressed
+    * with the DataFrame API:
+    *
+    *  1. per column, approximate quantile boundaries (a driver-side
+    *     sketch over a sample — the same mechanism repartitionByRange
+    *     uses) map values to 2^bits equal-frequency buckets, so skew
+    *     can't collapse the curve;
+    *  2. bucket ids interleave bit-by-bit into the z-value (a row-local
+    *     codegen-friendly expression);
+    *  3. repartitionByRange(nFiles) on the z-value makes files own
+    *     disjoint curve segments; sortWithinPartitions orders row
+    *     groups inside each file for min/max stats pruning.
+    *
+    * One range shuffle total. Numeric columns only (quantile sketch);
+    * the z column is dropped before writing.
+    */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    nFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-order needs at least two columns")
+    // shiftleft wraps its amount mod 64 — past 63 the curve silently
+    // stops being a z-order, so fail loudly instead
+    require(bits * cols.size <= 63,
+      s"z-value needs ${bits * cols.size} bits; lower `bits` or columns")
+    val nb = (1 << bits) - 1 // boundaries per column
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    // ONE sketch job for every column (the multi-column overload), not
+    // one full upstream execution per column
+    val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+    val zcol = cols.zipWithIndex.map { case (c, ci) =>
+      // bucket = #boundaries <= value (0..2^bits-1), then spread this
+      // column's bucket bits to positions ci, ci+n, ci+2n, … of the z
+      val bucket = size(filter(
+        lit(allBounds(ci)), b => col(c).cast("double") >= b))
+      (0 until bits).map { k =>
+        shiftleft(shiftright(bucket, k).bitwiseAND(lit(1)).cast("long"),
+          k * cols.size + ci)
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    df.withColumn("__z", zcol)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -239,12 +239,18 @@ object StreamingOps {
     q.stop()
   }
 
-  /** Run a streaming DataFrame to a named in-memory sink until all
-    * currently-available input is processed (local smoke harness). */
   /** Continuous ingestion with quarantine: a text-line stream split by
     * the SAME parse expression as the batch Ingest layer, clean rows to
     * one parquet table and raw corrupt lines to a replayable quarantine
-    * table — per micro-batch, exactly-once via the checkpoint.
+    * table.
+    *
+    * `checkpointDir` MUST be durable storage in production — it is what
+    * stops a restarted query from re-reading (and re-appending) the
+    * whole input directory; the temp-dir default exists for tests only.
+    * Delivery is at-least-once at the sink: foreachBatch re-runs a batch
+    * that failed between the two appends (plain parquet append has no
+    * batchId-keyed idempotence), so downstream consumers dedupe on
+    * content fingerprints — which the corpus pipeline does anyway.
     *
     * foreachBatch is the bridge: one streaming query, two sinks (a
     * stream can't fork after start), and within a batch the split frame
@@ -252,11 +258,13 @@ object StreamingOps {
     */
   def ingestJsonlStream(spark: SparkSession, inDir: String,
                         schema: StructType, cleanDir: String,
-                        quarantineDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                        quarantineDir: String,
+                        checkpointDir: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckpt = Option(checkpointDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ckpt_ingest").toString)
     val lines = spark.readStream.text(inDir).toDF("raw_line")
     lines.writeStream
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_ingest").toString)
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val df = batch.persist()
         try {
@@ -269,6 +277,8 @@ object StreamingOps {
       .start()
   }
 
+  /** Run a streaming DataFrame to a named in-memory sink until all
+    * currently-available input is processed (local smoke harness). */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream.outputMode(outputMode)

@@ -35,7 +35,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // catalog-level DESCRIBE works for injected (non-temp) functions
       val desc = spark.sql("DESCRIBE FUNCTION graft_dot")
         .collect().map(_.getString(0)).mkString("\n")
-      assert(desc.contains("graft_dot"))
+      assert(desc.contains("Function: graft_dot"), desc)
+      // the usage doc must reach the catalog metadata (a swapped
+      // ExpressionInfo ctor would put the name there instead)
+      assert(desc.contains("double-array dot product"), desc)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

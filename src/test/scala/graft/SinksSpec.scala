@@ -97,6 +97,32 @@ class SinksSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("z-ordered write clusters BOTH dimensions into tight per-file ranges") {
+    val path = tmp() + "/z"
+    // two independent uniform dims: a row-id and a decorrelated permutation
+    val n = 4096
+    val df = (0 until n).map { i => (i.toLong, ((i * 2654435761L) % n)) }
+      .toDF("a", "b")
+    Sinks.writeZOrdered(df, path, Seq("a", "b"), nFiles = 16)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("a") - min("a")).as("ra"), (max("b") - min("b")).as("rb"))
+      .collect()
+    assert(perFile.length == 16)
+    val avgA = perFile.map(_.getLong(1)).sum.toDouble / perFile.length
+    val avgB = perFile.map(_.getLong(2)).sum.toDouble / perFile.length
+    // 16 files over a 4096 span: a single-column sort gives ~256 on one
+    // dim and ~4096 on the other; the z-curve must be well under half
+    // the full span on BOTH dims simultaneously
+    assert(avgA < n / 2.0, s"a not clustered: avg range $avgA")
+    assert(avgB < n / 2.0, s"b not clustered: avg range $avgB")
+    // and the box query a<1/4-span AND b<1/4-span must touch few files
+    val touched = spark.read.parquet(path)
+      .where(col("a") < n / 4 && col("b") < n / 4)
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 8, s"box query touched $touched of 16 files")
+  }
+
   test("partition pruning reads only the filtered etl_date directory") {
     val path = tmp()
     Sinks.overwriteAll(

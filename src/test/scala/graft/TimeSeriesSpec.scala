@@ -24,6 +24,15 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out((2L, 5L)) == (1L, 8.0))
   }
 
+  test("pre-epoch timestamps floor into bucket -1, not bucket 0") {
+    val ev = Seq((1L, -1L, 1.0), (1L, 1L, 2.0)).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFilledCounts(ev, "user_id", "ts", "value", 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // SQL floor-division semantics (DuckDB `//`): -1ns is the bucket
+    // BEFORE the epoch; truncation would merge both rows into bucket 0
+    assert(out == Map(-1L -> 1L, 0L -> 1L))
+  }
+
   test("an idle key contributes no buckets outside its span") {
     val ev = Seq((9L, 1000000000L, 1.0)).toDF("user_id", "ts", "value")
     val out = TimeSeries.gapFilledCounts(ev, "user_id", "ts", "value", 10L)

@@ -282,6 +282,46 @@ object Dedup {
     keep.join(seen, Seq("fingerprint"), "left_anti")
   }
 
+  /** Benchmark decontamination report: for every corpus document, how
+    * much of it appears verbatim in an evaluation set — the fraction of
+    * its distinct word n-grams that occur in ANY eval document. Training
+    * pipelines drop (or flag) documents above a contamination threshold
+    * so benchmark answers don't leak into the training corpus.
+    *
+    * Scale shape: the eval side is tiny by construction (a benchmark),
+    * so its distinct gram set BROADCASTS and the corpus-side probe is a
+    * map-side hash semi-join on the exploded grams — the corpus is
+    * never shuffled by gram; the only exchange is the per-doc count
+    * aggregation on doc id. Documents shorter than n tokens have zero
+    * grams and report 0.0.
+    *
+    * Returns (id, n_grams, n_matched, contamination) per corpus doc.
+    */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int = 8): DataFrame = {
+    def grams(t: Column): Column = {
+      val toks = split(lower(trim(t)), "\\s+")
+      when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val cg = corpus.select(col(idCol), grams(col(textCol)).as("grams"))
+    val ev = evalSet.select(explode(grams(col(textCol))).as("gr")).distinct()
+    val matched = cg.select(col(idCol), explode(col("grams")).as("gr"))
+      .join(broadcast(ev), Seq("gr"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
+    cg.join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("grams")).cast("long").as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(size(col("grams")) === 0, lit(0.0d))
+          .otherwise(round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+            size(col("grams")).cast("double"), 4)).as("contamination"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (exact
     * verification metric for near-dup candidates). A side with fewer
     * than n tokens contributes an EMPTY gram set; if both sides are

@@ -865,6 +865,40 @@ object TrainingData {
       |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
       |  FROM documents)""".stripMargin
 
+  // --------------------------------------------------- decontamination
+  // Benchmark-leak report: 8-gram overlap of every document against a
+  // small "benchmark" set (stand-in: doc_id < 10). The benchmark docs
+  // themselves report contamination 1.0; everything sharing no 8-gram
+  // reports 0.0.
+  def decontaminateQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    Dedup.contaminationReport(d, d.where(col("doc_id") < 10),
+      "text", "doc_id")
+  }
+  val decontaminateSql: String = {
+    val g8 = (0 until 8).map(o => s"ta[CAST(i AS INT)+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ta
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ta) >= 8 THEN
+       |      list_distinct(list_transform(range(1, len(ta)-6), i -> $g8))
+       |    ELSE [] END AS grams
+       |  FROM toks),
+       |ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 10),
+       |x AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+       |m AS (SELECT doc_id, count(*) AS n_matched
+       |      FROM x JOIN ev USING (gr) GROUP BY 1)
+       |SELECT g.doc_id,
+       |  CAST(len(grams) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       |  CASE WHEN len(grams) = 0 THEN 0.0
+       |       ELSE round(coalesce(m.n_matched, 0)::DOUBLE / len(grams), 4)
+       |  END AS contamination
+       |FROM g LEFT JOIN m USING (doc_id)""".stripMargin
+  }
+
   // -------------------------------------------------- per-language profile
   def langStatsQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.languageStats(docs(spark, dir), "text", "lang")
@@ -886,6 +920,7 @@ object TrainingData {
     "x_sample_stratified" -> (sampleStratifiedQ _),
     "x_dedup_incremental" -> (dedupIncrementalQ _),
     "x_lang_stats" -> (langStatsQ _),
+    "x_decontaminate" -> (decontaminateQ _),
     "x_dedup_exact" -> (dedupExactQ _),
     "x_text_stats" -> (textStatsQ _),
     "x_lang_id" -> (langIdQ _),
@@ -917,6 +952,7 @@ object TrainingData {
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_lang_stats" -> langStatsSql,
+    "x_decontaminate" -> decontaminateSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_text_stats" -> textStatsSql,
     "x_lang_id" -> langIdSql,

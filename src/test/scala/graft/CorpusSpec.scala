@@ -76,6 +76,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_.getString(1) == "en"))
   }
 
+  test("contaminationReport flags verbatim benchmark overlap") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark 8-gram verbatim plus its own tail
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different words that never overlap the benchmark " +
+        "text at all in any gram"),
+      (3L, "short doc")) // < 8 tokens -> zero grams
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 1L, 0.3333)) // one of three 8-grams shared
+    assert(out(2L) == (7L, 0L, 0.0))
+    assert(out(3L) == (0L, 0L, 0.0))
+  }
+
   test("incrementalDedup keeps only batch-novel fingerprints, min id wins") {
     val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

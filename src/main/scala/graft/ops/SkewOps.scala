@@ -59,4 +59,20 @@ object SkewOps {
       explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
     saltedFact.join(explodedDim, keys :+ "__salt").drop("__salt")
   }
+
+  /** Top-`k` heaviest values of a would-be shuffle key with their share
+    * of all rows — the diagnostic run BEFORE choosing a skew strategy
+    * (salt? broadcast the other side? AQE?). One partial-aggregated
+    * count and a TakeOrderedAndProject; cheap enough to run on the real
+    * 100 TB input rather than guessing from a sample.
+    *
+    * Total (cnt desc, key asc) ordering; share rounded to 6 decimals.
+    */
+  def keyHistogram(df: DataFrame, key: String, k: Int): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(k)
+      .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
+  }
 }

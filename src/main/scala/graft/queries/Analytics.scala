@@ -142,6 +142,33 @@ object Analytics {
       |SELECT o_custkey, 'both' AS tag
       |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)""".stripMargin
 
+  // Correlated EXISTS subquery (Catalyst rewrites it to a semi join —
+  // the SQL-text route to the same plan q_semi_join builds with the API).
+  def existsQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 50)""".stripMargin)
+  }
+  val existsSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_quantity >= 50)""".stripMargin
+
+  // Shuffle-key skew diagnostic: the 20 heaviest user_ids with row share.
+  def keyHistogramQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewOps.keyHistogram(
+      Tables.load(spark, dir, "events"), "user_id", 20)
+  val keyHistogramSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS n FROM events)
+      |SELECT user_id, cnt,
+      |       round(cnt / (SELECT n FROM t)::DOUBLE, 6) AS share
+      |FROM c ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+
   // Grouped multi-aggregate stats over the events stream table.
   def eventStatsQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
@@ -416,6 +443,8 @@ object Analytics {
     "q_event_stats" -> (eventStatsQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_set_ops" -> (setOpsQ _),
+    "q_exists" -> (existsQ _),
+    "q_key_histogram" -> (keyHistogramQ _),
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
     "q_anti_join" -> (antiJoinQ _),
@@ -437,6 +466,8 @@ object Analytics {
     "q_event_stats" -> eventStatsSql,
     "q_gapfill" -> gapFillSql,
     "q_set_ops" -> setOpsSql,
+    "q_exists" -> existsSql,
+    "q_key_histogram" -> keyHistogramSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_anti_join" -> antiJoinSql,

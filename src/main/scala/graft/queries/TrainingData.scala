@@ -899,6 +899,21 @@ object TrainingData {
        |FROM g LEFT JOIN m USING (doc_id)""".stripMargin
   }
 
+  // --------------------------------------------------- edit distance
+  // Levenshtein distance between each document's 60-char head and the
+  // same window shifted 10 chars — the exact-verification metric for
+  // near-dup candidate pairs when gram overlap is inconclusive.
+  def editDistanceQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      levenshtein(substring(col("text"), 1, 60),
+        substring(col("text"), 11, 60)).cast("long").as("edit_dist"))
+  val editDistanceSql: String =
+    """SELECT doc_id,
+      |  CAST(levenshtein(substr(text, 1, 60), substr(text, 11, 60)) AS BIGINT)
+      |    AS edit_dist
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------- per-language profile
   def langStatsQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.languageStats(docs(spark, dir), "text", "lang")
@@ -921,6 +936,7 @@ object TrainingData {
     "x_dedup_incremental" -> (dedupIncrementalQ _),
     "x_lang_stats" -> (langStatsQ _),
     "x_decontaminate" -> (decontaminateQ _),
+    "x_edit_distance" -> (editDistanceQ _),
     "x_dedup_exact" -> (dedupExactQ _),
     "x_text_stats" -> (textStatsQ _),
     "x_lang_id" -> (langIdQ _),
@@ -953,6 +969,7 @@ object TrainingData {
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_lang_stats" -> langStatsSql,
     "x_decontaminate" -> decontaminateSql,
+    "x_edit_distance" -> editDistanceSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_text_stats" -> textStatsSql,
     "x_lang_id" -> langIdSql,

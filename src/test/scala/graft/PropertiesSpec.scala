@@ -134,6 +134,80 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("gapFilledCounts preserves totals and emits exactly the spans") {
+    val evGen = Gen.listOfN(30, for {
+      k <- Gen.choose(1L, 5L)
+      ts <- Gen.choose(-100L, 100L).map(_ * 1000000000L) // ±100s, incl. <0
+      v <- Gen.choose(1, 9).map(_.toDouble)
+    } yield (k, ts, v)).map(_.distinctBy(x => (x._1, x._2)))
+    (0 until 10).foreach { i =>
+      val rows = evGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      if (rows.nonEmpty) {
+        val df = rows.toDF("user_id", "ts", "value")
+        val out = graft.operators.TimeSeries
+          .gapFilledCounts(df, "user_id", "ts", "value", 10L).collect()
+        // row totals survive the resample exactly
+        assert(out.map(_.getLong(2)).sum == rows.size)
+        // per key: buckets form the contiguous floor-div span
+        def fdiv(ts: Long) = Math.floorDiv(ts, 10000000000L)
+        rows.groupBy(_._1).foreach { case (k, evs) =>
+          val bks = out.filter(_.getLong(0) == k).map(_.getLong(1)).sorted
+          val (lo, hi) = (evs.map(e => fdiv(e._2)).min, evs.map(e => fdiv(e._2)).max)
+          assert(bks.toSeq == (lo to hi).toSeq, s"key $k span")
+        }
+      }
+    }
+  }
+
+  test("stratifiedSample picks are stable under permutation and union") {
+    val gen = Gen.listOfN(60, for {
+      k <- Gen.choose(1L, 1000L)
+      s <- Gen.oneOf("a", "b", "c")
+    } yield (k, s)).map(_.distinct)
+    (0 until 10).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(99L + i))
+      val df = rows.toDF("k", "s")
+      val rates = Map("a" -> 0.5, "b" -> 0.1)
+      def pick(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Sampling.stratifiedSample(d, $"s", $"k", rates, 0.25)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val base = pick(df)
+      // permutation / partitioning invariance
+      assert(pick(df.orderBy($"k".desc).repartition(5)) == base)
+      // decision is row-local: a union picks the union of the picks
+      val half = rows.take(rows.size / 2)
+      assert(pick(half.toDF("k", "s"))
+        .union(pick(rows.drop(rows.size / 2).toDF("k", "s"))) == base)
+    }
+  }
+
+  test("incrementalDedup(batch, corpus) ∩ corpus fingerprints = ∅ and " +
+    "covers every novel fingerprint once") {
+    val gen = Gen.listOfN(40, for {
+      id <- Gen.choose(1L, 500L)
+      t <- Gen.oneOf("x", "y", "z", "w", "q").map(c => s"doc $c body")
+    } yield (id, t)).map(_.distinctBy(_._1))
+    (0 until 10).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(123L + i))
+      val (c, b) = rows.splitAt(rows.size / 2)
+      if (c.nonEmpty && b.nonEmpty) {
+        val corpus = c.toDF("doc_id", "text")
+        val batch = b.toDF("doc_id", "text")
+        val out = graft.operators.Dedup
+          .incrementalDedup(batch, corpus, "text", "doc_id")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val corpusFps = c.map(_._2).toSet
+        val novel = b.filterNot(x => corpusFps.contains(x._2))
+        // one row per novel distinct text, keeper is the min batch id
+        assert(out.map(_._1).distinct.length == out.length)
+        assert(out.length == novel.map(_._2).distinct.size)
+        novel.groupBy(_._2).foreach { case (_, docs) =>
+          assert(out.exists(_._2 == docs.map(_._1).min))
+        }
+      }
+    }
+  }
+
   test("scdMerge output keys = keys(ods) ∪ keys(dwd); audit never null") {
     samples(10).sliding(2).foreach { case Seq(o, d) =>
       if (o.nonEmpty && d.nonEmpty) {

@@ -66,5 +66,17 @@ object GraftExtensions {
       es => JaccardExpr(es(0), es(1))),
     (NativeFns.SimhashName,
       "graft_simhash(text) - 48-bit SimHash over token hashes, one pass",
-      es => SimhashExpr(es.head)))
+      es => SimhashExpr(es.head)),
+    // Spark's own (non-SQL-registered) bloom sketch pair, exposed for
+    // the dedup pre-filter: a mergeable distributed bloom build and its
+    // membership probe — the machinery behind runtime row-group filters.
+    (NativeFns.BloomAggName,
+      "graft_bloom_agg(xxh64, n) - bloom filter sketch over long hashes",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0),
+          es(1).eval().asInstanceOf[Number].longValue)),
+    (NativeFns.BloomContainsName,
+      "graft_bloom_contains(bloom, xxh64) - bloom membership probe",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
 }

@@ -86,6 +86,8 @@ object NativeFns {
   val ShingleHashesName = "graft_shingle_hashes"
   val JaccardName = "graft_jaccard"
   val SimhashName = "graft_simhash"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_bloom_contains"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -126,4 +128,15 @@ object NativeFns {
 
   def simhashNative(text: Column): Column =
     call_function(SimhashName, text)
+
+  /** Distributed bloom sketch over a LONG hash column (mergeable
+    * TypedImperativeAggregate — Spark's own, not SQL-registered by
+    * default). `expectedItems` sizes the bit array. */
+  def bloomAgg(xxh64: Column, expectedItems: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(BloomAggName, xxh64, lit(expectedItems))
+  }
+
+  def bloomContains(bloom: Column, xxh64: Column): Column =
+    call_function(BloomContainsName, bloom, xxh64)
 }

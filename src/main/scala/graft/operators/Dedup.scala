@@ -282,6 +282,46 @@ object Dedup {
     keep.join(seen, Seq("fingerprint"), "left_anti")
   }
 
+  /** [[incrementalDedup]] with a Bloom pre-split — same output, built
+    * for the 100 TB shape where the corpus dwarfs the daily batch and
+    * MOST batch rows are genuinely novel.
+    *
+    * A mergeable Bloom sketch of the corpus fingerprints (Spark's own
+    * BloomFilterAggregate — one distributed aggregation, one compact
+    * binary blob) is broadcast to the batch, splitting it row-locally:
+    *
+    *  - bloom MISS → definitely novel (no false negatives): emitted
+    *    directly, never enters the anti-join;
+    *  - bloom HIT → maybe-dup (false-positive rate ~`fpp` for truly
+    *    novel rows): only this sliver pays the exact anti-join.
+    *
+    * The anti-join's both sides shrink from |batch| to ~|dups| + fpp·
+    * |novel| while the result stays EXACTLY incrementalDedup's —
+    * verified by equality in DedupSpec/PropertiesSpec.
+    */
+  def incrementalDedupBloom(batch: DataFrame, corpus: DataFrame,
+                            textCol: String, idCol: String,
+                            expectedItems: Long = 1000000L): DataFrame = {
+    import graft.functions.native.NativeFns
+    val fp = TextFns.fingerprintMd5(col(textCol))
+    val keep = batch.select(fp.as("fingerprint"), col(idCol))
+      .groupBy("fingerprint").agg(min(col(idCol)).as("keeper_id"))
+    // might_contain requires a CONSTANT sketch, so the blob (KBs–MBs,
+    // independent of corpus row count) is materialized at the driver and
+    // shipped as a literal — the same move Spark's injected runtime
+    // filters make with their scalar-subquery bloom
+    val blob = corpus
+      .agg(NativeFns.bloomAgg(xxhash64(fp), expectedItems).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    val probed = keep.withColumn("__hit",
+      NativeFns.bloomContains(lit(blob), xxhash64(col("fingerprint"))))
+    val definitelyNovel = probed.where(!col("__hit")).drop("__hit")
+    val maybeDup = probed.where(col("__hit")).drop("__hit")
+    val seen = corpus.select(fp.as("fingerprint"))
+    definitelyNovel.unionByName(
+      maybeDup.join(seen, Seq("fingerprint"), "left_anti"))
+  }
+
   /** Benchmark decontamination report: for every corpus document, how
     * much of it appears verbatim in an evaluation set — the fraction of
     * its distinct word n-grams that occur in ANY eval document. Training

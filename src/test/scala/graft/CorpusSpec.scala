@@ -94,6 +94,24 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == (0L, 0L, 0.0))
   }
 
+  test("bloom-pre-filtered incremental dedup equals the exact version") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    // batch: half duplicates of the corpus, half novel (suffix-mutated)
+    val batch = docs.where($"doc_id" % 2 === 0)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text")
+      .union(docs.where($"doc_id" % 2 === 1)
+        .select(($"doc_id" + 9000L).as("doc_id"),
+          concat($"text", lit(" novel-tail"), $"doc_id").as("text")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = key(Dedup.incrementalDedup(batch, docs, "text", "doc_id"))
+    val bloom = key(Dedup.incrementalDedupBloom(batch, docs, "text", "doc_id",
+      expectedItems = 10000L))
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("incrementalDedup keeps only batch-novel fingerprints, min id wins") {
     val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

@@ -158,6 +158,45 @@ object Analytics {
       |              WHERE l.l_orderkey = o.o_orderkey
       |                AND l.l_quantity >= 50)""".stripMargin
 
+  // Correlated SCALAR subquery: orders priced above their customer's own
+  // average (Catalyst decorrelates to an aggregate + join).
+  def correlatedScalarQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+  val correlatedScalarSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+      |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
+  // Analytic window functions beyond row_number (the reference's only
+  // window, SURVEY.md §2.6): per-user inter-event gaps via lag, plus
+  // first/last session anchors — one window exchange total.
+  def lagDeltaQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        lag(expr("ts div 1000"), 1).over(w).as("prev_us"),
+        first(col("event_id")).over(w).as("first_event"))
+      .withColumn("gap_us", col("ts_us") - coalesce(col("prev_us"),
+        col("ts_us")))
+  }
+  val lagDeltaSql: String =
+    """SELECT user_id, event_id,
+      |  epoch_ns(ts) // 1000 AS ts_us,
+      |  lag(epoch_ns(ts) // 1000, 1) OVER w AS prev_us,
+      |  first_value(event_id) OVER w AS first_event,
+      |  epoch_ns(ts) // 1000 - coalesce(lag(epoch_ns(ts) // 1000, 1) OVER w,
+      |                                  epoch_ns(ts) // 1000) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   // Shuffle-key skew diagnostic: the 20 heaviest user_ids with row share.
   def keyHistogramQ(spark: SparkSession, dir: String): DataFrame =
     graft.ops.SkewOps.keyHistogram(
@@ -444,6 +483,8 @@ object Analytics {
     "q_gapfill" -> (gapFillQ _),
     "q_set_ops" -> (setOpsQ _),
     "q_exists" -> (existsQ _),
+    "q_correlated_scalar" -> (correlatedScalarQ _),
+    "q_lag_delta" -> (lagDeltaQ _),
     "q_key_histogram" -> (keyHistogramQ _),
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
@@ -467,6 +508,8 @@ object Analytics {
     "q_gapfill" -> gapFillSql,
     "q_set_ops" -> setOpsSql,
     "q_exists" -> existsSql,
+    "q_correlated_scalar" -> correlatedScalarSql,
+    "q_lag_delta" -> lagDeltaSql,
     "q_key_histogram" -> keyHistogramSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,

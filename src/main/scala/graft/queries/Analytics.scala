@@ -159,17 +159,23 @@ object Analytics {
       |                AND l.l_quantity >= 50)""".stripMargin
 
   // Correlated SCALAR subquery: orders priced above their customer's own
-  // average (Catalyst decorrelates to an aggregate + join).
+  // average (Catalyst decorrelates to an aggregate + join). The avg is
+  // ROUNDED before the comparison — a re-associated double aggregate in
+  // a predicate is the one place an ULP of engine difference could flip
+  // row membership (the repo-wide determinism rule applies to
+  // predicates too).
   def correlatedScalarQ(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |WHERE o_totalprice > 1.5 * (SELECT round(avg(o_totalprice), 2)
+        |                            FROM orders i
         |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin)
   }
   val correlatedScalarSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+      |WHERE o_totalprice > 1.5 * (SELECT round(avg(o_totalprice), 2)
+      |                            FROM orders i
       |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin
 
   // Analytic window functions beyond row_number (the reference's only

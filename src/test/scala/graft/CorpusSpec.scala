@@ -112,6 +112,23 @@ class CorpusSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("equal-frequency binning balances buckets even on skewed values") {
+    // heavy skew: 90% of mass near zero, long tail
+    val df = (1L to 1000L)
+      .map(i => (i, if (i <= 900) i / 100.0 else math.pow(i - 890, 3)))
+      .toDF("id", "v")
+    val out = graft.ops.Binning.withBuckets(df, "v", 4)
+    val sizes = out.groupBy("v_bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    // every bucket within 2x of the ideal 250 despite the skew
+    sizes.values.foreach(n => assert(n > 125 && n < 500, sizes.toString))
+    // deterministic: same bounds, same assignment
+    val again = graft.ops.Binning.withBuckets(df, "v", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("incrementalDedup keeps only batch-novel fingerprints, min id wins") {
     val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.ops.{MatStrategy, Materialize, Materialized}
 
 /** Document-deduplication operators for large-scale training-data
   * pipelines: exact (hash-groupBy), MinHash+LSH banding, SimHash, and
@@ -64,16 +65,19 @@ object Dedup {
     * candidate generation and verification (MEMORY_AND_DISK: spills
     * instead of recomputing at 100 TB). The verified pair list (orders of
     * magnitude smaller than the corpus) is then materialized eagerly via
-    * localCheckpoint and the signature cache is RELEASED before
-    * returning, so repeated calls don't accumulate executor cache blocks
-    * (round-1 advice); callers get a checkpoint-backed frame they can
-    * join/write without recomputing the pipeline.
+    * `mat` and the signature cache is RELEASED before returning, so
+    * repeated calls don't accumulate executor cache blocks (round-1
+    * advice); callers get a materialized frame they can join/write
+    * without recomputing the pipeline, plus the handle that frees it
+    * (round-2 advice: the previous localCheckpoint-based output itself
+    * leaked blocks for the session lifetime).
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     * to 4 decimals.
     */
-  def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-                          k: Int = 5, threshold: Double = 0.5): DataFrame = {
+  def minhashNearDupPairsM(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 5, threshold: Double = 0.5,
+                           mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
     val sig = withMinhashSignature(docs, textCol, k)
       .select(col(idCol).as("doc_id") +: col("__sh") +:
         (0 until 16).map(j => col(s"m$j")): _*)
@@ -103,10 +107,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     // eager materialization of the small pair list, then release the
     // signature cache (blocks would otherwise live for the session)
-    val out = verified.localCheckpoint(true)
+    val out = Materialize(verified, mat)
     sig.unpersist(false)
     out
   }
+
+  /** [[minhashNearDupPairsM]] with the default parquet-spill
+    * materialization, returning the bare frame: no RDD blocks outlive
+    * the call (LeakSpec) and the spill files are reclaimed on JVM exit.
+    */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int = 5, threshold: Double = 0.5): DataFrame =
+    minhashNearDupPairsM(docs, textCol, idCol, k, threshold).df
 
   /** 48-bit SimHash per document — one-pass native expression
     * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);
@@ -179,27 +191,31 @@ object Dedup {
     *  - labels only ever DECREASE, so convergence is detected by
     *    comparing sum(label) (exact decimal) between rounds — a narrow
     *    scan of the just-checkpointed result instead of a join;
-    *  - each round ends with a localCheckpoint: materializes the round
-    *    and truncates the logical plan (without which per-round plan
-    *    nesting grows until driver-side analysis OOMs); the previous
-    *    round's checkpoint blocks are unpersisted as soon as the new
+    *  - each round ends with a `roundMat` materialization: it pins the
+    *    round's result and truncates the logical plan (without which
+    *    per-round plan nesting grows until driver-side analysis OOMs);
+    *    the previous round's storage is released as soon as the new
     *    round lands, so long runs don't accumulate executor storage.
+    *    `roundMat` is the durability knob: Local (default) is fastest
+    *    for local/bounded runs; Reliable survives executor loss
+    *    mid-iteration — the right setting for a 1000-executor run where
+    *    a single lost executor must not kill round 37 of 40.
+    *
+    * The returned frame is materialized via `mat` (parquet spill by
+    * default) and all per-round storage is released before returning;
+    * `release()` frees the final result too.
     *
     * Throws if `maxRounds` is hit without convergence — silent partial
     * labels would poison the downstream drop decisions.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 50,
-                          iterPartitions: Int = 8): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint with a handle to free its blocks later: the ids of
-    // RDDs newly persisted by the checkpoint call.
+  def connectedComponentsM(pairs: DataFrame, aCol: String, bCol: String,
+                           maxRounds: Int = 50,
+                           iterPartitions: Int = 8,
+                           roundMat: MatStrategy = MatStrategy.Local,
+                           mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
     def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val ids = sc.getPersistentRDDs.keySet.diff(before)
-      (out, () => ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+      val m = Materialize(df, roundMat)
+      (m.df, m.release)
     }
     // the label/edge relations are tiny compared to the pair-generation
     // work upstream; iterating at full shuffle parallelism pays ~4 stages
@@ -250,12 +266,25 @@ object Dedup {
     }
     freeEdges()
     if (!converged) {
+      freeLabels()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
           "(component diameter too large) — raise maxRounds")
     }
-    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+    val out = Materialize(
+      labels.select(col("doc_id"), col("label").as("cluster_rep")), mat)
+    freeLabels()
+    out
   }
+
+  /** [[connectedComponentsM]] with default materialization, returning
+    * the bare frame: no RDD blocks outlive the call (LeakSpec); spill
+    * files are reclaimed on JVM exit.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 50,
+                          iterPartitions: Int = 8): DataFrame =
+    connectedComponentsM(pairs, aCol, bCol, maxRounds, iterPartitions).df
 
   /** Incremental dedup: which rows of a NEW batch are novel relative to
     * an already-ingested corpus — the shape every continuously-fed

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Eager-materialization strategies for operators that must pin an
+  * intermediate result — iterative algorithms that truncate their
+  * lineage every round (connected components) and pipelines whose
+  * output feeds several consumers (the MinHash verified-pair list).
+  *
+  * The strategy choice is exactly the 100 TB durability trade-off:
+  *
+  *  - [[MatStrategy.Local]] — `localCheckpoint`: executor-local,
+  *    NON-replicated blocks. Fastest (no DFS round-trip), right for
+  *    bounded intra-job state that a retry can rebuild from scratch —
+  *    but one lost executor kills the job, so it is NOT the shape for a
+  *    1000-executor run.
+  *  - [[MatStrategy.Reliable]] — RDD checkpoint into
+  *    `sc.setCheckpointDir` (any Hadoop scheme). Survives executor loss;
+  *    the standard choice for long iterative jobs on a real cluster.
+  *  - [[MatStrategy.Spill]] — parquet round-trip through a directory on
+  *    any Hadoop filesystem. Durable AND columnar (later consumers get
+  *    pushdown/pruning against the spill), and the files outlive the
+  *    Spark session — the right shape when the materialized result
+  *    escapes the operator (returned to a caller who will run further
+  *    actions on it).
+  *
+  * Every materialization returns a [[Materialized]] handle whose
+  * `release()` frees the backing storage (unpersists blocks / deletes
+  * checkpoint or spill files). Operators that return a plain DataFrame
+  * use [[MatStrategy.spillDefault]] so NO RDD blocks outlive the call —
+  * `sc.getPersistentRDDs` stays empty (asserted in LeakSpec); the spill
+  * files live in a per-JVM temp dir removed on exit.
+  */
+sealed trait MatStrategy
+
+object MatStrategy {
+  case object Local extends MatStrategy
+  case object Reliable extends MatStrategy
+  final case class Spill(dir: String) extends MatStrategy
+
+  /** Per-JVM default spill root (deleted on JVM exit). Production runs
+    * pass an explicit DFS dir instead.
+    */
+  lazy val spillDefault: Spill = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    Spill(dir.toString)
+  }
+}
+
+/** An eagerly-computed DataFrame plus the action that frees its backing
+  * storage. `release()` is idempotent; after it, `df` must not be used.
+  */
+final case class Materialized(df: DataFrame, release: () => Unit)
+
+object Materialize {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** File sources relax nullability on read; mirror that in the schema
+    * handed to the spill read (StructType.asNullable is private[sql]).
+    */
+  private def relaxNullability(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(relaxNullability(a.elementType), containsNull = true)
+      case m: MapType => MapType(relaxNullability(m.keyType),
+        relaxNullability(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  def apply(df: DataFrame, mat: MatStrategy): Materialized = mat match {
+
+    case MatStrategy.Local =>
+      val sc = df.sparkSession.sparkContext
+      // localCheckpoint registers new persistent RDDs; diffing the
+      // registry before/after yields exactly the blocks to free.
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val ids = sc.getPersistentRDDs.keySet.diff(before)
+      Materialized(out, () => ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+
+    case MatStrategy.Reliable =>
+      val spark = df.sparkSession
+      val sc = spark.sparkContext
+      // reliable checkpoint needs a checkpoint dir; default to a local
+      // temp one so tests/local runs work — production sets a DFS path.
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      val ckptRoot = new Path(sc.getCheckpointDir.get)
+      val fs = ckptRoot.getFileSystem(sc.hadoopConfiguration)
+      // checkpoint files land under checkpointDir/rdd-<id>; diff the
+      // listing around the call to learn which dirs this one created
+      def rddDirs(): Set[String] =
+        if (!fs.exists(ckptRoot)) Set.empty
+        else fs.listStatus(ckptRoot).map(_.getPath.toString).toSet
+      val before = rddDirs()
+      val out = df.checkpoint(true)
+      val created = rddDirs().diff(before)
+      Materialized(out, () =>
+        created.foreach(d => fs.delete(new Path(d), true)))
+
+    case MatStrategy.Spill(root) =>
+      val spark = df.sparkSession
+      val path = s"$root/spill-${counter.incrementAndGet()}"
+      df.write.mode("overwrite").parquet(path)
+      // explicit schema: an empty result writes no part files, and a
+      // schemaless read of the empty dir would fail instead of
+      // returning an empty frame. (asNullable: file sources always relax
+      // nullability on read — passing the exact schema would be ignored.)
+      val out = spark.read.schema(
+        relaxNullability(df.schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(path)
+      Materialized(out, () => {
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true); ()
+      })
+  }
+}

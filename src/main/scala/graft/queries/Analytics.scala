@@ -470,16 +470,29 @@ object Analytics {
       |WHERE c.c_custkey < 15
       |GROUP BY e.user_id, c.c_name""".stripMargin
 
-  // Sketch aggregates: HLL++ approximate distinct alongside the exact
-  // count. NO DuckDB oracle — DuckDB's approx_count_distinct uses a
-  // different sketch, so values can't hash-match; the driver records the
-  // weaker rows-only check. Spark's HLL++ itself is deterministic
-  // (order-independent merge), asserted in tests.
-  def approxDistinctQ(spark: SparkSession, dir: String): DataFrame =
+  // Sketch aggregates: HLL++ approximate distinct next to the exact
+  // count. The raw sketch estimate can't hash-match across engines
+  // (DuckDB's approx_count_distinct is a different sketch), so the query
+  // emits what IS engine-portable: the exact count plus `approx_ok` —
+  // each engine bounds ITS OWN sketch against the exact count
+  // (|approx−exact| ≤ 5%·exact). Both engines' sketches are far inside
+  // 2% at these scales, so the flag is deterministically 1 and the row
+  // hash-matches while still value-checking that the sketch works.
+  def approxDistinctQ(spark: SparkSession, dir: String): DataFrame = {
+    val exact = countDistinct(col("l_orderkey"))
+    val approx = approx_count_distinct(col("l_orderkey"))
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(exact.as("exact_orders"),
+        (abs(approx - exact).cast("double") <= exact.cast("double") * 0.05)
+          .cast("bigint").as("approx_ok"))
+  }
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+      |       <= 0.05 * count(DISTINCT l_orderkey) AS BIGINT) AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummaryQ _),
@@ -528,6 +541,7 @@ object Analytics {
     "q_json_extract" -> jsonExtractSql,
     "q_pivot" -> pivotSql,
     "q_grouping_sets" -> groupingSetsSql,
-    "q_salted_join" -> saltedJoinSql)
-    // q_approx_distinct intentionally has no oracle (sketch mismatch)
+    "q_salted_join" -> saltedJoinSql,
+    // the sketch VALUE can't cross engines; the bounded-error flag can
+    "q_approx_distinct" -> approxDistinctSql)
 }

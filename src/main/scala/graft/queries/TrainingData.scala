@@ -25,8 +25,9 @@ object TrainingData {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  /** documents ∪ near-copies (first 10 chars dropped, ids +1e6). */
-  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** documents ∪ near-copies (first 10 chars dropped, ids +1e6).
+    * (Package-visible: LeakSpec drives the dedup operators over it.) */
+  private[graft] def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     d.union(d.select((col("doc_id") + 1000000L).as("doc_id"),
       expr("substring(text, 11)").as("text")))

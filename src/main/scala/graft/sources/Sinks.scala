@@ -52,15 +52,24 @@ object Sinks {
     * `col=value` subdirectory layout (the same convention Spark's
     * PartitioningAwareFileIndex discovers). Empty for an unpartitioned
     * table.
+    *
+    * Goes through `org.apache.hadoop.fs.FileSystem`, so it works on any
+    * scheme the cluster mounts (file:, hdfs:, s3a:, …) — a java.io.File
+    * walk would silently see nothing outside the local FS.
     */
-  def partitionColumnsOf(path: String): Seq[String] = {
-    def walk(dir: java.io.File, acc: List[String]): List[String] = {
-      val sub = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.contains("="))
+  def partitionColumnsOf(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(dir: org.apache.hadoop.fs.Path,
+             acc: List[String]): List[String] = {
+      val sub = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       if (sub.isEmpty) acc.reverse
-      else walk(sub.head, sub.head.getName.takeWhile(_ != '=') :: acc)
+      else walk(sub.head.getPath,
+        sub.head.getPath.getName.takeWhile(_ != '=') :: acc)
     }
-    walk(new java.io.File(path), Nil)
+    walk(root, Nil)
   }
 
   /** Small-file compaction: rewrite a parquet table into files of
@@ -81,40 +90,50 @@ object Sinks {
     * the live table is either still at `path` or restored from the
     * `__compact_old` copy — data is never deleted before the replacement
     * is in place.
+    *
+    * All filesystem work goes through `org.apache.hadoop.fs.FileSystem`,
+    * so the same code runs against file:, hdfs: and object stores. On
+    * HDFS the renames are atomic metadata ops; on S3-style stores rename
+    * is a copy (slower, not atomic) — there a table format with
+    * transactional commits is the production answer, but the
+    * write-aside-then-swap order still never deletes data before its
+    * replacement exists.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileMB: Int = 128,
               partCols: Seq[String] = null): Unit = {
-    val src = new java.io.File(path)
-    require(src.exists(), s"no table at $path")
-    val parts = Option(partCols).getOrElse(partitionColumnsOf(path))
-    val bytes = java.nio.file.Files.walk(src.toPath)
-      .filter(p => p.toString.endsWith(".parquet"))
-      .mapToLong(p => p.toFile.length()).sum()
+    import org.apache.hadoop.fs.Path
+    val src = new Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"no table at $path")
+    val parts = Option(partCols).getOrElse(partitionColumnsOf(spark, path))
+    val it = fs.listFiles(src, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true) // leftovers of a crashed run
     // coalesce-per-partition would need a shuffle; a plain coalesce gives
     // nFiles tasks and partitionBy splits each task's rows into its
-    // partition directories — good enough for small-file compaction.
+    // partition directories — good enough for small-file compaction. The
+    // write to tmp IS the materialization: the source stays untouched
+    // until the compacted copy is fully committed.
     val df = spark.read.parquet(path).coalesce(nFiles)
-      .localCheckpoint(true) // materialize before touching the source
-    val tmp = new java.io.File(path + "__compact_tmp")
-    val old = new java.io.File(path + "__compact_old")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(tmp); rm(old) // leftovers from a previous crashed attempt
     val w = df.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-      .parquet(tmp.getPath)
-    if (!src.renameTo(old))
+      .parquet(tmp.toString)
+    if (!fs.rename(src, old))
       throw new java.io.IOException(s"compact: could not move $path aside")
-    if (!tmp.renameTo(src)) {
-      old.renameTo(src) // restore the live table before failing
+    if (!fs.rename(tmp, src)) {
+      fs.rename(old, src) // restore the live table before failing
       throw new java.io.IOException(
         s"compact: could not move compacted data into $path (original restored)")
     }
-    rm(old)
+    fs.delete(old, true); ()
   }
 
   /** Z-ordered write: cluster rows on the interleaved-bit curve over

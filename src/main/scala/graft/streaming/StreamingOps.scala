@@ -219,19 +219,25 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val tgt = new java.io.File(targetDir)
-        val merged =
+        val (merged, releaseSnapshot) =
           if (tgt.exists()) {
-            val snapshot = spark.read.parquet(targetDir).localCheckpoint(true)
-            graft.ops.EtlOps.scdMerge(batch.drop("event_time"), snapshot,
+            // materialized with a release handle: the snapshot blocks are
+            // freed after the write instead of leaking once per batch
+            val snapshot = graft.ops.Materialize(
+              spark.read.parquet(targetDir), graft.ops.MatStrategy.Local)
+            (graft.ops.EtlOps.scdMerge(batch.drop("event_time"), snapshot.df,
               keys, orderCol,
-              tieBreakers.map(org.apache.spark.sql.functions.col(_).desc))
+              tieBreakers.map(org.apache.spark.sql.functions.col(_).desc)),
+              snapshot.release)
           } else {
-            graft.ops.EtlOps.withAudit(
+            (graft.ops.EtlOps.withAudit(
               graft.ops.EtlOps.dedupLatest(batch.drop("event_time"), keys,
                 (org.apache.spark.sql.functions.col(orderCol).desc +:
-                  tieBreakers.map(org.apache.spark.sql.functions.col(_).desc))))
+                  tieBreakers.map(org.apache.spark.sql.functions.col(_).desc)))),
+              () => ())
           }
-        merged.drop("data_source").write.mode("overwrite").parquet(targetDir)
+        try merged.drop("data_source").write.mode("overwrite").parquet(targetDir)
+        finally releaseSnapshot()
         ()
       }
       .start()

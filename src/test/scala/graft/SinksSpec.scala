@@ -70,7 +70,7 @@ class SinksSpec extends SparkSpec {
     val df = (1 to 1000).map(i => (s"2024010${i % 3 + 1}", i.toLong))
       .toDF("etl_date", "v").repartition(20)
     Sinks.appendPartitioned(df, path, Seq("etl_date"))
-    assert(Sinks.partitionColumnsOf(path) == Seq("etl_date"))
+    assert(Sinks.partitionColumnsOf(spark, path) == Seq("etl_date"))
     Sinks.compact(spark, path, targetFileMB = 128)
     // layout still partitioned: etl_date=... subdirectories survive
     val dirs = new java.io.File(path).listFiles()

@@ -480,7 +480,10 @@ object Analytics {
   // hash-matches while still value-checking that the sketch works.
   def approxDistinctQ(spark: SparkSession, dir: String): DataFrame = {
     val exact = countDistinct(col("l_orderkey"))
-    val approx = approx_count_distinct(col("l_orderkey"))
+    // rsd=1%: the default 5% relative-standard-deviation sketch can land
+    // OUTSIDE a 5% bound (1σ is not a maximum); a 1% sketch stays well
+    // inside it. DuckDB's fixed-precision sketch is ~0.4% error.
+    val approx = approx_count_distinct(col("l_orderkey"), 0.01)
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(exact.as("exact_orders"),

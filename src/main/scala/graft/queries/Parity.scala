@@ -327,7 +327,96 @@ object Parity {
       |WHERE strftime(l_shipdate, '%Y%m%d') =
       |      (SELECT max(strftime(l_shipdate, '%Y%m%d')) FROM lineitem)""".stripMargin
 
+  // ------------------------------------------------- K1/K2/K3 via catalog
+  // The reference's THREE catalog-table commits exercised end to end on a
+  // managed table (local warehouse dir, no Hive metastore):
+  //   1. saveAsTable(Overwrite).partitionBy — K3 rebuild with batch 1
+  //      (reference CustomerAddrLevelAggrDataClean.scala:41-44);
+  //   2. insertInto append of batch 2 — K1, POSITIONAL resolution: the
+  //      batch is built with scrambled column order and realigned via
+  //      alignTo (the A-2 guard; CatalogSpec shows the unguarded hazard)
+  //      (reference SimpleDataCleanUtils.scala:30);
+  //   3. INSERT OVERWRITE … PARTITION (etl_date) — K2 dynamic reload of
+  //      only the latest month with re-stamped modify audit
+  //      (reference CustomerInfDataClean.scala:70-88).
+  // The query returns the read-back table state, which the oracle
+  // reconstructs relationally: (batch1 ∪ batch2) outside the reloaded
+  // partition, plus the re-stamped rows inside it.
+  def insertIntoQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CatalogSinks
+    val src = Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .withColumn("etl_date", date_format(col("o_orderdate"), "yyyyMM"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("etl_date"))
+    val stamped = EtlOps.withAudit(src, "dwd", "user1", T0)
+      .withColumn("dwd_insert_time", fmt(col("dwd_insert_time")))
+      .withColumn("dwd_modify_time", fmt(col("dwd_modify_time")))
+    val table = "graft_dwd_orders"
+    val b1 = stamped.filter(col("o_orderkey") % 3 =!= 0)
+    CatalogSinks.saveAsTableOverwrite(b1, table, Seq("etl_date"))
+    // batch 2 arrives with a scrambled column order — realigned by name
+    val b2 = stamped.filter(col("o_orderkey") % 3 === 0)
+      .select(col("dwd_insert_user"), col("etl_date"), col("o_orderkey"),
+        col("o_totalprice"), col("o_custkey"), col("o_orderstatus"),
+        col("dwd_insert_time"), col("dwd_modify_user"),
+        col("dwd_modify_time"))
+    CatalogSinks.insertIntoAppend(CatalogSinks.alignTo(spark, table, b2),
+      table)
+    // dynamic reload of the latest month only: modify stamp moves to T1
+    val latest = stamped.agg(max(col("etl_date"))).head().getString(0)
+    val reload = stamped.filter(col("etl_date") === latest)
+      .withColumn("dwd_modify_user", lit("user2"))
+      .withColumn("dwd_modify_time", lit(T1))
+    CatalogSinks.insertOverwritePartitions(spark, reload, table, "etl_date")
+    spark.table(table)
+  }
+  val insertIntoSql: String =
+    s"""WITH src AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         strftime(o_orderdate, '%Y%m') AS etl_date
+       |  FROM orders WHERE o_custkey < 100),
+       |latest AS (SELECT max(etl_date) AS d FROM src)
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |       'user1' AS dwd_insert_user, '$T0' AS dwd_insert_time,
+       |       CASE WHEN etl_date = (SELECT d FROM latest)
+       |            THEN 'user2' ELSE 'user1' END AS dwd_modify_user,
+       |       CASE WHEN etl_date = (SELECT d FROM latest)
+       |            THEN '$T1' ELSE '$T0' END AS dwd_modify_time,
+       |       etl_date
+       |FROM src""".stripMargin
+
+  // --------------------------------------------------------------- S4/S5
+  // Typed byte-cell decode: the customer table is exported to HBase-style
+  // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
+  // back through per-column typed converters + an explicit StructType via
+  // createDataFrame(rdd, schema) — the reference's exact ingestion shape
+  // (OrderMasterDataClean.scala:98-154, HbaseCliUtil.scala:8-11). The
+  // round-trip is bit-exact (IEEE-754 bits for doubles), so the oracle is
+  // the plain relational projection.
+  def typedDecodeQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.sources.ByteDecode
+    val src = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val cells = ByteDecode.encodeCells(src)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    ByteDecode.decodeTyped(spark, cells, schema)
+      .withColumn("c_nationkey", col("c_nationkey").cast("long"))
+  }
+  val typedDecodeSql: String =
+    """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |       c_acctbal, c_mktsegment
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_insert_into" -> (insertIntoQ _),
+    "p_typed_decode" -> (typedDecodeQ _),
     "p_latest_partition" -> (latestPartitionQ _),
     "p_audit_append" -> (auditAppendQ _),
     "p_dedup_latest" -> (dedupLatestQ _),
@@ -341,6 +430,8 @@ object Parity {
     "p_scd2_history" -> (scd2HistoryQ _))
 
   val oracles: Map[String, String] = Map(
+    "p_insert_into" -> insertIntoSql,
+    "p_typed_decode" -> typedDecodeSql,
     "p_latest_partition" -> latestPartitionSql,
     "p_audit_append" -> auditAppendSql,
     "p_dedup_latest" -> dedupLatestSql,

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Catalog-managed table commits — the reference's actual write path.
+  * [[Sinks]] re-bases the same three semantics onto parquet paths; these
+  * are the table-identity forms, committed through the session catalog
+  * (a local `spark.sql.warehouse.dir`; no Hive metastore needed):
+  *
+  *  - K1 `insertInto` append (reference common/SimpleDataCleanUtils.scala:30)
+  *    — POSITIONAL column resolution; see [[alignTo]] for the hazard.
+  *  - K2 SQL `INSERT OVERWRITE … PARTITION (p)` dynamic overwrite
+  *    (reference handler/CustomerInfDataClean.scala:70-88).
+  *  - K3 `saveAsTable(Overwrite).partitionBy(…)` drop-and-rebuild
+  *    (reference handler/CustomerAddrLevelAggrDataClean.scala:41-44).
+  *
+  * Scale note: all three remain executor-parallel file commits; the
+  * catalog adds table identity (readers resolve by name, schema is
+  * authoritative — partition-column types don't fall back to directory
+  * inference). At 100 TB the catalog write is the same bytes as the path
+  * write plus a metastore RPC.
+  */
+object CatalogSinks {
+
+  /** K1: positional append through the catalog. `insertInto` matches
+    * columns BY POSITION against the table schema — the reference's A-2
+    * hazard (SURVEY §7.4): a reordered DataFrame writes values into the
+    * wrong columns with no error if types line up. Callers should pass
+    * the frame through [[alignTo]] first; CatalogSpec demonstrates both
+    * the hazard and the guard.
+    */
+  def insertIntoAppend(df: DataFrame, table: String): Unit =
+    df.write.mode("append").insertInto(table)
+
+  /** Reorder `df`'s columns into `table`'s schema order BY NAME — the
+    * guard that turns positional `insertInto` into by-name semantics.
+    */
+  def alignTo(spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    df.select(spark.table(table).schema.fieldNames.map(col): _*)
+
+  /** K3: drop and rebuild a partitioned managed table.
+    *
+    * An in-memory session catalog forgets tables across JVMs while the
+    * warehouse directory persists, so a rebuild in a NEW session would
+    * see CREATE + existing location and refuse. A managed-table rebuild
+    * means "this table's identity survives, its data doesn't": reclaim
+    * an orphaned location (known path: warehouse/<table>) before
+    * writing. With a persistent metastore the DROP alone covers it.
+    */
+  def saveAsTableOverwrite(df: DataFrame, table: String,
+                           partCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"$warehouse/${table.toLowerCase(java.util.Locale.ROOT)}")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+    }
+    df.write.mode("overwrite").partitionBy(partCols: _*).saveAsTable(table)
+  }
+
+  /** K2: dynamic-partition overwrite via SQL INSERT OVERWRITE — only the
+    * partitions present in `df` are replaced. Needs the session-level
+    * dynamic mode for the duration of the statement (the SQL path has no
+    * per-write option); the previous value is restored.
+    */
+  def insertOverwritePartitions(spark: SparkSession, df: DataFrame,
+                                table: String, partCol: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      // positional resolution again: feed columns in table-schema order
+      alignTo(spark, table, df).createOrReplaceTempView("graft_insert_src")
+      spark.sql(
+        s"INSERT OVERWRITE TABLE $table PARTITION ($partCol) " +
+          "SELECT * FROM graft_insert_src")
+      ()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

@@ -109,13 +109,12 @@ object Similarity {
     * lists and brute-forces within them — the standard scale path when
     * queries are many (LSH) or lists can be pre-partitioned on disk.
     *
-    * The quantizer's k-means training is STUBBED deterministically
-    * (centroids = the `nlist` lowest-id corpus vectors) so the whole
-    * operator is oracle-reproducible end to end; swapping in trained
-    * centroids changes recall, not the search path. Assignment is a
-    * broadcast of the tiny centroid table against the corpus — at scale
-    * this is a map-side pass whose output would be written bucketed by
-    * `list_id` so each probe reads only nprobe/nlist of the data.
+    * This form uses the UNTRAINED quantizer (centroids = the `nlist`
+    * lowest-id corpus vectors); [[ivfTopKTrained]] runs the same search
+    * over k-means-trained centroids. Assignment is a broadcast of the
+    * tiny centroid table against the corpus — at scale this is a
+    * map-side pass whose output would be written bucketed by `list_id`
+    * so each probe reads only nprobe/nlist of the data.
     *
     * All rankings are total: assignment breaks cosine ties on c_id,
     * probing on c_id, final ranking on (round(sim,4) desc, n_id).
@@ -126,6 +125,15 @@ object Similarity {
     val cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_v"))
       .withColumn("c_norm", norm(col("c_v")))
+    ivfSearch(queries, corpus, cents, idCol, vecCol, k, nprobe)
+  }
+
+  /** The IVF search phase over a given centroid table
+    * `(c_id, c_v: array<double>, c_norm)`.
+    */
+  private def ivfSearch(queries: DataFrame, corpus: DataFrame,
+                        cents: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("n_v"))
       .withColumn("n_norm", norm(col("n_v")))
@@ -158,6 +166,121 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Fixed-point quantization scale for k-means: 2^20 per unit. */
+  val KmeansScale: Long = 1L << 20
+
+  /** Deterministic Lloyd k-means over an embedding column, in EXACT
+    * fixed-point arithmetic — returns the trained centroids as integer
+    * SUM-vectors `(c_id, csum: Array[Long], cnt)`.
+    *
+    * Why integer sums: for cosine assignment the member count divides
+    * out (`cos(v, csum/cnt) == cos(v, csum)`), so the centroid never
+    * needs a floating-point division at all. Every cross-row reduction
+    * in training (centroid component sums, member counts) is integer
+    * and therefore ORDER-INDEPENDENT: the result is bit-identical run
+    * to run, across task retries and partitionings (a double-summing
+    * k-means is not — FP addition is non-associative, so a retried
+    * partial re-aggregated in a different order changes centroids), and
+    * reproducible by any other engine — the DuckDB oracle replays
+    * training exactly (x_ann_ivf).
+    *
+    * Mechanics per iteration (all exact):
+    *  - vectors quantized once: `qv[i] = floor(v[i] * 2^20)` (row-local);
+    *  - assignment: cos(qv, csum) with the integer dot product and norms
+    *    accumulated in decimal(38,0) (no 64-bit overflow), converted to
+    *    double only for the final scalar compare; ties break on c_id;
+    *  - update: per-(c_id, pos) integer sums + counts — one explode+agg;
+    *    the nlist×dim result is collected to the driver (tiny) and
+    *    re-broadcast as the next round's literal centroid table;
+    *  - a cluster that loses all members keeps its previous centroid.
+    *
+    * Init: the `nlist` vectors with the smallest (hash32(id), id) — a
+    * deterministic pseudo-random spread (hash32 is the md5-fold already
+    * oracle-pinned by x_dataset_split).
+    *
+    * Scale: each iteration is one broadcast-join pass + one explode+agg
+    * shuffle over (rows × dim) thin rows. At 100 TB the quantizer would
+    * train on a hash-sampled slice (Sampling.deterministicSample) —
+    * training cost is decoupled from corpus size; assignment stays a
+    * full map-side pass either way.
+    */
+  def kmeansQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int): Seq[(Long, Array[Long], Long)] = {
+    import graft.functions.TextFns
+    val spark = corpus.sparkSession
+    val dec = "decimal(38,0)"
+    def sumSqDec(arr: Column): Column =
+      aggregate(transform(arr, x => x.cast(dec) * x.cast(dec)),
+        lit(0).cast(dec), (acc, x) => acc + x)
+    def dotDec(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast(dec) * y.cast(dec)),
+        lit(0).cast(dec), (acc, x) => acc + x)
+    val base = corpus.select(col(idCol).as("n_id"),
+        transform(asDouble(col(vecCol)),
+          x => floor(x * KmeansScale)).as("qv"))
+      .withColumn("qn2", sumSqDec(col("qv")).cast("double"))
+    val mat = graft.ops.Materialize(base, graft.ops.MatStrategy.Local)
+    try {
+      val init = mat.df
+        .withColumn("h", TextFns.hash32(col("n_id").cast("string")))
+        .orderBy(col("h"), col("n_id")).limit(nlist)
+        .select(col("qv")).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Long](0).toArray, 1L)
+        }.toSeq
+      var cents = init
+      for (_ <- 1 to iters) {
+        val centDf = spark.createDataFrame(cents)
+          .toDF("c_id", "csum", "cnt")
+          .withColumn("cn2", sumSqDec(col("csum")).cast("double"))
+        val wBest = Window.partitionBy(col("n_id"))
+          .orderBy(col("c_sim").desc, col("c_id"))
+        val assigned = mat.df.crossJoin(broadcast(centDf))
+          .withColumn("c_sim", dotDec(col("qv"), col("csum")).cast("double") /
+            (sqrt(col("qn2")) * sqrt(col("cn2"))))
+          .withColumn("rn", row_number().over(wBest))
+          .where(col("rn") === 1)
+          .select(col("c_id"), col("qv"))
+        val updated = assigned
+          .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("c_id"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            val arr = new Array[Long](rows.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            cid -> ((arr, rows.head.getLong(3)))
+          }
+        // empty clusters keep their previous centroid
+        cents = cents.map { case (cid, csum, cnt) =>
+          updated.get(cid).map { case (s, c) => (cid, s, c) }
+            .getOrElse((cid, csum, cnt))
+        }
+      }
+      cents
+    } finally mat.release()
+  }
+
+  /** [[ivfTopK]] with a k-means-trained quantizer ([[kmeansQuantized]]).
+    * The centroid direction handed to the search phase is the integer
+    * sum-vector scaled back to doubles (`csum/cnt/2^20` — row-local,
+    * deterministic); cosine against it equals cosine against the mean.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val trained = kmeansQuantized(corpus, idCol, vecCol, nlist, iters)
+    val centRows = trained.map { case (cid, csum, cnt) =>
+      (cid, csum.map(s => s.toDouble / cnt / KmeansScale).toSeq)
+    }
+    val cents = spark.createDataFrame(centRows).toDF("c_id", "c_v")
+      .withColumn("c_norm", norm(col("c_v")))
+    ivfSearch(queries, corpus, cents, idCol, vecCol, k, nprobe)
   }
 
   /** Approximate top-k: candidates are rows sharing a bucket in any of

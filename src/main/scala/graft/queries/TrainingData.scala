@@ -564,19 +564,77 @@ object TrainingData {
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
   // brute force are all oracle-reproduced, so the approximate operator
   // is value-checked end to end like the LSH one.
+  // x_ann_ivf runs the TRAINED quantizer: 2 Lloyd iterations of the
+  // exact fixed-point k-means (Similarity.kmeansQuantized). The oracle
+  // REPLAYS training: because every cross-row reduction in the trainer
+  // is integer (order-independent) and every double is derived from
+  // exact integers by correctly-rounded ops, DuckDB reproduces the
+  // centroids bit-for-bit with unrolled CTEs, then runs the same search.
   def annIvfQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
-      "vec_id", "embedding", 5)
+    Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 4, iters = 2)
   }
   val annIvfSql: String = {
     def cos(a: String, b: String) =
       s"""list_dot_product($a, $b) /
          |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+    // one Lloyd iteration: exact-integer assignment + update over the
+    // previous centroid CTE, empty clusters carrying over
+    def iteration(t: Int): String = {
+      val prev = if (t == 1) "cents0" else s"cents${t - 1}"
+      s"""cn$t AS (
+         |  SELECT c_id, csum, cnt,
+         |    CAST(list_sum(list_transform(csum,
+         |      x -> CAST(x AS HUGEINT) * x)) AS DOUBLE) AS cn2
+         |  FROM $prev),
+         |as$t AS (
+         |  SELECT n_id, c_id, qv FROM (
+         |    SELECT q.n_id, c.c_id, q.qv,
+         |      row_number() OVER (PARTITION BY q.n_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+         |          i -> CAST(q.qv[CAST(i AS INT)] AS HUGEINT)
+         |               * c.csum[CAST(i AS INT)])) AS DOUBLE)
+         |        / (sqrt(q.qn2) * sqrt(c.cn2)) DESC, c.c_id) AS rn
+         |    FROM qn q CROSS JOIN cn$t c)
+         |  WHERE rn = 1),
+         |u$t AS (
+         |  SELECT c_id, pos, CAST(sum(val) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT c_id, generate_subscripts(qv, 1) AS pos,
+         |               unnest(qv) AS val FROM as$t)
+         |  GROUP BY c_id, pos),
+         |nc$t AS (
+         |  SELECT c_id, list(s ORDER BY pos) AS csum, min(cnt) AS cnt
+         |  FROM u$t GROUP BY c_id),
+         |cents$t AS (
+         |  SELECT p.c_id, COALESCE(n.csum, p.csum) AS csum,
+         |         COALESCE(n.cnt, p.cnt) AS cnt
+         |  FROM $prev p LEFT JOIN nc$t n USING (c_id))""".stripMargin
+    }
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |q0 AS (
+       |  SELECT vec_id AS n_id, vec,
+       |    list_transform(vec, x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+       |  FROM v),
+       |qn AS (
+       |  SELECT n_id, qv,
+       |    CAST(list_sum(list_transform(qv,
+       |      x -> CAST(x AS HUGEINT) * x)) AS DOUBLE) AS qn2
+       |  FROM q0),
+       |cents0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, n_id) - 1 AS BIGINT) AS c_id,
+       |         qv AS csum, CAST(1 AS BIGINT) AS cnt
+       |  FROM (SELECT n_id, qv,
+       |          ${duckHash32("CAST(n_id AS VARCHAR)")} AS h
+       |        FROM q0 ORDER BY h, n_id LIMIT 16)),
+       |${iteration(1)},
+       |${iteration(2)},
        |cents AS (
-       |  SELECT vec_id AS c_id, vec AS c_v FROM v ORDER BY vec_id LIMIT 16),
+       |  SELECT c_id,
+       |    list_transform(csum, s -> (CAST(s AS DOUBLE) / cnt) / 1048576) AS c_v
+       |  FROM cents2),
        |assigned AS (
        |  SELECT n.vec_id AS n_id, n.vec AS n_v, c.c_id,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY

@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("ngramJaccard: texts shorter than n yield empty gram sets, sim 0.0") {
+    // round-2 advice: a <n-token side must contribute an EMPTY set (and
+    // never a partial-slice gram), with 0.0 when the union is empty —
+    // the DuckDB oracle guards identically (CASE WHEN len >= n)
+    val df = Seq(("solo", "solo", "a b c", "")).toDF("t1", "t2", "t3", "t4")
+    val r = df.select(
+      Dedup.ngramJaccard($"t1", $"t2", 2), // both short → 0/0 → 0.0
+      Dedup.ngramJaccard($"t1", $"t3", 2), // one short → 0/2 → 0.0
+      Dedup.ngramJaccard($"t4", $"t3", 2)) // empty string side
+      .head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 &&
+      r.getDouble(2) == 0.0)
+  }
+
   test("simhash: identical texts hash equal; near texts within hamming 16") {
     val base = "spark catalyst optimizer rewrites logical plans into " +
       "physical plans using cost based and rule based passes"

@@ -283,6 +283,34 @@ object Similarity {
     ivfSearch(queries, corpus, cents, idCol, vecCol, k, nprobe)
   }
 
+  /** Near-dup PAIRS via LSH bucketing — the 100 TB upgrade of
+    * [[nearDupPairs]]: instead of the all-pairs product, candidates are
+    * the pairs sharing a bucket in ANY of the `tables` hyperplane
+    * signatures (a self hash-join on (table, bucket)), then verified
+    * with the exact cosine and kept at >= `threshold`. Both the bucket
+    * assignment (one native pass per row) and the verification
+    * (O(candidates)) scale linearly in collisions, never n².
+    *
+    * Returns (id_a, id_b, sim) with id_a < id_b, sim rounded to 4.
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double,
+                      tables: Int = 16, bits: Int = 6): DataFrame = {
+    val b = lshBuckets(corpus, idCol, vecCol, tables, bits)
+      .withColumn("nrm", norm(col("v")))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.v").as("v_a"),
+        col("a.nrm").as("norm_a"), col("b.id").as("id_b"),
+        col("b.v").as("v_b"), col("b.nrm").as("norm_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("sim", round(
+        dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 4))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Approximate top-k: candidates are rows sharing a bucket in any of
     * the LSH tables, deduped, then exact-cosine reranked. Candidate
     * generation is a hash join on (table, bucket) — no cross product.

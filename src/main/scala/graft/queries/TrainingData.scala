@@ -389,6 +389,67 @@ object TrainingData {
       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.98""".stripMargin
 
+  // ------------------------------------- embedding near-dup, LSH-bucketed
+  // The SCALE form of x_embedding_neardup: no all-pairs product and no
+  // corpus bound — the WHOLE embeddings table ∪ planted near-copies
+  // (ids +100000, first component +0.05 ⇒ cosine ≈ 0.99), candidates
+  // from shared (table, bucket) hyperplane signatures, exact cosine
+  // verification at ≥ 0.98. Both engines compute identical buckets
+  // (LshBucketsExpr's plane signs are oracle-pinned by x_ann_lsh), so
+  // candidates — and therefore results — match exactly even though the
+  // operator is approximate.
+  def neardupLshQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
+        .as("v")))
+    Similarity.lshNearDupPairs(corpus, "vec_id", "v", 0.98)
+  }
+  val neardupLshSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(range(1, len(v) + 1),
+      |      i -> CASE WHEN i = 1 THEN v[CAST(i AS INT)] + 0.05
+      |                ELSE v[CAST(i AS INT)] END)
+      |  FROM base),
+      |projs AS (
+      |  SELECT vec_id, v,
+      |    list_transform(range(96), j ->
+      |      list_sum(list_transform(range(1, len(v)+1), i ->
+      |        v[CAST(i AS INT)] *
+      |        CASE WHEN ((j*2654435761 + i*40503) % 97) % 2 = 0
+      |             THEN 1.0 ELSE -1.0 END))) AS pj
+      |  FROM corpus),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    list_transform(range(16), t ->
+      |      list_sum(list_transform(range(6), r ->
+      |        CASE WHEN pj[CAST(t*6+r+1 AS INT)] > 0
+      |             THEN (CAST(1 AS BIGINT) << r) ELSE CAST(0 AS BIGINT) END)))
+      |      AS bk
+      |  FROM projs),
+      |bands AS (
+      |  SELECT vec_id, t AS tbl, bk[CAST(t+1 AS INT)] AS bucket
+      |  FROM buckets, range(16) tt(t)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT cand.id_a, cand.id_b,
+      |    round(list_dot_product(av.v, bv.v) /
+      |          (sqrt(list_dot_product(av.v, av.v)) *
+      |           sqrt(list_dot_product(bv.v, bv.v))), 4) AS sim
+      |  FROM cand
+      |  JOIN corpus av ON av.vec_id = cand.id_a
+      |  JOIN corpus bv ON bv.vec_id = cand.id_b)
+      |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.98""".stripMargin
+
   // --------------------------------------------------------- sessionize
   def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessionStats(Tables.load(spark, dir, "events"),
@@ -1005,6 +1066,7 @@ object TrainingData {
     "x_minhash_dedup" -> (minhashDedupQ _),
     "x_cosine_topk" -> (cosineTopKQ _),
     "x_embedding_neardup" -> (embeddingNearDupQ _),
+    "x_neardup_lsh" -> (neardupLshQ _),
     "x_sessionize" -> (sessionizeQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_ann_lsh" -> (annLshQ _),
@@ -1038,6 +1100,7 @@ object TrainingData {
     "x_minhash_dedup" -> minhashDedupSql,
     "x_cosine_topk" -> cosineTopKSql,
     "x_embedding_neardup" -> embeddingNearDupSql,
+    "x_neardup_lsh" -> neardupLshSql,
     "x_sessionize" -> sessionizeSql,
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_ann_lsh" -> annLshSql,

@@ -168,6 +168,34 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Materialize the IVF inverted lists as a parquet table partitioned
+    * by `list_id` — the layout that makes probes READ only their lists:
+    * a probe's `list_id IN (...)` filter becomes partition pruning, so
+    * each query touches nprobe/nlist of the data on disk, which is the
+    * entire point of IVF at 100 TB (the in-memory form still scans the
+    * whole corpus once per search).
+    *
+    * `cents` is `(c_id, c_v: array<double>, c_norm)` as produced by the
+    * trained or stub quantizer. Assignment is the same broadcast pass as
+    * the search path.
+    */
+  def writeIvfLists(corpus: DataFrame, cents: DataFrame,
+                    idCol: String, vecCol: String, path: String): Unit = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_norm", norm(col("n_v")))
+    val w = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    c.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("n_id"), col("n_v"), col("n_norm"),
+        col("c_id").as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+  }
+
   /** Fixed-point quantization scale for k-means: 2^20 per unit. */
   val KmeansScale: Long = 1L << 20
 

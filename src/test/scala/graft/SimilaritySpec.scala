@@ -87,6 +87,30 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exists(_._3 > 1), "no centroid gained members — not trained")
   }
 
+  test("IVF lists written bucketed by list_id prune at probe time") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val trained = Similarity.kmeansQuantized(emb, "vec_id", "embedding", 8, 1)
+    val centRows = trained.map { case (cid, csum, cnt) =>
+      (cid, csum.map(s => s.toDouble / cnt / Similarity.KmeansScale).toSeq)
+    }
+    val cents = spark.createDataFrame(centRows).toDF("c_id", "c_v")
+      .withColumn("c_norm", Similarity.norm(col("c_v")))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/lists"
+    Similarity.writeIvfLists(emb, cents, "vec_id", "embedding", path)
+    val lists = spark.read.parquet(path)
+    // every corpus row landed in exactly one list
+    assert(lists.count() == emb.count())
+    // a 2-probe read plans PARTITION pruning, not a full scan
+    val probe = lists.where(col("list_id").isin(0L, 3L))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [list_id"),
+      s"probe not pruned by partition:\n$scan")
+    val probed = probe.select("n_id").distinct().count()
+    assert(probed > 0 && probed < emb.count(),
+      "probe must touch a strict subset of the corpus")
+  }
+
   test("nearDupPairs finds the planted doubled vector with sim 1.0") {
     val emb = Tables.load(spark, sf0001, "embeddings").filter($"vec_id" < 10)
       .select($"vec_id", Similarity.asDouble($"embedding").as("v"))

@@ -182,6 +182,64 @@ class StreamingSpec extends SparkSpec {
         s"overlap=${overlap.size}")
   }
 
+  test("MULTI-BATCH sf0.01 session stream: watermark advances across " +
+    "batches, state evicts, result still brackets the batch sessionizer") {
+    val sf001 = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, sf001, "events")
+    // 5 time-ordered chunks fed one per micro-batch, so the event-time
+    // watermark genuinely advances mid-stream and EventTimeTimeout
+    // evictions fire between batches — the behavior a single-batch test
+    // cannot exercise
+    val chunks = 5
+    val stage = java.nio.file.Files.createTempDirectory("graft_mb_stage")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_mb_in")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val n = ev.count()
+    val per = math.ceil(n.toDouble / chunks).toLong
+    val chunked = ev
+      .withColumn("__chunk", ((row_number().over(w) - 1) / per).cast("int"))
+    (0 until chunks).foreach { i =>
+      chunked.where(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stage/c$i")
+    }
+    val src = StreamingOps.eventStream(spark, inDir.toString, eventsSchema)
+    val q = StreamingOps.userSessionStream(src).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_mb_ckpt").toString)
+      .format("memory").queryName("mb_sess_out").start()
+    try {
+      (0 until chunks).foreach { i =>
+        val part = new java.io.File(s"$stage/c$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          inDir.resolve(s"chunk_$i.parquet"))
+        q.processAllAvailable() // one controlled micro-batch per chunk
+      }
+    } finally q.stop()
+    val out = spark.table("mb_sess_out")
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Sessionize.sessionStats(ev,
+      "user_id", "ts", "event_id", "value")
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val marked = batch
+      .withColumn("last_idx", max(col("sess_idx")).over(wu))
+      .select(col("user_id"), col("n_events"), col("session_start_us"),
+        col("session_end_us"),
+        (col("sess_idx") === col("last_idx")).as("trailing"))
+      .collect()
+    val nonTrailing = marked.filter(!_.getBoolean(4))
+      .map(_.toSeq.take(4)).toSet
+    val all = marked.map(_.toSeq.take(4)).toSet
+    assert(nonTrailing.subsetOf(out),
+      "a gap-closed session was lost across micro-batches")
+    assert(out.subsetOf(all), "stream emitted a session batch doesn't have")
+    // watermark-driven timeouts fired mid-stream (not just in-batch splits)
+    assert(out.size > nonTrailing.size, "no timeout eviction ever fired")
+  }
+
   test("session stream emits gap-closed sessions that match the batch " +
     "sessionizer (open trailing sessions excluded)") {
     val src = StreamingOps.eventStream(spark, eventsDir, eventsSchema)

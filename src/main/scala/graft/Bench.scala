@@ -25,26 +25,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+    // process-CPU clock: lets a reader separate "query got slower"
+    // (cpu grows with wall) from "machine was contended" (wall grows,
+    // cpu doesn't — the round-2 bench artifact, see BASELINE.md)
+    val procCpuNs: () => Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          () => b.getProcessCpuTime
+        case _ => () => 0L // JVM without the com.sun extension
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
+      val (t, cpu) = try {
         fn(spark, sfDir).count() // plan + codegen + IO warmup (untimed)
         // drop data caches the warmup created (operators that persist
         // internally, e.g. the MinHash signature stage) so the timed run
         // measures the real pipeline cost, not a cache read
         spark.catalog.clearCache()
+        val c0 = procCpuNs()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, (procCpuNs() - c0) / 1e9)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, -1.0)
       }
-      name -> t
+      (name, t, cpu)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + (math.rint(f(r) * 1000) / 1000))
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(_._2)},"queries_cpu_sec":${jmap(_._3)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,6 +92,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Filter"), s"filter not codegen'd:\n$p")
   }
 
+  test("lshNearDupPairs candidates come from a hash join, never n²") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+    val p = plan(graft.operators.Similarity
+      .lshNearDupPairs(emb, "vec_id", "v", 0.98))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"LSH near-dup must not plan a product join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no equi join on (tbl, bucket) found:\n$p")
+  }
+
   test("incrementalDedup ships only fingerprints from the corpus side") {
     val docs = Tables.load(spark, sf0001, "documents")
     val batch = docs.limit(100)

@@ -75,20 +75,31 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     * to 4 decimals.
     */
-  def minhashNearDupPairsM(docs: DataFrame, textCol: String, idCol: String,
-                           k: Int = 5, threshold: Double = 0.5,
-                           mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
-    val sig = withMinhashSignature(docs, textCol, k)
+  /** Signature relation `(doc_id, __sh, m0..m15)` for `docs`. */
+  private def sigOf(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame =
+    withMinhashSignature(docs, textCol, k)
       .select(col(idCol).as("doc_id") +: col("__sh") +:
         (0 until 16).map(j => col(s"m$j")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("doc_id"), explode(array(
+
+  /** LSH band keys of a signature relation: 4 bands × 4 signature rows
+    * → one (doc_id, band, bkey) row per band.
+    */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
       (0 until 4).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
             .as("bkey"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+
+  def minhashNearDupPairsM(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 5, threshold: Double = 0.5,
+                           mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
+    val sig = sigOf(docs, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(sig)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -119,6 +130,58 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           k: Int = 5, threshold: Double = 0.5): DataFrame =
     minhashNearDupPairsM(docs, textCol, idCol, k, threshold).df
+
+  /** Incremental NEAR-dup: which documents of a new batch near-duplicate
+    * the already-ingested corpus — the fuzzy twin of
+    * [[incrementalDedup]], and the shape a continuously-fed pipeline
+    * actually runs (today's crawl vs everything so far).
+    *
+    * Scale shape: candidates come from joining the BATCH's band keys
+    * against the CORPUS's band keys — corpus×corpus pairs are never
+    * generated (the corpus was already deduplicated when ingested), so
+    * candidate count scales with the batch, not the corpus. In
+    * production the corpus side is a maintained signature/band table
+    * (written once at ingest); here it is recomputed, which is the same
+    * plan with a scan in front. Verification joins each side's shingle
+    * sets back by id — O(candidates).
+    *
+    * Returns (batch_id, corpus_id, jaccard) for every cross pair at or
+    * above `threshold`, materialized via `mat` with both signature
+    * caches released (LeakSpec-clean).
+    */
+  def incrementalNearDupM(batch: DataFrame, corpus: DataFrame,
+                          textCol: String, idCol: String,
+                          k: Int = 5, threshold: Double = 0.5,
+                          mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigB = sigOf(batch, textCol, idCol, k).persist(lvl)
+    val sigC = sigOf(corpus, textCol, idCol, k).persist(lvl)
+    val cand = bandsOf(sigB).withColumnRenamed("doc_id", "batch_id")
+      .join(bandsOf(sigC).withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band", "bkey"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val verified = cand
+      .join(sigB.select(col("doc_id").as("batch_id"), col("__sh").as("sh_b")),
+        "batch_id")
+      .join(sigC.select(col("doc_id").as("corpus_id"), col("__sh").as("sh_c")),
+        "corpus_id")
+      .withColumn("jaccard", round(
+        graft.functions.native.NativeFns.jaccardNative(
+          col("sh_b"), col("sh_c")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    val out = Materialize(verified, mat)
+    sigB.unpersist(false)
+    sigC.unpersist(false)
+    out
+  }
+
+  /** [[incrementalNearDupM]] with the zero-leak default materialization. */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Int = 5, threshold: Double = 0.5): DataFrame =
+    incrementalNearDupM(batch, corpus, textCol, idCol, k, threshold).df
 
   /** 48-bit SimHash per document — one-pass native expression
     * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);

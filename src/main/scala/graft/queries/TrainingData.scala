@@ -947,6 +947,44 @@ object TrainingData {
        |  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
        |            WHEN 'de' THEN 500 ELSE 1000 END""".stripMargin
 
+  // ------------------------------------------- incremental NEAR-dup
+  // The fuzzy twin of x_dedup_incremental: a new batch of near-copies
+  // (first 10 chars dropped, ids +5e6) plus definitely-novel synthetic
+  // texts (md5-hex chains, ids +6e6 — portable across engines, unlike
+  // natural-language mutations) is screened against the corpus with the
+  // asymmetric batch×corpus LSH join. The oracle reuses the SELF-join
+  // CTEs over the tagged union and keeps only cross-side pairs — a
+  // different candidate route to the provably identical verified set
+  // (cross pairs share a band in either formulation; verification is
+  // the same exact Jaccard).
+  def neardupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val near = d.where(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 5000000L).as("doc_id"),
+      expr("substring(text, 11)").as("text"))
+    val novel = d.where(col("doc_id") % 5 === 1).select(
+      (col("doc_id") + 6000000L).as("doc_id"),
+      concat(md5(col("text")), md5(concat(col("text"), lit("a"))),
+        md5(concat(col("text"), lit("b")))).as("text"))
+    Dedup.incrementalNearDup(near.union(novel), d, "text", "doc_id",
+      k = 5, threshold = 0.5)
+  }
+  val neardupIncrementalSql: String = {
+    val tagged =
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, substr(text, 11) FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000,
+        |         md5(text) || md5(text || 'a') || md5(text || 'b')
+        |  FROM documents WHERE doc_id % 5 = 1""".stripMargin
+    s"""WITH ${minhashCtesOver(tagged)}
+       |SELECT doc_b AS batch_id, doc_a AS corpus_id, jaccard
+       |FROM j WHERE jaccard >= 0.5
+       |  AND doc_a < 5000000 AND doc_b >= 5000000""".stripMargin
+  }
+
   // --------------------------------------------------- incremental dedup
   // New crawl batch vs already-ingested corpus: a third of the batch is
   // novel text (and arrives duplicated inside the batch), the rest
@@ -1054,6 +1092,7 @@ object TrainingData {
     "x_vocab_topk" -> (vocabTopKQ _),
     "x_sample_stratified" -> (sampleStratifiedQ _),
     "x_dedup_incremental" -> (dedupIncrementalQ _),
+    "x_neardup_incremental" -> (neardupIncrementalQ _),
     "x_lang_stats" -> (langStatsQ _),
     "x_decontaminate" -> (decontaminateQ _),
     "x_edit_distance" -> (editDistanceQ _),
@@ -1088,6 +1127,7 @@ object TrainingData {
     "x_vocab_topk" -> vocabTopKSql,
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_dedup_incremental" -> dedupIncrementalSql,
+    "x_neardup_incremental" -> neardupIncrementalSql,
     "x_lang_stats" -> langStatsSql,
     "x_decontaminate" -> decontaminateSql,
     "x_edit_distance" -> editDistanceSql,

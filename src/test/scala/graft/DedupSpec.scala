@@ -34,6 +34,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalNearDup pairs batch near-copies with their corpus " +
+    "source and passes novel docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus text about spark physical plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and MORE"),
+      (11L, "totally novel batch content that matches nothing at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDup(batch, corpus, "text", "doc_id",
+      k = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)), "near-copy must pair with its source")
+    assert(!pairs.exists(_._1 == 11L), "novel doc must pass the screen")
+    assert(!pairs.exists(p => p._1 == 1L || p._1 == 2L),
+      "corpus docs never appear on the batch side")
+  }
+
   test("ngramJaccard: identical texts = 1.0, disjoint texts = 0.0") {
     val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
     val r = df.select(

@@ -41,6 +41,13 @@ class LeakSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 
+  test("incrementalNearDup leaves no persistent RDD blocks") {
+    val leaked = leakedBlocks {
+      TrainingData.neardupIncrementalQ(spark, sf0001).count()
+    }
+    assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
+  }
+
   test("Materialized handles release Local blocks when requested") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

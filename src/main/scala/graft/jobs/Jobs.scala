@@ -104,6 +104,40 @@ object Jobs {
     Sinks.overwriteAll(scored, s"$outDir/clean_corpus", Seq("split"))
   }
 
+  /** Incremental batch screening — the daily-crawl admission job: a new
+    * batch (here synthesized from the documents table) is screened
+    * against the ingested corpus with exact fingerprints first, then
+    * asymmetric near-dup LSH; admitted docs and the rejection audit
+    * trail (which corpus doc each reject duplicates) land as two
+    * tables. Candidates scale with the batch, never the corpus². */
+  private def screenBatchJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+    // synthetic crawl: near-copies (fuzzy dups), verbatim copies (exact
+    // dups), and genuinely novel content — one slice of each
+    val batch = corpus.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text"))
+      .union(corpus.where(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 9500000L).as("doc_id"), col("text")))
+      .union(corpus.where(col("doc_id") % 3 === 2)
+        .select((col("doc_id") + 9900000L).as("doc_id"),
+          concat(md5(col("text")),
+            md5(concat(col("text"), lit("a")))).as("text")))
+    // stage 1: exact — drop batch rows whose fingerprint is ingested
+    val novelFp = Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+    val exactPassed = batch.join(novelFp, Seq("doc_id"), "left_semi")
+    // stage 2: fuzzy — drop near-copies, keep the audit trail
+    val nearHits = Dedup.incrementalNearDup(exactPassed, corpus,
+      "text", "doc_id", k = 5, threshold = 0.5)
+    val admitted = exactPassed.join(
+      nearHits.select(col("batch_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    admitted.write.mode("overwrite").parquet(s"$outDir/batch_admitted")
+    nearHits.write.mode("overwrite").parquet(s"$outDir/batch_rejects")
+  }
+
   /** Feed ingestion with quarantine: the events table's raw `props`
     * JSON strings parsed against an explicit schema; clean rows land in
     * an ODS table, unparseable lines in a replayable quarantine. */
@@ -154,7 +188,8 @@ object Jobs {
     "merge_user_latest" -> (scdMergeEventsJob _),
     "bistore_order_master" -> (bistoreOrdersJob _),
     "dws_customer_region" -> (dwsCustomerRegionJob _),
-    "clean_corpus" -> (cleanCorpusJob _))
+    "clean_corpus" -> (cleanCorpusJob _),
+    "screen_batch" -> (screenBatchJob _))
 }
 
 object JobRunner {

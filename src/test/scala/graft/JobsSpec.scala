@@ -14,9 +14,9 @@ class JobsSpec extends SparkSpec {
       job(spark, sf0001, out)
     }
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
-    // ingest_props and corpus_report emit two tables each
-    assert(dirs.size == Jobs.all.size + 2,
-      s"expected ${Jobs.all.size + 2} output tables, got $dirs")
+    // ingest_props, corpus_report and screen_batch emit two tables each
+    assert(dirs.size == Jobs.all.size + 3,
+      s"expected ${Jobs.all.size + 3} output tables, got $dirs")
     dirs.foreach { d =>
       val n = spark.read.parquet(s"$out/$d").count()
       // the quarantine table is rightly empty when every line parses
@@ -35,6 +35,30 @@ class JobsSpec extends SparkSpec {
     val splits = corpus.select(col("split").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "valid", "test")) && splits("train"))
+  }
+
+  test("screen_batch admits only exact-and-fuzzy-novel batch docs") {
+    val out = Files.createTempDirectory("graft_screen").toString
+    Jobs.all("screen_batch")(spark, sf0001, out)
+    val admitted = spark.read.parquet(s"$out/batch_admitted")
+    val rejects = spark.read.parquet(s"$out/batch_rejects")
+    // the %3==1 slice is verbatim corpus text → exact-rejected (never
+    // admitted, never in the fuzzy audit); the %3==0 near-copies are
+    // fuzzy-rejected with their source doc recorded
+    // verbatim slice (+9.5e6): exact-rejected — never admitted, never
+    // reaches the fuzzy stage
+    assert(admitted
+      .where(col("doc_id") >= 9500000L && col("doc_id") < 9900000L)
+      .count() == 0, "verbatim duplicate slipped through the exact screen")
+    assert(rejects
+      .where(col("batch_id") >= 9500000L && col("batch_id") < 9900000L)
+      .count() == 0)
+    // near-copy slice (+9e6): fuzzy-rejected with its source recorded
+    assert(rejects.where(col("batch_id") < 9500000L).count() > 0,
+      "no near-copy was fuzzy-rejected")
+    // novel slice (+9.9e6): admitted
+    assert(admitted.where(col("doc_id") >= 9900000L).count() > 0,
+      "novel content was wrongly rejected")
   }
 
   test("audit-append job is append-semantics (second run doubles rows)") {

@@ -315,25 +315,40 @@ object Similarity {
     * [[nearDupPairs]]: instead of the all-pairs product, candidates are
     * the pairs sharing a bucket in ANY of the `tables` hyperplane
     * signatures (a self hash-join on (table, bucket)), then verified
-    * with the exact cosine and kept at >= `threshold`. Both the bucket
-    * assignment (one native pass per row) and the verification
-    * (O(candidates)) scale linearly in collisions, never n².
+    * with the exact cosine and kept at >= `threshold`.
+    *
+    * Two choices make this the scale shape:
+    *  - candidates are ID PAIRS ONLY through the self-join and the
+    *    distinct — vectors join back afterwards, so the wide arrays
+    *    never ride through the collision-sized shuffle;
+    *  - `bits` defaults HIGHER than the top-k search variant (12 vs 6):
+    *    an all-pairs screen meets every bucket's C(m,2) blow-up, so
+    *    occupancy must be driven to O(1) per point (4096 buckets/table);
+    *    a top-k search with a small query side tolerates — and wants —
+    *    fatter buckets for recall. Tuning occupancy, not hardware, is
+    *    what keeps candidate volume linear at 100 TB.
     *
     * Returns (id_a, id_b, sim) with id_a < id_b, sim rounded to 4.
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double,
-                      tables: Int = 16, bits: Int = 6): DataFrame = {
+                      tables: Int = 16, bits: Int = 12): DataFrame = {
     val b = lshBuckets(corpus, idCol, vecCol, tables, bits)
-      .withColumn("nrm", norm(col("v")))
+      .select(col("id"), col("tbl"), col("bucket"))
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.v").as("v_a"),
-        col("a.nrm").as("norm_a"), col("b.id").as("id_b"),
-        col("b.v").as("v_b"), col("b.nrm").as("norm_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("sim", round(
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("norm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("norm_b")), "id_b")
+      .withColumn("sim", round(
         dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 4))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

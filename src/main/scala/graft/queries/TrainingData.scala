@@ -419,7 +419,7 @@ object TrainingData {
       |  FROM base),
       |projs AS (
       |  SELECT vec_id, v,
-      |    list_transform(range(96), j ->
+      |    list_transform(range(192), j ->
       |      list_sum(list_transform(range(1, len(v)+1), i ->
       |        v[CAST(i AS INT)] *
       |        CASE WHEN ((j*2654435761 + i*40503) % 97) % 2 = 0
@@ -428,8 +428,8 @@ object TrainingData {
       |buckets AS (
       |  SELECT vec_id,
       |    list_transform(range(16), t ->
-      |      list_sum(list_transform(range(6), r ->
-      |        CASE WHEN pj[CAST(t*6+r+1 AS INT)] > 0
+      |      list_sum(list_transform(range(12), r ->
+      |        CASE WHEN pj[CAST(t*12+r+1 AS INT)] > 0
       |             THEN (CAST(1 AS BIGINT) << r) ELSE CAST(0 AS BIGINT) END)))
       |      AS bk
       |  FROM projs),

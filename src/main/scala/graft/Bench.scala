@@ -44,7 +44,11 @@ object Bench {
         val c0 = procCpuNs()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9, (procCpuNs() - c0) / 1e9)
+        val c1 = procCpuNs()
+        // getProcessCpuTime's documented "unsupported" sentinel is -1;
+        // report -1 (unknown) rather than a garbage delta
+        ((System.nanoTime() - t0) / 1e9,
+          if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         (-1.0, -1.0)

@@ -124,18 +124,25 @@ object Jobs {
         .select((col("doc_id") + 9900000L).as("doc_id"),
           concat(md5(col("text")),
             md5(concat(col("text"), lit("a")))).as("text")))
-    // stage 1: exact — drop batch rows whose fingerprint is ingested
+    // stage 1: exact — drop batch rows whose fingerprint is ingested.
+    // exactPassed feeds three consumers (fuzzy signatures, the admitted
+    // anti-join, the final write) — materialize once instead of
+    // recomputing the synthesized batch + fingerprint pass each time
     val novelFp = Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
       .select(col("keeper_id").as("doc_id"))
-    val exactPassed = batch.join(novelFp, Seq("doc_id"), "left_semi")
-    // stage 2: fuzzy — drop near-copies, keep the audit trail
-    val nearHits = Dedup.incrementalNearDup(exactPassed, corpus,
-      "text", "doc_id", k = 5, threshold = 0.5)
-    val admitted = exactPassed.join(
-      nearHits.select(col("batch_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    admitted.write.mode("overwrite").parquet(s"$outDir/batch_admitted")
-    nearHits.write.mode("overwrite").parquet(s"$outDir/batch_rejects")
+    val exactPassed = graft.ops.Materialize(
+      batch.join(novelFp, Seq("doc_id"), "left_semi"),
+      graft.ops.MatStrategy.Default)
+    try {
+      // stage 2: fuzzy — drop near-copies, keep the audit trail
+      val nearHits = Dedup.incrementalNearDup(exactPassed.df, corpus,
+        "text", "doc_id", k = 5, threshold = 0.5)
+      val admitted = exactPassed.df.join(
+        nearHits.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      admitted.write.mode("overwrite").parquet(s"$outDir/batch_admitted")
+      nearHits.write.mode("overwrite").parquet(s"$outDir/batch_rejects")
+    } finally exactPassed.release()
   }
 
   /** Feed ingestion with quarantine: the events table's raw `props`

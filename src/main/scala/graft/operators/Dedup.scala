@@ -96,7 +96,7 @@ object Dedup {
 
   def minhashNearDupPairsM(docs: DataFrame, textCol: String, idCol: String,
                            k: Int = 5, threshold: Double = 0.5,
-                           mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
+                           mat: MatStrategy = MatStrategy.Default): Materialized = {
     val sig = sigOf(docs, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsOf(sig)
@@ -152,7 +152,7 @@ object Dedup {
   def incrementalNearDupM(batch: DataFrame, corpus: DataFrame,
                           textCol: String, idCol: String,
                           k: Int = 5, threshold: Double = 0.5,
-                          mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
+                          mat: MatStrategy = MatStrategy.Default): Materialized = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigB = sigOf(batch, textCol, idCol, k).persist(lvl)
     val sigC = sigOf(corpus, textCol, idCol, k).persist(lvl)
@@ -275,10 +275,9 @@ object Dedup {
                            maxRounds: Int = 50,
                            iterPartitions: Int = 8,
                            roundMat: MatStrategy = MatStrategy.Local,
-                           mat: MatStrategy = MatStrategy.spillDefault): Materialized = {
+                           mat: MatStrategy = MatStrategy.Default): Materialized = {
     def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
-      val m = Materialize(df, roundMat)
-      (m.df, m.release)
+      val m = Materialize(df, roundMat); (m.df, m.release)
     }
     // the label/edge relations are tiny compared to the pair-generation
     // work upstream; iterating at full shuffle parallelism pays ~4 stages

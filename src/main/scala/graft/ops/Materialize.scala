@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Eager-materialization strategies for operators that must pin an
   * intermediate result — iterative algorithms that truncate their
@@ -24,13 +24,18 @@ import org.apache.spark.sql.DataFrame
   *    Spark session — the right shape when the materialized result
   *    escapes the operator (returned to a caller who will run further
   *    actions on it).
+  *  - [[MatStrategy.Default]] — a per-session spill root on the
+  *    session's DEFAULT Hadoop filesystem (local temp dir on a laptop,
+  *    a `/tmp` dir on the cluster DFS under `fs.defaultFS`), removed on
+  *    JVM exit. A hard-coded driver-local temp dir would break on a
+  *    real cluster: executors would each write their tasks to their own
+  *    local disks.
   *
   * Every materialization returns a [[Materialized]] handle whose
   * `release()` frees the backing storage (unpersists blocks / deletes
   * checkpoint or spill files). Operators that return a plain DataFrame
-  * use [[MatStrategy.spillDefault]] so NO RDD blocks outlive the call —
-  * `sc.getPersistentRDDs` stays empty (asserted in LeakSpec); the spill
-  * files live in a per-JVM temp dir removed on exit.
+  * use [[MatStrategy.Default]] so NO RDD blocks outlive the call —
+  * `sc.getPersistentRDDs` stays empty (asserted in LeakSpec).
   */
 sealed trait MatStrategy
 
@@ -39,8 +44,13 @@ object MatStrategy {
   case object Reliable extends MatStrategy
   final case class Spill(dir: String) extends MatStrategy
 
-  /** Per-JVM default spill root (deleted on JVM exit). Production runs
-    * pass an explicit DFS dir instead.
+  /** Spill to a per-session default root resolved against the session's
+    * default filesystem at materialization time (see class doc).
+    */
+  case object Default extends MatStrategy
+
+  /** Per-JVM LOCAL spill root (deleted on JVM exit) — for tests and
+    * explicitly-local runs; [[Default]] is the deployment-safe choice.
     */
   lazy val spillDefault: Spill = {
     val dir = java.nio.file.Files.createTempDirectory("graft-spill")
@@ -64,6 +74,39 @@ object Materialize {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Guards the registry/listing diffs below: without it, two threads
+    * materializing on the same session would each capture the OTHER's
+    * newly-registered storage and release() could free a live peer.
+    * Materializations are coarse-grained (an eager checkpoint each), so
+    * serializing them costs little next to the work they pin.
+    */
+  private val trackingLock = new Object
+
+  /** Default spill root per (JVM, default filesystem): a temp dir on
+    * the session's `fs.defaultFS` so executor tasks of a real cluster
+    * write somewhere every node can read. Deleted on JVM exit.
+    */
+  private val defaultRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def defaultSpillRoot(spark: SparkSession): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsUri = org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).toString
+    defaultRoots.computeIfAbsent(fsUri, _ => {
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      if ("file".equalsIgnoreCase(fs.getScheme)) {
+        MatStrategy.spillDefault.dir
+      } else {
+        val root = new Path(
+          s"/tmp/graft-spill-${java.util.UUID.randomUUID().toString}")
+        fs.mkdirs(root)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try { fs.delete(root, true); () } catch { case _: Throwable => () }
+        }))
+        root.toString
+      }
+    })
+  }
+
   /** File sources relax nullability on read; mirror that in the schema
     * handed to the spill read (StructType.asNullable is private[sql]).
     */
@@ -82,17 +125,22 @@ object Materialize {
 
   def apply(df: DataFrame, mat: MatStrategy): Materialized = mat match {
 
-    case MatStrategy.Local =>
+    case MatStrategy.Default =>
+      apply(df, MatStrategy.Spill(defaultSpillRoot(df.sparkSession)))
+
+    case MatStrategy.Local => trackingLock.synchronized {
       val sc = df.sparkSession.sparkContext
       // localCheckpoint registers new persistent RDDs; diffing the
-      // registry before/after yields exactly the blocks to free.
+      // registry before/after (under the lock) yields exactly the
+      // blocks this call created.
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
       val ids = sc.getPersistentRDDs.keySet.diff(before)
       Materialized(out, () => ids.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    }
 
-    case MatStrategy.Reliable =>
+    case MatStrategy.Reliable => trackingLock.synchronized {
       val spark = df.sparkSession
       val sc = spark.sparkContext
       // reliable checkpoint needs a checkpoint dir; default to a local
@@ -103,7 +151,8 @@ object Materialize {
       val ckptRoot = new Path(sc.getCheckpointDir.get)
       val fs = ckptRoot.getFileSystem(sc.hadoopConfiguration)
       // checkpoint files land under checkpointDir/rdd-<id>; diff the
-      // listing around the call to learn which dirs this one created
+      // listing around the call (under the lock) to learn which dirs
+      // this one created
       def rddDirs(): Set[String] =
         if (!fs.exists(ckptRoot)) Set.empty
         else fs.listStatus(ckptRoot).map(_.getPath.toString).toSet
@@ -112,6 +161,7 @@ object Materialize {
       val created = rddDirs().diff(before)
       Materialized(out, () =>
         created.foreach(d => fs.delete(new Path(d), true)))
+    }
 
     case MatStrategy.Spill(root) =>
       val spark = df.sparkSession

@@ -71,16 +71,23 @@ object CatalogSinks {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
+    // unique per call and dropped after: a fixed view name would
+    // collide across concurrent/nested uses and pollute the catalog
+    val view = s"graft_insert_src_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
     try {
       // positional resolution again: feed columns in table-schema order
-      alignTo(spark, table, df).createOrReplaceTempView("graft_insert_src")
+      alignTo(spark, table, df).createOrReplaceTempView(view)
       spark.sql(
         s"INSERT OVERWRITE TABLE $table PARTITION ($partCol) " +
-          "SELECT * FROM graft_insert_src")
+          s"SELECT * FROM $view")
       ()
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally {
+      spark.catalog.dropTempView(view)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 }

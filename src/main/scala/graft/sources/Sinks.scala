@@ -61,6 +61,9 @@ object Sinks {
                          path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a not-yet-written table has no layout — probing it is a no-op,
+    // not an error (listStatus would throw FileNotFoundException)
+    if (!fs.exists(root)) return Nil
     def walk(dir: org.apache.hadoop.fs.Path,
              acc: List[String]): List[String] = {
       val sub = fs.listStatus(dir)

@@ -23,15 +23,22 @@ class MaterializeSpec extends SparkSpec {
 
   test("Reliable checkpoints to the checkpoint dir and release deletes it") {
     val sc = spark.sparkContext
+    def dirs(): Set[String] = sc.getCheckpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
+      else Set.empty[String]
+    }.getOrElse(Set.empty)
+    val before = dirs()
     val m = Materialize(df, MatStrategy.Reliable)
     assert(m.df.count() == 3)
-    val ckptDir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-    val fs = ckptDir.getFileSystem(sc.hadoopConfiguration)
-    assert(fs.listStatus(ckptDir).nonEmpty, "checkpoint files must exist")
-    // reliable checkpoint leaves no persistent RDD blocks behind
+    val created = dirs().diff(before)
+    assert(created.nonEmpty, "checkpoint files must exist")
     m.release()
-    assert(fs.listStatus(ckptDir).isEmpty,
-      "release must delete the rdd checkpoint dirs")
+    // only THIS materialization's dirs must be gone — other suites may
+    // legitimately have live checkpoints in the shared session root
+    assert(dirs().intersect(created).isEmpty,
+      "release must delete the rdd checkpoint dirs it created")
   }
 
   test("Spill round-trips rows+schema through parquet; release deletes files") {

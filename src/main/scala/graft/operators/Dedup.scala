@@ -183,6 +183,54 @@ object Dedup {
                          k: Int = 5, threshold: Double = 0.5): DataFrame =
     incrementalNearDupM(batch, corpus, textCol, idCol, k, threshold).df
 
+  /** Persist the corpus's signature relation `(doc_id, __sh, m0..m15)`
+    * as a parquet table — the MAINTAINED side of incremental near-dup
+    * screening. Written once at ingest (and appended per admitted
+    * batch), it turns every later screen into scans of this table
+    * instead of re-hashing the corpus text: the 100 TB corpus is
+    * tokenized exactly once in its life.
+    */
+  def writeSignatureTable(corpus: DataFrame, textCol: String,
+                          idCol: String, path: String,
+                          k: Int = 5): Unit =
+    sigOf(corpus, textCol, idCol, k)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[incrementalNearDupM]] against a MAINTAINED signature table
+    * ([[writeSignatureTable]]) instead of raw corpus text. Identical
+    * results (the signature relation is deterministic in the text);
+    * SigTableSpec asserts the equality. The corpus side of the plan is
+    * a column-pruned scan of the stored table — band keys read m0..m15,
+    * verification reads __sh — with no text ever touched.
+    */
+  def incrementalNearDupAgainstSigsM(batch: DataFrame, sigTablePath: String,
+                                     textCol: String, idCol: String,
+                                     k: Int = 5, threshold: Double = 0.5,
+                                     mat: MatStrategy = MatStrategy.Default): Materialized = {
+    val spark = batch.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigB = sigOf(batch, textCol, idCol, k).persist(lvl)
+    val sigC = spark.read.parquet(sigTablePath)
+    val cand = bandsOf(sigB).withColumnRenamed("doc_id", "batch_id")
+      .join(bandsOf(sigC).withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band", "bkey"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val verified = cand
+      .join(sigB.select(col("doc_id").as("batch_id"), col("__sh").as("sh_b")),
+        "batch_id")
+      .join(sigC.select(col("doc_id").as("corpus_id"), col("__sh").as("sh_c")),
+        "corpus_id")
+      .withColumn("jaccard", round(
+        graft.functions.native.NativeFns.jaccardNative(
+          col("sh_b"), col("sh_c")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    val out = Materialize(verified, mat)
+    sigB.unpersist(false)
+    out
+  }
+
   /** 48-bit SimHash per document — one-pass native expression
     * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);
     * bit-identical to the HOF pipeline tokenHashes48→simhash48. */

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.queries.TrainingData
+
+/** Maintained-signature-table flow: write signatures at ingest, screen
+  * later batches against the stored table — same results as re-hashing
+  * the corpus, with the corpus text never touched again.
+  */
+class SigTableSpec extends SparkSpec {
+
+  test("screening against the stored signature table == recomputing") {
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = d.where(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 5000000L).as("doc_id"),
+      expr("substring(text, 11)").as("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigs").toString + "/sigs"
+    Dedup.writeSignatureTable(d, "text", "doc_id", path)
+    val viaTable = Dedup.incrementalNearDupAgainstSigsM(
+      batch, path, "text", "doc_id").df
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    val viaText = Dedup.incrementalNearDup(batch, d, "text", "doc_id")
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    assert(viaTable == viaText,
+      "stored-signature screen must equal the recomputed screen")
+    assert(viaTable.nonEmpty, "near-copies must be found")
+  }
+
+  test("the signature table carries no text — the corpus side of a " +
+    "screen is signatures only, and band scans prune to m0..m15") {
+    val d = TrainingData.nearDupCorpus(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigs2").toString + "/sigs"
+    Dedup.writeSignatureTable(d, "text", "doc_id", path)
+    val table = spark.read.parquet(path)
+    assert(!table.schema.fieldNames.contains("text"),
+      "signature table must not store corpus text")
+    assert(table.schema.fieldNames.toSet ==
+      (Set("doc_id", "__sh") ++ (0 until 16).map(j => s"m$j")))
+    // band-key generation needs only the 16 signature slots: the scan
+    // for that projection must prune __sh (the big array column) away
+    val bandScan = table
+      .select((col("doc_id") +: (0 until 16).map(j => col(s"m$j"))): _*)
+      .queryExecution.executedPlan.toString
+    assert(!bandScan.contains("__sh"),
+      s"band scan must prune the shingle array:\n$bandScan")
+  }
+}

@@ -497,7 +497,80 @@ object Analytics {
       |       <= 0.05 * count(DISTINCT l_orderkey) AS BIGINT) AS approx_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // Second-moment statistics (corr / covar / stddev) — normally NOT
+  // engine-portable: built-in corr() folds doubles in row order, so two
+  // engines (or two Spark runs with different partitionings!) disagree
+  // in the last bits. Here the inputs are fixed-point money/quantity
+  // columns, so the moments are computed EXACTLY: quantize to cents
+  // (round(x*100) — representation error ≪ 0.5, so both engines land on
+  // the same integer), accumulate Σx, Σy, Σx², Σy², Σxy in decimal(38,0)
+  // (order-independent), and derive the statistics row-locally from the
+  // exact moments with the identical double expression on both sides.
+  // Deterministic across engines, partitionings, AND task retries — the
+  // same property the k-means trainer builds on.
+  def corrExactQ(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qx = round(col("l_quantity") * 100).cast("long").cast(dec)
+    val qy = round(col("l_extendedprice") * 100).cast("long").cast(dec)
+    val g = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(qx).as("sx"), sum(qy).as("sy"),
+        sum(qx * qx).as("sxx"), sum(qy * qy).as("syy"),
+        sum(qx * qy).as("sxy"))
+    val covNum = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    g.select(col("l_returnflag"),
+      col("n").cast("bigint").as("n"),
+      (covNum / (sqrt(varX) * sqrt(varY))).as("corr_qty_price"),
+      (covNum / (col("n") * col("n")).cast("double") / 10000.0d)
+        .as("covar_pop_qty_price"),
+      (sqrt(varX) / col("n").cast("double") / 100.0d).as("stddev_pop_qty"),
+      (sqrt(varY) / col("n").cast("double") / 100.0d).as("stddev_pop_price"),
+      // least-squares price ~ qty from the same exact moments; the cents
+      // scaling cancels in the slope, the intercept descale is /100
+      (covNum / varX).as("regr_slope"),
+      ((col("sy").cast("double") - (covNum / varX) *
+        col("sx").cast("double")) / col("n").cast("double") / 100.0d)
+        .as("regr_intercept"))
+  }
+  val corrExactSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS HUGEINT) AS qx,
+      |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS qy
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    sum(qx) AS sx, sum(qy) AS sy,
+      |    sum(qx * qx) AS sxx, sum(qy * qy) AS syy,
+      |    sum(qx * qy) AS sxy
+      |  FROM q GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+      |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) / 10000.0
+      |    AS covar_pop_qty_price,
+      |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+      |    AS stddev_pop_qty,
+      |  sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+      |    AS stddev_pop_price,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    AS regr_slope,
+      |  (CAST(sy AS DOUBLE) -
+      |     (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+      |    AS regr_intercept
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
     "q_window_topk" -> (windowTopKQ _),
@@ -523,6 +596,7 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,
     "q_window_topk" -> windowTopKSql,

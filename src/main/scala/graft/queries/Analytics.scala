@@ -569,7 +569,37 @@ object Analytics {
       |    AS regr_intercept
       |FROM m""".stripMargin
 
+  // Equal-width histogram of the events value column — the oracle-
+  // checked face of the binning family (ops.Binning's equal-frequency
+  // variant is spec-verified). The min/max scalars ride a broadcast
+  // single-row join (the K5 pattern — no driver collect); the bucket
+  // index is floor((v-min)/width) on identical doubles in both engines,
+  // capped so v=max lands in the last bucket.
+  def histogramQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val bins = 10
+    val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("bucket", least(
+        floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / bins)).cast("long"),
+        lit(bins - 1L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+  }
+  val histogramSql: String =
+    """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+      |SELECT least(CAST(floor((value - mn) / ((mx - mn) / 10)) AS BIGINT),
+      |             9) AS bucket,
+      |       count(*) AS n,
+      |       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+      |FROM events CROSS JOIN s
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (histogramQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -596,6 +626,7 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" -> histogramSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

@@ -598,7 +598,43 @@ object Analytics {
       |FROM events CROSS JOIN s
       |GROUP BY 1""".stripMargin
 
+  // Approximate-median sketch, value-checked like q_approx_distinct:
+  // the sketch VALUE differs by engine (Spark GK summaries vs DuckDB
+  // t-digest), but its RANK ERROR is exactly computable — the fraction
+  // of rows at or below each engine's own approximate median must sit
+  // within 2% of 0.5. The probe is a broadcast join of the tiny
+  // per-group sketch row back against the fact table.
+  def approxQuantileQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ap = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("apx"),
+        count(lit(1)).as("n"))
+    li.join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L))
+          .as("at_or_below"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("at_or_below").cast("double") / col("n").cast("double")
+          - 0.5) <= 0.02).cast("bigint").as("median_rank_ok"))
+  }
+  val approxQuantileSql: String =
+    """WITH ap AS (
+      |  SELECT l_returnflag,
+      |         approx_quantile(l_extendedprice, 0.5) AS apx,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT li.l_returnflag, max(ap.n) AS n,
+      |  CAST(abs(CAST(sum(CASE WHEN li.l_extendedprice <= ap.apx
+      |                         THEN 1 ELSE 0 END) AS DOUBLE)
+      |           / CAST(max(ap.n) AS DOUBLE) - 0.5) <= 0.02
+      |       AS BIGINT) AS median_rank_ok
+      |FROM lineitem li JOIN ap USING (l_returnflag)
+      |GROUP BY li.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantile" -> (approxQuantileQ _),
     "q_histogram" -> (histogramQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
@@ -626,6 +662,7 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_approx_quantile" -> approxQuantileSql,
     "q_histogram" -> histogramSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,

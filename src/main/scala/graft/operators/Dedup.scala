@@ -52,6 +52,25 @@ object Dedup {
     }.drop("__sig")
   }
 
+  /** Signature relation `(doc_id, __sh, m0..m15)` for `docs`. */
+  private def sigOf(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame =
+    withMinhashSignature(docs, textCol, k)
+      .select(col(idCol).as("doc_id") +: col("__sh") +:
+        (0 until 16).map(j => col(s"m$j")): _*)
+
+  /** LSH band keys of a signature relation: 4 bands × 4 signature rows
+    * → one (doc_id, band, bkey) row per band.
+    */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
+            .as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+
   /** LSH candidate pairs + exact shingle-hash-Jaccard verification.
     *
     * Banding: 4 bands × 4 rows over the 16-slot signature. Documents
@@ -75,25 +94,6 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     * to 4 decimals.
     */
-  /** Signature relation `(doc_id, __sh, m0..m15)` for `docs`. */
-  private def sigOf(docs: DataFrame, textCol: String, idCol: String,
-                    k: Int): DataFrame =
-    withMinhashSignature(docs, textCol, k)
-      .select(col(idCol).as("doc_id") +: col("__sh") +:
-        (0 until 16).map(j => col(s"m$j")): _*)
-
-  /** LSH band keys of a signature relation: 4 bands × 4 signature rows
-    * → one (doc_id, band, bkey) row per band.
-    */
-  private def bandsOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), explode(array(
-      (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
-            .as("bkey"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
-
   def minhashNearDupPairsM(docs: DataFrame, textCol: String, idCol: String,
                            k: Int = 5, threshold: Double = 0.5,
                            mat: MatStrategy = MatStrategy.Default): Materialized = {

@@ -295,6 +295,38 @@ object TrainingData {
        |SELECT n AS doc_id, min(m) AS cluster_rep
        |FROM reach GROUP BY n""".stripMargin
 
+  // ------------------------------------------- dedup cluster-size report
+  // The observability face of near-dup clustering: how many clusters of
+  // each size the corpus contains (paired nodes only — singletons never
+  // enter the pair graph). Pipelines watch this distribution to catch
+  // crawl pathologies (a sudden giant cluster = a template/mirror blast).
+  def dedupReportQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir),
+      "text", "doc_id", k = 5, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    clusters.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+  val dedupReportSql: String =
+    s"""WITH RECURSIVE ${minhashCtesOver(nearDupCorpusSql)},
+       |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |reps AS (SELECT n AS doc_id, min(m) AS cluster_rep
+       |         FROM reach GROUP BY n),
+       |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
+       |          FROM reps GROUP BY cluster_rep)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM sizes GROUP BY cluster_size""".stripMargin
+
   // ---------------------------------------------- end-to-end dedup drop
   // The decision stage a pretraining pipeline actually ships: exact
   // dedup (fingerprint keepers) -> MinHash near-dup clustering on the
@@ -1112,6 +1144,7 @@ object TrainingData {
     "x_asof_join" -> (asOfJoinQ _),
     "x_quality_filter" -> (qualityFilterQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
+    "x_dedup_report" -> (dedupReportQ _),
     "x_dataset_split" -> (datasetSplitQ _),
     "x_tfidf" -> (tfidfQ _),
     "x_simhash_pairs" -> (simhashPairsQ _),
@@ -1147,6 +1180,7 @@ object TrainingData {
     "x_asof_join" -> asOfJoinSql,
     "x_quality_filter" -> qualityFilterSql,
     "x_dedup_clusters" -> dedupClustersSql,
+    "x_dedup_report" -> dedupReportSql,
     "x_dataset_split" -> datasetSplitSql,
     "x_tfidf" -> tfidfSql,
     "x_simhash_pairs" -> simhashPairsSql,

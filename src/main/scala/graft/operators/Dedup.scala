@@ -192,9 +192,30 @@ object Dedup {
     */
   def writeSignatureTable(corpus: DataFrame, textCol: String,
                           idCol: String, path: String,
-                          k: Int = 5): Unit =
+                          k: Int = 5): Unit = {
     sigOf(corpus, textCol, idCol, k)
       .write.mode("overwrite").parquet(path)
+    // record the shingle size next to the data (underscore-prefixed:
+    // parquet readers skip it): signatures built with one k are
+    // meaningless against a batch hashed with another, and without this
+    // marker a mismatched screen would silently admit every duplicate
+    val meta = new org.apache.hadoop.fs.Path(path, "_graft_shingle_k")
+    val fs = meta.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Shingle size a signature table was written with. */
+  def signatureTableK(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_graft_shingle_k")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](fs.getFileStatus(meta).getLen.toInt)
+    val in = fs.open(meta)
+    try in.readFully(buf) finally in.close()
+    new String(buf, "UTF-8").trim.toInt
+  }
 
   /** [[incrementalNearDupM]] against a MAINTAINED signature table
     * ([[writeSignatureTable]]) instead of raw corpus text. Identical
@@ -208,6 +229,11 @@ object Dedup {
                                      k: Int = 5, threshold: Double = 0.5,
                                      mat: MatStrategy = MatStrategy.Default): Materialized = {
     val spark = batch.sparkSession
+    val storedK = signatureTableK(spark, sigTablePath)
+    require(storedK == k,
+      s"signature table at $sigTablePath was written with k=$storedK " +
+        s"but the screen hashes the batch with k=$k — shingle sets would " +
+        "never intersect and every duplicate would be silently admitted")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigB = sigOf(batch, textCol, idCol, k).persist(lvl)
     val sigC = spark.read.parquet(sigTablePath)

@@ -99,9 +99,15 @@ object Materialize {
         val root = new Path(
           s"/tmp/graft-spill-${java.util.UUID.randomUUID().toString}")
         fs.mkdirs(root)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try { fs.delete(root, true); () } catch { case _: Throwable => () }
-        }))
+        // register with Hadoop's ShutdownHookManager ABOVE the
+        // FileSystem-close priority (10): a plain JVM hook races the
+        // FS finalizer and "Filesystem closed" would leak the DFS dir
+        org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+          new Runnable {
+            override def run(): Unit =
+              try { fs.delete(root, true); () }
+              catch { case _: Throwable => () }
+          }, 50)
         root.toString
       }
     })

@@ -524,18 +524,27 @@ object Analytics {
       .cast("double")
     val varY = (col("n") * col("syy") - col("sy") * col("sy"))
       .cast("double")
+    // zero-variance guard: a group where every x (or y) is equal has no
+    // defined correlation/slope — emit NULL instead of a NaN/Infinity
+    // whose rendering is not engine-portable. The comparison is on the
+    // EXACT decimal moment, so both engines take the same branch.
+    val degX = varX === 0.0d
+    val degY = varY === 0.0d
     g.select(col("l_returnflag"),
       col("n").cast("bigint").as("n"),
-      (covNum / (sqrt(varX) * sqrt(varY))).as("corr_qty_price"),
+      when(degX || degY, lit(null).cast("double"))
+        .otherwise(covNum / (sqrt(varX) * sqrt(varY))).as("corr_qty_price"),
       (covNum / (col("n") * col("n")).cast("double") / 10000.0d)
         .as("covar_pop_qty_price"),
       (sqrt(varX) / col("n").cast("double") / 100.0d).as("stddev_pop_qty"),
       (sqrt(varY) / col("n").cast("double") / 100.0d).as("stddev_pop_price"),
       // least-squares price ~ qty from the same exact moments; the cents
       // scaling cancels in the slope, the intercept descale is /100
-      (covNum / varX).as("regr_slope"),
-      ((col("sy").cast("double") - (covNum / varX) *
-        col("sx").cast("double")) / col("n").cast("double") / 100.0d)
+      when(degX, lit(null).cast("double"))
+        .otherwise(covNum / varX).as("regr_slope"),
+      when(degX, lit(null).cast("double"))
+        .otherwise((col("sy").cast("double") - (covNum / varX) *
+          col("sx").cast("double")) / col("n").cast("double") / 100.0d)
         .as("regr_intercept"))
   }
   val corrExactSql: String =
@@ -552,21 +561,24 @@ object Analytics {
       |    sum(qx * qy) AS sxy
       |  FROM q GROUP BY l_returnflag)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-      |  CAST(n*sxy - sx*sy AS DOUBLE) /
-      |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
-      |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL ELSE
+      |    CAST(n*sxy - sx*sy AS DOUBLE) /
+      |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+      |       sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS corr_qty_price,
       |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) / 10000.0
       |    AS covar_pop_qty_price,
       |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
       |    AS stddev_pop_qty,
       |  sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
       |    AS stddev_pop_price,
-      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-      |    AS regr_slope,
-      |  (CAST(sy AS DOUBLE) -
-      |     (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
-      |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
-      |    AS regr_intercept
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+      |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    END AS regr_slope,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+      |    (CAST(sy AS DOUBLE) -
+      |       (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+      |    END AS regr_intercept
       |FROM m""".stripMargin
 
   // Equal-width histogram of the events value column — the oracle-
@@ -580,10 +592,13 @@ object Analytics {
     val bins = 10
     val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     ev.crossJoin(broadcast(stats))
-      .withColumn("bucket", least(
-        floor((col("value") - col("mn")) /
-          ((col("mx") - col("mn")) / bins)).cast("long"),
-        lit(bins - 1L)))
+      // degenerate range (mx == mn): everything is bucket 0 — without
+      // the guard the width is 0 and floor(NaN) diverges across engines
+      .withColumn("bucket", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(
+          floor((col("value") - col("mn")) /
+            ((col("mx") - col("mn")) / bins)).cast("long"),
+          lit(bins - 1L))))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 6).as("lo"),
@@ -591,8 +606,9 @@ object Analytics {
   }
   val histogramSql: String =
     """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-      |SELECT least(CAST(floor((value - mn) / ((mx - mn) / 10)) AS BIGINT),
-      |             9) AS bucket,
+      |SELECT CASE WHEN mx = mn THEN 0 ELSE
+      |         least(CAST(floor((value - mn) / ((mx - mn) / 10)) AS BIGINT),
+      |               9) END AS bucket,
       |       count(*) AS n,
       |       round(min(value), 6) AS lo, round(max(value), 6) AS hi
       |FROM events CROSS JOIN s

@@ -281,35 +281,10 @@ object TrainingData {
       "text", "doc_id", k = 5, threshold = 0.5)
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
   }
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE ${minhashCtesOver(nearDupCorpusSql)},
-       |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-       |edges AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs),
-       |nodes AS (SELECT DISTINCT a AS n FROM edges),
-       |reach(n, m) AS (
-       |  SELECT n, n FROM nodes
-       |  UNION
-       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
-       |SELECT n AS doc_id, min(m) AS cluster_rep
-       |FROM reach GROUP BY n""".stripMargin
-
-  // ------------------------------------------- dedup cluster-size report
-  // The observability face of near-dup clustering: how many clusters of
-  // each size the corpus contains (paired nodes only — singletons never
-  // enter the pair graph). Pipelines watch this distribution to catch
-  // crawl pathologies (a sudden giant cluster = a template/mirror blast).
-  def dedupReportQ(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir),
-      "text", "doc_id", k = 5, threshold = 0.5)
-    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-    clusters.groupBy(col("cluster_rep"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"))
-  }
-  val dedupReportSql: String =
+  /** Shared closure CTE prefix ending in `reps(doc_id, cluster_rep)` —
+    * used by the clusters query and the cluster-size report so both
+    * oracles describe the SAME clustering. */
+  private val clustersClosureCtes: String =
     s"""WITH RECURSIVE ${minhashCtesOver(nearDupCorpusSql)},
        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
        |edges AS (
@@ -321,7 +296,24 @@ object TrainingData {
        |  UNION
        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
        |reps AS (SELECT n AS doc_id, min(m) AS cluster_rep
-       |         FROM reach GROUP BY n),
+       |         FROM reach GROUP BY n)""".stripMargin
+  val dedupClustersSql: String =
+    s"""$clustersClosureCtes
+       |SELECT doc_id, cluster_rep FROM reps""".stripMargin
+
+  // ------------------------------------------- dedup cluster-size report
+  // The observability face of near-dup clustering: how many clusters of
+  // each size the corpus contains (paired nodes only — singletons never
+  // enter the pair graph). Pipelines watch this distribution to catch
+  // crawl pathologies (a sudden giant cluster = a template/mirror blast).
+  def dedupReportQ(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersQ(spark, dir)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+  val dedupReportSql: String =
+    s"""$clustersClosureCtes,
        |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
        |          FROM reps GROUP BY cluster_rep)
        |SELECT cluster_size, count(*) AS n_clusters

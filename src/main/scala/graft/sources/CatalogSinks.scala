@@ -61,13 +61,23 @@ object CatalogSinks {
     df.write.mode("overwrite").partitionBy(partCols: _*).saveAsTable(table)
   }
 
+  private val overwriteModeLock = new Object
+
   /** K2: dynamic-partition overwrite via SQL INSERT OVERWRITE — only the
     * partitions present in `df` are replaced. Needs the session-level
     * dynamic mode for the duration of the statement (the SQL path has no
     * per-write option); the previous value is restored.
+    *
+    * The set/execute/restore window is serialized across THIS API's
+    * callers (a concurrent second call could otherwise read the other
+    * call's "dynamic" as the value to restore, or worse run its INSERT
+    * after the first restore flipped the session back to static — and a
+    * static INSERT OVERWRITE with a dynamic spec drops EVERY partition
+    * of the table). Other code mutating the same session conf in
+    * parallel remains a Spark-session-level hazard this API cannot see.
     */
   def insertOverwritePartitions(spark: SparkSession, df: DataFrame,
-                                table: String, partCol: String): Unit = {
+                                table: String, partCol: String): Unit = overwriteModeLock.synchronized {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")

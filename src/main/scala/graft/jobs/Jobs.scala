@@ -72,8 +72,12 @@ object Jobs {
   }
 
   /** The modern flagship: full corpus-cleaning pipeline — exact dedup,
-    * near-dup clustering, quality filter, deterministic split — writing
-    * the cleaned training corpus partitioned by split. */
+    * MAINTAINED signature table, near-dup clustering, quality filter,
+    * deterministic split — writing the cleaned training corpus
+    * partitioned by split plus the signature table that every later
+    * incremental screen (screenBatchJob's fuzzy stage, threshold
+    * re-clustering) reads instead of re-tokenizing the corpus: at
+    * 100 TB the corpus text is shingled exactly once, here. */
   private def cleanCorpusJob(spark: SparkSession, sfDir: String,
                              outDir: String): Unit = {
     val docs = Tables.load(spark, sfDir, "documents")
@@ -81,9 +85,12 @@ object Jobs {
     val keepers = Dedup.exactDedup(docs, "text", "doc_id")
       .select(col("keeper_id").as("doc_id"))
     val exactDeduped = docs.join(keepers, Seq("doc_id"), "left_semi")
-    // 2. near-dup clustering: drop non-representative cluster members
-    val pairs = Dedup.minhashNearDupPairs(exactDeduped, "text", "doc_id",
-      k = 5, threshold = 0.5)
+    // 2. persist the survivors' signature table (the ONE tokenization),
+    //    then near-dup clustering from the stored signatures: drop
+    //    non-representative cluster members
+    val sigPath = s"$outDir/corpus_sigs"
+    Dedup.writeSignatureTable(exactDeduped, "text", "doc_id", sigPath, k = 5)
+    val pairs = Dedup.nearDupPairsFromSigs(spark, sigPath, threshold = 0.5)
     val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     val cleaned = exactDeduped.join(clusters, Seq("doc_id"), "left")
       .where(col("cluster_rep").isNull ||

@@ -211,6 +211,11 @@ object Dedup {
                       path: String): Int = {
     val meta = new org.apache.hadoop.fs.Path(path, "_graft_shingle_k")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta))
+      throw new IllegalArgumentException(
+        s"no _graft_shingle_k marker at $path — not a graft signature " +
+          "table (or written by another tool / path typo); write it with " +
+          "Dedup.writeSignatureTable, which records the shingle size")
     val buf = new Array[Byte](fs.getFileStatus(meta).getLen.toInt)
     val in = fs.open(meta)
     try in.readFully(buf) finally in.close()
@@ -256,6 +261,53 @@ object Dedup {
     sigB.unpersist(false)
     out
   }
+
+  /** Whole-corpus near-dup pairs over a MAINTAINED signature table
+    * ([[writeSignatureTable]]) — the self-join twin of
+    * [[incrementalNearDupAgainstSigsM]], and the shape a re-clustering
+    * run (threshold change, report refresh) takes once the corpus's
+    * signatures are on disk: identical results to
+    * [[minhashNearDupPairsM]] (the signature relation is deterministic
+    * in the text; SigTableSpec asserts the equality) with the corpus
+    * text never touched. Candidate generation reads only
+    * (doc_id, m0..m15) and verification only (doc_id, __sh) — two
+    * column-pruned scans of the stored table — so at 100 TB the corpus
+    * is tokenized once at ingest and every later screen is IO-bound on
+    * a 20-byte-per-doc projection. No persist is needed: the parquet
+    * table IS the materialized signature stage.
+    */
+  def nearDupPairsFromSigsM(spark: org.apache.spark.sql.SparkSession,
+                            sigTablePath: String,
+                            threshold: Double = 0.5,
+                            mat: MatStrategy = MatStrategy.Default): Materialized = {
+    val sig = spark.read.parquet(sigTablePath)
+    val bands = bandsOf(sig)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shSets = sig.select(col("doc_id"), col("__sh"))
+    val verified = cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")),
+        "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")),
+        "doc_b")
+      .withColumn("jaccard", round(
+        graft.functions.native.NativeFns.jaccardNative(
+          col("sh_a"), col("sh_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    Materialize(verified, mat)
+  }
+
+  /** [[nearDupPairsFromSigsM]] with the zero-leak default
+    * materialization, returning the bare frame.
+    */
+  def nearDupPairsFromSigs(spark: org.apache.spark.sql.SparkSession,
+                           sigTablePath: String,
+                           threshold: Double = 0.5): DataFrame =
+    nearDupPairsFromSigsM(spark, sigTablePath, threshold).df
 
   /** 48-bit SimHash per document — one-pass native expression
     * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);
@@ -345,6 +397,30 @@ object Dedup {
     * Throws if `maxRounds` is hit without convergence — silent partial
     * labels would poison the downstream drop decisions.
     */
+  /** Per-round iteration width for [[connectedComponentsM]]: the floor
+    * (the caller's `iterPartitions`) widened by the OPTIMIZER'S SIZE
+    * ESTIMATE of the pair graph at one AQE-advisory-sized partition's
+    * worth of edges each, capped at the session's shuffle parallelism.
+    *
+    * The estimate comes from `optimizedPlan.stats` — compile-time only,
+    * no job runs (reading the materialized partition count through
+    * `.rdd` under AQE would execute the pair pipeline's shuffle stages
+    * a second time just to count them). Join-cardinality estimates can
+    * overshoot wildly, hence the shuffle-parallelism cap: on a real
+    * cluster that conf is already sized to the fleet, so "huge graph"
+    * iterates at fleet width, never at 8.
+    */
+  private[graft] def ccIterWidth(pairs: DataFrame, floor: Int): Int = {
+    val conf = pairs.sparkSession.sessionState.conf
+    val advisory = math.max(conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES), 1L)
+    val est = pairs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes =
+      if (est > BigInt(Long.MaxValue)) Int.MaxValue
+      else math.min(est.toLong / advisory + 1, Int.MaxValue.toLong).toInt
+    math.max(floor, math.min(byBytes, math.max(floor, conf.numShufflePartitions)))
+  }
+
   def connectedComponentsM(pairs: DataFrame, aCol: String, bCol: String,
                            maxRounds: Int = 50,
                            iterPartitions: Int = 8,
@@ -353,18 +429,20 @@ object Dedup {
     def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
       val m = Materialize(df, roundMat); (m.df, m.release)
     }
-    // the label/edge relations are tiny compared to the pair-generation
-    // work upstream; iterating at full shuffle parallelism pays ~4 stages
-    // of task-scheduling overhead per round for near-empty partitions.
-    // `iterPartitions` bounds the per-round constant — raise it when the
-    // pair graph itself is huge.
+    // the label/edge relations are usually tiny compared to the
+    // pair-generation work upstream; iterating at full shuffle
+    // parallelism pays ~4 stages of task-scheduling overhead per round
+    // for near-empty partitions. `iterPartitions` is the FLOOR of the
+    // per-round width; a genuinely huge pair graph widens automatically
+    // (ccIterWidth) instead of funneling through the floor.
+    val width = ccIterWidth(pairs, iterPartitions)
     val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val (edges, freeEdges) = checkpointTracked(
       directed
         .union(directed.select(col("src"), col("src").as("dst"))) // self-loops
         .distinct()
-        .repartition(iterPartitions))
+        .repartition(width))
     var labels = edges.where(col("src") === col("dst"))
       .select(col("src").as("doc_id"), col("src").as("label"))
     var freeLabels: () => Unit = () => ()

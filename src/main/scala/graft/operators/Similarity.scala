@@ -357,26 +357,35 @@ object Similarity {
   /** Approximate top-k: candidates are rows sharing a bucket in any of
     * the LSH tables, deduped, then exact-cosine reranked. Candidate
     * generation is a hash join on (table, bucket) — no cross product.
+    *
+    * Like [[lshNearDupPairs]], candidates are ID PAIRS ONLY through the
+    * bucket join and the dedup exchange — the embedding arrays join back
+    * only for the verified rerank, so the wide columns never ride the
+    * collision-sized shuffle (the r3 occupancy lesson applied to the
+    * search variant too).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               tables: Int = 16, bits: Int = 6): DataFrame = {
-    val q = lshBuckets(queries, idCol, vecCol, tables, bits)
-      .withColumn("q_norm", norm(col("v")))
-      .select(col("id").as("q_id"), col("v").as("q_v"), col("q_norm"),
-        col("tbl"), col("bucket"))
-    val c = lshBuckets(corpus, idCol, vecCol, tables, bits)
-      .withColumn("n_norm", norm(col("v")))
-      .select(col("id").as("n_id"), col("v").as("n_v"), col("n_norm"),
-        col("tbl"), col("bucket"))
-    val cand = q.join(c, Seq("tbl", "bucket"))
+    val qb = lshBuckets(queries, idCol, vecCol, tables, bits)
+      .select(col("id").as("q_id"), col("tbl"), col("bucket"))
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits)
+      .select(col("id").as("n_id"), col("tbl"), col("bucket"))
+    val cand = qb.join(cb, Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_v"), col("q_norm"),
-        col("n_id"), col("n_v"), col("n_norm"))
+      .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val c = corpus.select(col(idCol).as("n_id"),
+        asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_norm", norm(col("n_v")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     cand
+      .join(q, "q_id")
+      .join(c, "n_id")
       .withColumn("sim", round(
         dot(col("q_v"), col("n_v")) / (col("q_norm") * col("n_norm")), 4))
       .withColumn("rank", row_number().over(w))

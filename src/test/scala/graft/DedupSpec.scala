@@ -106,6 +106,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("CC iteration width floors at iterPartitions but widens for a " +
+    "huge pair graph (capped at the session's shuffle parallelism)") {
+    val tiny = Seq((2L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(Dedup.ccIterWidth(tiny, 8) == 8,
+      "a tiny graph must iterate at the floor")
+    // ~3.2 GB by the optimizer's estimate (200M rows × 16 B): at the
+    // 64 MB advisory partition size this wants ~49 partitions
+    val huge = spark.range(200000000L)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    withSQLConf("spark.sql.shuffle.partitions" -> "64") {
+      val w = Dedup.ccIterWidth(huge, 8)
+      assert(w > 8 && w <= 64, s"huge graph width $w should widen past " +
+        "the floor and stay within shuffle parallelism")
+    }
+    // fleet cap: a session tuned to 4-wide shuffles never iterates wider
+    // than max(floor, 4) even for the huge graph
+    assert(Dedup.ccIterWidth(huge, 8) == 8)
+  }
+
   test("simhash banded pairs find exact copies at hamming 0") {
     val base = "spark catalyst optimizer rewrites logical plans into " +
       "physical plans using cost based and rule based passes"

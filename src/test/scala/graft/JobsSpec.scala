@@ -14,9 +14,10 @@ class JobsSpec extends SparkSpec {
       job(spark, sf0001, out)
     }
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
-    // ingest_props, corpus_report and screen_batch emit two tables each
-    assert(dirs.size == Jobs.all.size + 3,
-      s"expected ${Jobs.all.size + 3} output tables, got $dirs")
+    // ingest_props, corpus_report and screen_batch emit two tables each;
+    // clean_corpus also persists the maintained signature table
+    assert(dirs.size == Jobs.all.size + 4,
+      s"expected ${Jobs.all.size + 4} output tables, got $dirs")
     dirs.foreach { d =>
       val n = spark.read.parquet(s"$out/$d").count()
       // the quarantine table is rightly empty when every line parses

@@ -106,6 +106,28 @@ class PlanSpec extends SparkSpec {
       s"no equi join on (tbl, bucket) found:\n$p")
   }
 
+  test("lshTopK dedups id-only candidates (no array rides the exchange)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+    val df = graft.operators.Similarity
+      .lshTopK(emb.limit(20), emb, "vec_id", "v", 5)
+    // the candidate dedup is the only Aggregate in the plan; its input
+    // must be the bare (q_id, n_id) pair — the embedding arrays join
+    // back only after the exchange
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a
+    }
+    assert(aggs.nonEmpty, "candidate dedup aggregate missing")
+    aggs.foreach { a =>
+      val wide = a.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty,
+        s"array columns ${wide.map(_.name)} cross the dedup exchange")
+    }
+  }
+
   test("incrementalDedup ships only fingerprints from the corpus side") {
     val docs = Tables.load(spark, sf0001, "documents")
     val batch = docs.limit(100)

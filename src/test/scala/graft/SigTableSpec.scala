@@ -30,6 +30,33 @@ class SigTableSpec extends SparkSpec {
     assert(viaTable.nonEmpty, "near-copies must be found")
   }
 
+  test("self near-dup pairs from the stored table == recomputing") {
+    val d = TrainingData.nearDupCorpus(spark, sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigs_self").toString + "/sigs"
+    Dedup.writeSignatureTable(d, "text", "doc_id", path)
+    val viaTable = Dedup.nearDupPairsFromSigs(spark, path, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val viaText = Dedup.minhashNearDupPairs(d, "text", "doc_id",
+        k = 5, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(viaTable == viaText,
+      "stored-signature pairs must equal the recomputed pairs")
+    assert(viaTable.nonEmpty, "near-copies must be found")
+  }
+
+  test("a missing k marker names the path and the writer to use") {
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_sigs_bare").toString + "/sigs"
+    Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id")).write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.signatureTableK(spark, bare)
+    }
+    assert(e.getMessage.contains(bare) &&
+      e.getMessage.contains("writeSignatureTable"))
+  }
+
   test("the signature table carries no text — the corpus side of a " +
     "screen is signatures only, and band scans prune to m0..m15") {
     val d = TrainingData.nearDupCorpus(spark, sf0001)

@@ -41,6 +41,73 @@ object Multimodal {
       frames = nChars % 30L)
   }
 
+  /** REAL image decode via the JDK's own codecs (javax.imageio — PNG,
+    * JPEG, BMP, GIF, no external dependency): a payload that parses as
+    * an image gets its TRUE width/height from the decoder and frames=1
+    * (a still); anything else falls back to [[decodeStub]]. Returns the
+    * meta plus whether the real decoder handled the row — the contract
+    * a mixed media column needs, since a crawl's "image" column always
+    * contains some undecodable bytes.
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte], nChars: Long,
+                  digest: java.security.MessageDigest): (MediaMeta, Boolean) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) (decodeStub(docId, bytes, nChars, digest), false)
+    else {
+      digest.reset()
+      val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+      (MediaMeta(docId, bytes.length.toLong, hex,
+        img.getWidth.toLong, img.getHeight.toLong, 1L), true)
+    }
+  }
+
+  /** Deterministic REAL PNG payload (decodable by any PNG reader):
+    * w×h RGB image whose pixels are a pure function of (seed, x, y),
+    * encoded by the JDK's PNG writer. Fixture generator for decode
+    * tests — the planted width/height are what an oracle checks the
+    * decoder's output against.
+    */
+  def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (((seed + x * 31L + y * 131L) * 2654435761L) & 0xFFFFFFL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Partition-wise REAL decode over a `(doc_id, media binary, n_chars)`
+    * frame: javax.imageio rows get true dimensions, the rest the stub
+    * fallback (flagged). Same no-shuffle mapPartitions shape as
+    * [[extractMeta]]; the per-partition init point disables ImageIO's
+    * temp-FILE cache so decode stays in-memory on executors.
+    */
+  def extractMetaDecoded(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"), col("n_chars"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes, nChars) =>
+          val (m, isImg) = decodeImage(id, bytes, nChars, digest)
+          (m.doc_id, isImg, m.width, m.height, m.frames)
+        }
+      }.toDF("doc_id", "is_image", "width", "height", "frames")
+  }
+
   /** Attach the media payload as a BINARY column (stand-in for reading
     * image/audio bytes from a blob store column). */
   def withMediaBinary(docs: DataFrame, textCol: String): DataFrame =

@@ -71,6 +71,30 @@ object EtlOps {
     df.join(broadcast(mx), col(partCol) === col("__latest")).drop("__latest")
   }
 
+  /** [[latestPartition]] for a PHYSICALLY partitioned table — the
+    * reference's actual layout (metastore partition values,
+    * SimpleDataCleanUtils.scala:19-20). Two properties the joined form
+    * can't give (PlanSpec asserts both):
+    *
+    *  - the max computation reads ZERO data columns: partition values
+    *    live in directory/metastore metadata, so the max-side scan's
+    *    ReadSchema is `struct<>` — O(#partitions) metadata, no data IO;
+    *  - the result scan STATICALLY prunes to the one matching
+    *    partition, because Spark prunes at plan time only on literals —
+    *    so the single-value collect here is the point, not a wart: it
+    *    is the `SHOW PARTITIONS → max` metastore lookup, and turns the
+    *    downstream read into one partition directory instead of a
+    *    full-table runtime filter.
+    *
+    * Use on directory-partitioned data; [[latestPartition]] stays the
+    * shape for arbitrary (unpartitioned) relations.
+    */
+  def latestPartitionPruned(df: DataFrame, partCol: String): DataFrame = {
+    val row = df.select(col(partCol)).agg(max(col(partCol))).head()
+    if (row.isNullAt(0)) df.where(lit(false))
+    else df.where(col(partCol) === lit(row.get(0)))
+  }
+
   /** W1+P8 — keep the single newest row per business key
     * (reference CustomerInfDataClean.scala:41-45: `row_number()` over
     * (partition by key order by time desc), filter rank=1, drop rank).

@@ -46,6 +46,48 @@ object Parity {
       |      (SELECT max(strftime(l_shipdate, '%Y%m%d')) FROM lineitem)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------- G1/P6 (partitioned)
+  // Latest-partition selection over a PHYSICALLY partitioned table —
+  // the reference's real layout (metastore partition values). The table
+  // is written partitionBy("etl_date") once per (session, sf-dir); the
+  // operator's max comes from partition metadata (zero data columns)
+  // and the read statically prunes to the one latest directory
+  // (PlanSpec asserts both properties).
+  private val partTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def monthPartitionedLineitem(spark: SparkSession,
+                                       dir: String): String =
+    partTables.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-part").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+      val path = new java.io.File(root, "lineitem_by_month").toString
+      Tables.load(spark, dir, "lineitem")
+        .withColumn("etl_date", date_format(col("l_shipdate"), "yyyyMM"))
+        .write.partitionBy("etl_date").parquet(path)
+      path
+    })
+
+  def latestPartitionPrunedQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = spark.read.parquet(monthPartitionedLineitem(spark, dir))
+    EtlOps.latestPartitionPruned(t, "etl_date")
+      .groupBy(col("etl_date").cast("string").as("latest_etl_date"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+  val latestPartitionPrunedSql: String =
+    """SELECT strftime(l_shipdate, '%Y%m') AS latest_etl_date,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y%m') =
+      |      (SELECT max(strftime(l_shipdate, '%Y%m')) FROM lineitem)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ Pattern A
   // Audit-append (reference SimpleDataCleanUtils.scala:8-34).
   def auditAppendQ(spark: SparkSession, dir: String): DataFrame = {
@@ -418,6 +460,7 @@ object Parity {
     "p_insert_into" -> (insertIntoQ _),
     "p_typed_decode" -> (typedDecodeQ _),
     "p_latest_partition" -> (latestPartitionQ _),
+    "p_latest_partition_pruned" -> (latestPartitionPrunedQ _),
     "p_audit_append" -> (auditAppendQ _),
     "p_dedup_latest" -> (dedupLatestQ _),
     "p_scd_merge" -> (scdMergeQ _),
@@ -433,6 +476,7 @@ object Parity {
     "p_insert_into" -> insertIntoSql,
     "p_typed_decode" -> typedDecodeSql,
     "p_latest_partition" -> latestPartitionSql,
+    "p_latest_partition_pruned" -> latestPartitionPrunedSql,
     "p_audit_append" -> auditAppendSql,
     "p_dedup_latest" -> dedupLatestSql,
     "p_scd_merge" -> scdMergeSql,

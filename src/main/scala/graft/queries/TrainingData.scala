@@ -569,6 +569,42 @@ object TrainingData {
       |FROM documents""".stripMargin
 
   // ------------------------------------------------- video frame sampling
+  // ---------------------------------------------- multimodal REAL decode
+  // Mixed media column: every 4th doc carries a REAL PNG payload
+  // (deterministic pixels, planted dimensions doc_id%13+1 × doc_id%7+1),
+  // the rest raw UTF-8 text bytes. The pipeline decodes with
+  // javax.imageio — image rows report the DECODER's width/height (which
+  // the oracle checks against the planted truth), non-image rows fall
+  // back to the documented stub. This is the one place width/height come
+  // from an actual codec rather than arithmetic.
+  def multimodalDecodeQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text, nChars) =>
+          val payload =
+            if (id % 4 == 0)
+              Multimodal.syntheticPng((id % 13).toInt + 1, (id % 7).toInt + 1, id)
+            else text.getBytes("UTF-8")
+          (id, payload, nChars)
+        }
+      }.toDF("doc_id", "media", "n_chars")
+    Multimodal.extractMetaDecoded(media)
+  }
+  val multimodalDecodeSql: String =
+    """SELECT doc_id,
+      |  doc_id % 4 = 0 AS is_image,
+      |  CASE WHEN doc_id % 4 = 0 THEN doc_id % 13 + 1
+      |       ELSE CAST(strlen(text) AS BIGINT) % 640 END AS width,
+      |  CASE WHEN doc_id % 4 = 0 THEN doc_id % 7 + 1
+      |       ELSE (CAST(strlen(text) AS BIGINT) * 7) % 480 END AS height,
+      |  CASE WHEN doc_id % 4 = 0 THEN 1
+      |       ELSE CAST(n_chars % 30 AS BIGINT) END AS frames
+      |FROM documents""".stripMargin
+
   // Every 5th frame of each media row (frames from the stubbed decode),
   // with a stable per-frame uid — the row-local fan-out stage a video
   // pipeline runs before per-frame dedup/embedding.
@@ -1190,6 +1226,7 @@ object TrainingData {
     "x_neardup_lsh" -> (neardupLshQ _),
     "x_sessionize" -> (sessionizeQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
+    "x_multimodal_decode" -> (multimodalDecodeQ _),
     "x_ann_lsh" -> (annLshQ _),
     "x_asof_join" -> (asOfJoinQ _),
     "x_quality_filter" -> (qualityFilterQ _),
@@ -1227,6 +1264,7 @@ object TrainingData {
     "x_neardup_lsh" -> neardupLshSql,
     "x_sessionize" -> sessionizeSql,
     "x_multimodal_meta" -> multimodalMetaSql,
+    "x_multimodal_decode" -> multimodalDecodeSql,
     "x_ann_lsh" -> annLshSql,
     "x_asof_join" -> asOfJoinSql,
     "x_quality_filter" -> qualityFilterSql,

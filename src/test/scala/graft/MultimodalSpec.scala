@@ -17,6 +17,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage reads REAL PNG dimensions; non-image bytes fall " +
+    "back to the stub") {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val png = Multimodal.syntheticPng(5, 3, seed = 42L)
+    // PNG magic: a real encoder wrote this, a real decoder reads it
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte)
+    val (meta, isImg) = Multimodal.decodeImage(7L, png, 99L, digest)
+    assert(isImg && meta.width == 5 && meta.height == 3 && meta.frames == 1)
+    assert(meta.n_bytes == png.length)
+    val (stub, isImg2) = Multimodal.decodeImage(
+      7L, "not an image".getBytes("UTF-8"), 99L, digest)
+    assert(!isImg2 && stub.width == stub.n_bytes % 640)
+  }
+
+  test("extractMetaDecoded decodes mixed media partition-wise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(11, 4, 1L), 10L),
+      (2L, "plain text payload".getBytes("UTF-8"), 18L))
+      .toDF("doc_id", "media", "n_chars")
+    val out = Multimodal.extractMetaDecoded(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((true, 11L, 4L, 1L)))
+    val nb = "plain text payload".getBytes("UTF-8").length.toLong
+    assert(out(2L) == ((false, nb % 640, nb * 7 % 480, 18L % 30)))
+  }
+
   test("sampleFrames keeps every stride-th frame with stable uids") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sf0001, "documents").limit(40)

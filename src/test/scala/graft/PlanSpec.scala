@@ -52,6 +52,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("latestPartitionPruned on a directory-partitioned table: the max " +
+    "reads zero data columns and the result scan prunes partitions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_partproof").toString + "/t"
+    Tables.load(spark, sf0001, "lineitem")
+      .withColumn("etl_date", date_format(col("l_shipdate"), "yyyyMM"))
+      .write.partitionBy("etl_date").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // max over the partition column: partition values come from the
+    // directory metadata, so the scan materializes NO data columns
+    val maxPlan = plan(t.select(col("etl_date")).agg(max(col("etl_date"))))
+    assert(maxPlan.contains("ReadSchema: struct<>"),
+      s"max-side scan must read no data columns:\n$maxPlan")
+    // the filtered read prunes statically: the partition filter is on
+    // the scan and the partition column is not in the data ReadSchema
+    val p = plan(EtlOps.latestPartitionPruned(t, "etl_date"))
+    assert(p.contains("PartitionFilters: [isnotnull(etl_date") ||
+      p.contains("PartitionFilters: [(etl_date"),
+      s"no static partition filter on the scan:\n$p")
+    assert(!p.contains("etl_date:"),
+      s"partition column must not appear in the data ReadSchema:\n$p")
+  }
+
   test("saltedJoin equals the plain join and salts the shuffle key") {
     val ev = Tables.load(spark, sf0001, "events")
       .select(col("user_id"), col("event_id"), col("value"))

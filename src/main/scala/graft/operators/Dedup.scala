@@ -126,6 +126,11 @@ object Dedup {
   /** [[minhashNearDupPairsM]] with the default parquet-spill
     * materialization, returning the bare frame: no RDD blocks outlive
     * the call (LeakSpec) and the spill files are reclaimed on JVM exit.
+    *
+    * Each bare call leaves one spill dir on disk until then — fine for
+    * batch jobs; a long-lived SERVICE session should use the *M variant
+    * and release(), or periodically call Materialize.reapDefaultSpills.
+    * (Same contract for every bare wrapper in this file.)
     */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           k: Int = 5, threshold: Double = 0.5): DataFrame =

@@ -129,10 +129,42 @@ object Materialize {
     }
   }
 
+  /** Spill dirs created through [[MatStrategy.Default]] whose handles
+    * were never released — the footprint of the bare-DataFrame operator
+    * wrappers (minhashNearDupPairs, connectedComponents, …), which drop
+    * the release handle by design. Bounded for batch jobs (JVM-exit
+    * cleanup reclaims everything), but a long-lived SERVICE session
+    * accumulates one dir per call: such callers should prefer the *M
+    * variants and release(), or call [[reapDefaultSpills]] at a point
+    * where no bare-wrapper result is still in use.
+    */
+  private val defaultSpills =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Delete every unreleased Default-strategy spill dir (opt-in reaper
+    * for long-lived sessions). Caller contract: every DataFrame returned
+    * by a bare wrapper is dead — their backing files go away. Returns
+    * the number of dirs removed.
+    */
+  def reapDefaultSpills(spark: SparkSession): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var n = 0
+    val it = defaultSpills.iterator()
+    while (it.hasNext) {
+      val p = new Path(it.next())
+      it.remove()
+      val fs = p.getFileSystem(conf)
+      if (fs.delete(p, true)) n += 1
+    }
+    n
+  }
+
   def apply(df: DataFrame, mat: MatStrategy): Materialized = mat match {
 
     case MatStrategy.Default =>
-      apply(df, MatStrategy.Spill(defaultSpillRoot(df.sparkSession)))
+      val (m, path) = spill(df, defaultSpillRoot(df.sparkSession))
+      defaultSpills.add(path)
+      Materialized(m.df, () => { defaultSpills.remove(path); m.release() })
 
     case MatStrategy.Local => trackingLock.synchronized {
       val sc = df.sparkSession.sparkContext
@@ -169,21 +201,24 @@ object Materialize {
         created.foreach(d => fs.delete(new Path(d), true)))
     }
 
-    case MatStrategy.Spill(root) =>
-      val spark = df.sparkSession
-      val path = s"$root/spill-${counter.incrementAndGet()}"
-      df.write.mode("overwrite").parquet(path)
-      // explicit schema: an empty result writes no part files, and a
-      // schemaless read of the empty dir would fail instead of
-      // returning an empty frame. (asNullable: file sources always relax
-      // nullability on read — passing the exact schema would be ignored.)
-      val out = spark.read.schema(
-        relaxNullability(df.schema)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(path)
-      Materialized(out, () => {
-        val p = new Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true); ()
-      })
+    case MatStrategy.Spill(root) => spill(df, root)._1
+  }
+
+  private def spill(df: DataFrame, root: String): (Materialized, String) = {
+    val spark = df.sparkSession
+    val path = s"$root/spill-${counter.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(path)
+    // explicit schema: an empty result writes no part files, and a
+    // schemaless read of the empty dir would fail instead of
+    // returning an empty frame. (asNullable: file sources always relax
+    // nullability on read — passing the exact schema would be ignored.)
+    val out = spark.read.schema(
+      relaxNullability(df.schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(path)
+    (Materialized(out, () => {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true); ()
+    }), path)
   }
 }

@@ -428,6 +428,67 @@ object Parity {
        |       etl_date
        |FROM src""".stripMargin
 
+  // ------------------------------------------------------ streaming SCD
+  // The foreachBatch continuous SCD merge, driver-checkable: the events
+  // table is split into TWO single-file micro-batches (by event_id
+  // parity, so one user's rows span batches), streamed through
+  // StreamingOps.continuousScdMerge into a fresh snapshot, and the
+  // final table is returned. Convergence contract: per-key latest-row
+  // merging is associative across batches, so the final snapshot equals
+  // the one-shot batch merge over all input regardless of batch order —
+  // which is exactly what the oracle states relationally. Audit TIME
+  // stamps are batch-arrival-dependent by design and excluded; the
+  // audit user constants ride along.
+  private val streamSrcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def twoBatchEventsDir(spark: SparkSession, dir: String): String =
+    streamSrcDirs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-streamsrc").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+      val ev = Tables.load(spark, dir, "events")
+      val srcDir = new java.io.File(root, "src")
+      srcDir.mkdirs()
+      Seq(0, 1).foreach { half =>
+        val tmp = new java.io.File(root, s"tmp$half").toString
+        ev.where(col("event_id") % 2 === half).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(srcDir, s"b$half.parquet").toPath)
+      }
+      srcDir.toString
+    })
+
+  def streamScdQ(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(twoBatchEventsDir(spark, dir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-streamscd").toString + "/snap"
+    graft.streaming.StreamingOps.continuousScdMerge(
+      src, target, Seq("user_id"), "ts", Seq("event_id"))
+    spark.read.parquet(target).select(
+      col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+      col("event_type"), col("value"), col("props"),
+      col("dwd_insert_user"), col("dwd_modify_user"))
+  }
+  val streamScdSql: String =
+    """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |       event_type, value, props,
+      |       'user1' AS dwd_insert_user, 'user1' AS dwd_modify_user
+      |FROM events
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -470,7 +531,8 @@ object Parity {
     "p_union_by_name" -> (unionByNameQ _),
     "p_sql_scalar_subquery" -> (sqlScalarSubqueryQ _),
     "p_bistore_merge" -> (bistoreMergeQ _),
-    "p_scd2_history" -> (scd2HistoryQ _))
+    "p_scd2_history" -> (scd2HistoryQ _),
+    "p_stream_scd" -> (streamScdQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -486,5 +548,6 @@ object Parity {
     "p_union_by_name" -> unionByNameSql,
     "p_sql_scalar_subquery" -> sqlScalarSubquerySql,
     "p_bistore_merge" -> bistoreMergeSql,
-    "p_scd2_history" -> scd2HistorySql)
+    "p_scd2_history" -> scd2HistorySql,
+    "p_stream_scd" -> streamScdSql)
 }

@@ -38,13 +38,26 @@ object ByteDecode {
       case other => throw new IllegalArgumentException(s"no cell codec for $other")
     }
 
+  /** Width check matching HBase `Bytes.toInt/toLong/toDouble` semantics:
+    * those throw on a wrong-width cell, and so do we — silently reading
+    * the high 4 bytes of a long-encoded cell as an int would decode
+    * every small positive long as 0 (corrupt data, not an error).
+    */
+  private def requireWidth(dt: DataType, b: Array[Byte], n: Int): Unit =
+    require(b.length == n,
+      s"cell is ${b.length} bytes but $dt decodes exactly $n — the " +
+        "caller's schema width disagrees with the writer's")
+
   def decodeCell(dt: DataType, b: Array[Byte]): Any =
     if (b == null) null
     else dt match {
       case StringType => new String(b, StandardCharsets.UTF_8)
-      case IntegerType => ByteBuffer.wrap(b).getInt
-      case LongType => ByteBuffer.wrap(b).getLong
-      case DoubleType => ByteBuffer.wrap(b).getDouble
+      case IntegerType =>
+        requireWidth(dt, b, 4); ByteBuffer.wrap(b).getInt
+      case LongType =>
+        requireWidth(dt, b, 8); ByteBuffer.wrap(b).getLong
+      case DoubleType =>
+        requireWidth(dt, b, 8); ByteBuffer.wrap(b).getDouble
       case other => throw new IllegalArgumentException(s"no cell codec for $other")
     }
 

@@ -52,16 +52,80 @@ object CatalogSinks {
                            partCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
+      // the orphan-reclaim path derivation only holds for unqualified
+      // names: db.tbl lives at warehouse/<db>.db/tbl, and deleting
+      // warehouse/"db.tbl" would miss it (or hit an unrelated dir)
+      require(!table.contains("."),
+        s"saveAsTableOverwrite reclaims warehouse/<table> for orphaned " +
+          s"locations and supports only unqualified table names; got " +
+          s"'$table' — qualify the session's current database instead")
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(
         s"$warehouse/${table.toLowerCase(java.util.Locale.ROOT)}")
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        // delete only what LOOKS like an abandoned table directory (a
+        // Spark-written table root carries _SUCCESS); anything else at
+        // that path is not ours to destroy
+        if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
+          fs.delete(loc, true)
+        else throw new IllegalStateException(
+          s"refusing to reclaim $loc for table $table: the directory " +
+            "exists but does not look like a previously-written table " +
+            "(no _SUCCESS marker) — remove it manually if it is stale")
+      }
     }
     df.write.mode("overwrite").partitionBy(partCols: _*).saveAsTable(table)
   }
 
   private val overwriteModeLock = new Object
+
+  /** Cross-PROCESS commit lock for a table: an exclusive marker file
+    * next to the warehouse location, acquired with the filesystem's
+    * atomic create-if-absent. Two separate drivers dynamically
+    * overwriting the same table would otherwise interleave their
+    * file commits (the in-JVM `overwriteModeLock` can't see another
+    * process); the reference has the same hole.
+    *
+    * Liveness: a holder that died mid-commit leaves its lock behind, so
+    * a lock older than `staleMs` is broken (deleted and re-contended).
+    * The break itself has the classic lock-file caveat — two waiters can
+    * both observe staleness and race the re-create; the window is one
+    * create call and the loser keeps waiting, which is the standard
+    * trade-off short of a real lock service.
+    */
+  private def acquireTableLock(spark: SparkSession, table: String,
+                               waitMs: Long, staleMs: Long): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val lock = new org.apache.hadoop.fs.Path(
+      s"$warehouse/.graft_commit_lock_${table.toLowerCase(java.util.Locale.ROOT)}")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try fs.createNewFile(lock)
+        catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        val mtime =
+          try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        mtime match {
+          case Some(t) if System.currentTimeMillis() - t > staleMs =>
+            fs.delete(lock, false); () // stale holder died — break it
+          case _ =>
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"could not acquire commit lock $lock within ${waitMs}ms — " +
+                  s"another driver is overwriting $table; if its process " +
+                  s"died, the lock breaks after ${staleMs}ms, or delete " +
+                  "the file manually")
+            Thread.sleep(100)
+        }
+      }
+    }
+    (fs, lock)
+  }
 
   /** K2: dynamic-partition overwrite via SQL INSERT OVERWRITE — only the
     * partitions present in `df` are replaced. Needs the session-level
@@ -77,7 +141,12 @@ object CatalogSinks {
     * parallel remains a Spark-session-level hazard this API cannot see.
     */
   def insertOverwritePartitions(spark: SparkSession, df: DataFrame,
-                                table: String, partCol: String): Unit = overwriteModeLock.synchronized {
+                                table: String, partCol: String,
+                                lockWaitMs: Long = 120000L,
+                                lockStaleMs: Long = 600000L): Unit = overwriteModeLock.synchronized {
+    // JVM lock first (cheap, serializes this session's callers), then
+    // the cross-process lock file (two drivers on one warehouse)
+    val (lockFs, lock) = acquireTableLock(spark, table, lockWaitMs, lockStaleMs)
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
@@ -98,6 +167,8 @@ object CatalogSinks {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+      lockFs.delete(lock, false)
+      ()
     }
   }
 }

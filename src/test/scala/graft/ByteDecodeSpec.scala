@@ -32,6 +32,22 @@ class ByteDecodeSpec extends SparkSpec {
     }
   }
 
+  test("decodeCell rejects wrong-width cells like HBase Bytes does") {
+    import org.apache.spark.sql.types._
+    val longCell = ByteDecode.encodeCell(LongType, 5L)
+    // reading a long cell as int must throw, not decode the high half as 0
+    intercept[IllegalArgumentException] {
+      ByteDecode.decodeCell(IntegerType, longCell)
+    }
+    intercept[IllegalArgumentException] {
+      ByteDecode.decodeCell(LongType, ByteDecode.encodeCell(IntegerType, 5))
+    }
+    intercept[IllegalArgumentException] {
+      ByteDecode.decodeCell(DoubleType, Array[Byte](1, 2, 3))
+    }
+    assert(ByteDecode.decodeCell(LongType, longCell) == 5L)
+  }
+
   test("encodeCells → decodeTyped round-trips rows, schema and NULL cells") {
     val rows = Seq(
       Row(1L, 42, "alpha", 10.25),

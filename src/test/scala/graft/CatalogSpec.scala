@@ -63,4 +63,56 @@ class CatalogSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       .forall(_.equalsIgnoreCase("static")))
   }
+
+  private def lockPath(t: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/.graft_commit_lock_$t")
+
+  test("K2 commit lock: a second driver's lock blocks the overwrite " +
+    "until it is released (or broken when stale)") {
+    val t = freshTable()
+    CatalogSinks.saveAsTableOverwrite(
+      Seq((1L, "old", "202401")).toDF("id", "v", "etl_date"),
+      t, Seq("etl_date"))
+    val reload = Seq((1L, "new", "202401")).toDF("id", "v", "etl_date")
+    val lock = lockPath(t)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // another driver holds the lock (fresh mtime): this session must
+    // NOT interleave — it waits and then fails loudly
+    assert(fs.createNewFile(lock))
+    val e = intercept[IllegalStateException] {
+      CatalogSinks.insertOverwritePartitions(spark, reload, t, "etl_date",
+        lockWaitMs = 300L, lockStaleMs = 60000L)
+    }
+    assert(e.getMessage.contains(lock.toString))
+    assert(spark.table(t).where($"v" === "new").count() == 0,
+      "blocked commit must not have written")
+    // the holder died: an old lock is broken and the commit proceeds
+    fs.setTimes(lock, System.currentTimeMillis() - 10000L, -1L)
+    CatalogSinks.insertOverwritePartitions(spark, reload, t, "etl_date",
+      lockWaitMs = 5000L, lockStaleMs = 1000L)
+    assert(spark.table(t).where($"v" === "new").count() == 1)
+    assert(!fs.exists(lock), "lock must be released after the commit")
+  }
+
+  test("saveAsTableOverwrite refuses qualified names and non-table dirs") {
+    intercept[IllegalArgumentException] {
+      CatalogSinks.saveAsTableOverwrite(
+        Seq((1L, "a", "x")).toDF("id", "v", "etl_date"),
+        "somedb.sometable", Seq("etl_date"))
+    }
+    // a directory squatting on the would-be location that is NOT a
+    // previously-written table (no _SUCCESS) must not be deleted
+    val t = freshTable()
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$t/keep")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    intercept[IllegalStateException] {
+      CatalogSinks.saveAsTableOverwrite(
+        Seq((1L, "a", "x")).toDF("id", "v", "etl_date"), t, Seq("etl_date"))
+    }
+    assert(fs.exists(loc), "unrecognized directory must survive")
+    fs.delete(loc.getParent, true)
+  }
 }

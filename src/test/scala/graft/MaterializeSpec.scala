@@ -56,6 +56,18 @@ class MaterializeSpec extends SparkSpec {
     assert(fs.listStatus(p).isEmpty, "release must delete the spill dir")
   }
 
+  test("reapDefaultSpills deletes unreleased Default spill dirs; " +
+    "released handles are not double-tracked") {
+    Materialize.reapDefaultSpills(spark) // drain anything left by peers
+    val m1 = Materialize(df, MatStrategy.Default) // leaked on purpose
+    val m2 = Materialize(df, MatStrategy.Default)
+    m2.release() // properly released → deregistered
+    assert(m1.df.count() == df.count())
+    assert(Materialize.reapDefaultSpills(spark) == 1,
+      "exactly the one unreleased dir must be reaped")
+    assert(Materialize.reapDefaultSpills(spark) == 0, "reap is idempotent")
+  }
+
   test("Spill of an EMPTY frame keeps the schema (explicit-schema read)") {
     val root = java.nio.file.Files.createTempDirectory("graft_mat_e").toString
     val empty = df.where(lit(false))

@@ -83,6 +83,38 @@ object TrainingData {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------- per-source curation
+  // The per-source (≈ per-domain) corpus report every curation pipeline
+  // keeps: volume, size, language spread, and exact-dup rate by source —
+  // the numbers that decide which crawl sources get down-weighted or
+  // cut. All aggregates are exact integers (sums/counts/distincts);
+  // ratios are row-local divisions of exact values, so the report is
+  // bit-stable across partitionings and engines.
+  def sourceReportQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      round(sum(col("n_chars")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("avg_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(TextFns.fingerprintMd5(col("text")))
+        .as("n_distinct_texts"))
+      .withColumn("dup_rate", round(lit(1.0d) -
+        col("n_distinct_texts").cast("double") /
+          col("n_docs").cast("double"), 4))
+  val sourceReportSql: String =
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  round(CAST(sum(n_chars) AS BIGINT)::DOUBLE / count(*), 4) AS avg_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+      |       AS BIGINT) AS n_distinct_texts,
+      |  round(1.0::DOUBLE -
+      |    count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))::DOUBLE
+      |      / count(*), 4) AS dup_rate
+      |FROM documents GROUP BY source""".stripMargin
+
   // -------------------------------------------------------------- lang id
   def langIdQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -213,6 +245,47 @@ object TrainingData {
       |          (len(ga) + len(gb) - len(list_filter(ga, x -> list_contains(gb, x)))),
       |          4) END AS jaccard2
       |FROM grams""".stripMargin
+
+  // ------------------------------------------------ shingle containment
+  // Containment C(A,B) = |A∩B| / |A| over distinct 5-shingle hash sets —
+  // the ASYMMETRIC near-dup measure (quote/subset detection): a short
+  // doc fully contained in a long one scores 1.0 where Jaccard dilutes
+  // toward 0. Here A = the truncated near-copy, B = the original, so
+  // every row's containment is provably high while its Jaccard varies.
+  // Shingle hashes come from the same native one-pass expression the
+  // minhash family uses; the oracle replays the polynomial hash.
+  def containmentQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    val ha = NativeFns.shingleHashes(expr("substring(text, 11)"), 5)
+    val hb = NativeFns.shingleHashes(col("text"), 5)
+    docs(spark, dir).select(
+      col("doc_id"),
+      round(when(size(ha) === 0, lit(0.0d))
+        .otherwise(size(array_intersect(ha, hb)).cast("double") /
+          size(ha).cast("double")), 4).as("containment"))
+  }
+  /** DuckDB fragment: distinct 5-shingle polynomial hashes of `e` —
+    * the same formula minhashCtesOver pins for the `text` column. */
+  private def shingleHashesSql(e: String): String =
+    s"""list_distinct(list_transform(
+       |      list_transform(range(1, greatest(length($e)-4, 1)+1),
+       |        i -> substr($e, CAST(i AS INT), 5)),
+       |      s -> list_reduce(
+       |             list_concat([CAST(0 AS BIGINT)],
+       |               list_transform(range(1, length(s)+1),
+       |                 c -> CAST(unicode(substr(s, CAST(c AS INT), 1)) AS BIGINT))),
+       |             (a, c) -> (a*31 + c) % 1000000007)))""".stripMargin
+  val containmentSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    ${shingleHashesSql("substr(text, 11)")} AS ha,
+       |    ${shingleHashesSql("text")} AS hb
+       |  FROM documents)
+       |SELECT doc_id,
+       |  round(CASE WHEN len(ha) = 0 THEN 0.0
+       |    ELSE len(list_filter(ha, x -> list_contains(hb, x)))::DOUBLE / len(ha)
+       |    END, 4) AS containment
+       |FROM sh""".stripMargin
 
   // --------------------------------------------------------- minhash + LSH
   def minhashDedupQ(spark: SparkSession, dir: String): DataFrame =
@@ -488,8 +561,12 @@ object TrainingData {
         .as("v")))
     Similarity.lshNearDupPairs(corpus, "vec_id", "v", 0.98)
   }
-  val neardupLshSql: String =
-    """WITH base AS (
+  /** The LSH near-dup pipeline as a WITH-clause body ending in the
+    * `scored(id_a, id_b, sim)` CTE — shared by the pairs query and the
+    * embedding-clusters closure so both oracles describe the SAME
+    * candidate generation and verification. */
+  private val neardupLshCtes: String =
+    """base AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |corpus AS (
       |  SELECT vec_id, v FROM base
@@ -529,8 +606,41 @@ object TrainingData {
       |           sqrt(list_dot_product(bv.v, bv.v))), 4) AS sim
       |  FROM cand
       |  JOIN corpus av ON av.vec_id = cand.id_a
-      |  JOIN corpus bv ON bv.vec_id = cand.id_b)
-      |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.98""".stripMargin
+      |  JOIN corpus bv ON bv.vec_id = cand.id_b)""".stripMargin
+
+  val neardupLshSql: String =
+    s"""WITH $neardupLshCtes
+       |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.98""".stripMargin
+
+  // ------------------------------------------ embedding near-dup clusters
+  // The embedding-side drop decision: connected components over the
+  // LSH-candidate, cosine-verified pair graph — each paired vector
+  // labeled with its cluster representative (min vec_id), exactly like
+  // the text-side x_dedup_clusters but with hyperplane buckets instead
+  // of minhash bands. Completes embedding-cosine near-dup from candidate
+  // generation through to the clustering a pipeline actually drops by.
+  def embeddingClustersQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
+        .as("v")))
+    val pairs = Similarity.lshNearDupPairs(corpus, "vec_id", "v", 0.98)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+  }
+  val embeddingClustersSql: String =
+    s"""WITH RECURSIVE $neardupLshCtes,
+       |pairs AS (SELECT id_a, id_b FROM scored WHERE sim >= 0.98),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+       |SELECT n AS vec_id, min(m) AS cluster_rep FROM reach GROUP BY n""".stripMargin
 
   // --------------------------------------------------------- sessionize
   def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
@@ -1239,7 +1349,10 @@ object TrainingData {
     "x_pii_scrub" -> (piiScrubQ _),
     "x_ann_ivf" -> (annIvfQ _),
     "x_dedup_drop" -> (dedupDropQ _),
-    "x_dedup_drop_sigtable" -> (dedupDropSigQ _))
+    "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
+    "x_containment" -> (containmentQ _),
+    "x_source_report" -> (sourceReportQ _),
+    "x_embedding_clusters" -> (embeddingClustersQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1279,5 +1392,8 @@ object TrainingData {
     "x_dedup_drop" -> dedupDropSql,
     // same oracle as x_dedup_drop: the sig-table composition must
     // reproduce the from-text composition's survivor set exactly
-    "x_dedup_drop_sigtable" -> dedupDropSql)
+    "x_dedup_drop_sigtable" -> dedupDropSql,
+    "x_containment" -> containmentSql,
+    "x_source_report" -> sourceReportSql,
+    "x_embedding_clusters" -> embeddingClustersSql)
 }

@@ -78,5 +78,8 @@ object GraftExtensions {
     (NativeFns.BloomContainsName,
       "graft_bloom_contains(bloom, xxh64) - bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(es(0), es(1))))
+        .BloomFilterMightContain(es(0), es(1))),
+    (NativeFns.HeavyHittersName,
+      "graft_heavy_hitters(item, k) - Misra-Gries candidate heavy hitters",
+      es => HeavyHittersAgg(es(0), es(1).eval().asInstanceOf[Int])))
 }

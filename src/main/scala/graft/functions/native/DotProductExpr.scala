@@ -88,6 +88,7 @@ object NativeFns {
   val SimhashName = "graft_simhash"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
+  val HeavyHittersName = "graft_heavy_hitters"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -139,4 +140,12 @@ object NativeFns {
 
   def bloomContains(bloom: Column, xxh64: Column): Column =
     call_function(BloomContainsName, bloom, xxh64)
+
+  /** Misra-Gries k-counter heavy-hitters candidate set over a string
+    * item stream (mergeable TypedImperativeAggregate; see
+    * [[HeavyHittersAgg]] for the guarantee and the re-count contract). */
+  def heavyHitters(item: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(HeavyHittersName, item, lit(k))
+  }
 }

@@ -489,6 +489,87 @@ object Parity {
       |QUALIFY row_number() OVER
       |  (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1""".stripMargin
 
+  // ------------------------------------------------------ streaming window
+  // Watermark-driven tumbling-window aggregation, oracle-gated END TO END.
+  // Events stream as three time-ordered micro-batches: first half by event
+  // time, second half, then one far-future sentinel row. Append mode emits
+  // a window only once the watermark passes its end, so the sentinel is
+  // what exercises the watermark machinery for real — it advances event
+  // time by a day, closing every real window (without it a finite stream
+  // leaves the trailing watermark interval unemitted and the oracle could
+  // never match). The time-ordered split guarantees no real event arrives
+  // behind the watermark, so nothing is late-dropped and the emitted rows
+  // must equal the batch tumbling aggregate exactly.
+  private val streamWinDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def windowBatchesDir(spark: SparkSession, dir: String): String =
+    streamWinDirs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-streamwin").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+      val ev = Tables.load(spark, dir, "events")
+      // fixture bounds, not operator state: two longs on the driver
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (minNs, maxNs) = (bounds.getLong(0), bounds.getLong(1))
+      val midNs = (minNs + maxNs) / 2
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxNs + 86400L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel__").as("event_type"),
+        lit(0.0d).as("value"),
+        lit(null).cast("string").as("props"))
+      val srcDir = new java.io.File(root, "src")
+      srcDir.mkdirs()
+      val batches = Seq(
+        ev.where(col("ts") <= midNs), ev.where(col("ts") > midNs), sentinel)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = new java.io.File(root, s"tmp$i").toString
+        b.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // FileStreamSource orders files by modification time; pin an
+        // ascending order so batch 2 (the sentinel) really arrives last
+        dst.setLastModified(1000000000000L + i * 60000L)
+        ()
+      }
+      srcDir.toString
+    })
+
+  def streamWindowQ(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(windowBatchesDir(spark, dir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamingOps.windowedEventStats(
+      src, watermark = "10 minutes", window_ = "5 minutes")
+    val out = agg.select(
+      unix_micros(col("window.start")).as("win_start_us"),
+      col("event_type"), col("n"),
+      round(col("sum_value"), 2).as("sum_value"))
+    val qname = "graft_stream_win_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamingOps.runToMemory(out, qname)
+    // the sentinel's own window never closes, so it is absent anyway;
+    // the filter just pins that invariant against config drift
+    spark.table(qname).where(col("event_type") =!= "__sentinel__")
+  }
+  val streamWindowSql: String =
+    """SELECT (epoch_ns(ts) // 1000 // 300000000) * 300000000 AS win_start_us,
+      |       event_type, count(*) AS n,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -532,7 +613,8 @@ object Parity {
     "p_sql_scalar_subquery" -> (sqlScalarSubqueryQ _),
     "p_bistore_merge" -> (bistoreMergeQ _),
     "p_scd2_history" -> (scd2HistoryQ _),
-    "p_stream_scd" -> (streamScdQ _))
+    "p_stream_scd" -> (streamScdQ _),
+    "p_stream_window" -> (streamWindowQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -549,5 +631,6 @@ object Parity {
     "p_sql_scalar_subquery" -> sqlScalarSubquerySql,
     "p_bistore_merge" -> bistoreMergeSql,
     "p_scd2_history" -> scd2HistorySql,
-    "p_stream_scd" -> streamScdSql)
+    "p_stream_scd" -> streamScdSql,
+    "p_stream_window" -> streamWindowSql)
 }

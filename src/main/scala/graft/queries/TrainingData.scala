@@ -967,6 +967,58 @@ object TrainingData {
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
   // brute force are all oracle-reproduced, so the approximate operator
   // is value-checked end to end like the LSH one.
+  // --------------------------------------- scalar-quantized (SQ8) ANN
+  // The compressed-corpus search path: per-dimension min/max maps every
+  // coordinate to an 8-bit code (1 byte/dim vs 4-8 raw — the 100 TB
+  // memory/IO play), search scores the exact query against the decoded
+  // corpus. Quantization is deterministic (exact min/max + one fixed
+  // IEEE evaluation order), so the oracle replays encode+decode+search
+  // verbatim.
+  def annSq8Q(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.sqTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5)
+  }
+  val annSq8Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |stats AS (
+      |  SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+      |    SELECT unnest(v) AS val, generate_subscripts(v, 1) AS pos
+      |    FROM base)
+      |  GROUP BY pos),
+      |sv AS (
+      |  SELECT list(mn ORDER BY pos) AS mnv, list(mx ORDER BY pos) AS mxv
+      |  FROM stats),
+      |enc AS (
+      |  SELECT vec_id AS n_id,
+      |    list_transform(range(1, len(v) + 1), i -> CASE
+      |      WHEN mxv[CAST(i AS INT)] = mnv[CAST(i AS INT)] THEN 0.0
+      |      ELSE floor((v[CAST(i AS INT)] - mnv[CAST(i AS INT)])
+      |           / (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) * 255.0)
+      |      END) AS codes
+      |  FROM base, sv),
+      |dec AS (
+      |  SELECT n_id,
+      |    list_transform(range(1, len(codes) + 1),
+      |      i -> mnv[CAST(i AS INT)] + codes[CAST(i AS INT)]
+      |           * (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) / 255.0)
+      |      AS dv
+      |  FROM enc, sv),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, d.n_id,
+      |    round(list_dot_product(q.v, d.dv) /
+      |      (sqrt(list_dot_product(q.v, q.v))
+      |       * sqrt(list_dot_product(d.dv, d.dv))), 4) AS sim
+      |  FROM base q JOIN dec d ON q.vec_id <> d.n_id
+      |  WHERE q.vec_id < 20)
+      |SELECT q_id, n_id, sim,
+      |  CAST(row_number() OVER
+      |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+
   // x_ann_ivf runs the TRAINED quantizer: 2 Lloyd iterations of the
   // exact fixed-point k-means (Similarity.kmeansQuantized). The oracle
   // REPLAYS training: because every cross-row reduction in the trainer
@@ -1469,7 +1521,8 @@ object TrainingData {
     "x_embedding_clusters" -> (embeddingClustersQ _),
     "x_dup_spans" -> (dupSpansQ _),
     "x_split_by_source" -> (splitBySourceQ _),
-    "x_heavy_hitters" -> (heavyHittersQ _))
+    "x_heavy_hitters" -> (heavyHittersQ _),
+    "x_ann_sq8" -> (annSq8Q _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1515,5 +1568,6 @@ object TrainingData {
     "x_embedding_clusters" -> embeddingClustersSql,
     "x_dup_spans" -> dupSpansSql,
     "x_split_by_source" -> splitBySourceSql,
-    "x_heavy_hitters" -> heavyHittersSql)
+    "x_heavy_hitters" -> heavyHittersSql,
+    "x_ann_sq8" -> annSq8Sql)
 }

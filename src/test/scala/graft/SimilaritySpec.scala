@@ -123,4 +123,30 @@ class SimilaritySpec extends SparkSpec {
         s"missing planted pair $i")
     }
   }
+
+  test("sqTopK: 8-bit quantization keeps near-exact recall@5") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"q_id", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sqTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"q_id", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    // 8-bit codes lose ~0.2% of the value range per dimension; top-5
+    // neighbor sets should be nearly unchanged (ties at the boundary
+    // may flip a straggler)
+    assert(recall > 0.9, s"recall@5 $recall too low for SQ8")
+  }
+
+  test("sqTopK is deterministic across partitionings") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.sqTopK(q, c, "vec_id", "embedding", 5)
+        .collect().map(_.toSeq).toSet
+    assert(run(emb) == run(emb.repartition(7)),
+      "SQ8 results changed under repartitioning")
+  }
 }

@@ -573,6 +573,54 @@ object Parity {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- streaming sessions
+  // session_window sessionization gated end to end, on the same
+  // three-batch fixture as p_stream_window: the sentinel advances the
+  // watermark a day so every real session closes and appends. Spark's
+  // session window is [start, last + gap) — a new event STARTS a new
+  // session when its distance from the previous event is >= gap (the
+  // half-open end), so the relational oracle's island rule uses >=
+  // where the batch x_sessionize operator (a different, closed-interval
+  // contract) uses >. Sessions of the sentinel user never close and are
+  // filtered; real users' sessions span micro-batches through state.
+  def streamSessionsQ(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(windowBatchesDir(spark, dir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamingOps.sessionWindowStream(src, 30)
+    val out = agg.select(col("user_id"),
+      unix_micros(col("session_start")).as("session_start_us"),
+      unix_micros(col("session_end")).as("session_end_us"),
+      col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    val qname = "graft_stream_sess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamingOps.runToMemory(out, qname,
+      statePartitions = Some(8))
+    spark.table(qname).where(col("user_id") >= 0)
+  }
+  val streamSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu, value
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+      |                   OR tsu - lag(tsu) OVER w >= 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |s2 AS (
+      |  SELECT *, sum(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)
+      |    AS sess_idx
+      |  FROM s)
+      |SELECT user_id,
+      |       min(tsu) AS session_start_us,
+      |       max(tsu) + 1800000000 AS session_end_us,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM s2 GROUP BY user_id, sess_idx""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -617,7 +665,8 @@ object Parity {
     "p_bistore_merge" -> (bistoreMergeQ _),
     "p_scd2_history" -> (scd2HistoryQ _),
     "p_stream_scd" -> (streamScdQ _),
-    "p_stream_window" -> (streamWindowQ _))
+    "p_stream_window" -> (streamWindowQ _),
+    "p_stream_sessions" -> (streamSessionsQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -635,5 +684,6 @@ object Parity {
     "p_bistore_merge" -> bistoreMergeSql,
     "p_scd2_history" -> scd2HistorySql,
     "p_stream_scd" -> streamScdSql,
-    "p_stream_window" -> streamWindowSql)
+    "p_stream_window" -> streamWindowSql,
+    "p_stream_sessions" -> streamSessionsSql)
 }

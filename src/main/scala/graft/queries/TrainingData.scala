@@ -967,6 +967,40 @@ object TrainingData {
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
   // brute force are all oracle-reproduced, so the approximate operator
   // is value-checked end to end like the LSH one.
+  // ------------------------------------------------- sequence packing
+  // Assign each document to a fixed-budget training sequence (2048
+  // whitespace tokens) by running token total — the deterministic core
+  // of the concat-and-chunk step every LLM data pipeline runs between
+  // curation and tokenization. Packing is per SOURCE (partition by
+  // source, order by doc_id): a global order would serialize into one
+  // sort at 100 TB, while per-source packing parallelizes across the
+  // partition key and keeps each shard's documents domain-coherent.
+  // seq_id = the sequence the document STARTS in (greedy order-
+  // preserving concat; documents may straddle their boundary, exactly
+  // like real packing with EOS joins).
+  def seqPackQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir).select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
+      .drop("cum")
+  }
+  val seqPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(n_tok) OVER
+      |    (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tok,
+      |  CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id
+      |FROM c""".stripMargin
+
   // --------------------------------------- scalar-quantized (SQ8) ANN
   // The compressed-corpus search path: per-dimension min/max maps every
   // coordinate to an 8-bit code (1 byte/dim vs 4-8 raw — the 100 TB
@@ -1522,7 +1556,8 @@ object TrainingData {
     "x_dup_spans" -> (dupSpansQ _),
     "x_split_by_source" -> (splitBySourceQ _),
     "x_heavy_hitters" -> (heavyHittersQ _),
-    "x_ann_sq8" -> (annSq8Q _))
+    "x_ann_sq8" -> (annSq8Q _),
+    "x_seq_pack" -> (seqPackQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1569,5 +1604,6 @@ object TrainingData {
     "x_dup_spans" -> dupSpansSql,
     "x_split_by_source" -> splitBySourceSql,
     "x_heavy_hitters" -> heavyHittersSql,
-    "x_ann_sq8" -> annSq8Sql)
+    "x_ann_sq8" -> annSq8Sql,
+    "x_seq_pack" -> seqPackSql)
 }

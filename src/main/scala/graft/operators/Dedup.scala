@@ -211,6 +211,23 @@ object Dedup {
     try out.write(k.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Append an ADMITTED batch's signatures to a maintained signature
+    * table — the live-table half of the ingest loop: screen the batch
+    * with [[incrementalNearDupAgainstSigsM]], admit the survivors, then
+    * append their signatures so the NEXT batch screens against them
+    * too. Refuses a table whose recorded shingle size differs (same
+    * guarantee as the screen itself: mixed-k signatures never
+    * intersect and would silently admit every duplicate). */
+  def appendToSignatureTable(batch: DataFrame, textCol: String,
+                             idCol: String, path: String,
+                             k: Int = 5): Unit = {
+    val storedK = signatureTableK(batch.sparkSession, path)
+    require(storedK == k,
+      s"signature table at $path was written with k=$storedK but the " +
+        s"batch is hashed with k=$k — refusing to mix shingle sizes")
+    sigOf(batch, textCol, idCol, k).write.mode("append").parquet(path)
+  }
+
   /** Shingle size a signature table was written with. */
   def signatureTableK(spark: org.apache.spark.sql.SparkSession,
                       path: String): Int = {

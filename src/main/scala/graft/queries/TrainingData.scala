@@ -967,6 +967,113 @@ object TrainingData {
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
   // brute force are all oracle-reproduced, so the approximate operator
   // is value-checked end to end like the LSH one.
+  // ------------------------------------------- continuous curation loop
+  // The live ingest pipeline end to end: a corpus's signature table is
+  // written once; two micro-batches of new documents then stream
+  // through StreamingOps.continuousCurate — each batch is screened
+  // against the signature TABLE (corpus text never re-tokenized),
+  // survivors are admitted and their signatures appended, so batch 1
+  // catches near-copies of documents that were only admitted in batch
+  // 0. That echo group (ids +8e6: near-copies of batch 0's novel
+  // md5-chain docs) is the proof the table is live — nothing in the
+  // original corpus resembles them. The oracle replays the sequential
+  // admit decisions relationally from ONE tagged-union pair set:
+  // dup0 = batch0 x corpus pairs; adm0 = batch0 - dup0;
+  // dup1 = batch1 x (corpus UNION adm0) pairs; output = adm0 + (batch1
+  // - dup1). Within-batch pairs are ignored on both sides (documented
+  // screen semantics).
+  def streamCurateQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-curate").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }))
+    val sigPath = new java.io.File(root, "sigs").toString
+    val outPath = new java.io.File(root, "admitted").toString
+    val srcDir = new java.io.File(root, "src")
+    srcDir.mkdirs()
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    Dedup.writeSignatureTable(d, "text", "doc_id", sigPath, k = 5)
+    val chain = concat(md5(col("text")), md5(concat(col("text"), lit("a"))),
+      md5(concat(col("text"), lit("b"))))
+    val b0 = d.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text"))
+      .union(d.where(col("doc_id") % 5 === 1).select(
+        (col("doc_id") + 6000000L).as("doc_id"), chain.as("text")))
+    val b1 = d.where(col("doc_id") % 5 === 2).select(
+        (col("doc_id") + 7000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text"))
+      .union(d.where(col("doc_id") % 5 === 1).select(
+        (col("doc_id") + 8000000L).as("doc_id"),
+        substring(chain, 11, 1000).as("text")))
+      .union(d.where(col("doc_id") % 5 === 3).select(
+        (col("doc_id") + 9000000L).as("doc_id"),
+        concat(md5(concat(col("text"), lit("c"))),
+          md5(concat(col("text"), lit("d"))),
+          md5(concat(col("text"), lit("e")))).as("text")))
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      val tmp = new java.io.File(root, s"tmp$i").toString
+      b.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+      ()
+    }
+    val src = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    graft.streaming.StreamingOps.continuousCurate(
+      src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5)
+    spark.read.parquet(outPath).select(col("doc_id"))
+  }
+  val streamCurateSql: String = {
+    val chain = "md5(text) || md5(text || 'a') || md5(text || 'b')"
+    val tagged =
+      s"""SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, substr(text, 11) FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, $chain FROM documents
+         |  WHERE doc_id % 5 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, substr(text, 11) FROM documents
+         |  WHERE doc_id % 5 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, substr($chain, 11) FROM documents
+         |  WHERE doc_id % 5 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 9000000,
+         |         md5(text || 'c') || md5(text || 'd') || md5(text || 'e')
+         |  FROM documents WHERE doc_id % 5 = 3""".stripMargin
+    s"""WITH ${minhashCtesOver(tagged)},
+       |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |b0 AS (SELECT doc_id FROM corpus
+       |       WHERE doc_id >= 5000000 AND doc_id < 7000000),
+       |b1 AS (SELECT doc_id FROM corpus WHERE doc_id >= 7000000),
+       |dup0 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM p
+       |  WHERE doc_a < 5000000 AND doc_b >= 5000000 AND doc_b < 7000000),
+       |adm0 AS (SELECT doc_id FROM b0
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM dup0)),
+       |dup1 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM p
+       |  WHERE doc_b >= 7000000
+       |    AND (doc_a < 5000000
+       |         OR doc_a IN (SELECT doc_id FROM adm0))),
+       |adm1 AS (SELECT doc_id FROM b1
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM dup1))
+       |SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1""".stripMargin
+  }
+
   // ------------------------------------------------- sequence packing
   // Assign each document to a fixed-budget training sequence (2048
   // whitespace tokens) by running token total — the deterministic core
@@ -1557,7 +1664,8 @@ object TrainingData {
     "x_split_by_source" -> (splitBySourceQ _),
     "x_heavy_hitters" -> (heavyHittersQ _),
     "x_ann_sq8" -> (annSq8Q _),
-    "x_seq_pack" -> (seqPackQ _))
+    "x_seq_pack" -> (seqPackQ _),
+    "x_stream_curate" -> (streamCurateQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1605,5 +1713,6 @@ object TrainingData {
     "x_split_by_source" -> splitBySourceSql,
     "x_heavy_hitters" -> heavyHittersSql,
     "x_ann_sq8" -> annSq8Sql,
-    "x_seq_pack" -> seqPackSql)
+    "x_seq_pack" -> seqPackSql,
+    "x_stream_curate" -> streamCurateSql)
 }

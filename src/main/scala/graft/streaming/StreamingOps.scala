@@ -245,6 +245,51 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Continuous corpus curation: screen each arriving batch of documents
+    * against a maintained MinHash signature table
+    * ([[graft.operators.Dedup.writeSignatureTable]]), append the
+    * survivors to `admittedDir`, and append THEIR signatures back to the
+    * table so the next batch screens against them too — the live-table
+    * ingest loop of a training-data pipeline. The screen itself is the
+    * batch operator (incrementalNearDupAgainstSigsM): batch and
+    * continuous ingestion share one implementation, so their admit
+    * decisions are identical by construction.
+    *
+    * Scale notes: per batch, the corpus side is two column-pruned scans
+    * of the signature table (bands + shingle sets) — corpus text is
+    * never re-tokenized; the batch side is O(batch). State lives in the
+    * signature table, not the state store, so there is no watermark and
+    * no per-key streaming state to bound. Within-batch duplicates are
+    * NOT collapsed (documented screen semantics — run exact dedup
+    * upstream if a feed can self-duplicate inside one trigger).
+    */
+  def continuousCurate(src: DataFrame, sigTablePath: String,
+                       admittedDir: String, textCol: String, idCol: String,
+                       k: Int = 5, threshold: Double = 0.5): Unit = {
+    val q = src.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val screened = graft.operators.Dedup.incrementalNearDupAgainstSigsM(
+          batch, sigTablePath, textCol, idCol, k, threshold)
+        try {
+          val dupIds = screened.df.select(col("batch_id").as(idCol)).distinct()
+          // survivors is evaluated twice (admit write + signature
+          // append); the expensive half — the screen — is already
+          // materialized in `screened`, so each evaluation is one
+          // cheap batch-side anti-join
+          val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+          survivors.write.mode("append").parquet(admittedDir)
+          graft.operators.Dedup.appendToSignatureTable(
+            survivors, textCol, idCol, sigTablePath, k)
+        } finally screened.release()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Continuous ingestion with quarantine: a text-line stream split by
     * the SAME parse expression as the batch Ingest layer, clean rows to
     * one parquet table and raw corrupt lines to a replayable quarantine

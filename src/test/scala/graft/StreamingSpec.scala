@@ -270,4 +270,46 @@ class StreamingSpec extends SparkSpec {
     // timeouts really fire: strictly more than the in-batch closures
     assert(out.size > nonTrailing.size, "no trailing session ever timed out")
   }
+
+  test("continuousCurate: a batch-1 near-copy of a batch-0 admit is " +
+    "rejected (the signature table is live)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_curate_spec").toFile
+    def path(n: String) = new java.io.File(root, n).toString
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val novelText = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val freshText = "red orange yellow green blue indigo violet black " +
+      "white brown crimson scarlet amber teal navy maroon olive silver"
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureTable(
+      corpus, "text", "doc_id", path("sigs"), k = 5)
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val batches = Seq(
+      Seq((100L, novelText)),                           // novel: admit
+      Seq((200L, novelText.substring(10)),              // echo of 100: REJECT
+        (201L, freshText)))                             // novel: admit
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = path(s"tmp$i")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+    }
+    val src = spark.readStream
+      .schema(corpus.schema).option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    StreamingOps.continuousCurate(
+      src, path("sigs"), path("admitted"), "text", "doc_id")
+    val admitted = spark.read.parquet(path("admitted"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 200 is near NOTHING in the original corpus — it is rejected only
+    // because 100's signatures were appended after batch 0
+    assert(admitted == Set(100L, 201L),
+      s"expected live-table screen to admit {100, 201}, got $admitted")
+  }
 }

@@ -188,6 +188,38 @@ object Jobs {
     Sinks.overwriteAll(sampled, s"$outDir/corpus_sample", Seq("lang"))
   }
 
+  /** Continuous-ingest curation — the streaming admission service:
+    * bootstraps the corpus signature table if absent, then runs the
+    * documents feed (synthesized micro-batches of near-copies + novel
+    * content) through StreamingOps.continuousCurate, so survivors land
+    * in an admitted table and their signatures keep the screen live
+    * for the next batch. One implementation with the batch screen —
+    * this job IS screenBatchJob's fuzzy stage running forever. */
+  private def curateStreamJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val sigPath = s"$outDir/corpus_sigs"
+    val fs = new org.apache.hadoop.fs.Path(sigPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(sigPath, "_graft_shingle_k")))
+      Dedup.writeSignatureTable(corpus, "text", "doc_id", sigPath, k = 5)
+    val srcDir = s"$outDir/feed"
+    corpus.where(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text"))
+      .union(corpus.where(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 9500000L).as("doc_id"),
+          concat(md5(col("text")),
+            md5(concat(col("text"), lit("a")))).as("text")))
+      .write.mode("overwrite").parquet(srcDir)
+    val src = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    graft.streaming.StreamingOps.continuousCurate(
+      src, sigPath, s"$outDir/admitted", "text", "doc_id",
+      k = 5, threshold = 0.5)
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
     "ingest_props" -> (ingestPropsJob _),
     "corpus_report" -> (corpusReportJob _),
@@ -203,7 +235,8 @@ object Jobs {
     "bistore_order_master" -> (bistoreOrdersJob _),
     "dws_customer_region" -> (dwsCustomerRegionJob _),
     "clean_corpus" -> (cleanCorpusJob _),
-    "screen_batch" -> (screenBatchJob _))
+    "screen_batch" -> (screenBatchJob _),
+    "curate_stream" -> (curateStreamJob _))
 }
 
 object JobRunner {

@@ -967,6 +967,48 @@ object TrainingData {
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
   // brute force are all oracle-reproduced, so the approximate operator
   // is value-checked end to end like the LSH one.
+  // -------------------------------------- per-language quantile gate
+  // Quality thresholds that adapt per language: an absolute cutoff
+  // (x_quality_filter's shape) silently drops whole languages whose
+  // score distribution sits lower — e.g. a stopword-list signal that
+  // never fires for zh. The standard fix every multilingual pipeline
+  // ships: rank documents WITHIN their language and drop the bottom
+  // fraction, so each language keeps its best 80% regardless of where
+  // its absolute scores sit. percent_rank over a total order
+  // (score, doc_id) is partition-count-independent and engine-exact
+  // ((rank-1)/(n-1) on small integers), so the gate is oracle-stable.
+  def qualityQuantileQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      round(
+        (TextFns.wordSetCount(t, TextFns.EnWords).cast("double") /
+          greatest(TextFns.tokenCount(t), lit(1L)).cast("double")) +
+          (least(TextFns.tokenCount(t), lit(200L)).cast("double") / 200.0d),
+        4).as("score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id"))
+    scored.withColumn("pr", round(percent_rank().over(w), 6))
+      .where(col("pr") >= 0.2d)
+  }
+  val qualityQuantileSql: String = {
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    round(
+       |      len(regexp_extract_all(lower(text), '$sw'))::DOUBLE /
+       |        greatest(len(string_split_regex(trim(text), '\\s+')), 1) +
+       |      least(len(string_split_regex(trim(text), '\\s+')), 200)::DOUBLE
+       |        / 200.0, 4) AS score
+       |  FROM documents)
+       |SELECT doc_id, lang, score,
+       |  round(percent_rank() OVER
+       |    (PARTITION BY lang ORDER BY score, doc_id), 6) AS pr
+       |FROM scored
+       |QUALIFY round(percent_rank() OVER
+       |    (PARTITION BY lang ORDER BY score, doc_id), 6) >= 0.2""".stripMargin
+  }
+
   // ------------------------------------------- continuous curation loop
   // The live ingest pipeline end to end: a corpus's signature table is
   // written once; two micro-batches of new documents then stream
@@ -1665,7 +1707,8 @@ object TrainingData {
     "x_heavy_hitters" -> (heavyHittersQ _),
     "x_ann_sq8" -> (annSq8Q _),
     "x_seq_pack" -> (seqPackQ _),
-    "x_stream_curate" -> (streamCurateQ _))
+    "x_stream_curate" -> (streamCurateQ _),
+    "x_quality_quantile" -> (qualityQuantileQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1714,5 +1757,6 @@ object TrainingData {
     "x_heavy_hitters" -> heavyHittersSql,
     "x_ann_sq8" -> annSq8Sql,
     "x_seq_pack" -> seqPackSql,
-    "x_stream_curate" -> streamCurateSql)
+    "x_stream_curate" -> streamCurateSql,
+    "x_quality_quantile" -> qualityQuantileSql)
 }

@@ -15,9 +15,11 @@ class JobsSpec extends SparkSpec {
     }
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
     // ingest_props, corpus_report and screen_batch emit two tables each;
-    // clean_corpus also persists the maintained signature table
-    assert(dirs.size == Jobs.all.size + 4,
-      s"expected ${Jobs.all.size + 4} output tables, got $dirs")
+    // clean_corpus also persists the maintained signature table;
+    // curate_stream adds its feed + admitted tables (it reuses
+    // clean_corpus's signature table, running right after it)
+    assert(dirs.size == Jobs.all.size + 5,
+      s"expected ${Jobs.all.size + 5} output tables, got $dirs")
     dirs.foreach { d =>
       val n = spark.read.parquet(s"$out/$d").count()
       // the quarantine table is rightly empty when every line parses
@@ -36,6 +38,22 @@ class JobsSpec extends SparkSpec {
     val splits = corpus.select(col("split").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "valid", "test")) && splits("train"))
+  }
+
+  test("curate_stream screens the feed against a live signature table") {
+    val out = Files.createTempDirectory("graft_curate_job").toString
+    Jobs.all("curate_stream")(spark, sf0001, out)
+    val admitted = spark.read.parquet(s"$out/admitted")
+    // novel md5-chain docs (+9.5e6) resemble nothing ingested: admitted
+    assert(admitted.where(col("doc_id") >= 9500000L).count() > 0,
+      "novel feed docs were not admitted")
+    // near-copies (+9e6) are mostly screened out against the corpus sigs
+    val nearTotal = Tables.load(spark, sf0001, "documents")
+      .where(col("doc_id") % 4 === 0).count()
+    val nearAdmitted = admitted
+      .where(col("doc_id") >= 9000000L && col("doc_id") < 9500000L).count()
+    assert(nearAdmitted < nearTotal,
+      s"no near-copy was screened out ($nearAdmitted of $nearTotal admitted)")
   }
 
   test("screen_batch admits only exact-and-fuzzy-novel batch docs") {

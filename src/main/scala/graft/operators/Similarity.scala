@@ -411,10 +411,14 @@ object Similarity {
     * Returns (q_id, n_id, sim, rank) like the other top-k variants,
     * sim = cosine of (exact query, decoded neighbor) rounded to 4.
     */
-  def sqTopK(queries: DataFrame, corpus: DataFrame,
-             idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"),
-      asDouble(col(vecCol)).as("v"))
+  /** SQ8 encode+decode of a corpus: per-dimension min/max stats (one
+    * tiny aggregate, broadcast back) then the row-local affine code and
+    * its reconstruction. Returns (`idCol`, dv: array&lt;double&gt;) —
+    * the decoded corpus that [[sqTopK]] scores directly and
+    * [[ivfSqTopK]] feeds to the trained IVF as ITS corpus. Split out so
+    * both compose the identical, oracle-replayable quantization. */
+  def sqDecode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val stats = c.select(posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("pos"))
       .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
@@ -424,7 +428,7 @@ object Similarity {
         s => s.getField("mn")).as("mnv"),
       transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
         s => s.getField("mx")).as("mxv"))
-    val enc = c.crossJoin(broadcast(sv))
+    c.crossJoin(broadcast(sv))
       // code_i = floor((x_i - mn_i) / (mx_i - mn_i) * 255), flat dims -> 0
       .withColumn("codes", expr(
         """zip_with(zip_with(v, mnv, (x, mn) -> x - mn),
@@ -436,7 +440,13 @@ object Similarity {
         """zip_with(zip_with(codes, zip_with(mxv, mnv, (a, b) -> a - b),
           |                  (cd, r) -> cd * r / 255.0D),
           |         mnv, (s, mn) -> mn + s)""".stripMargin))
-      .select(col("n_id"), col("dv"))
+      .select(col(idCol), col("dv"))
+  }
+
+  def sqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val enc = sqDecode(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "n_id")
       .withColumn("n_norm", norm(col("dv")))
     val q = queries.select(col(idCol).as("q_id"),
         asDouble(col(vecCol)).as("q_v"))
@@ -450,5 +460,25 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Trained IVF over the SQ8-COMPRESSED corpus — the two ANN levers
+    * stacked: [[sqDecode]] shrinks the corpus to 1-byte-per-dimension
+    * codes (the IO/memory lever), and the k-means IVF prunes which
+    * lists a query scores at all (the compute lever). Training,
+    * assignment, and scoring all run on the decoded vectors — the
+    * compressed corpus IS the corpus, exactly as it would be on disk
+    * at 100 TB — while queries stay full-precision (asymmetric
+    * distance). Every stage is deterministic, so the composed oracle
+    * replays quantization, training, and search end to end. */
+  def ivfSqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                iters: Int = 2): DataFrame = {
+    val dec = sqDecode(corpus, idCol, vecCol)
+    // queries stay full-precision — aliased to the decoded column name
+    // only so the search phase reads one vector column on both sides
+    val q = queries.select(col(idCol), asDouble(col(vecCol)).as("dv"))
+    ivfTopKTrained(q, dec, idCol, "dv", k, nlist, nprobe, iters)
   }
 }

@@ -1213,7 +1213,13 @@ object TrainingData {
     Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 20), emb,
       "vec_id", "embedding", 5, nlist = 16, nprobe = 4, iters = 2)
   }
-  val annIvfSql: String = {
+  /** The trained-IVF oracle chain, parameterized by a CTE prelude that
+    * must define `vc(vec_id, vec)` — the corpus the quantizer trains
+    * on, assigns, and scores — and `vq(vec_id, vec)` — the query
+    * vectors (probe selection filters vec_id < 20 inside the chain).
+    * x_ann_ivf instantiates both as the raw embeddings; x_ann_ivf_sq8
+    * instantiates vc as the SQ8-decoded corpus and vq raw. */
+  private def ivfChainSql(prelude: String): String = {
     def cos(a: String, b: String) =
       s"""list_dot_product($a, $b) /
          |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
@@ -1250,12 +1256,11 @@ object TrainingData {
          |         COALESCE(n.cnt, p.cnt) AS cnt
          |  FROM $prev p LEFT JOIN nc$t n USING (c_id))""".stripMargin
     }
-    s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    s"""WITH $prelude,
        |q0 AS (
        |  SELECT vec_id AS n_id, vec,
        |    list_transform(vec, x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
-       |  FROM v),
+       |  FROM vc),
        |qn AS (
        |  SELECT n_id, qv,
        |    CAST(list_sum(list_transform(qv,
@@ -1277,13 +1282,13 @@ object TrainingData {
        |  SELECT n.vec_id AS n_id, n.vec AS n_v, c.c_id,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${cos("n.vec", "c.c_v")} DESC, c.c_id) AS rn
-       |  FROM v n CROSS JOIN cents c),
+       |  FROM vc n CROSS JOIN cents c),
        |a2 AS (SELECT c_id, n_id, n_v FROM assigned WHERE rn = 1),
        |probes AS (
        |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |      ${cos("q.vec", "c.c_v")} DESC, c.c_id) AS rn
-       |  FROM v q CROSS JOIN cents c WHERE q.vec_id < 20),
+       |  FROM vq q CROSS JOIN cents c WHERE q.vec_id < 20),
        |p2 AS (SELECT q_id, q_v, c_id FROM probes WHERE rn <= 4),
        |scored AS (
        |  SELECT p2.q_id, a2.n_id,
@@ -1295,6 +1300,49 @@ object TrainingData {
        |FROM scored
        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
   }
+
+  val annIvfSql: String = ivfChainSql(
+    """v0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |vc AS (SELECT vec_id, vec FROM v0),
+      |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin)
+
+  // x_ann_ivf_sq8: the two ANN levers stacked — the IVF chain runs
+  // unchanged, but its corpus is the SQ8-decoded table (training,
+  // assignment, and scoring all see the compressed vectors, exactly as
+  // they would on disk); queries probe at full precision.
+  def annIvfSq8Q(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfSqTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 4, iters = 2)
+  }
+  val annIvfSq8Sql: String = ivfChainSql(
+    """v0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |stats8 AS (
+      |  SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+      |    SELECT unnest(vec) AS val, generate_subscripts(vec, 1) AS pos
+      |    FROM v0)
+      |  GROUP BY pos),
+      |sv8 AS (
+      |  SELECT list(mn ORDER BY pos) AS mnv, list(mx ORDER BY pos) AS mxv
+      |  FROM stats8),
+      |enc8 AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(vec) + 1), i -> CASE
+      |      WHEN mxv[CAST(i AS INT)] = mnv[CAST(i AS INT)] THEN 0.0
+      |      ELSE floor((vec[CAST(i AS INT)] - mnv[CAST(i AS INT)])
+      |           / (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) * 255.0)
+      |      END) AS codes
+      |  FROM v0, sv8),
+      |vc AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(codes) + 1),
+      |      i -> mnv[CAST(i AS INT)] + codes[CAST(i AS INT)]
+      |           * (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) / 255.0)
+      |      AS vec
+      |  FROM enc8, sv8),
+      |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin)
 
   // ------------------------------------------------------- as-of join
   // For every purchase, the user's latest click at-or-before it
@@ -1708,7 +1756,8 @@ object TrainingData {
     "x_ann_sq8" -> (annSq8Q _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
-    "x_quality_quantile" -> (qualityQuantileQ _))
+    "x_quality_quantile" -> (qualityQuantileQ _),
+    "x_ann_ivf_sq8" -> (annIvfSq8Q _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1758,5 +1807,6 @@ object TrainingData {
     "x_ann_sq8" -> annSq8Sql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
-    "x_quality_quantile" -> qualityQuantileSql)
+    "x_quality_quantile" -> qualityQuantileSql,
+    "x_ann_ivf_sq8" -> annIvfSq8Sql)
 }

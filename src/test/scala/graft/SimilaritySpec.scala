@@ -140,6 +140,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.9, s"recall@5 $recall too low for SQ8")
   }
 
+  test("ivfSqTopK: IVF over the compressed corpus keeps useful recall") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"q_id", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfSqTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"q_id", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // probing 4/16 lists bounds recall like plain trained IVF; SQ8
+    // reconstruction error must not meaningfully degrade it further
+    assert(recall > 0.2, s"recall@5 $recall too low for IVF+SQ8")
+  }
+
   test("sqTopK is deterministic across partitionings") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val q = emb.filter($"vec_id" < 10)

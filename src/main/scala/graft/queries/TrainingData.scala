@@ -967,6 +967,50 @@ object TrainingData {
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
   // brute force are all oracle-reproduced, so the approximate operator
   // is value-checked end to end like the LSH one.
+  // ----------------------------------------- best-keeper cluster dedup
+  // Near-dup clusters keep their BEST member, not their first: real
+  // pipelines retain the longest (or highest-quality) variant of a
+  // duplicated document — here the planted near-copies are 10-char
+  // truncations, so the keeper is provably the original while the
+  // min-id cluster_rep is just a label. Same signature-table clustering
+  // as x_dedup_clusters (shared sig table, shared closure CTEs); the
+  // keeper choice is one extra window over cluster members — O(cluster)
+  // work after the clustering, nothing rescanned.
+  def dedupBestKeeperQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val sigs = sigTableFor(spark, dir, "neardup", corpus)
+    val pairs = Dedup.nearDupPairsFromSigs(spark, sigs, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val lens = corpus.select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val members = clusters.join(lens, Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("len").desc, col("doc_id"))
+    val keepers = members.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keeper_id"))
+    members.join(keepers, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
+  }
+  val dedupBestKeeperSql: String =
+    s"""$clustersClosureCtes,
+       |lens AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM corpus),
+       |m AS (
+       |  SELECT r.doc_id, r.cluster_rep, l.len
+       |  FROM reps r JOIN lens l USING (doc_id)),
+       |k AS (
+       |  SELECT cluster_rep, doc_id AS keeper_id FROM (
+       |    SELECT cluster_rep, doc_id,
+       |      row_number() OVER
+       |        (PARTITION BY cluster_rep ORDER BY len DESC, doc_id) AS rn
+       |    FROM m)
+       |  WHERE rn = 1)
+       |SELECT m.doc_id, m.cluster_rep, k.keeper_id,
+       |       CAST(m.doc_id = k.keeper_id AS BIGINT) AS keep
+       |FROM m JOIN k USING (cluster_rep)""".stripMargin
+
   // -------------------------------------- per-language quantile gate
   // Quality thresholds that adapt per language: an absolute cutoff
   // (x_quality_filter's shape) silently drops whole languages whose
@@ -1757,7 +1801,8 @@ object TrainingData {
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
-    "x_ann_ivf_sq8" -> (annIvfSq8Q _))
+    "x_ann_ivf_sq8" -> (annIvfSq8Q _),
+    "x_dedup_best_keeper" -> (dedupBestKeeperQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1808,5 +1853,6 @@ object TrainingData {
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,
-    "x_ann_ivf_sq8" -> annIvfSq8Sql)
+    "x_ann_ivf_sq8" -> annIvfSq8Sql,
+    "x_dedup_best_keeper" -> dedupBestKeeperSql)
 }

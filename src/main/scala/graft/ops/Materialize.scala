@@ -44,6 +44,13 @@ object MatStrategy {
   case object Reliable extends MatStrategy
   final case class Spill(dir: String) extends MatStrategy
 
+  /** No materialization: hand back the lazy frame with a no-op release.
+    * For callers that want the OPERATOR'S full plan — composing it into
+    * a larger pipeline Catalyst should optimize end to end, or
+    * asserting plan shape in tests — and accept recomputation on every
+    * action in exchange. */
+  case object PassThrough extends MatStrategy
+
   /** Spill to a per-session default root resolved against the session's
     * default filesystem at materialization time (see class doc).
     */
@@ -160,6 +167,8 @@ object Materialize {
   }
 
   def apply(df: DataFrame, mat: MatStrategy): Materialized = mat match {
+
+    case MatStrategy.PassThrough => Materialized(df, () => ())
 
     case MatStrategy.Default =>
       val (m, path) = spill(df, defaultSpillRoot(df.sparkSession))

@@ -967,6 +967,44 @@ object TrainingData {
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
   // brute force are all oracle-reproduced, so the approximate operator
   // is value-checked end to end like the LSH one.
+  // ------------------------------------ temperature-flattened mixture
+  // Down-weight oversized sources the way multilingual/multi-domain
+  // training mixes do: with T = 2, a source's keep-rate is
+  // sqrt(max_n / n_s) capped at 1 — the largest source is sampled
+  // hardest and the flattening weakens toward 1 as sources shrink.
+  // Rates are DERIVED from the data (one tiny per-source count,
+  // broadcast back), unlike x_sample_stratified's fixed table;
+  // the row decision is the same stable md5-fold hash, so the sample is
+  // reproducible across engines and partitionings. Keep-rates are
+  // resolved to basis points by floor() of an identical IEEE expression
+  // on both engines.
+  def mixtureTemperatureQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val rates = counts.crossJoin(
+        broadcast(counts.agg(max(col("n_s")).as("max_n"))))
+      .withColumn("bp", floor(
+        least(sqrt(col("max_n").cast("double") / col("n_s").cast("double")),
+          lit(1.0d)) * 10000.0d).cast("long"))
+      .select(col("source"), col("bp"))
+    d.join(broadcast(rates), Seq("source"))
+      .where(TextFns.hash32(concat(col("source"), lit(":"),
+        col("doc_id").cast("string"))) % 10000L < col("bp"))
+      .select(col("doc_id"), col("source"))
+  }
+  val mixtureTemperatureSql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+       |r AS (
+       |  SELECT source,
+       |    CAST(floor(least(sqrt((SELECT max(n_s) FROM c)::DOUBLE / n_s),
+       |                     1.0) * 10000.0) AS BIGINT) AS bp
+       |  FROM c)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${duckHash32("d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
+       |      % 10000 < r.bp""".stripMargin
+
   // ----------------------------------------- best-keeper cluster dedup
   // Near-dup clusters keep their BEST member, not their first: real
   // pipelines retain the longest (or highest-quality) variant of a
@@ -1802,7 +1840,8 @@ object TrainingData {
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
-    "x_dedup_best_keeper" -> (dedupBestKeeperQ _))
+    "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
+    "x_mixture_temperature" -> (mixtureTemperatureQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -1854,5 +1893,6 @@ object TrainingData {
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
-    "x_dedup_best_keeper" -> dedupBestKeeperSql)
+    "x_dedup_best_keeper" -> dedupBestKeeperSql,
+    "x_mixture_temperature" -> mixtureTemperatureSql)
 }

@@ -189,6 +189,25 @@ class PlanSpec extends SparkSpec {
       s"candidate recount join not broadcast:\n$p")
   }
 
+  test("signature-table pair generation column-prunes both scans " +
+    "(bands read ids+minhashes, verification reads ids+shingle sets)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigplan").toString + "/sigs"
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    graft.operators.Dedup.writeSignatureTable(
+      docs, "text", "doc_id", dir, k = 5)
+    // PassThrough: the bare wrapper would hand back a scan of the
+    // materialized spill, hiding the pipeline plan this test asserts
+    val p = plan(graft.operators.Dedup.nearDupPairsFromSigsM(
+      spark, dir, 0.5, graft.ops.MatStrategy.PassThrough).df)
+    // the corpus text column must appear in NO scan: every read is a
+    // projection of the stored signature table
+    assert(!p.contains("text:string"), s"corpus text rescanned:\n$p")
+    // band scans prune away the wide shingle-set column
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,m0:bigint"),
+      s"band scan not pruned to (doc_id, m0..m15):\n$p")
+  }
+
   test("gap fill reuses one events scan partitioning (no extra exchange)") {
     val ev = Tables.load(spark, sf0001, "events")
     val p = plan(graft.operators.TimeSeries.gapFilledCounts(

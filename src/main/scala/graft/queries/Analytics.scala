@@ -181,6 +181,43 @@ object Analytics {
   // Analytic window functions beyond row_number (the reference's only
   // window, SURVEY.md §2.6): per-user inter-event gaps via lag, plus
   // first/last session anchors — one window exchange total.
+  // RANGE-framed moving aggregate: each event's 10-minute trailing
+  // average per user — frame membership by VALUE distance on the event
+  // time, not row count, so bursts widen the frame and quiet periods
+  // shrink it (the rows-based windows elsewhere in this file cannot
+  // express that). Peers at equal timestamps are all in-frame on both
+  // engines by RANGE semantics. The average is computed from an EXACT
+  // integer cent-sum, not sum of doubles: DuckDB evaluates sliding
+  // windows with a segment tree whose re-association differs from
+  // Spark's running frame by an ulp; integer sums are order-independent,
+  // and the single IEEE division by (n*100.0) is then bit-identical on
+  // both engines. No final round(): Spark rounds the shortest decimal
+  // repr half-up while DuckDB rounds the binary double, so exact
+  // half-cent quotients (cents odd, n=2 → x.xx5) flip between them.
+  def rangeFrameQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-600000000L, 0L)
+    ev.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("n_10min", count(lit(1)).over(w))
+      .withColumn("ma_10min",
+        sum(col("cents")).over(w).cast("double") /
+          (col("n_10min").cast("double") * 100.0d))
+      .drop("cents")
+  }
+  val rangeFrameSql: String =
+    """SELECT user_id, event_id,
+      |  epoch_ns(ts) // 1000 AS ts_us, value,
+      |  count(*) OVER w AS n_10min,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+      |    / (count(*) OVER w * 100.0) AS ma_10min
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def lagDeltaQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id"))
@@ -662,6 +699,7 @@ object Analytics {
     "q_exists" -> (existsQ _),
     "q_correlated_scalar" -> (correlatedScalarQ _),
     "q_lag_delta" -> (lagDeltaQ _),
+    "q_range_frame" -> (rangeFrameQ _),
     "q_key_histogram" -> (keyHistogramQ _),
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
@@ -690,6 +728,7 @@ object Analytics {
     "q_exists" -> existsSql,
     "q_correlated_scalar" -> correlatedScalarSql,
     "q_lag_delta" -> lagDeltaSql,
+    "q_range_frame" -> rangeFrameSql,
     "q_key_histogram" -> keyHistogramSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,

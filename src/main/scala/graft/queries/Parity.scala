@@ -573,6 +573,38 @@ object Parity {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- stream-stream join
+  // The attribution join (clicks within 10 minutes before a purchase,
+  // same user) as a watermarked stream-stream self-join, oracle-gated:
+  // an inner stream-stream join emits exactly the matches, so after the
+  // time-ordered batches drain, the memory sink must equal the batch
+  // theta join. Eviction safety: a click leaves state only when the
+  // watermark passes c_time + 10min, and every purchase it could still
+  // match arrives earlier than that (the split is time-ordered), so
+  // state cleanup can never drop a matchable row — bounded state AND
+  // exact results, which is the whole point of watermarked joins. The
+  // sentinel row matches neither side's filter.
+  def streamJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(windowBatchesDir(spark, dir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val joined = graft.streaming.StreamingOps.streamStreamAttribution(src)
+    val qname = "graft_stream_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamingOps.runToMemory(joined, qname,
+      statePartitions = Some(8))
+    spark.table(qname)
+  }
+  val streamJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.user_id = p.user_id
+      | AND epoch_ns(c.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 600000000
+      | AND epoch_ns(c.ts) // 1000 < epoch_ns(p.ts) // 1000""".stripMargin
+
   // ---------------------------------------------------- streaming sessions
   // session_window sessionization gated end to end, on the same
   // three-batch fixture as p_stream_window: the sentinel advances the
@@ -666,7 +698,8 @@ object Parity {
     "p_scd2_history" -> (scd2HistoryQ _),
     "p_stream_scd" -> (streamScdQ _),
     "p_stream_window" -> (streamWindowQ _),
-    "p_stream_sessions" -> (streamSessionsQ _))
+    "p_stream_sessions" -> (streamSessionsQ _),
+    "p_stream_join" -> (streamJoinQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -685,5 +718,6 @@ object Parity {
     "p_scd2_history" -> scd2HistorySql,
     "p_stream_scd" -> streamScdSql,
     "p_stream_window" -> streamWindowSql,
-    "p_stream_sessions" -> streamSessionsSql)
+    "p_stream_sessions" -> streamSessionsSql,
+    "p_stream_join" -> streamJoinSql)
 }

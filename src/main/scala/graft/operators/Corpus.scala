@@ -40,6 +40,34 @@ object Corpus {
           .cast("long"))
   }
 
+  /** Overlapping token-window chunking — the RAG / embedding-prep step
+    * that splits each document into `window`-token chunks every `stride`
+    * tokens (overlap = window - stride). Chunk starts are 0, stride,
+    * 2*stride, … up to the last start that still exposes a new token;
+    * a document of ≤ window tokens yields exactly one chunk.
+    *
+    * Scale shape: entirely row-local — tokenize once, build the chunk
+    * array with a codegen'd higher-order `transform`, posexplode. No
+    * shuffle, no UDF; output rows carry (id, chunk_id, chunk, n_tok) so
+    * downstream embedding can repartition however it likes.
+    */
+  def chunkDocs(docs: DataFrame, textCol: String, idCol: String,
+                window: Int = 40, stride: Int = 30): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window/stride must be positive, got $window/$stride")
+    docs
+      .select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("__ta"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(0, " +
+            s"CAST(ceil((size(__ta) - $window) / $stride.0) AS INT))), " +
+            s"i -> array_join(slice(__ta, i*$stride + 1, $window), ' '))")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"))
+      .withColumn("n_tok", size(split(col("chunk"), " ")).cast("long"))
+  }
+
   /** Per-language corpus profile: document count, total characters,
     * mean token count, and how many documents clear a minimum
     * length/token bar (the mixture-weight inputs). One hash aggregation

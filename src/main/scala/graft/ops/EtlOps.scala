@@ -220,4 +220,30 @@ object EtlOps {
   def keyedSnapshotScan(df: DataFrame, keyCol: String,
                         rowkeyRegex: String): DataFrame =
     df.filter(col(keyCol).rlike(rowkeyRegex))
+
+  /** CDC changelog apply — the upsert-with-tombstones upgrade of
+    * [[scdMerge]] (extension; the reference's merges never delete).
+    * The log is a stream of (key, seq, op) rows where op ∈ {upsert,
+    * delete}: the final state keeps, per key, the row with the highest
+    * sequence UNLESS that row is a delete tombstone, in which case the
+    * key vanishes. This is the standard collapse of a Debezium/binlog
+    * style changelog into a snapshot.
+    *
+    * `seqCols` must totally order each key's changes (pass a tie-breaker
+    * like the log offset, same determinism rule as [[dedupLatest]]).
+    * One window shuffle on the key; rank=1 rides Spark 4's
+    * WindowGroupLimit rewrite, so per-partition top-1 happens before the
+    * exchange — at 100 TB the shuffle carries one row per key per map
+    * partition, not the whole log.
+    */
+  def applyChangelog(log: DataFrame, keys: Seq[String],
+                     seqCols: Seq[String], opCol: String,
+                     deleteOp: String = "D"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(seqCols.map(col(_).desc): _*)
+    log.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__graft_rn")
+  }
 }

@@ -218,6 +218,44 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
       |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // Distribution-rank window suite: ntile / percent_rank / cume_dist /
+  // nth_value / last_value in ONE window exchange (same partition+order,
+  // so Catalyst plans a single Window node — .explain shows one
+  // WindowExec). Determinism: the ordering (c_acctbal, c_custkey) is
+  // total, and percent_rank/cume_dist are each a SINGLE integer-ratio
+  // division, bit-identical across engines; the value-picking functions
+  // get an explicit unbounded ROWS frame because the engines' default
+  // frames differ.
+  def windowSuiteQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    c.select(
+      col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_acctbal"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      nth_value(col("c_custkey"), 2).over(wf).as("second_poorest"),
+      last(col("c_custkey")).over(wf).as("richest"))
+  }
+  val windowSuiteSql: String =
+    """SELECT c_custkey,
+      |  CAST(c_nationkey AS BIGINT) AS nation, c_acctbal,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  nth_value(c_custkey, 2) OVER wf AS second_poorest,
+      |  last_value(c_custkey) OVER wf AS richest
+      |FROM customer
+      |WINDOW
+      |  w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+      |  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   def lagDeltaQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy(col("user_id"))
@@ -700,6 +738,7 @@ object Analytics {
     "q_correlated_scalar" -> (correlatedScalarQ _),
     "q_lag_delta" -> (lagDeltaQ _),
     "q_range_frame" -> (rangeFrameQ _),
+    "q_window_suite" -> (windowSuiteQ _),
     "q_key_histogram" -> (keyHistogramQ _),
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
@@ -729,6 +768,7 @@ object Analytics {
     "q_correlated_scalar" -> correlatedScalarSql,
     "q_lag_delta" -> lagDeltaSql,
     "q_range_frame" -> rangeFrameSql,
+    "q_window_suite" -> windowSuiteSql,
     "q_key_histogram" -> keyHistogramSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,

@@ -573,6 +573,38 @@ object Parity {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- CDC apply
+  // Changelog-with-tombstones collapse (EtlOps.applyChangelog): orders
+  // re-read as a change stream on the customer key — each order is an
+  // upsert of that customer's latest order except finished ('F') rows,
+  // which tombstone the key. Sequence = (o_orderdate, o_orderkey): the
+  // orderkey tie-breaker makes the per-key ordering total, so the
+  // surviving row is engine-independent. Output avoids raw timestamps
+  // per the oracle determinism rules.
+  def cdcApplyQ(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.load(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+    graft.ops.EtlOps.applyChangelog(log, Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), "op")
+      .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+        col("o_totalprice").as("last_totalprice"))
+  }
+  val cdcApplySql: String =
+    """WITH log AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM log)
+      |SELECT o_custkey, o_orderkey AS last_orderkey,
+      |       o_totalprice AS last_totalprice
+      |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   // -------------------------------------------------- stream-stream join
   // The attribution join (clicks within 10 minutes before a purchase,
   // same user) as a watermarked stream-stream self-join, oracle-gated:
@@ -699,7 +731,8 @@ object Parity {
     "p_stream_scd" -> (streamScdQ _),
     "p_stream_window" -> (streamWindowQ _),
     "p_stream_sessions" -> (streamSessionsQ _),
-    "p_stream_join" -> (streamJoinQ _))
+    "p_stream_join" -> (streamJoinQ _),
+    "p_cdc_apply" -> (cdcApplyQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -719,5 +752,6 @@ object Parity {
     "p_stream_scd" -> streamScdSql,
     "p_stream_window" -> streamWindowSql,
     "p_stream_sessions" -> streamSessionsSql,
-    "p_stream_join" -> streamJoinSql)
+    "p_stream_join" -> streamJoinSql,
+    "p_cdc_apply" -> cdcApplySql)
 }

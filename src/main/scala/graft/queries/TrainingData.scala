@@ -1198,6 +1198,33 @@ object TrainingData {
        |SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1""".stripMargin
   }
 
+  // ------------------------------------------------- document chunking
+  // Overlapping token-window chunking (Corpus.chunkDocs): 40-token
+  // chunks every 30 tokens — the RAG / embedding-prep explode. All
+  // integer arithmetic (start indices, slice bounds, token counts), so
+  // the oracle is exact; DuckDB's 1-based inclusive list slice
+  // ta[a:b] ≡ Spark's slice(ta, a, window).
+  def chunkQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.chunkDocs(docs(spark, dir), "text", "doc_id",
+      window = 40, stride = 30)
+  val chunkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ta
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ta,
+      |    unnest(range(0, greatest(0,
+      |      CAST(ceil((len(ta) - 40) / 30.0) AS BIGINT)) + 1)) AS i
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |    array_to_string(ta[CAST(i*30 + 1 AS INT):CAST(i*30 + 40 AS INT)],
+      |                    ' ') AS chunk
+      |  FROM s)
+      |SELECT doc_id, chunk_id, chunk,
+      |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok
+      |FROM c""".stripMargin
+
   // ------------------------------------------------- sequence packing
   // Assign each document to a fixed-budget training sequence (2048
   // whitespace tokens) by running token total — the deterministic core
@@ -1836,6 +1863,7 @@ object TrainingData {
     "x_split_by_source" -> (splitBySourceQ _),
     "x_heavy_hitters" -> (heavyHittersQ _),
     "x_ann_sq8" -> (annSq8Q _),
+    "x_chunk" -> (chunkQ _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
@@ -1889,6 +1917,7 @@ object TrainingData {
     "x_split_by_source" -> splitBySourceSql,
     "x_heavy_hitters" -> heavyHittersSql,
     "x_ann_sq8" -> annSq8Sql,
+    "x_chunk" -> chunkSql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,

@@ -208,6 +208,27 @@ class PlanSpec extends SparkSpec {
       s"band scan not pruned to (doc_id, m0..m15):\n$p")
   }
 
+  test("applyChangelog rank=1 survives the tombstone conjunct " +
+    "(WindowGroupLimit still fires)") {
+    val ord = Tables.load(spark, sf0001, "orders")
+      .withColumn("op", when(col("o_orderstatus") === "F", "D")
+        .otherwise("U"))
+    val p = plan(EtlOps.applyChangelog(ord, Seq("o_custkey"),
+      Seq("o_orderdate", "o_orderkey"), "op"))
+    // the filter is rn = 1 AND op <> 'D'; Catalyst must still split the
+    // conjunction and push the rank limit below the exchange
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("chunkDocs is shuffle-free and codegen'd (no exchange, no UDF)") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val p = plan(graft.operators.Corpus.chunkDocs(d, "text", "doc_id"))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"chunking must stay native:\n$p")
+    assert(p.contains("Generate"), s"posexplode missing:\n$p")
+  }
+
   test("gap fill reuses one events scan partitioning (no extra exchange)") {
     val ev = Tables.load(spark, sf0001, "events")
     val p = plan(graft.operators.TimeSeries.gapFilledCounts(

@@ -685,6 +685,79 @@ object Parity {
       |       round(sum(value), 2) AS sum_value
       |FROM s2 GROUP BY user_id, sess_idx""".stripMargin
 
+  // ---------------------------------------------------- streaming dedup
+  // dropDuplicatesWithinWatermark gated end to end: the event stream is
+  // UNIONed with itself (an at-least-once producer duplicating every
+  // record), then collapsed on the business key alone. Watermark safety:
+  // with two file sources the global watermark is the MIN over sources,
+  // so a branch that races ahead cannot evict a key before its twin
+  // arrives — state stays bounded AND the dedup is exact, which is the
+  // operator's whole contract. Oracle: events are unique by event_id, so
+  // the deduped per-user counts must equal the plain batch counts.
+  def streamDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    def mkSrc = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(windowBatchesDir(spark, dir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val deduped = graft.streaming.StreamingOps.dedupKeysStream(
+      mkSrc.union(mkSrc), Seq("event_id"), "30 minutes")
+    val qname = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamingOps.runToMemory(
+      deduped.select(col("event_id"), col("user_id")), qname,
+      statePartitions = Some(8))
+    spark.table(qname).where(col("user_id") >= 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+  }
+  val streamDedupSql: String =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- streaming state fold
+  // The hand-rolled flatMapGroupsWithState sessionizer
+  // (StreamingOps.userSessionStream) gated end to end — until now it was
+  // only spec-verified. Gap decisions run on raw NANOSECOND ts (the
+  // batch Sessionize contract: a new session when the gap is STRICTLY
+  // greater than 30 min), so the oracle islands on epoch_ns with >.
+  // The sentinel advances the watermark a day past the last real event:
+  // every real user's trailing session closes via EventTimeTimeout and
+  // appends; the sentinel's own session never closes and is filtered.
+  def streamStateQ(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(windowBatchesDir(spark, dir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val sess = graft.streaming.StreamingOps.userSessionStream(src, 30)
+    val out = sess.toDF().select(col("user_id"), col("n_events"),
+      col("session_start_us"), col("session_end_us"),
+      round(col("sum_value"), 2).as("sum_value"))
+    val qname = "graft_stream_state_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamingOps.runToMemory(out, qname,
+      statePartitions = Some(8))
+    spark.table(qname).where(col("user_id") >= 0)
+  }
+  val streamStateSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+      |                   OR tsn - lag(tsn) OVER w > 1800000000000
+      |                 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      |s2 AS (
+      |  SELECT *, sum(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING)
+      |    AS sess_idx
+      |  FROM s)
+      |SELECT user_id, count(*) AS n_events,
+      |       min(tsn) // 1000 AS session_start_us,
+      |       max(tsn) // 1000 AS session_end_us,
+      |       round(sum(value), 2) AS sum_value
+      |FROM s2 GROUP BY user_id, sess_idx""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -732,6 +805,8 @@ object Parity {
     "p_stream_window" -> (streamWindowQ _),
     "p_stream_sessions" -> (streamSessionsQ _),
     "p_stream_join" -> (streamJoinQ _),
+    "p_stream_dedup" -> (streamDedupQ _),
+    "p_stream_state" -> (streamStateQ _),
     "p_cdc_apply" -> (cdcApplyQ _))
 
   val oracles: Map[String, String] = Map(
@@ -753,5 +828,7 @@ object Parity {
     "p_stream_window" -> streamWindowSql,
     "p_stream_sessions" -> streamSessionsSql,
     "p_stream_join" -> streamJoinSql,
+    "p_stream_dedup" -> streamDedupSql,
+    "p_stream_state" -> streamStateSql,
     "p_cdc_apply" -> cdcApplySql)
 }

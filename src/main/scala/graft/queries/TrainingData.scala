@@ -1225,6 +1225,114 @@ object TrainingData {
       |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok
       |FROM c""".stripMargin
 
+  // --------------------------------------------- hash-sharded export
+  // ShardExport.writeSharded: content-hash shard assignment (portable
+  // hash32 % 64 — the split follows the document, like x_dataset_split),
+  // one aligned repartition so each task writes whole shards, then the
+  // manifest is computed FROM THE WRITTEN FILES — the oracle gate checks
+  // the sink's actual content, not the pre-write plan.
+  private val shardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  def shardExportQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = shardDirs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-shards").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+      new java.io.File(root, "shards").toString
+    })
+    val back = graft.sources.ShardExport.writeSharded(
+      docs(spark, dir).select(col("doc_id"), col("text"), col("n_chars")),
+      "text", 64, path)
+    back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+  val shardExportSql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id, n_chars, ${duckHash32("text")} % 64 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b GROUP BY 1""".stripMargin
+
+  // --------------------------------------------- bigram LM perplexity
+  // CCNet-style perplexity filter signal (LanguageModel.bigramCrossEntropy):
+  // each document's cross-entropy under the corpus's own add-one-smoothed
+  // bigram model. Exactness: per-bigram ln quantized to micro-nats with
+  // floor (floor of an identical double is identical on both engines),
+  // per-doc totals are integer sums (order-independent), final score is
+  // one IEEE division — deliberately unrounded, bit-identical.
+  def lmScoreQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.bigramCrossEntropy(
+      docs(spark, dir), "text", "doc_id")
+  val lmScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ta
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ta) >= 2 THEN
+      |      list_transform(range(1, len(ta)),
+      |        i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1])
+      |    ELSE [] END) AS bg
+      |  FROM t),
+      |uni AS (
+      |  SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(ta) AS w FROM t) GROUP BY 1),
+      |vv AS (SELECT count(*) AS v FROM uni),
+      |bi AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY 1),
+      |sc AS (
+      |  SELECT g.doc_id,
+      |    CAST(floor(ln((bi.cb + 1.0) / (uni.c1 + vv.v)) * 1e6) AS BIGINT)
+      |      AS mn
+      |  FROM bgs g JOIN bi USING (bg)
+      |  JOIN uni ON uni.w = split_part(g.bg, ' ', 1), vv)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  -CAST(sum(mn) AS DOUBLE) / (count(*) * 1e6) AS xent
+      |FROM sc GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------ BM25 retrieval
+  // BM25 top-20 for the query {spark, hash, join}
+  // (LanguageModel.bm25TopK, k1=1.2, b=0.75). Same micro-unit floor
+  // quantization as the LM score: integer sums make the ranking and the
+  // tie-breaking engine-independent.
+  def bm25Q(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.bm25TopK(
+      docs(spark, dir), "text", "doc_id",
+      Seq("spark", "hash", "join"), k = 20)
+  val bm25Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ta
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ta) AS w FROM t),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |       WHERE w IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+      |                      (CAST(st.sumdl AS DOUBLE) / st.n))) *
+      |      1e6) AS BIGINT) AS cu
+      |  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), st),
+      |agg AS (SELECT doc_id, sum(cu) / 1e6 AS score FROM sc GROUP BY 1)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |    AS rank
+      |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------- sequence packing
   // Assign each document to a fixed-budget training sequence (2048
   // whitespace tokens) by running token total — the deterministic core
@@ -1864,6 +1972,9 @@ object TrainingData {
     "x_heavy_hitters" -> (heavyHittersQ _),
     "x_ann_sq8" -> (annSq8Q _),
     "x_chunk" -> (chunkQ _),
+    "x_lm_score" -> (lmScoreQ _),
+    "x_bm25" -> (bm25Q _),
+    "x_shard_export" -> (shardExportQ _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
@@ -1918,6 +2029,9 @@ object TrainingData {
     "x_heavy_hitters" -> heavyHittersSql,
     "x_ann_sq8" -> annSq8Sql,
     "x_chunk" -> chunkSql,
+    "x_lm_score" -> lmScoreSql,
+    "x_bm25" -> bm25Sql,
+    "x_shard_export" -> shardExportSql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,

@@ -758,6 +758,108 @@ object Parity {
       |       round(sum(value), 2) AS sum_value
       |FROM s2 GROUP BY user_id, sess_idx""".stripMargin
 
+  // ----------------------------------------------- raw-feed ingestion
+  // Ingest.readJsonl / readCsv gated end to end (until now spec-only):
+  // the documents table is serialized to raw JSONL / CSV lines WITH
+  // three poison lines injected (malformed syntax, a type failure, a
+  // blank), ingested back through the two-filter parse/quarantine
+  // split, and the CLEAN side must hash-match the original table —
+  // proving the quarantine caught exactly the poison and the parse is
+  // lossless (to_json/to_csv escape newlines and quotes, so the line
+  // format survives arbitrary document text).
+  private val ingestDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def ingestFixture(spark: SparkSession, dir: String,
+                            fmt: String): String =
+    ingestDirs.computeIfAbsent(s"$dir#$fmt", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-ingest-$fmt").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+      val d = Tables.load(spark, dir, "documents")
+      val cols = struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      val good = d.select(
+        (if (fmt == "jsonl") to_json(cols) else to_csv(cols)).as("value"))
+      val poison = spark.range(1).select(explode(array(
+        lit(if (fmt == "jsonl") "{\"doc_id\": not json" else "\"unclosed"),
+        lit(if (fmt == "jsonl")
+          "{\"doc_id\":\"NaN-key\",\"text\":\"t\",\"lang\":\"en\",\"source\":\"s\",\"n_chars\":\"zzz\"}"
+        else "notanumber,t,en,s,alsonotanumber"),
+        lit("   "))).as("value"))
+      val out = new java.io.File(root, "lines").toString
+      good.union(poison).write.text(out)
+      out
+    })
+  private val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+  def jsonlIngestQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Ingest.readJsonl(spark,
+      ingestFixture(spark, dir, "jsonl"), docsSchema)._1
+  def csvIngestQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Ingest.readCsv(spark,
+      ingestFixture(spark, dir, "csv"), docsSchema)._1
+  val ingestRoundtripSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+  // ----------------------------------------------- clustered-scan layout
+  // ClusteredWrite.writeClustered gated end to end: lineitem rewritten
+  // range-clustered on l_shipdate (disjoint per-file key ranges +
+  // in-file sort, ClusteredWriteSpec proves the layout), then a month
+  // slice is read back FROM THE CLUSTERED FILES — content must equal
+  // the same filter over the original table, proving the layout
+  // transformation is lossless while the footer stats make the scan
+  // skip every out-of-range file at 100 TB.
+  private val clusteredDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  def clusteredScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = clusteredDirs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-clustered").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+      val p = new java.io.File(root, "li").toString
+      graft.sources.ClusteredWrite.writeClustered(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), col("l_quantity")),
+        p, Seq("l_shipdate"), partitions = 8)
+      p
+    })
+    spark.read.parquet(path)
+      .where(col("l_shipdate") >= "1995-03-01" &&
+        col("l_shipdate") < "1995-04-01")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_quantity"))
+  }
+  val clusteredScanSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+      |  AND l_shipdate < TIMESTAMP '1995-04-01'""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -807,7 +909,10 @@ object Parity {
     "p_stream_join" -> (streamJoinQ _),
     "p_stream_dedup" -> (streamDedupQ _),
     "p_stream_state" -> (streamStateQ _),
-    "p_cdc_apply" -> (cdcApplyQ _))
+    "p_cdc_apply" -> (cdcApplyQ _),
+    "p_jsonl_ingest" -> (jsonlIngestQ _),
+    "p_csv_ingest" -> (csvIngestQ _),
+    "p_clustered_scan" -> (clusteredScanQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -830,5 +935,8 @@ object Parity {
     "p_stream_join" -> streamJoinSql,
     "p_stream_dedup" -> streamDedupSql,
     "p_stream_state" -> streamStateSql,
-    "p_cdc_apply" -> cdcApplySql)
+    "p_cdc_apply" -> cdcApplySql,
+    "p_jsonl_ingest" -> ingestRoundtripSql,
+    "p_csv_ingest" -> ingestRoundtripSql,
+    "p_clustered_scan" -> clusteredScanSql)
 }

@@ -25,6 +25,26 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("chunkDocs windows overlap by window-stride and cover every token") {
+    // 8 tokens, window 4, stride 3 → starts 0,3,6 (ceil((8-4)/3)=2)
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(docs, "text", "doc_id", window = 4, stride = 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, "t0 t1 t2 t3", 4L),
+      (1L, "t3 t4 t5 t6", 4L),
+      (2L, "t6 t7", 2L)))
+  }
+
+  test("chunkDocs yields exactly one chunk for short and empty docs") {
+    val docs = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(docs, "text", "doc_id", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 2)
+    assert(out.toSet == Set((1L, 0L, "a b"), (2L, 0L, "")))
+  }
+
   test("languageStats aggregates per language") {
     val docs = Seq(
       (1L, "one two three", "en"), (2L, "uno dos", "es"),

@@ -23,6 +23,27 @@ class EtlOpsSpec extends SparkSpec {
     assert(out.collect().map(_.getString(2)).toSeq == Seq("b"))
   }
 
+  test("applyChangelog keeps the highest-seq upsert and drops " +
+    "tombstoned keys") {
+    val log = Seq(
+      (1L, 1L, "v1", "U"), (1L, 2L, "v2", "U"),   // k1: latest upsert wins
+      (2L, 1L, "v1", "U"), (2L, 2L, "v2", "D"),   // k2: tombstoned away
+      (3L, 1L, "v1", "D"), (3L, 2L, "v2", "U"),   // k3: re-created after delete
+      (4L, 1L, "v1", "D")                         // k4: only ever deleted
+    ).toDF("k", "seq", "v", "op")
+    val out = EtlOps.applyChangelog(log, Seq("k"), Seq("seq"), "op")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "v2", 3L -> "v2"))
+  }
+
+  test("applyChangelog seq tie-break is total (last seqCol decides)") {
+    val log = Seq(
+      (1L, 10L, 1L, "a", "U"), (1L, 10L, 2L, "b", "U")
+    ).toDF("k", "t", "off", "v", "op")
+    val out = EtlOps.applyChangelog(log, Seq("k"), Seq("t", "off"), "op")
+    assert(out.collect().map(_.getString(3)).toSeq == Seq("b"))
+  }
+
   test("withAudit stamps the 4-column contract with the fixed clock") {
     val out = EtlOps.withAudit(Seq(1).toDF("x"), "dwd", "user1", "2024-01-01 00:00:00")
     assert(out.columns.toSet == Set("x", "dwd_insert_user", "dwd_insert_time",

@@ -220,6 +220,37 @@ object Jobs {
       k = 5, threshold = 0.5)
   }
 
+  /** RAG/embedding prep: corpus exploded into overlapping token-window
+    * chunks, written alongside a per-doc chunk-count summary. */
+  private def chunkCorpusJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val chunks = graft.operators.Corpus.chunkDocs(
+      Tables.load(spark, sfDir, "documents"), "text", "doc_id",
+      window = 40, stride = 30)
+    chunks.write.mode("overwrite").parquet(s"$outDir/corpus_chunks")
+  }
+
+  /** Training export: the corpus written as stable content-hash shards
+    * plus the manifest the trainer's loader reads. */
+  private def exportShardsJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.sources.ShardExport.writeSharded(docs, "text", 64,
+      s"$outDir/corpus_shards")
+    graft.sources.ShardExport.manifest(spark, s"$outDir/corpus_shards")
+      .write.mode("overwrite").parquet(s"$outDir/corpus_shards_manifest")
+  }
+
+  /** Scan-layout rewrite: lineitem re-clustered on the ship date so
+    * date-sliced scans skip files from footer stats alone. */
+  private def clusterLineitemJob(spark: SparkSession, sfDir: String,
+                                 outDir: String): Unit = {
+    graft.sources.ClusteredWrite.writeClustered(
+      Tables.load(spark, sfDir, "lineitem"),
+      s"$outDir/lineitem_clustered", Seq("l_shipdate"), partitions = 32)
+    ()
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
     "ingest_props" -> (ingestPropsJob _),
     "corpus_report" -> (corpusReportJob _),
@@ -236,7 +267,10 @@ object Jobs {
     "dws_customer_region" -> (dwsCustomerRegionJob _),
     "clean_corpus" -> (cleanCorpusJob _),
     "screen_batch" -> (screenBatchJob _),
-    "curate_stream" -> (curateStreamJob _))
+    "curate_stream" -> (curateStreamJob _),
+    "chunk_corpus" -> (chunkCorpusJob _),
+    "export_shards" -> (exportShardsJob _),
+    "cluster_lineitem" -> (clusterLineitemJob _))
 }
 
 object JobRunner {

@@ -310,6 +310,60 @@ object Analytics {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  // Exact DECIMAL-lane money aggregation: prices are lifted from the
+  // double column into DECIMAL(18,2) via an exact integer-cents × 0.01
+  // product (both engines compute integer × 10^-2 exactly in decimal
+  // arithmetic), summed in the decimal lane (no floating error, no
+  // re-association sensitivity), and emitted as the decimal's plain
+  // string form — scale 2 on both engines, so the text is identical.
+  def decimalSumQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(col("l_returnflag"), expr(
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 0.01 " +
+          "AS DECIMAL(18,2))").as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(p) AS STRING)").as("total_price"),
+        expr("CAST(min(p) AS STRING)").as("min_price"),
+        expr("CAST(max(p) AS STRING)").as("max_price"))
+  }
+  val decimalSumSql: String =
+    """WITH d AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 0.01
+      |         AS DECIMAL(18,2)) AS p
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(p) AS VARCHAR) AS total_price,
+      |       CAST(min(p) AS VARCHAR) AS min_price,
+      |       CAST(max(p) AS VARCHAR) AS max_price
+      |FROM d GROUP BY 1""".stripMargin
+
+  // Complex-type aggregation: per-user event history collected into a
+  // SORTED array of structs and serialized to canonical JSON — the
+  // "nested list per key" shape feature stores and training-example
+  // assembly produce. collect_list alone is partition-order-dependent;
+  // sort_array over (event_id, ts) structs makes the nested value
+  // deterministic, and JSON text is the engine-neutral equality form.
+  def complexAggQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .where(col("event_type") === "signup")
+    ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      to_json(sort_array(collect_list(col("event_id")))).as("ids_json"),
+      to_json(sort_array(collect_list(struct(
+        col("event_id").as("i"),
+        expr("ts div 1000").as("t"))))).as("hist_json"))
+  }
+  val complexAggSql: String =
+    """SELECT user_id, count(*) AS n,
+      |  to_json(list_sort(list(event_id))) AS ids_json,
+      |  to_json(list_sort(list(struct_pack(
+      |    i := event_id, t := epoch_ns(ts) // 1000)))) AS hist_json
+      |FROM events
+      |WHERE event_type = 'signup'
+      |GROUP BY user_id""".stripMargin
+
   // Star-join rollup: revenue by region/nation (denormalize → aggregate).
   def regionRevenueQ(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
@@ -739,6 +793,8 @@ object Analytics {
     "q_lag_delta" -> (lagDeltaQ _),
     "q_range_frame" -> (rangeFrameQ _),
     "q_window_suite" -> (windowSuiteQ _),
+    "q_decimal_sum" -> (decimalSumQ _),
+    "q_complex_agg" -> (complexAggQ _),
     "q_key_histogram" -> (keyHistogramQ _),
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
@@ -769,6 +825,8 @@ object Analytics {
     "q_lag_delta" -> lagDeltaSql,
     "q_range_frame" -> rangeFrameSql,
     "q_window_suite" -> windowSuiteSql,
+    "q_decimal_sum" -> decimalSumSql,
+    "q_complex_agg" -> complexAggSql,
     "q_key_histogram" -> keyHistogramSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,

@@ -860,6 +860,51 @@ object Parity {
       |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
       |  AND l_shipdate < TIMESTAMP '1995-04-01'""".stripMargin
 
+  // ------------------------------------------------- z-ordered layout
+  // ZOrder.writeZOrdered gated end to end: lineitem re-clustered on the
+  // Morton interleave of (l_partkey, l_suppkey) — ZOrderSpec proves the
+  // 2-D locality (a small box is absent from most files' key bounds);
+  // here a box slice read FROM THE Z-ORDERED FILES must equal the same
+  // filter over the original table, and the emitted z value gates the
+  // bit-interleave arithmetic itself against DuckDB's.
+  private val zorderDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  def zorderScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderDirs.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+      val p = new java.io.File(root, "li").toString
+      graft.ops.ZOrder.writeZOrdered(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        p, Seq("l_partkey", "l_suppkey"), partitions = 8)
+      p
+    })
+    spark.read.parquet(path)
+      .where(col("l_partkey").between(100L, 300L) &&
+        col("l_suppkey").between(1L, 40L))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("z"))
+  }
+  val zorderScanSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_partkey, l_suppkey,
+      |  CAST(list_sum(list_transform(range(21), i ->
+      |    (((l_partkey >> i) & 1) << (2*i)) +
+      |    (((l_suppkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300
+      |  AND l_suppkey BETWEEN 1 AND 40""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -912,7 +957,8 @@ object Parity {
     "p_cdc_apply" -> (cdcApplyQ _),
     "p_jsonl_ingest" -> (jsonlIngestQ _),
     "p_csv_ingest" -> (csvIngestQ _),
-    "p_clustered_scan" -> (clusteredScanQ _))
+    "p_clustered_scan" -> (clusteredScanQ _),
+    "p_zorder_scan" -> (zorderScanQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -938,5 +984,6 @@ object Parity {
     "p_cdc_apply" -> cdcApplySql,
     "p_jsonl_ingest" -> ingestRoundtripSql,
     "p_csv_ingest" -> ingestRoundtripSql,
-    "p_clustered_scan" -> clusteredScanSql)
+    "p_clustered_scan" -> clusteredScanSql,
+    "p_zorder_scan" -> zorderScanSql)
 }

@@ -962,6 +962,63 @@ object TrainingData {
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
 
+  // ----------------------------------------------------- k-NN graph
+  // Whole-corpus k-NN graph (every vector's top-3 bucket-mates by
+  // cosine) — the building block embedding-cluster pipelines and graph
+  // dedup start from. Same lshTopK operator as x_ann_lsh, but with the
+  // CORPUS as the query side, so the bucket width matters: 12 bits
+  // (4096 buckets/table) keeps per-bucket occupancy ~N/4096 and the
+  // candidate set ~tables × N × occupancy — linear in N, never N²
+  // (the x_neardup_lsh occupancy lesson applied to the graph build).
+  // Vectors with no bucket-mate in any table yield no rows, identically
+  // in the oracle replay (approximate = replayed, not idealized).
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3,
+      tables = 16, bits = 12)
+  }
+  val knnGraphSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |projs AS (
+      |  SELECT vec_id, vec,
+      |    list_transform(range(192), j ->
+      |      list_sum(list_transform(range(1, len(vec)+1), i ->
+      |        vec[CAST(i AS INT)] *
+      |        CASE WHEN ((j*2654435761 + i*40503) % 97) % 2 = 0
+      |             THEN 1.0 ELSE -1.0 END))) AS pj
+      |  FROM v),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    list_transform(range(16), t ->
+      |      list_sum(list_transform(range(12), r ->
+      |        CASE WHEN pj[CAST(t*12+r+1 AS INT)] > 0
+      |             THEN (CAST(1 AS BIGINT) << r) ELSE CAST(0 AS BIGINT) END)))
+      |      AS bk
+      |  FROM projs),
+      |bands AS (
+      |  SELECT vec_id, t AS tbl, bk[CAST(t+1 AS INT)] AS bucket
+      |  FROM buckets, range(16) tt(t)),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      |  FROM bands q
+      |  JOIN bands c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |              AND q.vec_id != c.vec_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |    round(list_dot_product(qv.vec, cv.vec) /
+      |          (sqrt(list_dot_product(qv.vec, qv.vec)) *
+      |           sqrt(list_dot_product(cv.vec, cv.vec))), 4) AS sim
+      |  FROM cand
+      |  JOIN v qv ON qv.vec_id = cand.q_id
+      |  JOIN v cv ON cv.vec_id = cand.n_id)
+      |SELECT q_id, n_id, sim,
+      |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+      |       AS BIGINT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 3"""
+      .stripMargin
+
   // --------------------------------------------------- ANN via IVF
   // IVF with a deterministically stubbed coarse quantizer (centroids =
   // 16 lowest-id vectors, nprobe 4): assignment, probing, and in-list
@@ -1975,6 +2032,7 @@ object TrainingData {
     "x_lm_score" -> (lmScoreQ _),
     "x_bm25" -> (bm25Q _),
     "x_shard_export" -> (shardExportQ _),
+    "x_knn_graph" -> (knnGraphQ _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
@@ -2032,6 +2090,7 @@ object TrainingData {
     "x_lm_score" -> lmScoreSql,
     "x_bm25" -> bm25Sql,
     "x_shard_export" -> shardExportSql,
+    "x_knn_graph" -> knnGraphSql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,

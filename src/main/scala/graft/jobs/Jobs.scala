@@ -221,7 +221,7 @@ object Jobs {
   }
 
   /** RAG/embedding prep: corpus exploded into overlapping token-window
-    * chunks, written alongside a per-doc chunk-count summary. */
+    * chunks, written as one chunk table. */
   private def chunkCorpusJob(spark: SparkSession, sfDir: String,
                              outDir: String): Unit = {
     val chunks = graft.operators.Corpus.chunkDocs(

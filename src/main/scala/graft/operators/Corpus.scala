@@ -55,6 +55,9 @@ object Corpus {
                 window: Int = 40, stride: Int = 30): DataFrame = {
     require(window > 0 && stride > 0,
       s"window/stride must be positive, got $window/$stride")
+    require(stride <= window,
+      s"stride $stride > window $window would silently skip tokens " +
+        "between chunks — every token must land in at least one chunk")
     docs
       .select(col(idCol),
         split(lower(trim(col(textCol))), "\\s+").as("__ta"))

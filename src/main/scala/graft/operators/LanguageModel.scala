@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * are INTEGER sums, so they are independent of aggregation order and
   * partitioning. The final score is a single IEEE division of exact
   * integers, bit-identical everywhere; it is deliberately NOT rounded.
+  *
+  * Residual cross-engine exposure: `ln` itself is only ~1-ulp accurate
+  * and not identically specified across libms, so floor(ln(x)*1e6) can
+  * in principle flip when ln(x)*1e6 sits within an ulp of an integer
+  * (~1e-10 per term; same accepted class as x_tfidf's rounded-ln
+  * oracle, stable across all tested scale factors). Eliminating it
+  * entirely would require a softfloat ln on both engines.
   */
 object LanguageModel {
 

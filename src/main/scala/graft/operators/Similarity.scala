@@ -367,9 +367,14 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               tables: Int = 16, bits: Int = 6): DataFrame = {
-    val qb = lshBuckets(queries, idCol, vecCol, tables, bits)
+    // self-search (k-NN graph build): the projection pass is the most
+    // expensive row-local stage, so when the query side IS the corpus
+    // compute the bucket table once and self-join it
+    val corpusBuckets = lshBuckets(corpus, idCol, vecCol, tables, bits)
+    val qb = (if (queries eq corpus) corpusBuckets
+              else lshBuckets(queries, idCol, vecCol, tables, bits))
       .select(col("id").as("q_id"), col("tbl"), col("bucket"))
-    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits)
+    val cb = corpusBuckets
       .select(col("id").as("n_id"), col("tbl"), col("bucket"))
     val cand = qb.join(cb, Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("n_id"))

@@ -53,26 +53,15 @@ object Parity {
   // operator's max comes from partition metadata (zero data columns)
   // and the read statically prunes to the one latest directory
   // (PlanSpec asserts both properties).
-  private val partTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
   private def monthPartitionedLineitem(spark: SparkSession,
                                        dir: String): String =
-    partTables.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-part").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(root)
-      }))
+    Fixtures.cached("part", dir) { root =>
       val path = new java.io.File(root, "lineitem_by_month").toString
       Tables.load(spark, dir, "lineitem")
         .withColumn("etl_date", date_format(col("l_shipdate"), "yyyyMM"))
         .write.partitionBy("etl_date").parquet(path)
       path
-    })
+    }
 
   def latestPartitionPrunedQ(spark: SparkSession, dir: String): DataFrame = {
     val t = spark.read.parquet(monthPartitionedLineitem(spark, dir))
@@ -439,19 +428,8 @@ object Parity {
   // which is exactly what the oracle states relationally. Audit TIME
   // stamps are batch-arrival-dependent by design and excluded; the
   // audit user constants ride along.
-  private val streamSrcDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
   private def twoBatchEventsDir(spark: SparkSession, dir: String): String =
-    streamSrcDirs.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-streamsrc").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(root)
-      }))
+    Fixtures.cached("streamsrc", dir) { root =>
       val ev = Tables.load(spark, dir, "events")
       val srcDir = new java.io.File(root, "src")
       srcDir.mkdirs()
@@ -464,7 +442,7 @@ object Parity {
           new java.io.File(srcDir, s"b$half.parquet").toPath)
       }
       srcDir.toString
-    })
+    }
 
   def streamScdQ(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.load(spark, dir, "events").schema
@@ -500,19 +478,8 @@ object Parity {
   // never match). The time-ordered split guarantees no real event arrives
   // behind the watermark, so nothing is late-dropped and the emitted rows
   // must equal the batch tumbling aggregate exactly.
-  private val streamWinDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
   private def windowBatchesDir(spark: SparkSession, dir: String): String =
-    streamWinDirs.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-streamwin").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(root)
-      }))
+    Fixtures.cached("streamwin", dir) { root =>
       val ev = Tables.load(spark, dir, "events")
       // fixture bounds, not operator state: two longs on the driver
       val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
@@ -542,7 +509,7 @@ object Parity {
         ()
       }
       srcDir.toString
-    })
+    }
 
   def streamWindowQ(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.load(spark, dir, "events").schema
@@ -730,9 +697,14 @@ object Parity {
       .parquet(windowBatchesDir(spark, dir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
     val sess = graft.streaming.StreamingOps.userSessionStream(src, 30)
+    // sum_value is deliberately NOT emitted: the state fold accumulates
+    // doubles in arrival order while the oracle sums in DuckDB's own
+    // order, so the two can differ by an ulp and flip round() at a
+    // half-cent boundary (the q_range_frame analysis). Session sums are
+    // gated by p_stream_sessions; THIS gate is about the state API —
+    // counts, boundaries, and timeout-driven closes, all exact.
     val out = sess.toDF().select(col("user_id"), col("n_events"),
-      col("session_start_us"), col("session_end_us"),
-      round(col("sum_value"), 2).as("sum_value"))
+      col("session_start_us"), col("session_end_us"))
     val qname = "graft_stream_state_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     graft.streaming.StreamingOps.runToMemory(out, qname,
@@ -754,8 +726,7 @@ object Parity {
       |  FROM s)
       |SELECT user_id, count(*) AS n_events,
       |       min(tsn) // 1000 AS session_start_us,
-      |       max(tsn) // 1000 AS session_end_us,
-      |       round(sum(value), 2) AS sum_value
+      |       max(tsn) // 1000 AS session_end_us
       |FROM s2 GROUP BY user_id, sess_idx""".stripMargin
 
   // ----------------------------------------------- raw-feed ingestion
@@ -767,21 +738,18 @@ object Parity {
   // proving the quarantine caught exactly the poison and the parse is
   // lossless (to_json/to_csv escape newlines and quotes, so the line
   // format survives arbitrary document text).
-  private val ingestDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
   private def ingestFixture(spark: SparkSession, dir: String,
                             fmt: String): String =
-    ingestDirs.computeIfAbsent(s"$dir#$fmt", _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft-ingest-$fmt").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(root)
-      }))
+    Fixtures.cached(s"ingest-$fmt", dir) { root =>
       val d = Tables.load(spark, dir, "documents")
+      // the CSV line format cannot carry embedded newlines (write.text
+      // is line-oriented, so a quoted multi-line field would split into
+      // two unparseable records); the testdata has none — fail loudly
+      // here rather than let a future regeneration silently flip the
+      // gate. The JSONL path escapes newlines and has no such limit.
+      if (fmt == "csv")
+        require(d.where(col("text").contains("\n")).isEmpty,
+          "CSV ingest fixture requires newline-free document text")
       val cols = struct(col("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))
       val good = d.select(
@@ -795,7 +763,7 @@ object Parity {
       val out = new java.io.File(root, "lines").toString
       good.union(poison).write.text(out)
       out
-    })
+    }
   private val docsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -824,19 +792,8 @@ object Parity {
   // the same filter over the original table, proving the layout
   // transformation is lossless while the footer stats make the scan
   // skip every out-of-range file at 100 TB.
-  private val clusteredDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
   def clusteredScanQ(spark: SparkSession, dir: String): DataFrame = {
-    val path = clusteredDirs.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-clustered").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(root)
-      }))
+    val path = Fixtures.cached("clustered", dir) { root =>
       val p = new java.io.File(root, "li").toString
       graft.sources.ClusteredWrite.writeClustered(
         Tables.load(spark, dir, "lineitem")
@@ -844,7 +801,7 @@ object Parity {
             col("l_shipdate"), col("l_quantity")),
         p, Seq("l_shipdate"), partitions = 8)
       p
-    })
+    }
     spark.read.parquet(path)
       .where(col("l_shipdate") >= "1995-03-01" &&
         col("l_shipdate") < "1995-04-01")
@@ -867,19 +824,8 @@ object Parity {
   // here a box slice read FROM THE Z-ORDERED FILES must equal the same
   // filter over the original table, and the emitted z value gates the
   // bit-interleave arithmetic itself against DuckDB's.
-  private val zorderDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
   def zorderScanQ(spark: SparkSession, dir: String): DataFrame = {
-    val path = zorderDirs.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-zorder").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(root)
-      }))
+    val path = Fixtures.cached("zorder", dir) { root =>
       val p = new java.io.File(root, "li").toString
       graft.ops.ZOrder.writeZOrdered(
         Tables.load(spark, dir, "lineitem")
@@ -887,7 +833,7 @@ object Parity {
             col("l_partkey"), col("l_suppkey")),
         p, Seq("l_partkey", "l_suppkey"), partitions = 8)
       p
-    })
+    }
     spark.read.parquet(path)
       .where(col("l_partkey").between(100L, 300L) &&
         col("l_suppkey").between(1L, 40L))

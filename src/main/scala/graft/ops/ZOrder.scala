@@ -3,31 +3,38 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Z-order (Morton) multi-dimensional clustering — the layout lever for
-  * scans that filter on SEVERAL high-cardinality keys at once, where
-  * single-key range clustering (sources.ClusteredWrite) only prunes on
-  * its one key. Interleaving the key bits gives one linear order with
-  * 2-D/3-D locality: a box predicate touches a bounded set of z-ranges,
-  * so per-file min/max footer stats still skip most files (the
-  * technique behind Delta/Iceberg OPTIMIZE ZORDER).
+/** Z-order (Morton) bit interleaving — the primitive under BOTH of the
+  * library's multi-dimensional layouts:
   *
-  * The z-value is plain integer bit arithmetic — engine-exact, no
-  * normalization pass — so keys must be non-negative and fit in `bits`
-  * bits (callers with arbitrary domains rank-normalize first; the
-  * testdata keys are dense ids where raw bits are already balanced).
+  *  - [[zValue]] on RAW keys: plain integer bit arithmetic,
+  *    engine-exact (oracle-gated by p_zorder_scan against DuckDB's bit
+  *    ops) — right when keys are dense non-negative ids whose low bits
+  *    are already balanced;
+  *  - [[graft.sources.Sinks.writeZOrdered]]: the production write for
+  *    arbitrary/skewed numeric domains — equal-frequency quantile
+  *    buckets per column first, then this same interleave over the
+  *    bucket ids, so skew can't collapse the curve.
+  *
+  * Either way a box predicate touches a bounded set of z-ranges, so
+  * per-file min/max footer stats skip most files (the technique behind
+  * Delta/Iceberg OPTIMIZE ZORDER), where single-key range clustering
+  * (sources.ClusteredWrite) only prunes on its one key.
   */
 object ZOrder {
 
   /** Interleaved bit value: bit j of column c lands at z-bit
-    * j*n + c, for `bits` bits per column. n*bits must stay < 63. */
+    * j*n + c, for `bits` bits per column. n*bits must stay <= 63;
+    * inputs are cast to long. Columns must be non-negative and fit in
+    * `bits` bits (rank-normalize first otherwise — see
+    * Sinks.writeZOrdered). */
   def zValue(cols: Seq[Column], bits: Int = 21): Column = {
     val n = cols.length
     require(n >= 2, "z-ordering needs at least two columns")
-    require(n * bits < 63, s"$n cols × $bits bits overflows a long")
+    require(n * bits <= 63, s"$n cols × $bits bits overflows a long")
     val terms = for {
       i <- 0 until bits
       (c, ci) <- cols.zipWithIndex
-    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
       i * n + ci)
     terms.reduce(_ + _)
   }

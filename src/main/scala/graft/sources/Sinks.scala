@@ -172,16 +172,13 @@ object Sinks {
     // ONE sketch job for every column (the multi-column overload), not
     // one full upstream execution per column
     val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.01)
-    val zcol = cols.zipWithIndex.map { case (c, ci) =>
-      // bucket = #boundaries <= value (0..2^bits-1), then spread this
-      // column's bucket bits to positions ci, ci+n, ci+2n, … of the z
-      val bucket = size(filter(
-        lit(allBounds(ci)), b => col(c).cast("double") >= b))
-      (0 until bits).map { k =>
-        shiftleft(shiftright(bucket, k).bitwiseAND(lit(1)).cast("long"),
-          k * cols.size + ci)
-      }.reduce(_ + _)
-    }.reduce(_ + _)
+    // bucket = #boundaries <= value (0..2^bits-1); the interleave is
+    // the shared ZOrder.zValue primitive (raw-key callers use it
+    // directly, oracle-gated by p_zorder_scan)
+    val buckets = cols.zipWithIndex.map { case (c, ci) =>
+      size(filter(lit(allBounds(ci)), b => col(c).cast("double") >= b))
+    }
+    val zcol = graft.ops.ZOrder.zValue(buckets, bits)
     df.withColumn("__z", zcol)
       .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions("__z")

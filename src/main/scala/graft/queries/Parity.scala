@@ -851,6 +851,28 @@ object Parity {
       |WHERE l_partkey BETWEEN 100 AND 300
       |  AND l_suppkey BETWEEN 1 AND 40""".stripMargin
 
+  // ----------------------------------------------- versioned snapshots
+  // Versioned (time travel) gated end to end: v1 = the even-id half of
+  // documents, v2 = the full table; reading PINNED VERSION 1 after v2
+  // has been committed must return exactly the v1 content — history
+  // survives later writes (the reference's overwrites destroy it), so
+  // "which corpus version trained this model" stays answerable.
+  def timeTravelQ(spark: SparkSession, dir: String): DataFrame = {
+    val table = Fixtures.cached("versioned", dir) { root =>
+      val t = new java.io.File(root, "docs").toString
+      val d = Tables.load(spark, dir, "documents")
+      graft.sources.Versioned.write(
+        d.where(col("doc_id") % 2 === 0), t)
+      graft.sources.Versioned.write(d, t)
+      t
+    }
+    graft.sources.Versioned.read(spark, table, version = Some(1))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+  val timeTravelSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents WHERE doc_id % 2 = 0""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -904,7 +926,8 @@ object Parity {
     "p_jsonl_ingest" -> (jsonlIngestQ _),
     "p_csv_ingest" -> (csvIngestQ _),
     "p_clustered_scan" -> (clusteredScanQ _),
-    "p_zorder_scan" -> (zorderScanQ _))
+    "p_zorder_scan" -> (zorderScanQ _),
+    "p_time_travel" -> (timeTravelQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -931,5 +954,6 @@ object Parity {
     "p_jsonl_ingest" -> ingestRoundtripSql,
     "p_csv_ingest" -> ingestRoundtripSql,
     "p_clustered_scan" -> clusteredScanSql,
-    "p_zorder_scan" -> zorderScanSql)
+    "p_zorder_scan" -> zorderScanSql,
+    "p_time_travel" -> timeTravelSql)
 }

@@ -458,6 +458,33 @@ object TrainingData {
     s"""WITH ${minhashCtesOver(nearDupCorpusSql)}
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
+  // ------------------------------------------------ triangle counting
+  // Graph analytics over the near-dup pair graph (operators.Graph):
+  // per-document triangle participation — the community-density signal
+  // that separates a tight duplicate CLUSTER (pairwise-similar, many
+  // triangles) from a similarity CHAIN (a→b→c without a→c, zero
+  // triangles), which dedup policies treat differently (a chain's ends
+  // may be unrelated). Wedge-join plan over the canonical a<b edge set;
+  // every join a hash equi-join, triangles counted once as x<y<z.
+  def trianglesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(
+      Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text",
+        "doc_id", k = 5, threshold = 0.5),
+      "doc_a", "doc_b")
+  val trianglesSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.5),
+       |t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |n AS (SELECT unnest([x, y, z]) AS node FROM t)
+       |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
+
   // --------------------------------------- maintained signature tables
   /** Path of the MAINTAINED signature table for a (sf-dir, corpus-tag)
     * pair, written on first use and reused by every later query in the
@@ -2017,6 +2044,7 @@ object TrainingData {
     "x_bm25" -> (bm25Q _),
     "x_shard_export" -> (shardExportQ _),
     "x_knn_graph" -> (knnGraphQ _),
+    "x_triangles" -> (trianglesQ _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
@@ -2075,6 +2103,7 @@ object TrainingData {
     "x_bm25" -> bm25Sql,
     "x_shard_export" -> shardExportSql,
     "x_knn_graph" -> knnGraphSql,
+    "x_triangles" -> trianglesSql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,

@@ -46,4 +46,70 @@ object Graph {
     triangles(edges, aCol, bCol)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** Deterministic FIXED-POINT PageRank over the undirected graph —
+    * the same integer-arithmetic determinism trick as the k-means
+    * quantizer (Similarity.kmeansQuantized): ranks live in integer
+    * micro-units (start 1e6 per node), every step is
+    *
+    *   r'(v) = 150000 + (17 · Σ_{u~v} (r(u) div deg(u))) div 20
+    *
+    * i.e. damping 0.85 as the exact rational 17/20 with truncating
+    * integer division. Integer sums are aggregation-order-independent,
+    * so the result is bit-identical across partitionings, retries, and
+    * engines — a floating-point PageRank is none of these. Dangling
+    * mass is dropped (every node here has degree ≥ 1 by construction).
+    *
+    * Scale shape: the edge list, degrees, and node set are materialized
+    * ONCE and reused every round; each round is one hash join onto the
+    * current ranks plus one aggregation, checkpoint-truncated like
+    * [[Dedup.connectedComponentsM]] so lineage never grows. Fixed
+    * `iters` (power iteration), no convergence collect.
+    */
+  def pageRankM(edges: DataFrame, aCol: String, bCol: String,
+                iters: Int = 10,
+                roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
+                mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
+      : graft.ops.Materialized = {
+    import graft.ops.Materialize
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = canonicalEdges(edges, aCol, bCol)
+    val directedM = Materialize(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")),
+      roundMat)
+    try {
+      val directed = directedM.df
+      val deg = directed.groupBy("src").agg(count(lit(1)).as("d"))
+      val nodes = directed.select(col("src").as("v")).distinct()
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      var freeRanks: () => Unit = () => ()
+      for (_ <- 1 to iters) {
+        val contrib = directed.join(deg, "src")
+          .join(ranks.withColumnRenamed("v", "src"), "src")
+          .select(col("dst").as("v"), expr("r div d").as("c"))
+          .groupBy("v").agg(sum(col("c")).as("s"))
+        val next = Materialize(
+          nodes.join(contrib, Seq("v"), "left")
+            .select(col("v"),
+              (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
+                .as("r")),
+          roundMat)
+        freeRanks()
+        ranks = next.df
+        freeRanks = next.release
+      }
+      val out = Materialize(
+        ranks.select(col("v").as("node"), col("r").as("rank")), mat)
+      freeRanks()
+      out
+    } finally directedM.release()
+  }
+
+  /** [[pageRankM]] with default materialization, returning the bare
+    * frame: no RDD blocks outlive the call (the CC contract). */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+               iters: Int = 10): DataFrame =
+    pageRankM(edges, aCol, bCol, iters).df
 }

@@ -364,6 +364,81 @@ object Analytics {
       |WHERE event_type = 'signup'
       |GROUP BY user_id""".stripMargin
 
+  // Funnel analysis: per-user ordered progression view → click →
+  // purchase, each stage's timestamp the FIRST occurrence strictly
+  // after the previous stage (the sequential-conversion definition —
+  // a purchase before any click doesn't count). Three chained
+  // conditional-min aggregations over one events scan; all integer
+  // microsecond arithmetic, so the funnel depth is engine-exact.
+  def funnelQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tsu")).as("t1"))
+    val t2 = ev.where(col("event_type") === "click").join(t1, "user_id")
+      .where(col("tsu") > col("t1"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase").join(t2, "user_id")
+      .where(col("tsu") > col("t2"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t3"))
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t1").isNotNull, 1).otherwise(0) +
+          when(col("t2").isNotNull, 1).otherwise(0) +
+          when(col("t3").isNotNull, 1).otherwise(0)).cast("long")
+          .as("funnel_depth"),
+        col("t1").as("first_view_us"), col("t2").as("first_click_us"),
+        col("t3").as("first_purchase_us"))
+  }
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+      |  FROM events),
+      |t1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'click' AND tsu > t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tsu > t2 GROUP BY 1)
+      |SELECT u.user_id,
+      |  CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END) +
+      |       (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) +
+      |       (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS funnel_depth,
+      |  t1 AS first_view_us, t2 AS first_click_us, t3 AS first_purchase_us
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN t1 USING (user_id)
+      |LEFT JOIN t2 USING (user_id)
+      |LEFT JOIN t3 USING (user_id)""".stripMargin
+
+  // Cohort retention: users grouped by the week of their FIRST event
+  // (the cohort), counted by how many distinct later weeks they came
+  // back in — the activity matrix every growth dashboard draws. All
+  // integer week arithmetic off epoch microseconds.
+  def cohortQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 604800000000").as("week"))
+    val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+  val cohortSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    (epoch_ns(ts) // 1000) // 604800000000 AS week
+      |  FROM events),
+      |f AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY 1)
+      |SELECT cohort, week - cohort AS week_n,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   // Star-join rollup: revenue by region/nation (denormalize → aggregate).
   def regionRevenueQ(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
@@ -795,6 +870,8 @@ object Analytics {
     "q_window_suite" -> (windowSuiteQ _),
     "q_decimal_sum" -> (decimalSumQ _),
     "q_complex_agg" -> (complexAggQ _),
+    "q_funnel" -> (funnelQ _),
+    "q_cohort" -> (cohortQ _),
     "q_key_histogram" -> (keyHistogramQ _),
     "q_region_revenue" -> (regionRevenueQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
@@ -827,6 +904,8 @@ object Analytics {
     "q_window_suite" -> windowSuiteSql,
     "q_decimal_sum" -> decimalSumSql,
     "q_complex_agg" -> complexAggSql,
+    "q_funnel" -> funnelSql,
+    "q_cohort" -> cohortSql,
     "q_key_histogram" -> keyHistogramSql,
     "q_region_revenue" -> regionRevenueSql,
     "q_rollup_revenue" -> rollupRevenueSql,

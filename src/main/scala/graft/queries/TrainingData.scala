@@ -485,6 +485,45 @@ object TrainingData {
        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
        |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ fixed-point PageRank
+  // Graph.pageRank over the near-dup pair graph: duplicate-hub scoring
+  // (which documents sit at the center of copy networks). Ranks are
+  // integer micro-units with damping as the exact rational 17/20 and
+  // truncating division — bit-identical across engines and
+  // partitionings, so the oracle UNROLLS the same 10 power iterations
+  // as chained CTEs (recursive CTEs can't aggregate) and must match
+  // exactly, no tolerance.
+  def pageRankQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+      Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text",
+        "doc_id", k = 5, threshold = 0.5),
+      "doc_a", "doc_b", iters = 10)
+  val pageRankSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.v,
+         |    150000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS v, sum(p.r // deg.d) AS s
+         |    FROM pr${i - 1} p
+         |    JOIN deg ON deg.src = p.v
+         |    JOIN e ON e.src = p.v
+         |    GROUP BY 1) s ON s.v = n.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |ce AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS src, b AS dst FROM ce
+       |      UNION ALL SELECT b, a FROM ce),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |pr0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM pr10""".stripMargin
+  }
+
   // --------------------------------------- maintained signature tables
   /** Path of the MAINTAINED signature table for a (sf-dir, corpus-tag)
     * pair, written on first use and reused by every later query in the
@@ -2045,6 +2084,7 @@ object TrainingData {
     "x_shard_export" -> (shardExportQ _),
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
+    "x_pagerank" -> (pageRankQ _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
@@ -2104,6 +2144,7 @@ object TrainingData {
     "x_shard_export" -> shardExportSql,
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
+    "x_pagerank" -> pageRankSql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,

@@ -14,6 +14,27 @@ class GraphSpec extends SparkSpec {
     assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("pageRank matches the hand-computed fixed-point iteration on a star") {
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val r = Graph.pageRank(e, "a", "b", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r1(1)=150000+(17*2e6)div 20=1850000; r1(leaf)=150000+(17*(1e6 div 2))div 20=575000
+    // r2(1)=150000+(17*(575000*2))div 20=1127500
+    // r2(leaf)=150000+(17*(1850000 div 2))div 20=936250
+    assert(r == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
+
+  test("pageRank is bit-identical under repartitioning (integer lanes)") {
+    val e = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_custkey % 97 AS a", "o_orderkey % 89 AS b")
+      .where($"a" =!= $"b")
+    val r1 = Graph.pageRank(e, "a", "b", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r2 = Graph.pageRank(e.repartition(13), "a", "b", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == r2)
+  }
+
   test("a chain has no triangles; reversed/duplicate edges canonicalize") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     assert(Graph.triangles(chain, "a", "b").count() == 0)

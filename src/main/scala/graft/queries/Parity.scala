@@ -873,6 +873,102 @@ object Parity {
     """SELECT doc_id, lang, source, n_chars
       |FROM documents WHERE doc_id % 2 = 0""".stripMargin
 
+  // ----------------------------------------------- data-quality gate
+  // Quality.report gated end to end over orders: three row-local rules
+  // (ONE extra scan total — violations are conditional counts inside a
+  // single aggregate), a uniqueness rule, and a referential-integrity
+  // rule against customer. The oracle recomputes each count
+  // relationally; all integers.
+  def qualityChecksQ(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    graft.ops.Quality.report(ord, Seq(
+      graft.ops.Quality.Check("status_known",
+        col("o_orderstatus").isin("F", "O", "P")),
+      graft.ops.Quality.Check("price_positive", col("o_totalprice") > 0d),
+      graft.ops.Quality.Check("priority_nonnull",
+        col("o_orderpriority").isNotNull),
+      graft.ops.Quality.Unique("orderkey_unique", Seq("o_orderkey")),
+      graft.ops.Quality.ForeignKey("custkey_in_customer", "o_custkey",
+        cust, "c_custkey")))
+  }
+  val qualityChecksSql: String =
+    """SELECT 'status_known' AS rule,
+      |  CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END)
+      |       AS BIGINT) AS n_violations FROM orders
+      |UNION ALL
+      |SELECT 'price_positive',
+      |  CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM orders
+      |UNION ALL
+      |SELECT 'priority_nonnull',
+      |  CAST(sum(CASE WHEN o_orderpriority IS NOT NULL THEN 0 ELSE 1 END)
+      |       AS BIGINT)
+      |  FROM orders
+      |UNION ALL
+      |SELECT 'orderkey_unique',
+      |  COALESCE((SELECT CAST(sum(n - 1) AS BIGINT) FROM
+      |    (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)), 0)
+      |UNION ALL
+      |SELECT 'custkey_in_customer',
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin
+
+  // ----------------------------------------------- snapshot diff
+  // Versioned.diff gated end to end: v1 = documents minus the %7 ids,
+  // v2 = documents minus the %3 ids with n_chars bumped on the %5 ids —
+  // so the diff must report exactly the set-algebra of adds (%7 ids
+  // that survived v2's filter), removes (%3 ids that were in v1), and
+  // changes (%5 survivors of both filters). One full-outer join on the
+  // key; non-key columns compared as canonical JSON.
+  def snapshotDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val table = Fixtures.cached("versioned-diff", dir) { root =>
+      val t = new java.io.File(root, "docs").toString
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.Versioned.write(d.where(col("doc_id") % 7 =!= 0), t)
+      graft.sources.Versioned.write(
+        d.where(col("doc_id") % 3 =!= 0)
+          .withColumn("n_chars", when(col("doc_id") % 5 === 0,
+            col("n_chars") + 1L).otherwise(col("n_chars"))), t)
+      t
+    }
+    graft.sources.Versioned.diff(spark, table, Seq("doc_id"), 1, 2)
+  }
+  val snapshotDiffSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'added'
+      |       WHEN doc_id % 3 = 0 THEN 'removed'
+      |       ELSE 'changed' END AS op
+      |FROM documents
+      |WHERE (doc_id % 7 = 0 AND doc_id % 3 <> 0)
+      |   OR (doc_id % 7 <> 0 AND doc_id % 3 = 0)
+      |   OR (doc_id % 7 <> 0 AND doc_id % 3 <> 0 AND doc_id % 5 = 0)""".stripMargin
+
+  // ------------------------------------------- incremental aggregates
+  // IncrementalAgg gated end to end: the per-(user, event_type) count
+  // and exact cent-sum snapshot built from events BEFORE the cutoff,
+  // merged with the raw post-cutoff batch — must equal re-aggregating
+  // all of history (the oracle). Integer lanes throughout, so the
+  // equivalence is exact, and refresh cost is O(batch), never
+  // O(history).
+  def incrementalAggQ(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = 1705363200000000000L
+    val ev = Tables.load(spark, dir, "events").select(
+      col("user_id"), col("event_type"), col("ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val base = graft.ops.IncrementalAgg.snapshot(
+      ev.where(col("ts") < cutoff), Seq("user_id", "event_type"),
+      Seq("cents"))
+    graft.ops.IncrementalAgg.merge(base,
+      ev.where(col("ts") >= cutoff), Seq("user_id", "event_type"),
+      Seq("cents"))
+  }
+  val incrementalAggSql: String =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -927,7 +1023,10 @@ object Parity {
     "p_csv_ingest" -> (csvIngestQ _),
     "p_clustered_scan" -> (clusteredScanQ _),
     "p_zorder_scan" -> (zorderScanQ _),
-    "p_time_travel" -> (timeTravelQ _))
+    "p_time_travel" -> (timeTravelQ _),
+    "p_quality_checks" -> (qualityChecksQ _),
+    "p_snapshot_diff" -> (snapshotDiffQ _),
+    "p_incremental_agg" -> (incrementalAggQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -955,5 +1054,8 @@ object Parity {
     "p_csv_ingest" -> ingestRoundtripSql,
     "p_clustered_scan" -> clusteredScanSql,
     "p_zorder_scan" -> zorderScanSql,
-    "p_time_travel" -> timeTravelSql)
+    "p_time_travel" -> timeTravelSql,
+    "p_quality_checks" -> qualityChecksSql,
+    "p_snapshot_diff" -> snapshotDiffSql,
+    "p_incremental_agg" -> incrementalAggSql)
 }

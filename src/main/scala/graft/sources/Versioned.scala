@@ -73,6 +73,32 @@ object Versioned {
     spark.read.parquet(s"$table/v=$v")
   }
 
+  /** Row-level diff between two snapshots of a table, keyed by `keys`:
+    * one row per difference with op ∈ {added, removed, changed}.
+    * Non-key columns are compared as a canonical JSON struct (sorted
+    * column order), so the diff is schema-generic; both versions must
+    * share a column set. One full-outer hash join on the key — the
+    * audit primitive for "what changed between the corpus my last
+    * model saw and today's" at snapshot granularity. */
+  def diff(spark: SparkSession, table: String, keys: Seq[String],
+           vOld: Int, vNew: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = read(spark, table, Some(vOld))
+    val n = read(spark, table, Some(vNew))
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"schema drift between v$vOld and v$vNew — diff needs one column set")
+    val nonKey = o.columns.filterNot(keys.contains).sorted
+    def pack(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+ to_json(struct(nonKey.map(col): _*)).as(as): _*)
+    pack(o, "__o").join(pack(n, "__n"), keys, "full_outer")
+      .withColumn("op",
+        when(col("__o").isNull, "added")
+          .when(col("__n").isNull, "removed")
+          .when(col("__o") =!= col("__n"), "changed"))
+      .where(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
+
   /** Drop all versions older than `keepLast` (never the latest
     * committed); returns the dropped version numbers. */
   def vacuum(spark: SparkSession, table: String,

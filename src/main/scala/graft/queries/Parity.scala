@@ -969,6 +969,73 @@ object Parity {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- bucketed join
+  // Write-time co-location gated end to end: orders and customer are
+  // written as catalog tables bucketed on the customer key, then joined
+  // and aggregated READING FROM THE BUCKETED TABLES — the repeated-join
+  // pre-partitioning strategy (bucket join runs with no exchange,
+  // asserted by BucketedJoinSpec; this gates the content round-trip
+  // through the bucketed layout). Table names carry a per-JVM tag so
+  // stale warehouse directories from other sessions can't collide.
+  private lazy val bucketTag =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  def bucketedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = Fixtures.cached("bkt", dir) { _ =>
+      val tag = s"${bucketTag}_${math.abs(dir.hashCode)}"
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"graft_bkt_ord_$tag")
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"graft_bkt_cust_$tag")
+      tag
+    }
+    spark.table(s"graft_bkt_ord_$prefix")
+      .join(spark.table(s"graft_bkt_cust_$prefix"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+  }
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------- streaming aggregate upkeep
+  // continuousAggMaintenance gated end to end: the two-batch events
+  // feed maintains a per-(user, event_type) count + cent-sum snapshot,
+  // each refresh committing a NEW Versioned snapshot (atomic pointer,
+  // never read-and-overwrite-in-place). After the drain the LATEST
+  // snapshot must equal re-aggregating all of history — the O(batch)
+  // refresh is provably lossless, and the refresh history stays
+  // diffable.
+  def streamIncrAggQ(spark: SparkSession, dir: String): DataFrame = {
+    val table = Fixtures.cached("streamagg", dir) { root =>
+      val schema = Tables.load(spark, dir, "events").schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(twoBatchEventsDir(spark, dir))
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val t = new java.io.File(root, "agg").toString
+      graft.streaming.StreamingOps.continuousAggMaintenance(
+        src, t, Seq("user_id", "event_type"), Seq("cents"))
+      t
+    }
+    graft.sources.Versioned.read(spark, table)
+  }
+  // same oracle as p_incremental_agg: the maintained snapshot must
+  // equal the full-history aggregate
+  val streamIncrAggSql: String =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- S4/S5
   // Typed byte-cell decode: the customer table is exported to HBase-style
   // binary cells (UTF-8 / big-endian, ByteDecode.encodeCells) and lifted
@@ -1026,7 +1093,9 @@ object Parity {
     "p_time_travel" -> (timeTravelQ _),
     "p_quality_checks" -> (qualityChecksQ _),
     "p_snapshot_diff" -> (snapshotDiffQ _),
-    "p_incremental_agg" -> (incrementalAggQ _))
+    "p_incremental_agg" -> (incrementalAggQ _),
+    "p_bucketed_join" -> (bucketedJoinQ _),
+    "p_stream_incr_agg" -> (streamIncrAggQ _))
 
   val oracles: Map[String, String] = Map(
     "p_insert_into" -> insertIntoSql,
@@ -1057,5 +1126,7 @@ object Parity {
     "p_time_travel" -> timeTravelSql,
     "p_quality_checks" -> qualityChecksSql,
     "p_snapshot_diff" -> snapshotDiffSql,
-    "p_incremental_agg" -> incrementalAggSql)
+    "p_incremental_agg" -> incrementalAggSql,
+    "p_bucketed_join" -> bucketedJoinSql,
+    "p_stream_incr_agg" -> streamIncrAggSql)
 }

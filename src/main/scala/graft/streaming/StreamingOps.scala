@@ -245,6 +245,43 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Continuous incremental-aggregate maintenance: each micro-batch is
+    * aggregated ALONE and merged with the latest maintained snapshot
+    * (ops.IncrementalAgg — associative sum/count partials, O(batch) per
+    * refresh, never O(history)), the result committed as a NEW
+    * [[graft.sources.Versioned]] snapshot. The atomic pointer commit
+    * means readers always see a complete refresh, and every historical
+    * refresh stays diffable (Versioned.diff). Unlike the
+    * overwrite-in-place pattern ([[continuousScdMerge]]), a versioned
+    * commit never reads and overwrites the same files, so no defensive
+    * materialization is needed.
+    */
+  def continuousAggMaintenance(src: DataFrame, table: String,
+                               keys: Seq[String],
+                               sums: Seq[String]): Unit = {
+    val q = src.writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_agg_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.drop("event_time")
+        val merged = graft.sources.Versioned.latestVersion(spark, table)
+        match {
+          case None =>
+            graft.ops.IncrementalAgg.snapshot(b, keys, sums)
+          case Some(v) =>
+            graft.ops.IncrementalAgg.merge(
+              graft.sources.Versioned.read(spark, table, Some(v)),
+              b, keys, sums)
+        }
+        graft.sources.Versioned.write(merged, table)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Continuous corpus curation: screen each arriving batch of documents
     * against a maintained MinHash signature table
     * ([[graft.operators.Dedup.writeSignatureTable]]), append the

@@ -312,4 +312,31 @@ class StreamingSpec extends SparkSpec {
     assert(admitted == Set(100L, 201L),
       s"expected live-table screen to admit {100, 201}, got $admitted")
   }
+
+  test("continuousAggMaintenance commits one Versioned snapshot per " +
+    "micro-batch and the latest equals the full aggregate") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_streamagg").toString
+    // two micro-batch files
+    Seq((1L, 10L), (2L, 5L)).toDF("k", "c").coalesce(1)
+      .write.parquet(s"$root/src/b0")
+    Seq((1L, 3L), (3L, 7L)).toDF("k", "c").coalesce(1)
+      .write.parquet(s"$root/src/b1")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src/*")
+    val table = s"$root/agg"
+    StreamingOps.continuousAggMaintenance(src, table, Seq("k"), Seq("c"))
+    assert(graft.sources.Versioned.versions(spark, table) == Seq(1, 2))
+    val latest = graft.sources.Versioned.read(spark, table)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(latest == Map(1L -> (2L, 13L), 2L -> (1L, 5L), 3L -> (1L, 7L)))
+  }
 }

@@ -79,10 +79,18 @@ object Graph {
         .union(e.select(col("b").as("src"), col("a").as("dst")))
         .repartition(col("src")),
       roundMat)
+    // deg and nodes are aggregations over the edges, re-read every
+    // round — materialize them once too, not just the edge list
+    var degM: graft.ops.Materialized = null
+    var nodesM: graft.ops.Materialized = null
     try {
       val directed = directedM.df
-      val deg = directed.groupBy("src").agg(count(lit(1)).as("d"))
-      val nodes = directed.select(col("src").as("v")).distinct()
+      degM = Materialize(
+        directed.groupBy("src").agg(count(lit(1)).as("d")), roundMat)
+      nodesM = Materialize(
+        directed.select(col("src").as("v")).distinct(), roundMat)
+      val deg = degM.df
+      val nodes = nodesM.df
       var ranks = nodes.withColumn("r", lit(1000000L))
       var freeRanks: () => Unit = () => ()
       for (_ <- 1 to iters) {
@@ -104,7 +112,11 @@ object Graph {
         ranks.select(col("v").as("node"), col("r").as("rank")), mat)
       freeRanks()
       out
-    } finally directedM.release()
+    } finally {
+      directedM.release()
+      if (degM != null) degM.release()
+      if (nodesM != null) nodesM.release()
+    }
   }
 
   /** [[pageRankM]] with default materialization, returning the bare

@@ -35,12 +35,12 @@ object Quality {
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (checks.nonEmpty) {
       // one scan, one aggregate, |checks| columns
-      val agg = df.agg(
-        sum(when(!checks.head.cond or checks.head.cond.isNull, 1L)
-          .otherwise(0L)).as(checks.head.name),
-        checks.tail.map(c =>
-          sum(when(!c.cond or c.cond.isNull, 1L).otherwise(0L))
-            .as(c.name)): _*)
+      // coalesce: sum over ZERO rows is null, and an empty input has
+      // zero violations, not unknown — matches the Unique/FK rules
+      def viol(c: Check) = coalesce(
+        sum(when(!c.cond or c.cond.isNull, 1L).otherwise(0L)), lit(0L))
+      val agg = df.agg(viol(checks.head).as(checks.head.name),
+        checks.tail.map(c => viol(c).as(c.name)): _*)
       parts += agg.select(explode(map(
         checks.flatMap(c => Seq(lit(c.name), col(c.name))): _*))
         .as(Seq("rule", "n_violations")))

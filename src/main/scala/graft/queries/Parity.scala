@@ -912,7 +912,9 @@ object Parity {
       |UNION ALL
       |SELECT 'custkey_in_customer',
       |  (SELECT count(*) FROM orders o
-      |   WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin
+      |   WHERE o.o_custkey IS NULL
+      |      OR NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey))""".stripMargin
 
   // ----------------------------------------------- snapshot diff
   // Versioned.diff gated end to end: v1 = documents minus the %7 ids,

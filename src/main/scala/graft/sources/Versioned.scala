@@ -45,29 +45,62 @@ object Versioned {
     }
   }
 
-  /** Write `df` as the next snapshot; returns its version number. */
-  def write(df: DataFrame, table: String): Int = {
+  /** The writer-supplied note committed with version `v` (e.g. the
+    * streaming batch id that produced it), if one was given. */
+  def note(spark: SparkSession, table: String, v: Int): Option[String] = {
+    val p = new Path(s"$table/v=$v", "_graft_note")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString)
+      finally in.close()
+    }
+  }
+
+  /** Write `df` as the next snapshot; returns its version number.
+    * `note` (if given) lands inside the version directory BEFORE the
+    * pointer flips, so it commits atomically with the version — the
+    * hook idempotent refreshers key on (continuousAggMaintenance
+    * stores the micro-batch id here). The flip itself is a
+    * rename-with-overwrite through FileContext: atomic where the
+    * filesystem supports it, and never a delete-then-rename window
+    * where a latest-read could find no pointer at all. */
+  def write(df: DataFrame, table: String,
+            note: Option[String] = None): Int = {
     val spark = df.sparkSession
     val next = versions(spark, table).lastOption.getOrElse(0) + 1
     df.write.mode("errorifexists").parquet(s"$table/v=$next")
     val f = fs(spark, new Path(table))
+    note.foreach { n =>
+      val p = new Path(s"$table/v=$next", "_graft_note")
+      val out = f.create(p, true)
+      try out.write(n.getBytes("UTF-8")) finally out.close()
+    }
     val tmp = new Path(table, s"_latest.tmp$next")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     val ptr = new Path(table, "_latest")
-    f.delete(ptr, false)
-    if (!f.rename(tmp, ptr))
-      throw new java.io.IOException(
-        s"could not commit version pointer for $table v$next")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
-  /** Read a snapshot: the pinned `version`, or the latest committed. */
+  /** Read a snapshot: the pinned `version`, or the latest committed.
+    * Pinned reads are validated against the COMMITTED horizon (the
+    * pointer), not the directory listing — a crash-orphaned v=<n> data
+    * dir beyond the pointer is unreadable, never a torn result. */
   def read(spark: SparkSession, table: String,
            version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+    val latest = latestVersion(spark, table)
+    val v = version.orElse(latest).getOrElse(
       throw new IllegalArgumentException(
         s"$table has no committed version"))
+    require(latest.exists(v <= _),
+      s"$table has no COMMITTED version $v (committed horizon: " +
+        s"${latest.getOrElse(0)}; a data dir past it is an uncommitted " +
+        "orphan)")
     require(versions(spark, table).contains(v),
       s"$table has no version $v (have ${versions(spark, table)})")
     spark.read.parquet(s"$table/v=$v")

@@ -254,7 +254,10 @@ object StreamingOps {
     * refresh stays diffable (Versioned.diff). Unlike the
     * overwrite-in-place pattern ([[continuousScdMerge]]), a versioned
     * commit never reads and overwrites the same files, so no defensive
-    * materialization is needed.
+    * materialization is needed. foreachBatch replays (at-least-once)
+    * are made EXACTLY-ONCE by committing the batch id atomically with
+    * each version (the Versioned note) and skipping already-committed
+    * ids.
     */
   def continuousAggMaintenance(src: DataFrame, table: String,
                                keys: Seq[String],
@@ -262,19 +265,30 @@ object StreamingOps {
     val q = src.writeStream
       .option("checkpointLocation", java.nio.file.Files
         .createTempDirectory("graft_agg_ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.drop("event_time")
-        val merged = graft.sources.Versioned.latestVersion(spark, table)
-        match {
-          case None =>
-            graft.ops.IncrementalAgg.snapshot(b, keys, sums)
-          case Some(v) =>
-            graft.ops.IncrementalAgg.merge(
-              graft.sources.Versioned.read(spark, table, Some(v)),
-              b, keys, sums)
+        // foreachBatch is at-least-once and sum/count merges are not
+        // idempotent, so the commit itself must be: the batch id rides
+        // the Versioned note, which lands inside the version dir BEFORE
+        // the atomic pointer flip. A replayed batch whose id is already
+        // committed is skipped — a crash between data write and flip
+        // leaves an orphan dir the pointer never reached, and the
+        // replay commits the same merge under the next version number.
+        val latest = graft.sources.Versioned.latestVersion(spark, table)
+        val applied = latest.flatMap(v =>
+          graft.sources.Versioned.note(spark, table, v)).map(_.toLong)
+        if (!applied.exists(_ >= batchId)) {
+          val merged = latest match {
+            case None =>
+              graft.ops.IncrementalAgg.snapshot(batch, keys, sums)
+            case Some(v) =>
+              graft.ops.IncrementalAgg.merge(
+                graft.sources.Versioned.read(spark, table, Some(v)),
+                batch, keys, sums)
+          }
+          graft.sources.Versioned.write(merged, table,
+            note = Some(batchId.toString))
         }
-        graft.sources.Versioned.write(merged, table)
         ()
       }
       .start()

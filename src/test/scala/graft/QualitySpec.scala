@@ -23,6 +23,15 @@ class QualitySpec extends SparkSpec {
       "ref_known" -> 1L))
   }
 
+  test("Quality.report returns 0 (not null) violations on an empty input") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "ref")
+    val out = Quality.report(empty, Seq(
+      Quality.Check("k_positive", col("k") > 0),
+      Quality.Unique("k_unique", Seq("k"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("k_positive" -> 0L, "k_unique" -> 0L))
+  }
+
   test("Quality row-local rules share one scan (one aggregate, no union " +
     "of scans per rule)") {
     val df = Tables.load(spark, sf0001, "orders")

@@ -48,9 +48,20 @@ class VersionedSpec extends SparkSpec {
     Seq(9, 9).toDF("x").write.parquet(s"$t/v=2")
     assert(Versioned.latestVersion(spark, t).contains(1))
     assert(Versioned.read(spark, t).count() == 1) // readers unaffected
+    // a PINNED read of the uncommitted orphan must refuse, not return
+    // the (possibly torn) directory contents
+    intercept[IllegalArgumentException](Versioned.read(spark, t, Some(2)))
     // next writer skips the orphaned number and commits cleanly
     val v = Versioned.write(Seq(1, 2, 3).toDF("x"), t)
     assert(v == 3)
     assert(Versioned.read(spark, t).count() == 3)
+  }
+
+  test("a note commits atomically with its version and reads back") {
+    val t = tbl("note")
+    Versioned.write(Seq(1).toDF("x"), t, note = Some("batch-0"))
+    Versioned.write(Seq(1, 2).toDF("x"), t) // no note
+    assert(Versioned.note(spark, t, 1).contains("batch-0"))
+    assert(Versioned.note(spark, t, 2).isEmpty)
   }
 }

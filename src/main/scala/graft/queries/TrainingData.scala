@@ -485,6 +485,43 @@ object TrainingData {
        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
        |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- distribution drift
+  // Drift.psiReport gated end to end: the PSI report between the
+  // even-id and odd-id halves of the corpus over the n_chars
+  // distribution (fixed 10×100 integer grid, add-one smoothing) — the
+  // training/serving drift monitor. Per-bin ln(p/q) floor-quantized to
+  // micro-nats, contribution floored to integer micro-PSI; exact
+  // integer counts everywhere else.
+  def driftQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.ops.Drift.psiReport(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+      col("n_chars"), nBins = 10, width = 100L)
+  }
+  val driftSql: String =
+    """WITH r AS (
+      |  SELECT least(n_chars // 100, 9) AS bin, count(*) AS ref_n
+      |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      |c AS (
+      |  SELECT least(n_chars // 100, 9) AS bin, count(*) AS cur_n
+      |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      |g AS (
+      |  SELECT b.bin,
+      |    COALESCE(r.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+      |  FROM range(10) b(bin)
+      |  LEFT JOIN r ON r.bin = b.bin LEFT JOIN c ON c.bin = b.bin),
+      |t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM g),
+      |s AS (
+      |  SELECT g.bin, g.ref_n, g.cur_n,
+      |    (g.ref_n + 1.0) / (t.rt + 10) AS p,
+      |    (g.cur_n + 1.0) / (t.ct + 10) AS q
+      |  FROM g, t)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |  CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+      |  CAST(floor((p - q) *
+      |       CAST(floor(ln(p / q) * 1e6) AS BIGINT)) AS BIGINT) AS psi_u
+      |FROM s""".stripMargin
+
   // ------------------------------------------------ fixed-point PageRank
   // Graph.pageRank over the near-dup pair graph: duplicate-hub scoring
   // (which documents sit at the center of copy networks). Ranks are
@@ -2085,6 +2122,7 @@ object TrainingData {
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
     "x_pagerank" -> (pageRankQ _),
+    "x_drift" -> (driftQ _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
@@ -2145,6 +2183,7 @@ object TrainingData {
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
     "x_pagerank" -> pageRankSql,
+    "x_drift" -> driftSql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.operators.{Dedup, Sessionize, Similarity, UrlOps}
 
 /** Training-data pipeline queries: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard), text analysis (stats, language-ID, fingerprints),
@@ -521,6 +521,105 @@ object TrainingData {
       |  CAST(floor((p - q) *
       |       CAST(floor(ln(p / q) * 1e6) AS BIGINT)) AS BIGINT) AS psi_u
       |FROM s""".stripMargin
+
+  // ------------------------------------------------- web URL curation
+  // UrlOps gated end to end on a deterministic synthetic crawl: each
+  // document gets a URL whose shape cycles through three messy variants
+  // (uppercase scheme/host + default port + utm_* params + fragment;
+  // fbclid; gclid on a cdn host). Canonicalization must collapse the
+  // mess identically in both engines — every rule is a plain regex, so
+  // the oracle replays the same chain in DuckDB dialect.
+  private def syntheticUrls(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    docs(spark, dir).select(col("doc_id"), col("source"), col("n_chars"),
+      when(id % 3 === 0, concat(
+          lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM:443/Docs/"), (id % 50).cast("string"),
+          lit("?utm_source=feed&id="), (id % 20).cast("string"),
+          lit("&utm_campaign=x#sec"), (id % 5).cast("string")))
+        .when(id % 3 === 1, concat(
+          lit("http://"), col("source"), lit(".example.com:80/a/b/"),
+          (id % 50).cast("string"), lit("?id="), (id % 20).cast("string"),
+          lit("&fbclid=f"), id.cast("string")))
+        .otherwise(concat(
+          lit("https://cdn."), col("source"), lit(".example.com/static/"),
+          (id % 50).cast("string"), lit("?gclid=z&id="),
+          (id % 20).cast("string")))
+        .as("url"))
+  }
+  private val syntheticUrlsSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN 'HTTPS://WWW.' || upper(source) ||
+      |      '.Example.COM:443/Docs/' || (doc_id % 50) ||
+      |      '?utm_source=feed&id=' || (doc_id % 20) ||
+      |      '&utm_campaign=x#sec' || (doc_id % 5)
+      |    WHEN 1 THEN 'http://' || source || '.example.com:80/a/b/' ||
+      |      (doc_id % 50) || '?id=' || (doc_id % 20) || '&fbclid=f' || doc_id
+      |    ELSE 'https://cdn.' || source || '.example.com/static/' ||
+      |      (doc_id % 50) || '?gclid=z&id=' || (doc_id % 20)
+      |  END AS url
+      |FROM documents""".stripMargin
+  private val canonSql: String =
+    """s1 AS (SELECT doc_id, source, n_chars,
+      |         regexp_replace(url, '#.*$', '', 'g') AS u FROM urls),
+      |s2 AS (SELECT *, regexp_extract(u, '^[^/]*//[^/?#]*') AS pfx FROM s1),
+      |s3 AS (SELECT doc_id, source, n_chars,
+      |         regexp_replace(regexp_replace(lower(pfx), ':(80|443)$', '', 'g'),
+      |           '^(https?://)www\.', '\1', 'g') AS pfx2,
+      |         substr(u, length(pfx) + 1) AS rest FROM s2),
+      |s4 AS (SELECT doc_id, source, n_chars, pfx2,
+      |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+      |           '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+      |           '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g')
+      |           AS rest2 FROM s3),
+      |canon AS (SELECT doc_id, source, n_chars,
+      |            pfx2 || rest2 AS canon_url FROM s4)""".stripMargin
+
+  def urlCanonQ(spark: SparkSession, dir: String): DataFrame =
+    UrlOps.withCanonicalUrl(syntheticUrls(spark, dir), "url")
+      .select(col("doc_id"), col("canon_url"), col("host"), col("domain"))
+  val urlCanonSql: String =
+    s"""WITH urls AS ($syntheticUrlsSql),
+       |$canonSql
+       |SELECT doc_id, canon_url,
+       |  regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       |  regexp_extract(regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1),
+       |    '[^.]+\\.[^.]+$$') AS domain
+       |FROM canon""".stripMargin
+
+  def urlDedupQ(spark: SparkSession, dir: String): DataFrame =
+    UrlOps.dedupByCanonicalUrl(syntheticUrls(spark, dir), "url", "doc_id")
+  val urlDedupSql: String =
+    s"""WITH urls AS ($syntheticUrlsSql),
+       |$canonSql
+       |SELECT canon_url, min(doc_id) AS keeper_id,
+       |  count(*) AS fetch_count
+       |FROM canon GROUP BY 1""".stripMargin
+
+  // per-host cap at 25 by (n_chars DESC, doc_id): the boilerplate-domain
+  // flood defense; ranks must be engine-identical, so the ordering is a
+  // total order (doc_id tiebreak)
+  def domainCapQ(spark: SparkSession, dir: String): DataFrame = {
+    val canon = UrlOps.withCanonicalUrl(syntheticUrls(spark, dir), "url")
+    UrlOps.capPerHost(canon, "host", "doc_id", 25,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("host"), col("host_rank"))
+  }
+  val domainCapSql: String =
+    s"""WITH urls AS ($syntheticUrlsSql),
+       |$canonSql,
+       |hosted AS (
+       |  SELECT doc_id, n_chars,
+       |    regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host
+       |  FROM canon),
+       |ranked AS (
+       |  SELECT doc_id, host,
+       |    row_number() OVER (PARTITION BY host
+       |      ORDER BY n_chars DESC, doc_id) AS host_rank
+       |  FROM hosted)
+       |SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank
+       |FROM ranked WHERE host_rank <= 25""".stripMargin
 
   // ------------------------------------------------ fixed-point PageRank
   // Graph.pageRank over the near-dup pair graph: duplicate-hub scoring
@@ -2123,6 +2222,9 @@ object TrainingData {
     "x_triangles" -> (trianglesQ _),
     "x_pagerank" -> (pageRankQ _),
     "x_drift" -> (driftQ _),
+    "x_url_canon" -> (urlCanonQ _),
+    "x_url_dedup" -> (urlDedupQ _),
+    "x_domain_cap" -> (domainCapQ _),
     "x_seq_pack" -> (seqPackQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
@@ -2184,6 +2286,9 @@ object TrainingData {
     "x_triangles" -> trianglesSql,
     "x_pagerank" -> pageRankSql,
     "x_drift" -> driftSql,
+    "x_url_canon" -> urlCanonSql,
+    "x_url_dedup" -> urlDedupSql,
+    "x_domain_cap" -> domainCapSql,
     "x_seq_pack" -> seqPackSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,

@@ -853,7 +853,75 @@ object Analytics {
       |FROM lineitem li JOIN ap USING (l_returnflag)
       |GROUP BY li.l_returnflag""".stripMargin
 
+  // --------------------------------------------- outlier treatment
+  // Outliers.winsorize / iqrOutliers gated end to end over events.value
+  // per event_type. Thresholds are DISCRETE quantiles over the
+  // cents-quantized lane (percentile_disc semantics via cume_dist), so
+  // both engines derive bit-identical caps; the report aggregates the
+  // capped lane and the outlier counts — integer-exact everywhere.
+  def winsorizeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.winsorize(
+        Tables.load(spark, dir, "events"), "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(min(col("q_lo")).as("q_lo"), min(col("q_hi")).as("q_hi"),
+        count(lit(1)).as("n"),
+        sum(col("v_capped")).as("sum_capped"),
+        sum(when(col("v_scaled") =!= col("v_capped"), 1L).otherwise(0L))
+          .as("n_capped"))
+  val winsorizeSql: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+      |cd AS (
+      |  SELECT event_type, vc,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY vc) AS cd
+      |  FROM v),
+      |th AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN cd >= 0.05 THEN vc END) AS q_lo,
+      |    min(CASE WHEN cd >= 0.95 THEN vc END) AS q_hi
+      |  FROM cd GROUP BY 1),
+      |capped AS (
+      |  SELECT v.event_type, v.vc, th.q_lo, th.q_hi,
+      |    least(greatest(v.vc, th.q_lo), th.q_hi) AS vcap
+      |  FROM v JOIN th USING (event_type))
+      |SELECT event_type, min(q_lo) AS q_lo, min(q_hi) AS q_hi,
+      |  count(*) AS n, CAST(sum(vcap) AS BIGINT) AS sum_capped,
+      |  CAST(sum(CASE WHEN vc <> vcap THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_capped
+      |FROM capped GROUP BY 1""".stripMargin
+
+  def iqrOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.iqrOutliers(
+        Tables.load(spark, dir, "events"), "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(min(col("q1")).as("q1"), min(col("q3")).as("q3"),
+        count(lit(1)).as("n"),
+        sum(col("is_outlier").cast("long")).as("n_outliers"))
+  val iqrOutliersSql: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+      |cd AS (
+      |  SELECT event_type, vc,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY vc) AS cd
+      |  FROM v),
+      |th AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN cd >= 0.25 THEN vc END) AS q1,
+      |    min(CASE WHEN cd >= 0.75 THEN vc END) AS q3
+      |  FROM cd GROUP BY 1)
+      |SELECT v.event_type, min(th.q1) AS q1, min(th.q3) AS q3,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN v.vc * 4 < th.q1 * 4 - (th.q3 - th.q1) * 6
+      |             OR v.vc * 4 > th.q3 * 4 + (th.q3 - th.q1) * 6
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM v JOIN th USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (winsorizeQ _),
+    "q_iqr_outliers" -> (iqrOutliersQ _),
     "q_approx_quantile" -> (approxQuantileQ _),
     "q_histogram" -> (histogramQ _),
     "q_corr_exact" -> (corrExactQ _),
@@ -888,6 +956,8 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" -> winsorizeSql,
+    "q_iqr_outliers" -> iqrOutliersSql,
     "q_approx_quantile" -> approxQuantileSql,
     "q_histogram" -> histogramSql,
     "q_corr_exact" -> corrExactSql,

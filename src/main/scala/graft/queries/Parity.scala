@@ -817,6 +817,77 @@ object Parity {
       |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
       |  AND l_shipdate < TIMESTAMP '1995-04-01'""".stripMargin
 
+  // ---------------------------------------------- small-file compaction
+  // Compaction gated end to end: documents deliberately shattered into
+  // 16 small files, then compacted toward bytes/4-sized targets — a
+  // shuffle-free coalesce rewrite (CompactionSpec asserts no exchange
+  // and the file-count collapse). The gate reads the COMPACTED layout
+  // and must reproduce the per-source profile of the original table:
+  // compaction is a layout change, rows are untouched.
+  def compactionQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = Fixtures.cached("compacted", dir) { root =>
+      val frag = new java.io.File(root, "frag").toString
+      val out = new java.io.File(root, "compact").toString
+      Tables.load(spark, dir, "documents")
+        .repartition(16).write.parquet(frag)
+      val (_, bytes) = graft.sources.Compaction.layoutOf(spark, frag)
+      graft.sources.Compaction.compact(spark, frag, out,
+        targetFileBytes = math.max(bytes / 4, 1L))
+      out
+    }
+    spark.read.parquet(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).as("sum_id"))
+  }
+  val compactionSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- schema evolution
+  // Additive schema evolution gated end to end: a v1 batch written
+  // without `quality`, a v2 batch written WITH it, one mergeSchema read
+  // over both — the lake-table lifecycle every long-lived corpus hits
+  // (new metadata columns appear; historical files must keep reading
+  // as NULL, no rewrite). Spark's parquet mergeSchema union is the
+  // native mechanism; the oracle replays the union with explicit NULLs.
+  def schemaEvolutionQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = Fixtures.cached("schema_evo", dir) { root =>
+      val t = new java.io.File(root, "t").toString
+      val d = Tables.load(spark, dir, "documents")
+      d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("append").parquet(t)
+      d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars") % 100).as("quality"))
+        .write.mode("append").parquet(t)
+      t
+    }
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_scored"),
+        sum(col("quality")).as("sum_quality"))
+  }
+  val schemaEvolutionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, n_chars, NULL AS quality
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars, n_chars % 100
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT source, count(*) AS n_docs,
+      |  count(quality) AS n_scored,
+      |  CAST(sum(quality) AS BIGINT) AS sum_quality
+      |FROM t GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- z-ordered layout
   // ZOrder.writeZOrdered gated end to end: lineitem re-clustered on the
   // Morton interleave of (l_partkey, l_suppkey) — ZOrderSpec proves the
@@ -1091,6 +1162,8 @@ object Parity {
     "p_jsonl_ingest" -> (jsonlIngestQ _),
     "p_csv_ingest" -> (csvIngestQ _),
     "p_clustered_scan" -> (clusteredScanQ _),
+    "p_compaction" -> (compactionQ _),
+    "p_schema_evolution" -> (schemaEvolutionQ _),
     "p_zorder_scan" -> (zorderScanQ _),
     "p_time_travel" -> (timeTravelQ _),
     "p_quality_checks" -> (qualityChecksQ _),
@@ -1124,6 +1197,8 @@ object Parity {
     "p_jsonl_ingest" -> ingestRoundtripSql,
     "p_csv_ingest" -> ingestRoundtripSql,
     "p_clustered_scan" -> clusteredScanSql,
+    "p_compaction" -> compactionSql,
+    "p_schema_evolution" -> schemaEvolutionSql,
     "p_zorder_scan" -> zorderScanSql,
     "p_time_travel" -> timeTravelSql,
     "p_quality_checks" -> qualityChecksSql,

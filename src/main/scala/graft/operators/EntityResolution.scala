@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage / master-data dedup) for structured
+  * records: blocking, fuzzy pair scoring, transitive entity clustering,
+  * and golden-record survivorship — the classic "data clean" counterpart
+  * of the document-dedup family in [[Dedup]].
+  *
+  * Scale design (billions of records):
+  *  - Candidates come from BLOCKING, never a cross join: records are
+  *    hashed to blocks by one or more cheap keys and only within-block
+  *    pairs exist. With discriminative keys, block size is O(1) and the
+  *    candidate count is linear in the table.
+  *  - Candidate pairs are ID-ONLY through the block self-join and the
+  *    multi-pass distinct; attributes join back afterwards (two hash
+  *    joins), so wide records never ride the pair-shaped shuffle — the
+  *    same shape [[Dedup.minhashNearDupPairsM]] and
+  *    [[Similarity.lshNearDupPairs]] use.
+  *  - Scoring is row-local codegen'd expressions (levenshtein, exact
+  *    matches, numeric closeness) on the joined pair — no UDFs.
+  *  - Entity ids come from [[Dedup.connectedComponents]] (pointer
+  *    doubling, O(log diameter) rounds); golden records are ONE
+  *    aggregation over the assigned table.
+  *
+  * Reference anchor: the reference merges per-key snapshots with
+  * full-outer coalesce (DataCleanUtils.scala joinTableData) — exact-key
+  * entity merge. This family generalizes it to fuzzy keys, which is what
+  * a real customer/supplier master needs.
+  */
+object EntityResolution {
+
+  /** Within-block candidate pairs for a single blocking key: records
+    * sharing a non-null `blockKey` become id-only pairs (id_a < id_b).
+    * One row per record enters the join, so each pair appears exactly
+    * once — no distinct, no extra shuffle.
+    */
+  def blockedPairs(records: DataFrame, idCol: String,
+                   blockKey: Column): DataFrame = {
+    val b = records.select(col(idCol).as("id"), blockKey.as("bkey"))
+      .where(col("bkey").isNotNull)
+    b.as("a").join(b.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Multi-pass blocking: a pair is a candidate if it shares ANY of the
+    * `blockKeys` (null keys never block). Each key is a separate pass —
+    * the join key is (pass, value), so values never collide across
+    * passes — and the union of passes is deduplicated id-only.
+    */
+  def blockedPairsAny(records: DataFrame, idCol: String,
+                      blockKeys: Seq[Column]): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one blocking key")
+    val b = records.select(col(idCol).as("id"),
+        explode(array(blockKeys.zipWithIndex.map { case (k, i) =>
+          struct(lit(i).as("pass"), k.cast("string").as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.pass").as("pass"), col("bk.bkey").as("bkey"))
+      .where(col("bkey").isNotNull)
+    b.as("a").join(b.as("b"),
+        col("a.pass") === col("b.pass") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Normalized edit similarity in [0,1]: 1 − levenshtein/max(length),
+    * rounded to 4 decimals (engine-portable; DuckDB spells the identical
+    * expression). Equal strings score 1.0; both-empty also 1.0.
+    */
+  def nameSimilarity(a: Column, b: Column): Column =
+    round(when(greatest(length(a), length(b)) === 0, lit(1.0d))
+      .otherwise(lit(1.0d) - levenshtein(a, b).cast("double") /
+        greatest(length(a), length(b)).cast("double")), 4)
+
+  /** Attach each side's attributes to id-only candidate pairs: columns
+    * of `attrs` appear as `<name>_a` / `<name>_b`. The pair list stays
+    * the narrow relation until this point — call it right before
+    * scoring.
+    */
+  def withPairAttributes(cand: DataFrame, records: DataFrame,
+                         idCol: String, attrs: Seq[String]): DataFrame = {
+    val aSide = records.select(col(idCol).as("id_a") +:
+      attrs.map(c => col(c).as(s"${c}_a")): _*)
+    val bSide = records.select(col(idCol).as("id_b") +:
+      attrs.map(c => col(c).as(s"${c}_b")): _*)
+    cand.join(aSide, "id_a").join(bSide, "id_b")
+  }
+
+  /** Entity assignment from linked pairs: every record gets the minimum
+    * record id of its transitive link component; unlinked records are
+    * their own entity. Clustering is [[Dedup.connectedComponents]]
+    * (pointer doubling, per-round materialization); the singleton
+    * completion is one left join.
+    *
+    * Returns (id, entity_id) for EVERY record.
+    */
+  def entityClusters(records: DataFrame, idCol: String, links: DataFrame,
+                     aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val clusters = Dedup.connectedComponents(links, aCol, bCol)
+      .withColumnRenamed("doc_id", "__cc_id")
+    records.select(col(idCol).as("id"))
+      .join(clusters.withColumnRenamed("__cc_id", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_rep"), col("id")).as("entity_id"))
+  }
+
+  /** Golden-record survivorship: one merged row per entity, built from
+    * caller-supplied aggregate columns (min/max/count/first-non-null
+    * policies). One hash aggregation over the assigned table.
+    */
+  def goldenRecords(assigned: DataFrame, entityCol: String,
+                    aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "at least one survivorship aggregate")
+    assigned.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

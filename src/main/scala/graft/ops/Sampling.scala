@@ -47,6 +47,23 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.where(inSample(key, lit(basisPoints(rate))))
 
+  /** PER-ROW weighted deterministic Bernoulli sample: keep each row with
+    * probability `weightBp`/10000, where `weightBp` is an INTEGER
+    * basis-points COLUMN computed by the caller (quality-proportional
+    * corpus downsampling: high-quality rows kept at 1.0, boilerplate at
+    * 0.05). The caller supplies integer basis points rather than a float
+    * rate for the same reason [[basisPoints]] resolves rates on the
+    * driver — a float `weight*10000` truncates differently across
+    * engines at representation boundaries. Out-of-range weights clamp
+    * to [0, 10000].
+    *
+    * Row-local pushed-filter predicate like the other samplers: no
+    * shuffle, nothing retained.
+    */
+  def weightedSample(df: DataFrame, key: Column, weightBp: Column): DataFrame =
+    df.where(inSample(key,
+      least(greatest(weightBp.cast("long"), lit(0L)), lit(10000L))))
+
   /** Stratified deterministic sample: per-stratum keep-rates, rows of
     * unlisted strata kept at `defaultRate`. The decision key is
     * `stratum:key` so changing one stratum's rate never reshuffles

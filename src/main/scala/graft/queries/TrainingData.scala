@@ -2170,6 +2170,179 @@ object TrainingData {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_substantial
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------- entity resolution
+  // Record linkage over a dirtied customer master: every customer gains
+  // a "dirty" twin (id +1e6) whose name lost its last character and
+  // whose balance was rounded to whole units at entry — the classic
+  // truncated-field / re-keyed-import mess an MDM pipeline cleans up.
+  // Blocking on (nation, name digits 1-7) keeps blocks O(1); candidates
+  // are id-only through the block self-join; the link rule needs name
+  // similarity >= 0.9 AND equal market segment AND balances within 1.0
+  // (multi-field evidence, so lone near-miss names don't merge).
+  private def erRecords(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      .union(c.select((col("c_custkey") + 1000000L).as("id"),
+        expr("substring(c_name, 1, length(c_name)-1)").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        round(col("c_acctbal")).as("acctbal"),
+        col("c_mktsegment").as("segment")))
+  }
+  private val erRecordsSql: String =
+    """SELECT c_custkey AS id, c_name AS name,
+      |       CAST(c_nationkey AS BIGINT) AS nation,
+      |       c_acctbal AS acctbal, c_mktsegment AS segment FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, substr(c_name, 1, length(c_name)-1),
+      |       CAST(c_nationkey AS BIGINT), round(c_acctbal, 0), c_mktsegment
+      |FROM customer""".stripMargin
+
+  private def erLinks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val recs = erRecords(spark, dir)
+    val cand = EntityResolution.blockedPairs(recs, "id",
+      concat_ws(":", col("nation"), substring(col("name"), 10, 7)))
+    EntityResolution.withPairAttributes(cand, recs, "id",
+        Seq("name", "acctbal", "segment"))
+      .withColumn("name_sim",
+        EntityResolution.nameSimilarity(col("name_a"), col("name_b")))
+      .where(col("name_sim") >= 0.9 &&
+        col("segment_a") === col("segment_b") &&
+        abs(col("acctbal_a") - col("acctbal_b")) < 1.0)
+      .select(col("id_a"), col("id_b"), col("name_sim"))
+  }
+  /** Shared CTE prefix ending in `links(id_a, id_b, name_sim)`. */
+  private val erLinksCtes: String =
+    s"""recs AS ($erRecordsSql),
+       |blk AS (SELECT id, CAST(nation AS VARCHAR) || ':' || substr(name, 10, 7) AS bkey
+       |        FROM recs),
+       |cand AS (SELECT a.id AS id_a, b.id AS id_b
+       |         FROM blk a JOIN blk b ON a.bkey = b.bkey AND a.id < b.id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |         round(1 - CAST(levenshtein(ra.name, rb.name) AS DOUBLE) /
+       |               greatest(length(ra.name), length(rb.name)), 4) AS name_sim,
+       |         ra.segment AS seg_a, rb.segment AS seg_b,
+       |         ra.acctbal AS bal_a, rb.acctbal AS bal_b
+       |  FROM cand c JOIN recs ra ON c.id_a = ra.id
+       |              JOIN recs rb ON c.id_b = rb.id),
+       |links AS (SELECT id_a, id_b, name_sim FROM scored
+       |          WHERE name_sim >= 0.9 AND seg_a = seg_b
+       |            AND abs(bal_a - bal_b) < 1.0)""".stripMargin
+
+  def erLinkageQ(spark: SparkSession, dir: String): DataFrame =
+    erLinks(spark, dir)
+  val erLinkageSql: String =
+    s"""WITH $erLinksCtes
+       |SELECT id_a, id_b, name_sim FROM links""".stripMargin
+
+  // Golden records: transitive entity clusters over the links (pointer
+  // doubling on the Spark side, recursive closure in the oracle), every
+  // record assigned (singletons are their own entity), then ONE
+  // survivorship aggregation: member count, canonical (min) name, best
+  // (max) balance, segment.
+  def erGoldenQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val recs = erRecords(spark, dir)
+    val assigned = recs.join(
+      EntityResolution.entityClusters(recs, "id", erLinks(spark, dir)),
+      Seq("id"))
+    EntityResolution.goldenRecords(assigned, "entity_id", Seq(
+      count(lit(1)).as("n_members"),
+      min(col("name")).as("name"),
+      max(col("acctbal")).as("acctbal"),
+      min(col("segment")).as("segment")))
+  }
+  val erGoldenSql: String =
+    s"""WITH RECURSIVE $erLinksCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM links
+       |          UNION SELECT id_b, id_a FROM links),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |reps AS (SELECT n AS id, min(m) AS rep FROM reach GROUP BY n),
+       |assigned AS (
+       |  SELECT r.id, r.name, r.acctbal, r.segment,
+       |         coalesce(p.rep, r.id) AS entity_id
+       |  FROM recs r LEFT JOIN reps p ON r.id = p.id)
+       |SELECT entity_id, count(*) AS n_members, min(name) AS name,
+       |       max(acctbal) AS acctbal, min(segment) AS segment
+       |FROM assigned GROUP BY entity_id""".stripMargin
+
+  // -------------------------------------------------- column profiling
+  // One-scan table profile over events: row/null/distinct counts and
+  // min/max per column — numeric columns report doubles, string columns
+  // report lexicographic bounds.
+  def profileQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.profile(Tables.load(spark, dir, "events"),
+      numericCols = Seq("event_id", "user_id", "value"),
+      stringCols = Seq("event_type", "props"))
+  val profileSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM events""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', count(*), count(*) - count($c), count(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($c), max($c)
+         |FROM events""".stripMargin
+    (Seq("event_id", "user_id", "value").map(num) ++
+      Seq("event_type", "props").map(str)).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------- label adjudication
+  // Majority-vote label aggregation: three synthetic annotators (labels
+  // drawn deterministically from the portable hash32, so the oracle
+  // builds the identical annotation table) collapsed to one adjudicated
+  // label per document with the agreement signal.
+  def labelVoteQ(spark: SparkSession, dir: String): DataFrame = {
+    val ann = docs(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("annotator"))
+      .withColumn("label", element_at(
+        array(lit("pos"), lit("neg"), lit("neu")),
+        (TextFns.hash32(concat_ws(":", col("doc_id"), col("annotator"))) % 3
+          + 1).cast("int")))
+    graft.ops.Labels.majorityVote(ann, "doc_id", "label")
+  }
+  val labelVoteSql: String =
+    s"""WITH ann AS (
+       |  SELECT doc_id, a.annotator,
+       |    (['pos','neg','neu'])[CAST(
+       |      ${duckHash32("CAST(doc_id AS VARCHAR) || ':' || CAST(a.annotator AS VARCHAR)")}
+       |      % 3 + 1 AS INT)] AS label
+       |  FROM documents, (SELECT unnest(range(3)) AS annotator) a),
+       |counts AS (SELECT doc_id, label, count(*) AS votes
+       |           FROM ann GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(votes) AS BIGINT) AS n_annotations
+       |        FROM counts GROUP BY 1),
+       |rk AS (SELECT c.doc_id, c.label, c.votes, t.n_annotations,
+       |         row_number() OVER (PARTITION BY c.doc_id
+       |                            ORDER BY c.votes DESC, c.label ASC) AS rk
+       |       FROM counts c JOIN tot t USING (doc_id))
+       |SELECT doc_id, label, votes, n_annotations,
+       |       round(votes::DOUBLE / n_annotations, 4) AS agreement
+       |FROM rk WHERE rk = 1""".stripMargin
+
+  // ---------------------------------------------- weighted sampling
+  // Quality-proportional corpus downsampling: keep probability grows
+  // with document length (5 bp per char, capped at 1.0) — integer basis
+  // points end-to-end, so the decision is bit-identical in any engine.
+  def weightedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      col("doc_id"), col("n_chars") * lit(5L))
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${duckHash32("CAST(doc_id AS VARCHAR)")} % 10000 <
+       |      least(greatest(n_chars * 5, 0), 10000)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_repetition" -> (repetitionQ _),
     "x_frame_sample" -> (frameSampleQ _),
@@ -2230,7 +2403,12 @@ object TrainingData {
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
     "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
-    "x_mixture_temperature" -> (mixtureTemperatureQ _))
+    "x_mixture_temperature" -> (mixtureTemperatureQ _),
+    "x_er_linkage" -> (erLinkageQ _),
+    "x_er_golden" -> (erGoldenQ _),
+    "x_profile" -> (profileQ _),
+    "x_label_vote" -> (labelVoteQ _),
+    "x_weighted_sample" -> (weightedSampleQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2294,5 +2472,10 @@ object TrainingData {
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
     "x_dedup_best_keeper" -> dedupBestKeeperSql,
-    "x_mixture_temperature" -> mixtureTemperatureSql)
+    "x_mixture_temperature" -> mixtureTemperatureSql,
+    "x_er_linkage" -> erLinkageSql,
+    "x_er_golden" -> erGoldenSql,
+    "x_profile" -> profileSql,
+    "x_label_vote" -> labelVoteSql,
+    "x_weighted_sample" -> weightedSampleSql)
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recs = Seq(
+    (1L, "Acme Corp", "NY", "A"),
+    (2L, "Acme Cor", "NY", "A"),   // truncated twin of 1
+    (3L, "Bolt Ltd", "NY", "B"),
+    (4L, "Bolt Ltd", "CA", "B"),   // same name, different block
+    (5L, "Zeta Inc", "CA", "C")
+  ).toDF("id", "name", "state", "segment")
+
+  test("blockedPairs yields within-block id-ordered pairs only") {
+    val pairs = EntityResolution.blockedPairs(recs, "id", col("state"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
+  test("blockedPairs drops null block keys") {
+    val withNull = recs.withColumn("state",
+      when(col("id") === 1, lit(null)).otherwise(col("state")))
+    val pairs = EntityResolution.blockedPairs(withNull, "id", col("state"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 3L), (4L, 5L)))
+  }
+
+  test("blockedPairsAny unions passes and dedups pairs") {
+    // pass 0 blocks by state, pass 1 by segment: (3,4) share segment B
+    // across different states; (1,2) share both state and segment but
+    // must appear once
+    val pairs = EntityResolution.blockedPairsAny(recs, "id",
+      Seq(col("state"), col("segment"))).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 4L)) && pairs.contains((1L, 2L)))
+    assert(pairs.count(p => p == (1L, 2L)) === 1)
+  }
+
+  test("blockedPairsAny keeps values from colliding across passes") {
+    // value "X" in pass-0 column vs "X" in pass-1 column must NOT block
+    val df = Seq((1L, "X", "Y"), (2L, "Z", "X")).toDF("id", "k1", "k2")
+    val pairs = EntityResolution.blockedPairsAny(df, "id",
+      Seq(col("k1"), col("k2"))).count()
+    assert(pairs === 0)
+  }
+
+  test("nameSimilarity: equal=1, truncation scores by max length, empty=1") {
+    val sims = Seq(("abc", "abc"), ("abcdefghij", "abcdefghi"), ("", ""))
+      .toDF("a", "b")
+      .select(EntityResolution.nameSimilarity(col("a"), col("b")))
+      .as[Double].collect()
+    assert(sims(0) === 1.0)
+    assert(sims(1) === 0.9) // 1 - 1/10
+    assert(sims(2) === 1.0)
+  }
+
+  test("entityClusters labels transitive components and keeps singletons") {
+    val links = Seq((1L, 2L), (2L, 6L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 6L).toDF("id")
+    val out = EntityResolution.entityClusters(ids, "id", links)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 3L -> 3L))
+  }
+
+  test("goldenRecords merges one row per entity") {
+    val assigned = Seq(
+      (1L, 1L, "Acme Corp", 10.0), (2L, 1L, "Acme Cor", 12.0),
+      (3L, 3L, "Bolt", 5.0)
+    ).toDF("id", "entity_id", "name", "bal")
+    val out = EntityResolution.goldenRecords(assigned, "entity_id",
+        Seq(count(lit(1)).as("n"), min(col("name")).as("name"),
+          max(col("bal")).as("bal")))
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(out === Set((1L, 2L, "Acme Cor", 12.0), (3L, 1L, "Bolt", 5.0)))
+  }
+
+  test("er candidate pairs stay id-only through the block join") {
+    // plan-shape: the block self-join must not carry payload columns
+    val p = EntityResolution.blockedPairs(
+      Seq((1L, "a", "k"), (2L, "b", "k")).toDF("id", "payload", "bkey"),
+      "id", col("bkey"))
+    val joinPlan = p.queryExecution.optimizedPlan.toString
+    assert(!joinPlan.contains("payload"),
+      s"payload column crossed the block join:\n$joinPlan")
+  }
+}

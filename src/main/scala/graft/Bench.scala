@@ -34,7 +34,13 @@ object Bench {
           () => b.getProcessCpuTime
         case _ => () => 0L // JVM without the com.sun extension
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional first arg (local iteration only; the driver passes none):
+    // comma-separated query names to bench instead of the full set.
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (t, cpu) = try {
         val w0 = System.nanoTime()
         fn(spark, sfDir).count() // plan + codegen + IO warmup (untimed)

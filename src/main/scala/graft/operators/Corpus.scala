@@ -87,4 +87,55 @@ object Corpus {
       sum(when(length(t) >= 100 && TextFns.tokenCount(t) >= 15, 1L)
         .otherwise(0L)).as("n_substantial"))
   }
+
+  /** Line-level boilerplate removal (the CCNet-style pass a web-crawl
+    * pipeline runs before document dedup): a LINE that occurs more than
+    * `maxOccurrences` times across the whole corpus — nav menus, cookie
+    * banners, copyright footers — is deleted from every document; each
+    * document's surviving lines are re-joined in their original order.
+    *
+    * Scale shape (100 TB corpus):
+    *  - the per-line occurrence count is ONE hash aggregation with
+    *    map-side partial combine (a nav line repeated 10^7 times ships
+    *    one partial count per task, not 10^7 rows);
+    *  - the boilerplate relation (`count > maxOccurrences`) is TINY by
+    *    construction — only lines frequent enough to be boilerplate —
+    *    so the removal is a BROADCAST left-anti join against it: the
+    *    exploded corpus is never shuffled by line, and the hot-key skew
+    *    a plain `count <= max` equi-join would hit (every copy of the
+    *    same banner landing on one reducer) never exists;
+    *  - the rebuild sorts each document's kept lines row-locally
+    *    (collect_list → array_sort on (pos, line)) — the only exchange
+    *    is the groupBy on the document id.
+    *
+    * Returns (idCol, clean_text, n_kept, n_dropped) for EVERY input
+    * document; a fully-boilerplate document keeps an empty clean_text.
+    * Callers wanting normalized matching (case/digit-insensitive)
+    * should pre-normalize a shadow column and split on that.
+    */
+  def removeBoilerplateLines(docs: DataFrame, textCol: String,
+                             idCol: String, maxOccurrences: Long,
+                             sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > maxOccurrences)
+      .select(col("line"))
+    val kept = lines.join(broadcast(boilerplate), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -301,13 +301,7 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int,
                      nlist: Int = 16, nprobe: Int = 4,
                      iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    val trained = kmeansQuantized(corpus, idCol, vecCol, nlist, iters)
-    val centRows = trained.map { case (cid, csum, cnt) =>
-      (cid, csum.map(s => s.toDouble / cnt / KmeansScale).toSeq)
-    }
-    val cents = spark.createDataFrame(centRows).toDF("c_id", "c_v")
-      .withColumn("c_norm", norm(col("c_v")))
+    val cents = trainedCentroidTable(corpus, idCol, vecCol, nlist, iters)
     ivfSearch(queries, corpus, cents, idCol, vecCol, k, nprobe)
   }
 
@@ -466,6 +460,88 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Trained centroid table `(c_id, c_v: array<double>, c_norm)` from
+    * [[kmeansQuantized]] — the integer sum-vectors scaled back to
+    * doubles (row-local, deterministic). */
+  private def trainedCentroidTable(corpus: DataFrame, idCol: String,
+                                   vecCol: String, nlist: Int,
+                                   iters: Int): DataFrame = {
+    val trained = kmeansQuantized(corpus, idCol, vecCol, nlist, iters)
+    val centRows = trained.map { case (cid, csum, cnt) =>
+      (cid, csum.map(s => s.toDouble / cnt / KmeansScale).toSeq)
+    }
+    corpus.sparkSession.createDataFrame(centRows).toDF("c_id", "c_v")
+      .withColumn("c_norm", norm(col("c_v")))
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication: cluster the corpus with the
+    * deterministic k-means quantizer, then — WITHIN each cluster only —
+    * drop every vector that is cosine-similar (>= `threshold`) to a
+    * lower-id cluster member. The pruning a pretraining pipeline runs
+    * on embedding space after exact/fuzzy text dedup: paraphrases and
+    * re-renderings that share no n-grams but say the same thing.
+    *
+    * Scale design:
+    *  - assignment is a broadcast of the tiny centroid table against
+    *    the corpus — one map-side pass, no shuffle of vectors;
+    *  - candidate pairs exist only WITHIN a cluster (the SemDeDup
+    *    contract): the pair join is id-only on (c_id), with vectors
+    *    joined back for the cosine — candidate volume is
+    *    sum(|cluster|²)/2, controlled by `nlist` (scale nlist with the
+    *    corpus to hold cluster occupancy ~constant, and train on a
+    *    deterministic sample — the quantizer cost is decoupled from
+    *    corpus size);
+    *  - the drop rule ("similar to ANY lower id in the cluster") is
+    *    row-local per pair + one distinct — no transitive closure
+    *    needed, unlike the text-side connected components.
+    *
+    * Returns (id, c_id, dropped) for EVERY corpus row, materialized via
+    * `mat` with the assignment cache released (LeakSpec-clean).
+    */
+  def semanticDedupM(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nlist: Int = 16, iters: Int = 2,
+                     mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default): graft.ops.Materialized = {
+    val cents = trainedCentroidTable(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_norm", norm(col("n_v")))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("c_id"), col("id"), col("n_v"), col("n_norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = assigned.select(col("c_id"), col("id"))
+    val pairs = ids.as("a").join(ids.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val vecs = assigned.select(col("id"), col("n_v"), col("n_norm"))
+    val dropped = pairs
+      .join(vecs.select(col("id").as("id_a"), col("n_v").as("v_a"),
+        col("n_norm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("n_v").as("v_b"),
+        col("n_norm").as("nb")), "id_b")
+      .where(round(dot(col("v_a"), col("v_b")) / (col("na") * col("nb")), 4)
+        >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    val out = graft.ops.Materialize(
+      assigned.select(col("id"), col("c_id"))
+        .join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
+        .select(col("id"), col("c_id"), col("__d").isNotNull.as("dropped")),
+      mat)
+    assigned.unpersist(false)
+    out
+  }
+
+  /** [[semanticDedupM]] with the zero-leak default materialization. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16,
+                    iters: Int = 2): DataFrame =
+    semanticDedupM(corpus, idCol, vecCol, threshold, nlist, iters).df
 
   /** Trained IVF over the SQ8-COMPRESSED corpus — the two ANN levers
     * stacked: [[sqDecode]] shrinks the corpus to 1-byte-per-dimension

@@ -1679,10 +1679,16 @@ object TrainingData {
     * vectors (probe selection filters vec_id < 20 inside the chain).
     * x_ann_ivf instantiates both as the raw embeddings; x_ann_ivf_sq8
     * instantiates vc as the SQ8-decoded corpus and vq raw. */
-  private def ivfChainSql(prelude: String): String = {
-    def cos(a: String, b: String) =
-      s"""list_dot_product($a, $b) /
-         |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+  private def ivfCos(a: String, b: String) =
+    s"""list_dot_product($a, $b) /
+       |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  /** CTE chain replaying the trained quantizer end-to-end: `prelude`
+    * must define `vc(vec_id, vec)` (the corpus); the chain ends in
+    * `a2(c_id, n_id, n_v)` — every corpus vector with its trained
+    * cluster. Shared by the IVF search oracles and x_semdedup. */
+  private def ivfAssignCtes(prelude: String): String = {
+    def cos(a: String, b: String) = ivfCos(a, b)
     // one Lloyd iteration: exact-integer assignment + update over the
     // previous centroid CTE, empty clusters carrying over
     def iteration(t: Int): String = {
@@ -1743,7 +1749,12 @@ object TrainingData {
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${cos("n.vec", "c.c_v")} DESC, c.c_id) AS rn
        |  FROM vc n CROSS JOIN cents c),
-       |a2 AS (SELECT c_id, n_id, n_v FROM assigned WHERE rn = 1),
+       |a2 AS (SELECT c_id, n_id, n_v FROM assigned WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfChainSql(prelude: String): String = {
+    def cos(a: String, b: String) = ivfCos(a, b)
+    s"""${ivfAssignCtes(prelude)},
        |probes AS (
        |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2343,6 +2354,83 @@ object TrainingData {
        |WHERE ${duckHash32("CAST(doc_id AS VARCHAR)")} % 10000 <
        |      least(greatest(n_chars * 5, 0), 10000)""".stripMargin
 
+  // ------------------------------------------------- semantic dedup
+  // SemDeDup-style embedding-space pruning: the twin corpus (originals ∪
+  // +0.05-on-dim-0 perturbations) is clustered by the deterministic
+  // k-means quantizer; WITHIN each cluster, every vector cosine-similar
+  // (>= 0.98) to a lower-id member is marked dropped. The oracle
+  // replays quantization, training, assignment (the shared IVF chain),
+  // and the within-cluster drop rule.
+  def semdedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
+        .as("v")))
+    Similarity.semanticDedup(corpus, "vec_id", "v", 0.98)
+      .select(col("id").as("vec_id"), col("c_id"), col("dropped"))
+  }
+  val semdedupSql: String =
+    s"""${ivfAssignCtes(
+      """v0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |vc AS (
+        |  SELECT vec_id, vec FROM v0
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(range(1, len(vec) + 1),
+        |      i -> CASE WHEN i = 1 THEN vec[CAST(i AS INT)] + 0.05
+        |                ELSE vec[CAST(i AS INT)] END)
+        |  FROM v0)""".stripMargin)},
+       |ids AS (SELECT c_id, n_id FROM a2),
+       |prs AS (
+       |  SELECT a.n_id AS id_a, b.n_id AS id_b
+       |  FROM ids a JOIN ids b ON a.c_id = b.c_id AND a.n_id < b.n_id),
+       |dropped AS (
+       |  SELECT p.id_b FROM prs p
+       |  JOIN a2 va ON p.id_a = va.n_id
+       |  JOIN a2 vb ON p.id_b = vb.n_id
+       |  WHERE round(${ivfCos("va.n_v", "vb.n_v")}, 4) >= 0.98
+       |  GROUP BY p.id_b)
+       |SELECT a2.n_id AS vec_id, a2.c_id,
+       |       (d.id_b IS NOT NULL) AS dropped
+       |FROM a2 LEFT JOIN dropped d ON a2.n_id = d.id_b""".stripMargin
+
+  // ------------------------------------- line-level boilerplate removal
+  // CCNet-style pass: synthesize multi-line web pages (per-source nav
+  // header, unique body, doc-unique signature line, global copyright
+  // footer) and delete every line occurring more than twice across the
+  // corpus — the header and footer vanish, the body and signature
+  // survive in original order.
+  def boilerplateQ(spark: SparkSession, dir: String): DataFrame = {
+    val m = docs(spark, dir).select(col("doc_id"),
+      concat(lit("nav "), col("source"), lit(" home\n"), col("text"),
+        lit("\nsig "), col("doc_id").cast("string"),
+        lit("\ncopyright footer")).as("text"))
+    graft.operators.Corpus.removeBoilerplateLines(m, "text", "doc_id", 2L)
+  }
+  val boilerplateSql: String =
+    """WITH mdoc AS (
+      |  SELECT doc_id, 'nav ' || source || ' home' || chr(10) || text ||
+      |         chr(10) || 'sig ' || CAST(doc_id AS VARCHAR) ||
+      |         chr(10) || 'copyright footer' AS text
+      |  FROM documents),
+      |la AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM mdoc),
+      |ln0 AS (SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS i FROM la),
+      |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |              ls[CAST(i AS INT)] AS line FROM ln0),
+      |bp AS (SELECT line FROM ln GROUP BY line HAVING count(*) > 2),
+      |kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM bp)),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT m.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(string_split(m.text, chr(10))) AS BIGINT) -
+      |         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM mdoc m LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_repetition" -> (repetitionQ _),
     "x_frame_sample" -> (frameSampleQ _),
@@ -2408,7 +2496,9 @@ object TrainingData {
     "x_er_golden" -> (erGoldenQ _),
     "x_profile" -> (profileQ _),
     "x_label_vote" -> (labelVoteQ _),
-    "x_weighted_sample" -> (weightedSampleQ _))
+    "x_weighted_sample" -> (weightedSampleQ _),
+    "x_boilerplate" -> (boilerplateQ _),
+    "x_semdedup" -> (semdedupQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2477,5 +2567,7 @@ object TrainingData {
     "x_er_golden" -> erGoldenSql,
     "x_profile" -> profileSql,
     "x_label_vote" -> labelVoteSql,
-    "x_weighted_sample" -> weightedSampleSql)
+    "x_weighted_sample" -> weightedSampleSql,
+    "x_boilerplate" -> boilerplateSql,
+    "x_semdedup" -> semdedupSql)
 }

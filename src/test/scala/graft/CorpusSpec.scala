@@ -149,6 +149,33 @@ class CorpusSpec extends SparkSpec {
     assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("removeBoilerplateLines drops frequent lines, keeps order, counts") {
+    val docs = Seq(
+      (1L, "BANNER\nalpha\nbeta\nFOOTER"),
+      (2L, "BANNER\ngamma\nFOOTER"),
+      (3L, "BANNER\nFOOTER"),
+      (4L, "BANNER\ndelta\nalpha\nFOOTER")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .removeBoilerplateLines(docs, "text", "doc_id", 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // BANNER and FOOTER occur 4x (> 2) -> dropped; "alpha" occurs 2x -> kept
+    assert(out(1L) === (("alpha\nbeta", 2L, 2L)))
+    assert(out(2L) === (("gamma", 1L, 2L)))
+    assert(out(3L) === (("", 0L, 2L))) // fully-boilerplate doc survives empty
+    assert(out(4L) === (("delta\nalpha", 2L, 2L))) // original order preserved
+  }
+
+  test("removeBoilerplateLines anti-join side is the broadcast boilerplate set") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val plan = graft.operators.Corpus
+      .removeBoilerplateLines(docs, "text", "doc_id", 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join, got:\n$plan")
+  }
+
   test("incrementalDedup keeps only batch-novel fingerprints, min id wins") {
     val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

@@ -164,4 +164,29 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb) == run(emb.repartition(7)),
       "SQ8 results changed under repartitioning")
   }
+
+  test("semanticDedup drops within-cluster near-dups, keeps the rest") {
+    // exact duplicates always co-cluster (identical vector, identical
+    // assignment), so the drop expectations hold for ANY clustering;
+    // vector 5 is below threshold against everything and must survive
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.6f, 0.8f))
+    ).toDF("id", "v")
+    val out = Similarity.semanticDedup(vecs, "id", "v", 0.98,
+        nlist = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false))
+  }
+
+  test("semanticDedup is deterministic across partitionings") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(c, "vec_id", "embedding", 0.9)
+        .collect().map(_.toSeq).toSet
+    assert(run(emb) == run(emb.repartition(7)),
+      "semanticDedup changed under repartitioning")
+  }
 }

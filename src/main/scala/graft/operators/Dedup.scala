@@ -522,6 +522,47 @@ object Dedup {
                           iterPartitions: Int = 8): DataFrame =
     connectedComponentsM(pairs, aCol, bCol, maxRounds, iterPartitions).df
 
+  /** Incrementally MAINTAIN a cluster assignment as new near-dup pairs
+    * arrive — the continuous-ingest companion of
+    * [[connectedComponentsM]]: instead of re-clustering the full pair
+    * graph (which at 100 TB means re-reading every historical pair),
+    * the existing `(doc_id, cluster_rep)` assignment is folded in as
+    * STAR EDGES (each member → its rep) and only the NEW pairs add
+    * structure on top.
+    *
+    * Result is IDENTICAL to connectedComponents over (historical pairs
+    * ∪ new pairs): reps are component minima, so every old component
+    * collapses to a depth-1 star whose hub carries the old minimum, and
+    * min-label propagation over stars + new edges reaches the union's
+    * minimum. The iteration converges in O(log(merge-chain length))
+    * rounds over a graph that is |assignment| + |new pairs| rows — the
+    * old pair set (orders of magnitude larger than its node set for
+    * duplicate-heavy corpora) is never touched again. IncrSpec asserts
+    * equality with the from-scratch clustering.
+    *
+    * Nodes appearing only in `newPairs` join the graph as usual;
+    * nodes only in `existing` keep their old assignment (possibly
+    * re-labeled if a new edge merges their component with a
+    * lower-minimum one).
+    */
+  def incrementalClustersM(existing: DataFrame, newPairs: DataFrame,
+                           aCol: String, bCol: String,
+                           maxRounds: Int = 50,
+                           iterPartitions: Int = 8,
+                           roundMat: MatStrategy = MatStrategy.Local,
+                           mat: MatStrategy = MatStrategy.Default): Materialized = {
+    val stars = existing.select(col("doc_id").as(aCol),
+      col("cluster_rep").as(bCol))
+    connectedComponentsM(stars.union(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxRounds, iterPartitions, roundMat, mat)
+  }
+
+  /** [[incrementalClustersM]] with the zero-leak default
+    * materialization. */
+  def incrementalClusters(existing: DataFrame, newPairs: DataFrame,
+                          aCol: String, bCol: String): DataFrame =
+    incrementalClustersM(existing, newPairs, aCol, bCol).df
+
   /** Incremental dedup: which rows of a NEW batch are novel relative to
     * an already-ingested corpus — the shape every continuously-fed
     * training-data pipeline runs (today's crawl vs everything ingested

@@ -2354,6 +2354,36 @@ object TrainingData {
        |WHERE ${duckHash32("CAST(doc_id AS VARCHAR)")} % 10000 <
        |      least(greatest(n_chars * 5, 0), 10000)""".stripMargin
 
+  // ------------------------------------- incremental cluster upkeep
+  // Continuous-ingest cluster maintenance: the existing near-dup
+  // clustering is folded in as star edges and only NEW pairs (bridges
+  // doc_id→doc_id+1 for every 10th doc — they chain distinct clusters
+  // together, exercising multi-hop merges) add structure; the oracle
+  // re-clusters the full union from scratch, asserting the incremental
+  // path is exact.
+  def dedupClustersIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val existing = dedupClustersQ(spark, dir)
+    val bridges = docs(spark, dir).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+    Dedup.incrementalClusters(existing, bridges, "doc_a", "doc_b")
+  }
+  val dedupClustersIncrSql: String =
+    s"""WITH RECURSIVE ${minhashCtesOver(nearDupCorpusSql)},
+       |mp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM mp
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 0),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+       |SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n""".stripMargin
+
   // ------------------------------------------------- semantic dedup
   // SemDeDup-style embedding-space pruning: the twin corpus (originals ∪
   // +0.05-on-dim-0 perturbations) is clustered by the deterministic
@@ -2498,7 +2528,8 @@ object TrainingData {
     "x_label_vote" -> (labelVoteQ _),
     "x_weighted_sample" -> (weightedSampleQ _),
     "x_boilerplate" -> (boilerplateQ _),
-    "x_semdedup" -> (semdedupQ _))
+    "x_semdedup" -> (semdedupQ _),
+    "x_dedup_clusters_incr" -> (dedupClustersIncrQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2569,5 +2600,6 @@ object TrainingData {
     "x_label_vote" -> labelVoteSql,
     "x_weighted_sample" -> weightedSampleSql,
     "x_boilerplate" -> boilerplateSql,
-    "x_semdedup" -> semdedupSql)
+    "x_semdedup" -> semdedupSql,
+    "x_dedup_clusters_incr" -> dedupClustersIncrSql)
 }

@@ -139,6 +139,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalClusters equals from-scratch clustering on the union") {
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val existing = Dedup.connectedComponents(old, "a", "b")
+    // one bridge merges the two old components (multi-hop relabel of
+    // 10/11 down to rep 1); one pair introduces brand-new nodes
+    val newPairs = Seq((3L, 10L), (20L, 21L)).toDF("a", "b")
+    val incr = Dedup.incrementalClusters(existing, newPairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(old.union(newPairs), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr === full)
+    assert(incr(11L) === 1L && incr(21L) === 20L)
+  }
+
   test("langId picks zh on CJK text and en on English text") {
     val df = Seq((1L, "这是一个中文文档 测试"), (2L, "the cat and the dog in the house"))
       .toDF("doc_id", "text")

@@ -66,6 +66,24 @@ object EntityResolution {
       .distinct()
   }
 
+  /** Cross-TABLE blocked candidates — the LOOKUP form of record
+    * linkage (match a dirty batch against a clean master, the
+    * incremental shape a live MDM pipeline runs): left/right rows
+    * sharing a non-null block key value become id-only (l_id, r_id)
+    * pairs. Each side contributes one row per record, so pairs are
+    * already distinct; attributes join back afterwards exactly as in
+    * the self-join form.
+    */
+  def blockedJoin(left: DataFrame, leftId: String, leftKey: Column,
+                  right: DataFrame, rightId: String,
+                  rightKey: Column): DataFrame = {
+    val l = left.select(col(leftId).as("l_id"), leftKey.as("bkey"))
+      .where(col("bkey").isNotNull)
+    val r = right.select(col(rightId).as("r_id"), rightKey.as("bkey"))
+      .where(col("bkey").isNotNull)
+    l.join(r, "bkey").select(col("l_id"), col("r_id"))
+  }
+
   /** Normalized edit similarity in [0,1]: 1 − levenshtein/max(length),
     * rounded to 4 decimals (engine-portable; DuckDB spells the identical
     * expression). Equal strings score 1.0; both-empty also 1.0.

@@ -49,4 +49,29 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
   }
+
+  /** Last-observation-carried-forward (LOCF) repair: every null in each
+    * of `fillCols` takes the key's most recent non-null value in
+    * `(orderCol, tieCol)` order — the sensor/telemetry gap repair that
+    * keeps a missing reading from becoming a zero. Leading nulls (no
+    * earlier observation) stay null; downstream can coalesce a default.
+    *
+    * One window per call (all fill columns share it): a single shuffle
+    * on the key, then Spark's running `last(ignoreNulls)` over
+    * UNBOUNDED PRECEDING..CURRENT — no self-join, no driver state. The
+    * (orderCol, tieCol) ordering must be total per key or "most recent"
+    * is undefined; tieCol defaults to orderCol (pass a row id when the
+    * order column has duplicates).
+    */
+  def forwardFill(df: DataFrame, keyCol: String, orderCol: String,
+                  fillCols: Seq[String],
+                  tieCol: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol) +: tieCol.map(col).toSeq: _*)
+      .rowsBetween(Long.MinValue, 0)
+    fillCols.foldLeft(df) { case (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }

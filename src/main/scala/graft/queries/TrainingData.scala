@@ -2354,6 +2354,90 @@ object TrainingData {
        |WHERE ${duckHash32("CAST(doc_id AS VARCHAR)")} % 10000 <
        |      least(greatest(n_chars * 5, 0), 10000)""".stripMargin
 
+  // ------------------------------------------------ fuzzy lookup join
+  // The LOOKUP form of record linkage: a batch of truncated-name
+  // records matched against the clean customer master — blocked
+  // candidates, normalized-levenshtein scoring, and the BEST master per
+  // batch row (sim desc, master id asc). An ambiguous truncation
+  // ("…10" extends to both …100 and …101) resolves deterministically
+  // to the lowest master id, same rule both engines.
+  def fuzzyJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val c = Tables.load(spark, dir, "customer")
+    val master = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nation"))
+    val batch = c.select((col("c_custkey") + 1000000L).as("id"),
+      expr("substring(c_name, 1, length(c_name)-1)").as("name"),
+      col("c_nationkey").cast("long").as("nation"))
+    def bkey = concat_ws(":", col("nation"), substring(col("name"), 10, 7))
+    val cand = EntityResolution.blockedJoin(batch, "id", bkey,
+      master, "id", bkey)
+    val w = Window.partitionBy(col("l_id"))
+      .orderBy(col("name_sim").desc, col("r_id"))
+    cand
+      .join(batch.select(col("id").as("l_id"), col("name").as("l_name")),
+        "l_id")
+      .join(master.select(col("id").as("r_id"), col("name").as("r_name")),
+        "r_id")
+      .withColumn("name_sim",
+        EntityResolution.nameSimilarity(col("l_name"), col("r_name")))
+      .where(col("name_sim") >= 0.9)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("l_id").as("batch_id"), col("r_id").as("master_id"),
+        col("name_sim"))
+  }
+  val fuzzyJoinSql: String =
+    """WITH master AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |         CAST(c_nationkey AS BIGINT) AS nation FROM customer),
+      |batch AS (
+      |  SELECT c_custkey + 1000000 AS id,
+      |         substr(c_name, 1, length(c_name)-1) AS name,
+      |         CAST(c_nationkey AS BIGINT) AS nation FROM customer),
+      |bl AS (SELECT id, name,
+      |         CAST(nation AS VARCHAR) || ':' || substr(name, 10, 7) AS bkey
+      |       FROM batch),
+      |ml AS (SELECT id, name,
+      |         CAST(nation AS VARCHAR) || ':' || substr(name, 10, 7) AS bkey
+      |       FROM master),
+      |scored AS (
+      |  SELECT b.id AS l_id, m.id AS r_id,
+      |    round(1 - CAST(levenshtein(b.name, m.name) AS DOUBLE) /
+      |          greatest(length(b.name), length(m.name)), 4) AS name_sim
+      |  FROM bl b JOIN ml m USING (bkey)),
+      |best AS (
+      |  SELECT l_id, r_id, name_sim,
+      |    row_number() OVER (PARTITION BY l_id
+      |                       ORDER BY name_sim DESC, r_id) AS rk
+      |  FROM scored WHERE name_sim >= 0.9)
+      |SELECT l_id AS batch_id, r_id AS master_id, name_sim
+      |FROM best WHERE rk = 1""".stripMargin
+
+  // ----------------------------------------------- forward fill (LOCF)
+  // Sensor-gap repair: values nulled deterministically (event_id % 7 in
+  // 0..2) then each user's nulls take the most recent earlier non-null
+  // in (ts, event_id) order; leading nulls stay null.
+  def forwardFillQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      when(col("event_id") % 7 <= 2, lit(null).cast("double"))
+        .otherwise(col("value")).as("value"))
+    graft.operators.TimeSeries
+      .forwardFill(e, "user_id", "ts", Seq("value"), Some("event_id"))
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+  val forwardFillSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 7 <= 2 THEN NULL ELSE value END AS value
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  last_value(value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |FROM e""".stripMargin
+
   // ------------------------------------- incremental cluster upkeep
   // Continuous-ingest cluster maintenance: the existing near-dup
   // clustering is folded in as star edges and only NEW pairs (bridges
@@ -2529,7 +2613,9 @@ object TrainingData {
     "x_weighted_sample" -> (weightedSampleQ _),
     "x_boilerplate" -> (boilerplateQ _),
     "x_semdedup" -> (semdedupQ _),
-    "x_dedup_clusters_incr" -> (dedupClustersIncrQ _))
+    "x_dedup_clusters_incr" -> (dedupClustersIncrQ _),
+    "x_fuzzy_join" -> (fuzzyJoinQ _),
+    "x_forward_fill" -> (forwardFillQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2601,5 +2687,7 @@ object TrainingData {
     "x_weighted_sample" -> weightedSampleSql,
     "x_boilerplate" -> boilerplateSql,
     "x_semdedup" -> semdedupSql,
-    "x_dedup_clusters_incr" -> dedupClustersIncrSql)
+    "x_dedup_clusters_incr" -> dedupClustersIncrSql,
+    "x_fuzzy_join" -> fuzzyJoinSql,
+    "x_forward_fill" -> forwardFillSql)
 }

@@ -47,6 +47,17 @@ class EntityResolutionSpec extends SparkSpec {
     assert(pairs === 0)
   }
 
+  test("blockedJoin pairs cross-table records sharing a key, drops nulls") {
+    val master = Seq((1L, "NY"), (2L, "CA"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "state")
+    val batch = Seq((10L, "NY"), (11L, null.asInstanceOf[String]))
+      .toDF("id", "state")
+    val pairs = EntityResolution.blockedJoin(
+        batch, "id", col("state"), master, "id", col("state"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 1L)))
+  }
+
   test("nameSimilarity: equal=1, truncation scores by max length, empty=1") {
     val sims = Seq(("abc", "abc"), ("abcdefghij", "abcdefghi"), ("", ""))
       .toDF("a", "b")

@@ -38,4 +38,31 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.gapFilledCounts(ev, "user_id", "ts", "value", 10L)
     assert(out.count() == 1)
   }
+
+  test("forwardFill carries the last non-null forward per key") {
+    val ev = Seq(
+      (1L, 1L, Option.empty[Double]), // leading null stays null
+      (1L, 2L, Some(5.0)),
+      (1L, 3L, None), (1L, 4L, None), // both take 5.0
+      (1L, 5L, Some(7.0)),
+      (2L, 1L, Some(1.0)), (2L, 2L, None) // keys fill independently
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.forwardFill(ev, "k", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out((1L, 1L)) === None)
+    assert(out((1L, 3L)) === Some(5.0) && out((1L, 4L)) === Some(5.0))
+    assert(out((1L, 5L)) === Some(7.0))
+    assert(out((2L, 2L)) === Some(1.0))
+  }
+
+  test("forwardFill tie column makes duplicate order keys deterministic") {
+    val ev = Seq(
+      (1L, 10L, 1L, Some(3.0)), (1L, 10L, 2L, None), (1L, 10L, 3L, None)
+    ).toDF("k", "t", "rid", "v")
+    val out = TimeSeries.forwardFill(ev, "k", "t", Seq("v"), Some("rid"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(2L) === Some(3.0) && out(3L) === Some(3.0))
+  }
 }

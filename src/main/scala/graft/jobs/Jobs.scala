@@ -251,7 +251,74 @@ object Jobs {
     ()
   }
 
+  /** Master-data cleanup: the dirtied customer master resolved end to
+    * end — blocked linkage, entity clusters, golden-record survivorship
+    * — written as the links table plus the merged master. */
+  private def resolveCustomersJob(spark: SparkSession, sfDir: String,
+                                  outDir: String): Unit = {
+    import graft.operators.EntityResolution
+    val c = Tables.load(spark, sfDir, "customer")
+    val recs = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      .union(c.select((col("c_custkey") + 1000000L).as("id"),
+        expr("substring(c_name, 1, length(c_name)-1)").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        round(col("c_acctbal")).as("acctbal"),
+        col("c_mktsegment").as("segment")))
+    val cand = EntityResolution.blockedPairs(recs, "id",
+      concat_ws(":", col("nation"), substring(col("name"), 10, 7)))
+    val links = EntityResolution.withPairAttributes(cand, recs, "id",
+        Seq("name", "acctbal", "segment"))
+      .withColumn("name_sim",
+        EntityResolution.nameSimilarity(col("name_a"), col("name_b")))
+      .where(col("name_sim") >= 0.9 &&
+        col("segment_a") === col("segment_b") &&
+        abs(col("acctbal_a") - col("acctbal_b")) < 1.0)
+      .select(col("id_a"), col("id_b"), col("name_sim"))
+    links.write.mode("overwrite").parquet(s"$outDir/customer_links")
+    val assigned = recs.join(
+      EntityResolution.entityClusters(recs, "id", links), Seq("id"))
+    EntityResolution.goldenRecords(assigned, "entity_id", Seq(
+        count(lit(1)).as("n_members"), min(col("name")).as("name"),
+        max(col("acctbal")).as("acctbal"), min(col("segment")).as("segment")))
+      .write.mode("overwrite").parquet(s"$outDir/customer_golden")
+  }
+
+  /** Ingestion observability: one-scan column profiles of the event and
+    * order feeds, written as one stacked report table. */
+  private def profileTablesJob(spark: SparkSession, sfDir: String,
+                               outDir: String): Unit = {
+    val ev = graft.ops.Profiling.profile(Tables.load(spark, sfDir, "events"),
+        numericCols = Seq("event_id", "user_id", "value"),
+        stringCols = Seq("event_type", "props"))
+      .withColumn("table_name", lit("events"))
+    val ord = graft.ops.Profiling.profile(Tables.load(spark, sfDir, "orders"),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        stringCols = Seq("o_orderstatus", "o_orderpriority"))
+      .withColumn("table_name", lit("orders"))
+    ev.unionByName(ord).write.mode("overwrite")
+      .parquet(s"$outDir/table_profiles")
+  }
+
+  /** Crawl hygiene: line-level boilerplate scrub over the synthesized
+    * multi-line pages, cleaned text written back as the corpus the
+    * dedup stages consume. */
+  private def scrubBoilerplateJob(spark: SparkSession, sfDir: String,
+                                  outDir: String): Unit = {
+    val pages = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit("nav "), col("source"), lit(" home\n"), col("text"),
+          lit("\ncopyright footer")).as("text"))
+    graft.operators.Corpus
+      .removeBoilerplateLines(pages, "text", "doc_id", 2L)
+      .write.mode("overwrite").parquet(s"$outDir/corpus_scrubbed")
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "resolve_customers" -> (resolveCustomersJob _),
+    "profile_tables" -> (profileTablesJob _),
+    "scrub_boilerplate" -> (scrubBoilerplateJob _),
     "ingest_props" -> (ingestPropsJob _),
     "corpus_report" -> (corpusReportJob _),
     "sample_corpus" -> (sampleCorpusJob _),

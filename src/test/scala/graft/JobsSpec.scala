@@ -14,12 +14,13 @@ class JobsSpec extends SparkSpec {
       job(spark, sf0001, out)
     }
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
-    // ingest_props, corpus_report, screen_batch and export_shards emit
-    // two tables each; clean_corpus also persists the maintained
-    // signature table; curate_stream adds its feed + admitted tables
-    // (it reuses clean_corpus's signature table, running right after it)
-    assert(dirs.size == Jobs.all.size + 6,
-      s"expected ${Jobs.all.size + 6} output tables, got $dirs")
+    // ingest_props, corpus_report, screen_batch, export_shards and
+    // resolve_customers emit two tables each; clean_corpus also
+    // persists the maintained signature table; curate_stream adds its
+    // feed + admitted tables (it reuses clean_corpus's signature
+    // table, running right after it)
+    assert(dirs.size == Jobs.all.size + 7,
+      s"expected ${Jobs.all.size + 7} output tables, got $dirs")
     dirs.foreach { d =>
       val n = spark.read.parquet(s"$out/$d").count()
       // the quarantine table is rightly empty when every line parses

@@ -81,5 +81,14 @@ object GraftExtensions {
         .BloomFilterMightContain(es(0), es(1))),
     (NativeFns.HeavyHittersName,
       "graft_heavy_hitters(item, k) - Misra-Gries candidate heavy hitters",
-      es => HeavyHittersAgg(es(0), es(1).eval().asInstanceOf[Int])))
+      es => HeavyHittersAgg(es(0), es(1).eval().asInstanceOf[Int])),
+    (NativeFns.NfcName,
+      "graft_nfc(s) - Unicode NFC canonical normalization",
+      es => NfcNormalizeExpr(es.head)),
+    (NativeFns.StripAccentsName,
+      "graft_strip_accents(s) - NFD, drop combining marks, recompose",
+      es => StripAccentsExpr(es.head)),
+    (NativeFns.DeflateRatioName,
+      "graft_deflate_ratio(s) - deflate-compressed/raw byte ratio",
+      es => DeflateRatioExpr(es.head)))
 }

@@ -89,6 +89,9 @@ object NativeFns {
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
   val HeavyHittersName = "graft_heavy_hitters"
+  val NfcName = "graft_nfc"
+  val StripAccentsName = "graft_strip_accents"
+  val DeflateRatioName = "graft_deflate_ratio"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -148,4 +151,10 @@ object NativeFns {
     import org.apache.spark.sql.functions.lit
     call_function(HeavyHittersName, item, lit(k))
   }
+
+  def nfcNormalize(s: Column): Column = call_function(NfcName, s)
+
+  def stripAccents(s: Column): Column = call_function(StripAccentsName, s)
+
+  def deflateRatio(s: Column): Column = call_function(DeflateRatioName, s)
 }

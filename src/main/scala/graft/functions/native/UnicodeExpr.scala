@@ -1,0 +1,145 @@
+package graft.functions.native
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode text normalization for web-crawl cleaning: the same byte
+  * sequence of a word can arrive precomposed ("é" U+00E9) or decomposed
+  * ("e" + U+0301) — without canonical normalization they hash to
+  * different fingerprints/shingles and dedup silently misses the match.
+  *
+  * Both expressions delegate to `java.text.Normalizer` (the JDK's
+  * Unicode canonical forms — the same algorithm DuckDB's utf8proc
+  * implements, so `nfc_normalize`/`strip_accents` oracle these
+  * bit-for-bit on decomposable characters). Row-local, no UDF; like
+  * ShinglesExpr they use CodegenFallback — string normalization is not
+  * an inner-loop arithmetic kernel, and the fallback keeps the
+  * surrounding stage codegen intact.
+  */
+case class NfcNormalizeExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // already-normalized fast path: isNormalized is a cheap scan and
+    // nearly all real text is NFC already — skip the rebuild
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) {
+      input
+    } else {
+      UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Accent/diacritic stripping: canonical decomposition (NFD), drop all
+  * nonspacing combining marks (Unicode category Mn), recompose what
+  * remains (NFC). "café" → "cafe", "Müller" → "Muller"; characters
+  * without a decomposition (ø, ß) pass through unchanged — the same
+  * contract as DuckDB's strip_accents on decomposable characters.
+  */
+case class StripAccentsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_accents"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb, java.text.Normalizer.Form.NFC))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deflate compression ratio — the model-free redundancy signal
+  * production corpus filters use alongside word-level repetition
+  * scores (machine-generated spam and template farms compress far
+  * better than natural prose; extremely high ratios flag binary junk
+  * in a text column): `compressed_bytes / raw_bytes` of the UTF-8
+  * encoding, deflate level 6, rounded to 4 decimals. Empty input
+  * reports 1.0.
+  *
+  * Row-local and deterministic within a JVM (the JDK's bundled zlib);
+  * no cross-engine SQL equivalent exists, so this operator is
+  * spec-verified rather than DuckDB-oracle-gated — the one deliberate
+  * exception in the function family, documented in SURVEY.
+  */
+case class DeflateRatioExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) 1.0d
+    else {
+      val d = new java.util.zip.Deflater(6, false)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        math.rint(n.toDouble / raw.length * 10000) / 10000
+      } finally d.end()
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

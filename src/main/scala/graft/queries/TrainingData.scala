@@ -2354,6 +2354,34 @@ object TrainingData {
        |WHERE ${duckHash32("CAST(doc_id AS VARCHAR)")} % 10000 <
        |      least(greatest(n_chars * 5, 0), 10000)""".stripMargin
 
+  // --------------------------------------------- unicode normalization
+  // Canonical-form hygiene: decomposed sequences ("e"+U+0301) prepended
+  // to each document are NFC-composed and accent-stripped by the native
+  // expressions; DuckDB's utf8proc twins (nfc_normalize/strip_accents)
+  // oracle them bit-for-bit, including the codepoint-count shrink.
+  def unicodeNormQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    val m = docs(spark, dir).select(col("doc_id"),
+      concat(lit("cafe\u0301 nin\u0303o Mu\u0308ller "),
+        substring(col("text"), 1, 40)).as("s"))
+    m.select(col("doc_id"),
+      NativeFns.nfcNormalize(col("s")).as("norm_text"),
+      NativeFns.stripAccents(col("s")).as("ascii_text"),
+      length(col("s")).cast("long").as("n_raw"),
+      length(NativeFns.nfcNormalize(col("s"))).cast("long").as("n_nfc"))
+  }
+  val unicodeNormSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    'cafe' || chr(769) || ' nin' || chr(771) || 'o Mu' || chr(776) ||
+      |    'ller ' || substr(text, 1, 40) AS s
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(s) AS norm_text,
+      |       strip_accents(s) AS ascii_text,
+      |       CAST(length(s) AS BIGINT) AS n_raw,
+      |       CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc
+      |FROM m""".stripMargin
+
   // ------------------------------------------------ fuzzy lookup join
   // The LOOKUP form of record linkage: a batch of truncated-name
   // records matched against the clean customer master — blocked
@@ -2615,7 +2643,8 @@ object TrainingData {
     "x_semdedup" -> (semdedupQ _),
     "x_dedup_clusters_incr" -> (dedupClustersIncrQ _),
     "x_fuzzy_join" -> (fuzzyJoinQ _),
-    "x_forward_fill" -> (forwardFillQ _))
+    "x_forward_fill" -> (forwardFillQ _),
+    "x_unicode_norm" -> (unicodeNormQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2689,5 +2718,6 @@ object TrainingData {
     "x_semdedup" -> semdedupSql,
     "x_dedup_clusters_incr" -> dedupClustersIncrSql,
     "x_fuzzy_join" -> fuzzyJoinSql,
-    "x_forward_fill" -> forwardFillSql)
+    "x_forward_fill" -> forwardFillSql,
+    "x_unicode_norm" -> unicodeNormSql)
 }

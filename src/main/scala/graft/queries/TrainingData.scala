@@ -2382,6 +2382,36 @@ object TrainingData {
       |       CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc
       |FROM m""".stripMargin
 
+  // -------------------------------------- normalization-aware dedup
+  // Why unicode hygiene precedes fingerprinting: the corpus carries
+  // each document twice — once prefixed with PRECOMPOSED "café" and
+  // once (ids +3e6) with the DECOMPOSED byte sequence. Raw md5
+  // fingerprints see different bytes; NFC-normalizing first merges
+  // every pair (dup_count = 2 throughout). Composes NfcNormalizeExpr
+  // with the exact-dedup shape.
+  def dedupNormalizedQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.select(col("doc_id"),
+        concat(lit("caf\u00e9 "), col("text")).as("text"))
+      .union(d.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("cafe\u0301 "), col("text")).as("text")))
+    Dedup.exactDedup(
+      corpus.withColumn("text", NativeFns.nfcNormalize(col("text"))),
+      "text", "doc_id")
+  }
+  val dedupNormalizedSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, 'caf' || chr(233) || ' ' || text AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'cafe' || chr(769) || ' ' || text
+      |  FROM documents)
+      |SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+      |         '\s+', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS keeper_id, count(*) AS dup_count
+      |FROM corpus GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ fuzzy lookup join
   // The LOOKUP form of record linkage: a batch of truncated-name
   // records matched against the clean customer master — blocked
@@ -2644,7 +2674,8 @@ object TrainingData {
     "x_dedup_clusters_incr" -> (dedupClustersIncrQ _),
     "x_fuzzy_join" -> (fuzzyJoinQ _),
     "x_forward_fill" -> (forwardFillQ _),
-    "x_unicode_norm" -> (unicodeNormQ _))
+    "x_unicode_norm" -> (unicodeNormQ _),
+    "x_dedup_normalized" -> (dedupNormalizedQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2719,5 +2750,6 @@ object TrainingData {
     "x_dedup_clusters_incr" -> dedupClustersIncrSql,
     "x_fuzzy_join" -> fuzzyJoinSql,
     "x_forward_fill" -> forwardFillSql,
-    "x_unicode_norm" -> unicodeNormSql)
+    "x_unicode_norm" -> unicodeNormSql,
+    "x_dedup_normalized" -> dedupNormalizedSql)
 }

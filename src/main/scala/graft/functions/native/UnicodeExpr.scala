@@ -1,6 +1,5 @@
 package graft.functions.native
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -44,11 +43,6 @@ case class NfcNormalizeExpr(child: Expression)
     }
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
-
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -75,19 +69,18 @@ case class StripAccentsExpr(child: Expression)
     val s = input.asInstanceOf[UTF8String].toString
     val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
+    // codepoint iteration: supplementary-plane marks (e.g. U+1E944)
+    // are surrogate pairs whose char halves type as SURROGATE — a
+    // char-wise loop would never strip them (utf8proc does)
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(java.text.Normalizer.normalize(
       sb, java.text.Normalizer.Form.NFC))
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -119,25 +112,24 @@ case class DeflateRatioExpr(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_deflate_ratio"
 
+  // per-task (post-deserialization) reusable zlib stream + output
+  // buffer: reset() between rows instead of a fresh native Deflater
+  // (~256KB native state + JNI malloc/free) and 8KB array per row
+  @transient private lazy val deflater = new java.util.zip.Deflater(6, false)
+  @transient private lazy val buf = new Array[Byte](8192)
+
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].getBytes
     if (raw.isEmpty) 1.0d
     else {
-      val d = new java.util.zip.Deflater(6, false)
-      try {
-        d.setInput(raw)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var n = 0L
-        while (!d.finished()) n += d.deflate(buf)
-        math.rint(n.toDouble / raw.length * 10000) / 10000
-      } finally d.end()
+      val d = deflater
+      d.reset()
+      d.setInput(raw)
+      d.finish()
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      math.rint(n.toDouble / raw.length * 10000) / 10000
     }
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

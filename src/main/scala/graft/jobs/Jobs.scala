@@ -253,35 +253,14 @@ object Jobs {
 
   /** Master-data cleanup: the dirtied customer master resolved end to
     * end — blocked linkage, entity clusters, golden-record survivorship
-    * — written as the links table plus the merged master. */
+    * — written as the links table plus the merged master. Delegates to
+    * the oracle-gated query pipelines (x_er_linkage / x_er_golden) so
+    * the job can never drift from the verified link rule. */
   private def resolveCustomersJob(spark: SparkSession, sfDir: String,
                                   outDir: String): Unit = {
-    import graft.operators.EntityResolution
-    val c = Tables.load(spark, sfDir, "customer")
-    val recs = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
-        col("c_nationkey").cast("long").as("nation"),
-        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
-      .union(c.select((col("c_custkey") + 1000000L).as("id"),
-        expr("substring(c_name, 1, length(c_name)-1)").as("name"),
-        col("c_nationkey").cast("long").as("nation"),
-        round(col("c_acctbal")).as("acctbal"),
-        col("c_mktsegment").as("segment")))
-    val cand = EntityResolution.blockedPairs(recs, "id",
-      concat_ws(":", col("nation"), substring(col("name"), 10, 7)))
-    val links = EntityResolution.withPairAttributes(cand, recs, "id",
-        Seq("name", "acctbal", "segment"))
-      .withColumn("name_sim",
-        EntityResolution.nameSimilarity(col("name_a"), col("name_b")))
-      .where(col("name_sim") >= 0.9 &&
-        col("segment_a") === col("segment_b") &&
-        abs(col("acctbal_a") - col("acctbal_b")) < 1.0)
-      .select(col("id_a"), col("id_b"), col("name_sim"))
-    links.write.mode("overwrite").parquet(s"$outDir/customer_links")
-    val assigned = recs.join(
-      EntityResolution.entityClusters(recs, "id", links), Seq("id"))
-    EntityResolution.goldenRecords(assigned, "entity_id", Seq(
-        count(lit(1)).as("n_members"), min(col("name")).as("name"),
-        max(col("acctbal")).as("acctbal"), min(col("segment")).as("segment")))
+    graft.queries.TrainingData.erLinkageQ(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/customer_links")
+    graft.queries.TrainingData.erGoldenQ(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/customer_golden")
   }
 

@@ -98,12 +98,18 @@ object Corpus {
     *  - the per-line occurrence count is ONE hash aggregation with
     *    map-side partial combine (a nav line repeated 10^7 times ships
     *    one partial count per task, not 10^7 rows);
-    *  - the boilerplate relation (`count > maxOccurrences`) is TINY by
-    *    construction — only lines frequent enough to be boilerplate —
-    *    so the removal is a BROADCAST left-anti join against it: the
-    *    exploded corpus is never shuffled by line, and the hot-key skew
-    *    a plain `count <= max` equi-join would hit (every copy of the
-    *    same banner landing on one reducer) never exists;
+    *  - the boilerplate relation (`count > maxOccurrences`) is small
+    *    when the threshold is set for true boilerplate — only lines
+    *    frequent enough to repeat corpus-wide — so by default the
+    *    removal is a BROADCAST left-anti join against it: the exploded
+    *    corpus is never shuffled by line, and the hot-key skew a plain
+    *    `count <= max` equi-join would hit (every copy of the same
+    *    banner landing on one reducer) never exists. The set's size is
+    *    DATA-DEPENDENT, though: an aggressive threshold over a
+    *    duplicate-heavy corpus can make it millions of full text lines
+    *    — set `broadcastBoilerplate = false` there to fall back to a
+    *    shuffled anti-join (AQE handles the remaining skew) instead of
+    *    building an oversized broadcast on the driver;
     *  - the rebuild sorts each document's kept lines row-locally
     *    (collect_list → array_sort on (pos, line)) — the only exchange
     *    is the groupBy on the document id.
@@ -115,7 +121,8 @@ object Corpus {
     */
   def removeBoilerplateLines(docs: DataFrame, textCol: String,
                              idCol: String, maxOccurrences: Long,
-                             sep: String = "\n"): DataFrame = {
+                             sep: String = "\n",
+                             broadcastBoilerplate: Boolean = true): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
@@ -123,7 +130,9 @@ object Corpus {
       .agg(count(lit(1)).as("__cnt"))
       .where(col("__cnt") > maxOccurrences)
       .select(col("line"))
-    val kept = lines.join(broadcast(boilerplate), Seq("line"), "left_anti")
+    val bpSide =
+      if (broadcastBoilerplate) broadcast(boilerplate) else boilerplate
+    val kept = lines.join(bpSide, Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol)).agg(
       concat_ws(sep, transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),

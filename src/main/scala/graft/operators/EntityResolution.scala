@@ -118,9 +118,9 @@ object EntityResolution {
   def entityClusters(records: DataFrame, idCol: String, links: DataFrame,
                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val clusters = Dedup.connectedComponents(links, aCol, bCol)
-      .withColumnRenamed("doc_id", "__cc_id")
+      .withColumnRenamed("doc_id", "id")
     records.select(col(idCol).as("id"))
-      .join(clusters.withColumnRenamed("__cc_id", "id"), Seq("id"), "left")
+      .join(clusters, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_rep"), col("id")).as("entity_id"))
   }
 

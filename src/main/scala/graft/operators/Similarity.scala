@@ -528,13 +528,22 @@ object Similarity {
       .where(round(dot(col("v_a"), col("v_b")) / (col("na") * col("nb")), 4)
         >= threshold)
       .select(col("id_b").as("id")).distinct()
-    val out = graft.ops.Materialize(
-      assigned.select(col("id"), col("c_id"))
-        .join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
-        .select(col("id"), col("c_id"), col("__d").isNotNull.as("dropped")),
-      mat)
-    assigned.unpersist(false)
-    out
+    val result = assigned.select(col("id"), col("c_id"))
+      .join(dropped.withColumn("__d", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("c_id"), col("__d").isNotNull.as("dropped"))
+    mat match {
+      // PassThrough is lazy: the assignment cache must outlive this
+      // call (three plan branches read it) — fold the unpersist into
+      // the release handle instead of dropping it before first use
+      case graft.ops.MatStrategy.PassThrough =>
+        val m = graft.ops.Materialize(result, mat)
+        m.copy(release = () => { m.release(); assigned.unpersist(false); () })
+      // eager strategies consume the cache inside Materialize; the
+      // finally keeps a failed spill write from leaking the blocks
+      case _ =>
+        try graft.ops.Materialize(result, mat)
+        finally assigned.unpersist(false)
+    }
   }
 
   /** [[semanticDedupM]] with the zero-leak default materialization. */

@@ -88,6 +88,41 @@ object Corpus {
         .otherwise(0L)).as("n_substantial"))
   }
 
+  /** Per-document vocabulary coverage: how much of each document's
+    * token stream falls OUTSIDE a given vocabulary — the
+    * out-of-vocabulary (OOV) signal mixture tuning reads per source /
+    * language (a stratum whose documents are mostly OOV against the
+    * corpus vocabulary is noise or a collapsed extractor).
+    *
+    * Tokenization matches [[topKVocab]] exactly (lower(trim), \s+
+    * split, empty tokens dropped) so a topKVocab output can feed
+    * `vocab` directly. Scale shape: the vocabulary is top-k (tiny) and
+    * BROADCASTS into a left join on the exploded tokens — the token
+    * stream is shuffled only once, by document id for the per-doc
+    * aggregation. Every input document appears in the output; a
+    * zero-token document reports (0, 0, 0.0).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, idCol: String,
+                    vocab: DataFrame,
+                    tokenCol: String = "token"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+    val v = vocab.select(col(tokenCol).as("__tok")).distinct()
+      .withColumn("__in", lit(1))
+    val agg = toks.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0d))
+          .otherwise(round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 4)).as("oov_rate"))
+  }
+
   /** Line-level boilerplate removal (the CCNet-style pass a web-crawl
     * pipeline runs before document dedup): a LINE that occurs more than
     * `maxOccurrences` times across the whole corpus — nav menus, cookie

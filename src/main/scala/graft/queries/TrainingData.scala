@@ -2029,6 +2029,37 @@ object TrainingData {
       |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
       |FROM c ORDER BY cnt DESC, token LIMIT 100""".stripMargin
 
+  // --------------------------------------------------- OOV coverage
+  // Per-document out-of-vocabulary rate against the corpus's own
+  // top-100 vocabulary — the stratum-noise signal mixture tuning
+  // reads. Tokenization is identical to x_vocab_topk's.
+  def oovRateQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.Corpus.vocabCoverage(d, "text", "doc_id",
+      graft.operators.Corpus.topKVocab(d, "text", 100))
+  }
+  val oovRateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |    FROM documents)
+      |  WHERE length(token) > 0),
+      |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+      |v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 100),
+      |agg AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_oov
+      |  FROM t LEFT JOIN v ON t.token = v.token
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+      |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+      |       ELSE round(a.n_oov::DOUBLE / a.n_tokens, 4) END AS oov_rate
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------- stratified sampling
   // Deterministic hash-bucket sampling with per-language rates (en kept
   // at 50%, zh 20%, de 5%, everything else 10%).
@@ -2675,7 +2706,8 @@ object TrainingData {
     "x_fuzzy_join" -> (fuzzyJoinQ _),
     "x_forward_fill" -> (forwardFillQ _),
     "x_unicode_norm" -> (unicodeNormQ _),
-    "x_dedup_normalized" -> (dedupNormalizedQ _))
+    "x_dedup_normalized" -> (dedupNormalizedQ _),
+    "x_oov_rate" -> (oovRateQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2751,5 +2783,6 @@ object TrainingData {
     "x_fuzzy_join" -> fuzzyJoinSql,
     "x_forward_fill" -> forwardFillSql,
     "x_unicode_norm" -> unicodeNormSql,
-    "x_dedup_normalized" -> dedupNormalizedSql)
+    "x_dedup_normalized" -> dedupNormalizedSql,
+    "x_oov_rate" -> oovRateSql)
 }

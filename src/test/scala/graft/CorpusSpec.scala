@@ -149,6 +149,22 @@ class CorpusSpec extends SparkSpec {
     assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("vocabCoverage reports per-doc OOV against a vocab, zero-token safe") {
+    val docs = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "quantum flux capacitor"),
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "dog", "and").toDF("token")
+    val out = graft.operators.Corpus
+      .vocabCoverage(docs, "text", "doc_id", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((5L, 0L, 0.0)))
+    assert(out(2L) === ((3L, 3L, 1.0)))
+    assert(out(3L) === ((0L, 0L, 0.0))) // whitespace-only doc still present
+  }
+
   test("removeBoilerplateLines drops frequent lines, keeps order, counts") {
     val docs = Seq(
       (1L, "BANNER\nalpha\nbeta\nFOOTER"),

@@ -461,6 +461,81 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Contrastive training triplets (anchor, positive, negative) mined
+    * from the corpus — the data-prep stage for embedding-model
+    * fine-tuning: POSITIVES are LSH-verified near-duplicate pairs
+    * (same bucketed screen as [[lshNearDupPairs]]), NEGATIVES are
+    * drawn deterministically from a hash-bucket pool so the same
+    * corpus always yields the same triplets (no RNG — reruns and the
+    * oracle reproduce them bit-for-bit).
+    *
+    * Negative sampling, scale shape: every corpus id hashes into one
+    * of `negativePool` buckets; each bucket elects one representative
+    * (smallest (hash32("rep:"+id), id) — a pseudo-random member). The
+    * pool relation is `negativePool` rows — broadcast — and each
+    * positive pair picks the representative of bucket
+    * hash32(anchor:pos) % pool. Triplets whose negative degenerates
+    * (equals either side, or is itself a near-dup of the anchor) are
+    * dropped deterministically. The corpus is never shuffled for the
+    * negatives; the only non-broadcast work is the positive screen.
+    */
+  def contrastiveTripletsM(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, tables: Int = 16,
+                           bits: Int = 12, negativePool: Int = 64,
+                           mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default): graft.ops.Materialized = {
+    import graft.functions.TextFns
+    // the positive relation feeds three consumers (triplet build, the
+    // degenerate filter's anchor side, and the false-negative
+    // anti-join) — persist it so the LSH screen runs once, and release
+    // after the eager materialization (same contract as
+    // minhashNearDupPairsM)
+    val pos = lshNearDupPairs(corpus, idCol, vecCol, threshold, tables, bits)
+      .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wRep = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col("cand_id"))
+    val pool = corpus.select(col(idCol).as("cand_id"))
+      .withColumn("__b",
+        TextFns.hash32(col("cand_id").cast("string")) % negativePool)
+      .withColumn("__h",
+        TextFns.hash32(concat(lit("rep:"), col("cand_id").cast("string"))))
+      .withColumn("__rn", row_number().over(wRep))
+      .where(col("__rn") === 1)
+      .select(col("__b"), col("cand_id").as("neg_id"))
+    val triplets = pos
+      .withColumn("__b",
+        TextFns.hash32(concat_ws(":", col("anchor_id"), col("pos_id")))
+          % negativePool)
+      .join(broadcast(pool), Seq("__b"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"))
+      .where(col("neg_id") =!= col("anchor_id") &&
+        col("neg_id") =!= col("pos_id"))
+      // a negative that is itself a near-dup of the anchor is a false
+      // negative for the loss: drop by the canonical ordered pair
+      .withColumn("__x", least(col("anchor_id"), col("neg_id")))
+      .withColumn("__y", greatest(col("anchor_id"), col("neg_id")))
+      .join(pos.select(col("anchor_id").as("__x"), col("pos_id").as("__y")),
+        Seq("__x", "__y"), "left_anti")
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"))
+    mat match {
+      case graft.ops.MatStrategy.PassThrough =>
+        val m = graft.ops.Materialize(triplets, mat)
+        m.copy(release = () => { m.release(); pos.unpersist(false); () })
+      case _ =>
+        try graft.ops.Materialize(triplets, mat)
+        finally pos.unpersist(false)
+    }
+  }
+
+  /** [[contrastiveTripletsM]] with the zero-leak default
+    * materialization, returning the bare frame. */
+  def contrastiveTriplets(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, tables: Int = 16,
+                          bits: Int = 12,
+                          negativePool: Int = 64): DataFrame =
+    contrastiveTripletsM(corpus, idCol, vecCol, threshold, tables, bits,
+      negativePool).df
+
   /** Trained centroid table `(c_id, c_v: array<double>, c_norm)` from
     * [[kmeansQuantized]] — the integer sum-vectors scaled back to
     * doubles (row-local, deterministic). */

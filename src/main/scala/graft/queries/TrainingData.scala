@@ -917,6 +917,47 @@ object TrainingData {
     s"""WITH $neardupLshCtes
        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.98""".stripMargin
 
+  // --------------------------------------------- contrastive triplets
+  // Embedding-fine-tune data prep over the twin corpus: positives are
+  // the LSH-verified near-dup pairs, negatives come deterministically
+  // from a 64-bucket hash pool (one pseudo-random representative per
+  // bucket, broadcast); degenerate or near-dup negatives drop.
+  def contrastiveQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
+        .as("v")))
+    Similarity.contrastiveTriplets(corpus, "vec_id", "v", 0.98)
+  }
+  val contrastiveSql: String =
+    s"""WITH $neardupLshCtes,
+       |pos AS (SELECT id_a AS anchor_id, id_b AS pos_id
+       |        FROM scored WHERE sim >= 0.98),
+       |br0 AS (
+       |  SELECT vec_id AS cand_id,
+       |    ${duckHash32("CAST(vec_id AS VARCHAR)")} % 64 AS b,
+       |    ${duckHash32("'rep:' || CAST(vec_id AS VARCHAR)")} AS h
+       |  FROM corpus),
+       |rep AS (
+       |  SELECT b, cand_id AS neg_id FROM (
+       |    SELECT b, cand_id,
+       |      row_number() OVER (PARTITION BY b ORDER BY h, cand_id) AS rn
+       |    FROM br0)
+       |  WHERE rn = 1),
+       |tri AS (
+       |  SELECT p.anchor_id, p.pos_id, r.neg_id FROM (
+       |    SELECT anchor_id, pos_id,
+       |      ${duckHash32("CAST(anchor_id AS VARCHAR) || ':' || CAST(pos_id AS VARCHAR)")}
+       |        % 64 AS b
+       |    FROM pos) p JOIN rep r USING (b))
+       |SELECT anchor_id, pos_id, neg_id FROM tri t
+       |WHERE neg_id != anchor_id AND neg_id != pos_id
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM pos q
+       |    WHERE q.anchor_id = least(t.anchor_id, t.neg_id)
+       |      AND q.pos_id = greatest(t.anchor_id, t.neg_id))""".stripMargin
+
   // ------------------------------------------ embedding near-dup clusters
   // The embedding-side drop decision: connected components over the
   // LSH-candidate, cosine-verified pair graph — each paired vector
@@ -2707,7 +2748,8 @@ object TrainingData {
     "x_forward_fill" -> (forwardFillQ _),
     "x_unicode_norm" -> (unicodeNormQ _),
     "x_dedup_normalized" -> (dedupNormalizedQ _),
-    "x_oov_rate" -> (oovRateQ _))
+    "x_oov_rate" -> (oovRateQ _),
+    "x_contrastive" -> (contrastiveQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2784,5 +2826,6 @@ object TrainingData {
     "x_forward_fill" -> forwardFillSql,
     "x_unicode_norm" -> unicodeNormSql,
     "x_dedup_normalized" -> dedupNormalizedSql,
-    "x_oov_rate" -> oovRateSql)
+    "x_oov_rate" -> oovRateSql,
+    "x_contrastive" -> contrastiveSql)
 }

@@ -181,6 +181,30 @@ class SimilaritySpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("contrastiveTriplets: valid deterministic triplets, no degenerate negatives") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    val corpus = emb.union(emb.select(($"vec_id" + 100000L).as("vec_id"),
+      org.apache.spark.sql.functions.transform($"v",
+        (x, i) => org.apache.spark.sql.functions.when(i === 0, x + 0.05d)
+          .otherwise(x)).as("v")))
+    val t = Similarity.contrastiveTriplets(corpus, "vec_id", "v", 0.98)
+    val rows = t.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // no degenerate negatives
+    assert(rows.forall { case (a, p, n) => n != a && n != p })
+    // negatives must not be near-dups of their anchor
+    val pairs = Similarity.lshNearDupPairs(corpus, "vec_id", "v", 0.98)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(rows.forall { case (a, _, n) =>
+      !pairs.contains((math.min(a, n), math.max(a, n))) })
+    // deterministic under repartitioning
+    val again = Similarity.contrastiveTriplets(
+      corpus.repartition(7), "vec_id", "v", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.toSet)
+  }
+
   test("semanticDedup is deterministic across partitionings") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     def run(c: org.apache.spark.sql.DataFrame) =

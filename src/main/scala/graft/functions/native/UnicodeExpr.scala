@@ -48,10 +48,11 @@ case class NfcNormalizeExpr(child: Expression)
 }
 
 /** Accent/diacritic stripping: canonical decomposition (NFD), drop all
-  * nonspacing combining marks (Unicode category Mn), recompose what
-  * remains (NFC). "café" → "cafe", "Müller" → "Muller"; characters
-  * without a decomposition (ø, ß) pass through unchanged — the same
-  * contract as DuckDB's strip_accents on decomposable characters.
+  * combining marks (Unicode categories Mn nonspacing, Mc spacing, Me
+  * enclosing — the same set utf8proc/DuckDB's strip_accents removes,
+  * which matters beyond Latin: Indic vowel signs are Mc), recompose
+  * what remains (NFC). "café" → "cafe", "Müller" → "Muller";
+  * characters without a decomposition (ø, ß) pass through unchanged.
   */
 case class StripAccentsExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -75,7 +76,10 @@ case class StripAccentsExpr(child: Expression)
     var i = 0
     while (i < d.length) {
       val cp = d.codePointAt(i)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK)
         sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
@@ -85,6 +89,39 @@ case class StripAccentsExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Per-thread reusable zlib stream + output buffer: reset() between
+  * rows instead of a fresh native Deflater (~256KB native state + JNI
+  * malloc/free) and 8KB array per row. Each TASK that first touches
+  * the pool registers a completion listener that end()s the stream —
+  * executors never accumulate native zlib state across tasks (a
+  * driver-side eval has no TaskContext and keeps one stream per
+  * thread for the JVM's life, bounded by the thread count).
+  */
+object DeflateRatioExpr {
+  private val tlDeflater = new ThreadLocal[java.util.zip.Deflater]
+  private val tlBuf = new ThreadLocal[Array[Byte]]
+
+  private[native] def deflater(): java.util.zip.Deflater = {
+    var d = tlDeflater.get()
+    if (d == null) {
+      d = new java.util.zip.Deflater(6, false)
+      tlDeflater.set(d)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        val cur = tlDeflater.get()
+        if (cur != null) { cur.end(); tlDeflater.remove() }
+      }
+    }
+    d
+  }
+
+  private[native] def buffer(): Array[Byte] = {
+    var b = tlBuf.get()
+    if (b == null) { b = new Array[Byte](8192); tlBuf.set(b) }
+    b
+  }
 }
 
 /** Deflate compression ratio — the model-free redundancy signal
@@ -112,20 +149,15 @@ case class DeflateRatioExpr(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_deflate_ratio"
 
-  // per-task (post-deserialization) reusable zlib stream + output
-  // buffer: reset() between rows instead of a fresh native Deflater
-  // (~256KB native state + JNI malloc/free) and 8KB array per row
-  @transient private lazy val deflater = new java.util.zip.Deflater(6, false)
-  @transient private lazy val buf = new Array[Byte](8192)
-
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].getBytes
     if (raw.isEmpty) 1.0d
     else {
-      val d = deflater
+      val d = DeflateRatioExpr.deflater()
       d.reset()
       d.setInput(raw)
       d.finish()
+      val buf = DeflateRatioExpr.buffer()
       var n = 0L
       while (!d.finished()) n += d.deflate(buf)
       math.rint(n.toDouble / raw.length * 10000) / 10000

@@ -547,12 +547,14 @@ object Dedup {
     */
   def incrementalClustersM(existing: DataFrame, newPairs: DataFrame,
                            aCol: String, bCol: String,
+                           existingIdCol: String = "doc_id",
+                           existingRepCol: String = "cluster_rep",
                            maxRounds: Int = 50,
                            iterPartitions: Int = 8,
                            roundMat: MatStrategy = MatStrategy.Local,
                            mat: MatStrategy = MatStrategy.Default): Materialized = {
-    val stars = existing.select(col("doc_id").as(aCol),
-      col("cluster_rep").as(bCol))
+    val stars = existing.select(col(existingIdCol).as(aCol),
+      col(existingRepCol).as(bCol))
     connectedComponentsM(stars.union(newPairs.select(col(aCol), col(bCol))),
       aCol, bCol, maxRounds, iterPartitions, roundMat, mat)
   }

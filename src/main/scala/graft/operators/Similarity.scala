@@ -472,9 +472,11 @@ object Similarity {
     * Negative sampling, scale shape: every corpus id hashes into one
     * of `negativePool` buckets; each bucket elects one representative
     * (smallest (hash32("rep:"+id), id) — a pseudo-random member). The
-    * pool relation is `negativePool` rows — broadcast — and each
-    * positive pair picks the representative of bucket
-    * hash32(anchor:pos) % pool. Triplets whose negative degenerates
+    * representatives are densely indexed (so empty buckets cost
+    * nothing — no positive pair is ever dropped for hashing into one)
+    * and the ≤`negativePool`-row relation broadcasts; each positive
+    * pair picks index hash32(anchor:pos) % rep-count (the count ships
+    * as a broadcast 1-row join). Triplets whose negative degenerates
     * (equals either side, or is itself a near-dup of the anchor) are
     * dropped deterministically. The corpus is never shuffled for the
     * negatives; the only non-broadcast work is the positive screen.
@@ -502,11 +504,23 @@ object Similarity {
       .withColumn("__rn", row_number().over(wRep))
       .where(col("__rn") === 1)
       .select(col("__b"), col("cand_id").as("neg_id"))
+    // DENSE index over the representatives that actually exist: a
+    // sparse corpus (or negativePool > corpus size) leaves buckets
+    // empty, and joining on the raw bucket id would silently drop
+    // every positive pair hashing into one. The window is global but
+    // runs over <= negativePool rows; the count ships as a broadcast
+    // 1-row join, never a driver collect.
+    val wIdx = Window.orderBy(col("__b"))
+    val indexed = pool
+      .withColumn("__i", row_number().over(wIdx).cast("long") - 1L)
+      .select(col("__i"), col("neg_id"))
+    val cnt = indexed.agg(count(lit(1)).as("__n"))
     val triplets = pos
-      .withColumn("__b",
+      .crossJoin(broadcast(cnt))
+      .withColumn("__i",
         TextFns.hash32(concat_ws(":", col("anchor_id"), col("pos_id")))
-          % negativePool)
-      .join(broadcast(pool), Seq("__b"))
+          % col("__n"))
+      .join(broadcast(indexed), Seq("__i"))
       .select(col("anchor_id"), col("pos_id"), col("neg_id"))
       .where(col("neg_id") =!= col("anchor_id") &&
         col("neg_id") =!= col("pos_id"))

@@ -822,6 +822,18 @@ object TrainingData {
       |FROM s
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
 
+  /** embeddings ∪ perturbed twins (+0.05 on dim 0, ids +1e5) — the
+    * shared fixture of the embedding near-dup family; the oracle twin
+    * is neardupLshCtes' `corpus` CTE (same offset, same perturbation).
+    */
+  private def twinEmbCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
+        .as("v")))
+  }
+
   // -------------------------------------------------- embedding near-dup
   // Bounded corpus slice (vec_id < 500) ∪ doubled copies (ids +100000,
   // vectors ×2 ⇒ cosine exactly 1.0) so near-dup pairs provably exist.
@@ -859,11 +871,7 @@ object TrainingData {
   // candidates — and therefore results — match exactly even though the
   // operator is approximate.
   def neardupLshQ(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
-        .as("v")))
+    val corpus = twinEmbCorpus(spark, dir)
     Similarity.lshNearDupPairs(corpus, "vec_id", "v", 0.98)
   }
   /** The LSH near-dup pipeline as a WITH-clause body ending in the
@@ -923,11 +931,7 @@ object TrainingData {
   // from a 64-bucket hash pool (one pseudo-random representative per
   // bucket, broadcast); degenerate or near-dup negatives drop.
   def contrastiveQ(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
-        .as("v")))
+    val corpus = twinEmbCorpus(spark, dir)
     Similarity.contrastiveTriplets(corpus, "vec_id", "v", 0.98)
   }
   val contrastiveSql: String =
@@ -945,12 +949,16 @@ object TrainingData {
        |      row_number() OVER (PARTITION BY b ORDER BY h, cand_id) AS rn
        |    FROM br0)
        |  WHERE rn = 1),
+       |repi AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY b) - 1 AS BIGINT) AS i,
+       |         neg_id
+       |  FROM rep),
        |tri AS (
        |  SELECT p.anchor_id, p.pos_id, r.neg_id FROM (
        |    SELECT anchor_id, pos_id,
        |      ${duckHash32("CAST(anchor_id AS VARCHAR) || ':' || CAST(pos_id AS VARCHAR)")}
-       |        % 64 AS b
-       |    FROM pos) p JOIN rep r USING (b))
+       |        % (SELECT count(*) FROM repi) AS i
+       |    FROM pos) p JOIN repi r USING (i))
        |SELECT anchor_id, pos_id, neg_id FROM tri t
        |WHERE neg_id != anchor_id AND neg_id != pos_id
        |  AND NOT EXISTS (
@@ -966,11 +974,7 @@ object TrainingData {
   // of minhash bands. Completes embedding-cosine near-dup from candidate
   // generation through to the clustering a pipeline actually drops by.
   def embeddingClustersQ(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
-        .as("v")))
+    val corpus = twinEmbCorpus(spark, dir)
     val pairs = Similarity.lshNearDupPairs(corpus, "vec_id", "v", 0.98)
     Dedup.connectedComponents(pairs, "id_a", "id_b")
       .select(col("doc_id").as("vec_id"), col("cluster_rep"))
@@ -2286,7 +2290,11 @@ object TrainingData {
     import graft.operators.EntityResolution
     val recs = erRecords(spark, dir)
     val cand = EntityResolution.blockedPairs(recs, "id",
-      concat_ws(":", col("nation"), substring(col("name"), 10, 7)))
+      // concat (not concat_ws): null components must poison the key
+      // exactly like the oracle's `||`, so a null-nation record never
+      // blocks on the name fragment alone
+      concat(col("nation").cast("string"), lit(":"),
+        substring(col("name"), 10, 7)))
     EntityResolution.withPairAttributes(cand, recs, "id",
         Seq("name", "acctbal", "segment"))
       .withColumn("name_sim",
@@ -2499,7 +2507,10 @@ object TrainingData {
     val batch = c.select((col("c_custkey") + 1000000L).as("id"),
       expr("substring(c_name, 1, length(c_name)-1)").as("name"),
       col("c_nationkey").cast("long").as("nation"))
-    def bkey = concat_ws(":", col("nation"), substring(col("name"), 10, 7))
+    // concat, not concat_ws: null nation must yield a null (non-
+    // blocking) key, matching the oracle's null-propagating `||`
+    def bkey = concat(col("nation").cast("string"), lit(":"),
+      substring(col("name"), 10, 7))
     val cand = EntityResolution.blockedJoin(batch, "id", bkey,
       master, "id", bkey)
     val w = Window.partitionBy(col("l_id"))
@@ -2606,11 +2617,7 @@ object TrainingData {
   // replays quantization, training, assignment (the shared IVF chain),
   // and the within-cluster drop rule.
   def semdedupQ(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    val corpus = emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"),
-      transform(col("v"), (x, i) => when(i === 0, x + 0.05d).otherwise(x))
-        .as("v")))
+    val corpus = twinEmbCorpus(spark, dir)
     Similarity.semanticDedup(corpus, "vec_id", "v", 0.98)
       .select(col("id").as("vec_id"), col("c_id"), col("dropped"))
   }

@@ -208,6 +208,87 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("incrementalClusters == from-scratch clustering on random graphs") {
+    import graft.operators.Dedup
+    val pairGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, for {
+        a <- Gen.choose(1L, 20L)
+        b <- Gen.choose(1L, 20L) if a != b
+      } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+    (0 until 5).foreach { i =>
+      val all = pairGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      if (all.size >= 4) {
+        val (old, fresh) = all.splitAt(all.size / 2)
+        val existing = Dedup.connectedComponents(old.toDF("a", "b"), "a", "b")
+        val incr = Dedup.incrementalClusters(
+            existing, fresh.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = Dedup.connectedComponents(
+            (old ++ fresh).toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incr === full, s"sample $i diverged")
+      }
+    }
+  }
+
+  test("majorityVote: votes <= n_annotations, agreement in (0,1], " +
+    "winner has max count") {
+    import graft.ops.Labels
+    val annGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(60, for {
+        item <- Gen.choose(1L, 10L)
+        lab <- Gen.oneOf("a", "b", "c")
+      } yield (item, lab))
+    (0 until 5).foreach { i =>
+      val ann = annGen.pureApply(Gen.Parameters.default, Seed(11L + i))
+        .zipWithIndex.map { case ((item, lab), j) => (item, j.toLong, lab) }
+      val df = ann.toDF("item", "annotator", "label")
+      val out = Labels.majorityVote(df, "item", "label").collect()
+      val counts = ann.groupBy(_._1).view.mapValues(_.groupBy(_._3)
+        .view.mapValues(_.size).toMap).toMap
+      out.foreach { r =>
+        val (item, label, votes, n, agr) =
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4))
+        assert(votes <= n && agr > 0.0 && agr <= 1.0)
+        assert(counts(item).values.max === votes.toInt,
+          s"item $item: $label not a max-count label")
+      }
+      assert(out.length === counts.size) // one adjudication per item
+    }
+  }
+
+  test("removeBoilerplateLines: kept+dropped = total lines; " +
+    "clean_text is a subsequence of the original") {
+    import graft.operators.Corpus
+    val docGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(12, for {
+        id <- Gen.choose(1L, 1000L)
+        lines <- Gen.listOfN(5, Gen.oneOf("x", "y", "z", "unique", "w"))
+      } yield (id, lines.mkString("\n"))).map(_.distinctBy(_._1))
+    (0 until 5).foreach { i =>
+      val docs = docGen.pureApply(Gen.Parameters.default, Seed(23L + i))
+      val df = docs.toDF("doc_id", "text")
+      val out = Corpus.removeBoilerplateLines(df, "text", "doc_id", 3L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      docs.foreach { case (id, text) =>
+        val orig = text.split("\n", -1)
+        val (clean, kept, dropped) = out(id)
+        assert(kept + dropped === orig.length)
+        // kept lines appear in original order (subsequence check)
+        val cleanLines = if (clean.isEmpty) Array.empty[String]
+          else clean.split("\n", -1)
+        var j = 0
+        cleanLines.foreach { l =>
+          while (j < orig.length && orig(j) != l) j += 1
+          assert(j < orig.length, s"doc $id: '$l' out of order")
+          j += 1
+        }
+      }
+    }
+  }
+
   test("scdMerge output keys = keys(ods) ∪ keys(dwd); audit never null") {
     samples(10).sliding(2).foreach { case Seq(o, d) =>
       if (o.nonEmpty && d.nonEmpty) {

@@ -228,15 +228,26 @@ object Similarity {
     * deterministic pseudo-random spread (hash32 is the md5-fold already
     * oracle-pinned by x_dataset_split).
     *
+    * `trainSample` > 0 trains on the DETERMINISTIC SAMPLE of that many
+    * rows — the ones with the smallest (hash32("smp:"+id), id), the
+    * same hash-ordered-limit device as the init pick, so the oracle
+    * replays the sample exactly. This decouples training cost from
+    * corpus size (the FAISS practice: Lloyd on a bounded sample, then
+    * one assignment pass over everything); 0 trains on the full corpus
+    * (the pre-r5 behavior, kept for the trained-IVF oracles).
+    *
     * Scale: each iteration is one broadcast-join pass + one explode+agg
-    * shuffle over (rows × dim) thin rows. At 100 TB the quantizer would
-    * train on a hash-sampled slice (Sampling.deterministicSample) —
-    * training cost is decoupled from corpus size; assignment stays a
-    * full map-side pass either way.
+    * shuffle over (sample × dim) thin rows — with `trainSample` set the
+    * whole training phase is O(sample), and assignment stays a full
+    * map-side pass either way.
     */
   def kmeansQuantized(corpus: DataFrame, idCol: String, vecCol: String,
-                      nlist: Int, iters: Int): Seq[(Long, Array[Long], Long)] = {
+                      nlist: Int, iters: Int,
+                      trainSample: Int = 0): Seq[(Long, Array[Long], Long)] = {
     import graft.functions.TextFns
+    require(trainSample == 0 || trainSample >= nlist,
+      s"trainSample ($trainSample) must be 0 (train on full corpus) " +
+        s"or >= nlist ($nlist)")
     val spark = corpus.sparkSession
     val dec = "decimal(38,0)"
     def sumSqDec(arr: Column): Column =
@@ -249,7 +260,17 @@ object Similarity {
         transform(asDouble(col(vecCol)),
           x => floor(x * KmeansScale)).as("qv"))
       .withColumn("qn2", sumSqDec(col("qv")).cast("double"))
-    val mat = graft.ops.Materialize(base, graft.ops.MatStrategy.Local)
+    // With a sample, ONLY the sample is ever materialized: one
+    // distributed top-N pass over the corpus pins O(trainSample) rows,
+    // and no full-corpus checkpoint exists anywhere in training.
+    val trainSrc =
+      if (trainSample == 0) base
+      else base
+        .withColumn("hs", TextFns.hash32(
+          concat(lit("smp:"), col("n_id").cast("string"))))
+        .orderBy(col("hs"), col("n_id")).limit(trainSample)
+        .drop("hs")
+    val mat = graft.ops.Materialize(trainSrc, graft.ops.MatStrategy.Local)
     try {
       val init = mat.df
         .withColumn("h", TextFns.hash32(col("n_id").cast("string")))
@@ -300,8 +321,9 @@ object Similarity {
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      nlist: Int = 16, nprobe: Int = 4,
-                     iters: Int = 2): DataFrame = {
-    val cents = trainedCentroidTable(corpus, idCol, vecCol, nlist, iters)
+                     iters: Int = 2, trainSample: Int = 0): DataFrame = {
+    val cents = trainedCentroidTable(corpus, idCol, vecCol, nlist, iters,
+      trainSample)
     ivfSearch(queries, corpus, cents, idCol, vecCol, k, nprobe)
   }
 
@@ -555,13 +577,40 @@ object Similarity {
     * doubles (row-local, deterministic). */
   private def trainedCentroidTable(corpus: DataFrame, idCol: String,
                                    vecCol: String, nlist: Int,
-                                   iters: Int): DataFrame = {
-    val trained = kmeansQuantized(corpus, idCol, vecCol, nlist, iters)
+                                   iters: Int,
+                                   trainSample: Int = 0): DataFrame = {
+    val trained = kmeansQuantized(corpus, idCol, vecCol, nlist, iters,
+      trainSample)
     val centRows = trained.map { case (cid, csum, cnt) =>
       (cid, csum.map(s => s.toDouble / cnt / KmeansScale).toSeq)
     }
     corpus.sparkSession.createDataFrame(centRows).toDF("c_id", "c_v")
       .withColumn("c_norm", norm(col("c_v")))
+  }
+
+  /** Plan-stat-derived cluster count for [[semanticDedupM]]: the floor
+    * (16, the pre-r5 fixed default) widened by the OPTIMIZER'S SIZE
+    * ESTIMATE of the corpus at `bytesPerCluster` worth of vectors each
+    * — the [[Dedup.ccIterWidth]] device applied to occupancy instead of
+    * iteration width. Within-cluster candidate volume is
+    * sum(|cluster|²)/2, so holding BYTES per cluster ~constant as the
+    * corpus grows holds the pair work LINEAR in corpus size; a fixed
+    * nlist makes it quadratic.
+    *
+    * Compile-time only (`optimizedPlan.stats`) — no job runs. Capped at
+    * 1<<20 clusters: past that the broadcast centroid table itself
+    * stops being small, and the right structure is a hierarchical /
+    * multi-level quantizer, not a wider flat one.
+    */
+  private[graft] def autoNlist(corpus: DataFrame,
+                               bytesPerCluster: Long = 4L << 20,
+                               floor: Int = 16): Int = {
+    val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bpc = math.max(bytesPerCluster, 1L)
+    val byBytes =
+      if (est > BigInt(Long.MaxValue)) Int.MaxValue
+      else math.min(est.toLong / bpc + 1, Int.MaxValue.toLong).toInt
+    math.max(floor, math.min(byBytes, 1 << 20))
   }
 
   /** SemDeDup-style SEMANTIC deduplication: cluster the corpus with the
@@ -577,10 +626,12 @@ object Similarity {
     *  - candidate pairs exist only WITHIN a cluster (the SemDeDup
     *    contract): the pair join is id-only on (c_id), with vectors
     *    joined back for the cosine — candidate volume is
-    *    sum(|cluster|²)/2, controlled by `nlist` (scale nlist with the
-    *    corpus to hold cluster occupancy ~constant, and train on a
-    *    deterministic sample — the quantizer cost is decoupled from
-    *    corpus size);
+    *    sum(|cluster|²)/2, controlled by `nlist`: the default (0 =
+    *    auto) derives it from the corpus's plan-stat size
+    *    ([[autoNlist]]) so occupancy stays ~constant as the corpus
+    *    grows, and `trainSample` bounds the quantizer's training cost
+    *    (the FAISS practice) — both scale knobs are automatic, not
+    *    hand-tuned;
     *  - the drop rule ("similar to ANY lower id in the cluster") is
     *    row-local per pair + one distinct — no transitive closure
     *    needed, unlike the text-side connected components.
@@ -589,9 +640,12 @@ object Similarity {
     * `mat` with the assignment cache released (LeakSpec-clean).
     */
   def semanticDedupM(corpus: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, nlist: Int = 16, iters: Int = 2,
+                     threshold: Double, nlist: Int = 0, iters: Int = 2,
+                     trainSample: Int = 0,
                      mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default): graft.ops.Materialized = {
-    val cents = trainedCentroidTable(corpus, idCol, vecCol, nlist, iters)
+    val k = if (nlist > 0) nlist else autoNlist(corpus)
+    val cents = trainedCentroidTable(corpus, idCol, vecCol, k, iters,
+      trainSample)
     val c = corpus.select(col(idCol).as("id"),
         asDouble(col(vecCol)).as("n_v"))
       .withColumn("n_norm", norm(col("n_v")))
@@ -637,9 +691,10 @@ object Similarity {
 
   /** [[semanticDedupM]] with the zero-leak default materialization. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nlist: Int = 16,
-                    iters: Int = 2): DataFrame =
-    semanticDedupM(corpus, idCol, vecCol, threshold, nlist, iters).df
+                    threshold: Double, nlist: Int = 0,
+                    iters: Int = 2, trainSample: Int = 0): DataFrame =
+    semanticDedupM(corpus, idCol, vecCol, threshold, nlist, iters,
+      trainSample).df
 
   /** Trained IVF over the SQ8-COMPRESSED corpus — the two ANN levers
     * stacked: [[sqDecode]] shrinks the corpus to 1-byte-per-dimension

@@ -1731,8 +1731,11 @@ object TrainingData {
   /** CTE chain replaying the trained quantizer end-to-end: `prelude`
     * must define `vc(vec_id, vec)` (the corpus); the chain ends in
     * `a2(c_id, n_id, n_v)` — every corpus vector with its trained
-    * cluster. Shared by the IVF search oracles and x_semdedup. */
-  private def ivfAssignCtes(prelude: String): String = {
+    * cluster. Shared by the IVF search oracles and x_semdedup.
+    * `trainSample` > 0 replays kmeansQuantized's deterministic
+    * hash-ordered training sample (smallest (hash32("smp:"+id), id));
+    * 0 trains on the full corpus. */
+  private def ivfAssignCtes(prelude: String, trainSample: Int = 0): String = {
     def cos(a: String, b: String) = ivfCos(a, b)
     // one Lloyd iteration: exact-integer assignment + update over the
     // previous centroid CTE, empty clusters carrying over
@@ -1751,7 +1754,7 @@ object TrainingData {
          |          i -> CAST(q.qv[CAST(i AS INT)] AS HUGEINT)
          |               * c.csum[CAST(i AS INT)])) AS DOUBLE)
          |        / (sqrt(q.qn2) * sqrt(c.cn2)) DESC, c.c_id) AS rn
-         |    FROM qn q CROSS JOIN cn$t c)
+         |    FROM trn q CROSS JOIN cn$t c)
          |  WHERE rn = 1),
          |u$t AS (
          |  SELECT c_id, pos, CAST(sum(val) AS BIGINT) AS s,
@@ -1777,12 +1780,21 @@ object TrainingData {
        |    CAST(list_sum(list_transform(qv,
        |      x -> CAST(x AS HUGEINT) * x)) AS DOUBLE) AS qn2
        |  FROM q0),
+       |trn AS (${
+      if (trainSample == 0) "SELECT n_id, qv, qn2 FROM qn"
+      else
+        s"""
+       |  SELECT n_id, qv, qn2 FROM (
+       |    SELECT n_id, qv, qn2,
+       |      ${duckHash32("'smp:' || CAST(n_id AS VARCHAR)")} AS hs
+       |    FROM qn ORDER BY hs, n_id LIMIT $trainSample)""".stripMargin
+    }),
        |cents0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, n_id) - 1 AS BIGINT) AS c_id,
        |         qv AS csum, CAST(1 AS BIGINT) AS cnt
        |  FROM (SELECT n_id, qv,
        |          ${duckHash32("CAST(n_id AS VARCHAR)")} AS h
-       |        FROM q0 ORDER BY h, n_id LIMIT 16)),
+       |        FROM trn ORDER BY h, n_id LIMIT 16)),
        |${iteration(1)},
        |${iteration(2)},
        |cents AS (
@@ -2614,15 +2626,18 @@ object TrainingData {
   // +0.05-on-dim-0 perturbations) is clustered by the deterministic
   // k-means quantizer; WITHIN each cluster, every vector cosine-similar
   // (>= 0.98) to a lower-id member is marked dropped. The oracle
-  // replays quantization, training, assignment (the shared IVF chain),
-  // and the within-cluster drop rule.
+  // replays quantization, SAMPLED training (256-row deterministic
+  // hash-ordered sample — the r5 scale knob), assignment (the shared
+  // IVF chain), and the within-cluster drop rule. nlist stays at the
+  // autoNlist floor (16) at this fixture's plan-stat size.
   def semdedupQ(spark: SparkSession, dir: String): DataFrame = {
     val corpus = twinEmbCorpus(spark, dir)
-    Similarity.semanticDedup(corpus, "vec_id", "v", 0.98)
+    Similarity.semanticDedup(corpus, "vec_id", "v", 0.98,
+        trainSample = 256)
       .select(col("id").as("vec_id"), col("c_id"), col("dropped"))
   }
   val semdedupSql: String =
-    s"""${ivfAssignCtes(
+    s"""${ivfAssignCtes(trainSample = 256, prelude =
       """v0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |vc AS (

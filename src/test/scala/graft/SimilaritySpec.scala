@@ -205,6 +205,66 @@ class SimilaritySpec extends SparkSpec {
     assert(again === rows.toSet)
   }
 
+  test("sampled k-means training == training on the explicitly-selected sample") {
+    import graft.functions.TextFns
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val sampled = Similarity.kmeansQuantized(emb, "vec_id", "embedding",
+      8, 2, trainSample = 64)
+    // replay the sample selection by hand and train full on it: the
+    // centroids must be INTEGER-IDENTICAL — the sample, not the corpus,
+    // is the training set
+    val pickIds = emb
+      .withColumn("hs", TextFns.hash32(concat(lit("smp:"),
+        col("vec_id").cast("string"))))
+      .orderBy(col("hs"), col("vec_id")).limit(64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val manual = Similarity.kmeansQuantized(
+      emb.filter(col("vec_id").isin(pickIds.toSeq.map(Long.box): _*)),
+      "vec_id", "embedding", 8, 2)
+    assert(sampled.map(_._1) == manual.map(_._1))
+    sampled.zip(manual).foreach { case ((_, sa, ca), (_, sb, cb)) =>
+      assert(ca == cb && sa.sameElements(sb),
+        "sampled training diverged from explicit-sample training")
+    }
+    // and the sample path is partitioning-invariant like the full path
+    val repart = Similarity.kmeansQuantized(emb.repartition(7), "vec_id",
+      "embedding", 8, 2, trainSample = 64)
+    sampled.zip(repart).foreach { case ((_, sa, ca), (_, sb, cb)) =>
+      assert(ca == cb && sa.sameElements(sb),
+        "sampled training depends on partitioning")
+    }
+  }
+
+  test("autoNlist holds bytes-per-cluster ~constant as the corpus grows") {
+    val dim = 8
+    def corpus(n: Int) = spark.createDataFrame(
+      (0 until n).map(i => (i.toLong, Array.fill(dim)(i.toFloat)))
+    ).toDF("id", "v")
+    // small per-cluster budget so the plan-stat term dominates the floor
+    val n1 = Similarity.autoNlist(corpus(1000), bytesPerCluster = 256)
+    val n4 = Similarity.autoNlist(corpus(4000), bytesPerCluster = 256)
+    assert(n1 > 16, s"budget too big to exercise scaling (nlist=$n1)")
+    val ratio = n4.toDouble / n1
+    assert(ratio > 3.0 && ratio < 5.0,
+      s"occupancy not ~constant: nlist $n1 -> $n4 for a 4x corpus")
+    // at the default budget a small corpus sits on the floor — the
+    // pre-r5 fixed-16 behavior is the small-data special case
+    assert(Similarity.autoNlist(corpus(1000)) == 16)
+  }
+
+  test("semanticDedup with sampled training keeps the drop contract") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.6f, 0.8f))
+    ).toDF("id", "v")
+    val out = Similarity.semanticDedup(vecs, "id", "v", 0.98,
+        nlist = 2, iters = 2, trainSample = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false))
+  }
+
   test("semanticDedup is deterministic across partitionings") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     def run(c: org.apache.spark.sql.DataFrame) =

@@ -53,6 +53,13 @@ case class NfcNormalizeExpr(child: Expression)
   * which matters beyond Latin: Indic vowel signs are Mc), recompose
   * what remains (NFC). "café" → "cafe", "Müller" → "Muller";
   * characters without a decomposition (ø, ß) pass through unchanged.
+  *
+  * The final NFC pass matches utf8proc/DuckDB byte-for-byte INCLUDING
+  * scripts whose decompositions are not combining marks: DuckDB's
+  * strip_accents returns precomposed Hangul for decomposed-Jamo input
+  * and precomposed Greek — verified directly and pinned by the
+  * x_unicode_norm oracle's Hangul/Greek fixture rows (a
+  * decompose-only implementation would diverge exactly there).
   */
 case class StripAccentsExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {

@@ -173,9 +173,14 @@ object Corpus {
         array_sort(collect_list(struct(col("pos"), col("line")))),
         x => x.getField("line"))).as("clean_text"),
       count(lit(1)).as("n_kept"))
+    // a null text column must still satisfy kept + dropped = total
+    // (= 0): size(split(null)) is null (or -1 under legacy sizeOfNull),
+    // which would poison n_dropped — pin the null case to 0 explicitly
     docs.select(col(idCol),
-        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .cast("long").as("__total"))
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol),
+            java.util.regex.Pattern.quote(sep))).cast("long"))
+          .as("__total"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -500,8 +500,10 @@ object Similarity {
     * pair picks index hash32(anchor:pos) % rep-count (the count ships
     * as a broadcast 1-row join). Triplets whose negative degenerates
     * (equals either side, or is itself a near-dup of the anchor) are
-    * dropped deterministically. The corpus is never shuffled for the
-    * negatives; the only non-broadcast work is the positive screen.
+    * dropped deterministically. The negative election is a map-side-
+    * combining aggregation: the shuffle for it carries at most
+    * `negativePool` rows PER INPUT PARTITION, never the corpus — no
+    * bucket-shaped skew, no straggler task per bucket.
     */
   def contrastiveTripletsM(corpus: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, tables: Int = 16,
@@ -516,16 +518,21 @@ object Similarity {
     val pos = lshNearDupPairs(corpus, idCol, vecCol, threshold, tables, bits)
       .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wRep = Window.partitionBy(col("__b"))
-      .orderBy(col("__h"), col("cand_id"))
+    // each bucket elects its representative with a MIN over the
+    // (hash, id) struct — an AGGREGATION, not a window: a window
+    // partitioned by __b would shuffle the whole corpus into at most
+    // `negativePool` partitions (one straggler task per bucket sorting
+    // ~n/pool rows); the hash-agg combines map-side, so every input
+    // partition contributes O(negativePool) rows to the shuffle. The
+    // elected member is identical: the smallest (__h, cand_id).
     val pool = corpus.select(col(idCol).as("cand_id"))
       .withColumn("__b",
         TextFns.hash32(col("cand_id").cast("string")) % negativePool)
       .withColumn("__h",
         TextFns.hash32(concat(lit("rep:"), col("cand_id").cast("string"))))
-      .withColumn("__rn", row_number().over(wRep))
-      .where(col("__rn") === 1)
-      .select(col("__b"), col("cand_id").as("neg_id"))
+      .groupBy(col("__b"))
+      .agg(min(struct(col("__h"), col("cand_id"))).as("__m"))
+      .select(col("__b"), col("__m.cand_id").as("neg_id"))
     // DENSE index over the representatives that actually exist: a
     // sparse corpus (or negativePool > corpus size) leaves buckets
     // empty, and joining on the raw bucket id would silently drop

@@ -2453,8 +2453,14 @@ object TrainingData {
   // oracle them bit-for-bit, including the codepoint-count shrink.
   def unicodeNormQ(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.native.NativeFns
+    // beyond Latin: DECOMPOSED Hangul Jamo (U+1112 U+1161 U+11AB = \ud55c)
+    // and Greek with tonos \u2014 utf8proc's strip_accents RECOMPOSES both
+    // (verified against DuckDB), which is exactly what StripAccentsExpr's
+    // final NFC pass does; scripts whose decompositions are not
+    // combining marks are the divergence risk this fixture pins
     val m = docs(spark, dir).select(col("doc_id"),
-      concat(lit("cafe\u0301 nin\u0303o Mu\u0308ller "),
+      concat(lit("cafe\u0301 nin\u0303o Mu\u0308ller " +
+          "\u1112\u1161\u11ab \u0395\u03bb\u03bb\u03ac\u03b4\u03b1 "),
         substring(col("text"), 1, 40)).as("s"))
     m.select(col("doc_id"),
       NativeFns.nfcNormalize(col("s")).as("norm_text"),
@@ -2466,7 +2472,9 @@ object TrainingData {
     """WITH m AS (
       |  SELECT doc_id,
       |    'cafe' || chr(769) || ' nin' || chr(771) || 'o Mu' || chr(776) ||
-      |    'ller ' || substr(text, 1, 40) AS s
+      |    'ller ' || chr(4370) || chr(4449) || chr(4523) || ' ' ||
+      |    chr(917) || chr(955) || chr(955) || chr(940) || chr(948) ||
+      |    chr(945) || ' ' || substr(text, 1, 40) AS s
       |  FROM documents)
       |SELECT doc_id, nfc_normalize(s) AS norm_text,
       |       strip_accents(s) AS ascii_text,

@@ -183,6 +183,20 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) === (("delta\nalpha", 2L, 2L))) // original order preserved
   }
 
+  test("removeBoilerplateLines holds kept+dropped=total on null text") {
+    val docs = Seq((1L, Some("a\nb")), (2L, None), (3L, Some("a")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .removeBoilerplateLines(docs, "text", "doc_id", 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "a" occurs twice (> 1) -> dropped everywhere; the null-text doc
+    // must report 0 kept AND 0 dropped — not a null n_dropped
+    assert(out(1L) === (("b", 1L, 1L)))
+    assert(out(2L) === (("", 0L, 0L)))
+    assert(out(3L) === (("", 0L, 1L)))
+  }
+
   test("removeBoilerplateLines anti-join side is the broadcast boilerplate set") {
     val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
     val plan = graft.operators.Corpus

@@ -32,6 +32,23 @@ class UnicodeSpec extends SparkSpec {
     assert(out.toSeq === Seq("cafe", "cafe", "Muller", "stra\u00dfe"))
   }
 
+  test("stripAccents recomposes non-mark decompositions like utf8proc") {
+    // expected bytes verified directly against DuckDB strip_accents:
+    // decomposed Hangul Jamo (U+1112 U+1161 U+11AB) comes back as ONE
+    // precomposed syllable (U+D55C), and Greek tonos is stripped with
+    // the letters left precomposed — a decompose-only implementation
+    // (no final NFC) would return the Jamo sequence and diverge
+    val out = Seq(
+      "한",               // decomposed 한
+      "한국어",               // precomposed 한국어
+      "Ελλάδα" // Ελλάδα
+    ).toDF("s").select(NativeFns.stripAccents($"s")).as[String].collect()
+    assert(out.toSeq === Seq(
+      "한",
+      "한국어",
+      "Ελλαδα"))
+  }
+
   test("nfc/stripAccents propagate null") {
     val out = Seq(Option.empty[String]).toDF("s")
       .select(NativeFns.nfcNormalize($"s"), NativeFns.stripAccents($"s"))

@@ -16,16 +16,34 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read nanos as raw BIGINT instead. Set at runtime so it
-    // applies no matter how the session was built (driver-owned Verify /
-    // Bench sessions included). BIGINT nanos is also exactly DuckDB's
-    // epoch_ns(ts) — total-order parity with the oracle at full precision.
+    // The library-wide contract for the event stream is ts as BIGINT
+    // epoch-NANOS — exactly DuckDB's epoch_ns(ts), so every oracle
+    // compares the full value. Earlier testdata stored TIMESTAMP(NANOS),
+    // which older Spark read as BIGINT under
+    // spark.sql.legacy.parquet.nanosAsLong (kept: harmless where inert);
+    // current testdata stores timestamp[us], which Spark 4.1.2 reads as
+    // TIMESTAMP_NTZ — converted back to BIGINT nanos below (micros*1000
+    // is exact; DuckDB's epoch_ns performs the identical widening).
+    // Date-valued columns in the TPC-H tables stay timestamps: only the
+    // event stream carries the nanos contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->timestamp cast reads the session clock: pin UTC (the
+    // timezone every main/spec/oracle already runs) so a caller-owned
+    // session with a different zone cannot shift ts.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Native expressions ride along on every load so each query path
     // (driver sessions included) can resolve them. Idempotent.
     graft.functions.native.NativeFns.register(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name != "events") raw
+    else raw.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        f.name
+    }.foldLeft(raw) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions
+        .unix_micros(org.apache.spark.sql.functions.col(c)
+          .cast("timestamp")) * 1000L)
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works against the

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *  - Candidates come from BLOCKING, never a cross join: records are
   *    hashed to blocks by one or more cheap keys and only within-block
   *    pairs exist. With discriminative keys, block size is O(1) and the
-  *    candidate count is linear in the table.
+  *    candidate count is linear in the table. A block-occupancy guard
+  *    (block purging, [[DefaultMaxBlockSize]]) bounds the damage when a
+  *    key turns out NOT to be discriminative: oversized blocks are
+  *    dropped before the pair join, so skew cannot go quadratic.
   *  - Candidate pairs are ID-ONLY through the block self-join and the
   *    multi-pass distinct; attributes join back afterwards (two hash
   *    joins), so wide records never ride the pair-shaped shuffle — the
@@ -31,15 +34,46 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** Default block-occupancy cap: blocks with more members than this are
+    * PURGED before the pair join (standard blocking-literature "block
+    * purging" — a key shared by thousands of records carries no
+    * discriminative signal, and its pairs are noise that costs O(m²)).
+    * The cap bounds per-block pair work at ~cap²/2 regardless of data
+    * skew, so one hot key (a common surname at 100×) can never go
+    * quadratic. Callers with genuinely dense keys can raise it; the
+    * guard itself is skew-safe: occupancy comes from a map-side-combining
+    * aggregation and the purge is a left-anti join co-partitioned with
+    * the pair join, so the hot key's rows are only ever touched
+    * linearly.
+    */
+  val DefaultMaxBlockSize: Int = 4096
+
+  /** Drop rows whose `keyCols` group has more than `cap` members. The
+    * count aggregates with map-side partials (hot keys never pile into
+    * one task before combining) and the oversized-key relation is
+    * key-only, so the anti-join ships no record payload.
+    */
+  private def purgeOversized(b: DataFrame, keyCols: Seq[String],
+                             cap: Int): DataFrame = {
+    val oversized = b.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+      .select(keyCols.map(col): _*)
+    b.join(oversized, keyCols, "left_anti")
+  }
+
   /** Within-block candidate pairs for a single blocking key: records
     * sharing a non-null `blockKey` become id-only pairs (id_a < id_b).
     * One row per record enters the join, so each pair appears exactly
-    * once — no distinct, no extra shuffle.
+    * once — no distinct, no extra shuffle. Blocks larger than
+    * `maxBlockSize` are purged (see [[DefaultMaxBlockSize]]), bounding
+    * pair work per block under arbitrary key skew.
     */
-  def blockedPairs(records: DataFrame, idCol: String,
-                   blockKey: Column): DataFrame = {
-    val b = records.select(col(idCol).as("id"), blockKey.as("bkey"))
-      .where(col("bkey").isNotNull)
+  def blockedPairs(records: DataFrame, idCol: String, blockKey: Column,
+                   maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
+    val b = purgeOversized(
+      records.select(col(idCol).as("id"), blockKey.as("bkey"))
+        .where(col("bkey").isNotNull),
+      Seq("bkey"), maxBlockSize)
     b.as("a").join(b.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -51,14 +85,17 @@ object EntityResolution {
     * passes — and the union of passes is deduplicated id-only.
     */
   def blockedPairsAny(records: DataFrame, idCol: String,
-                      blockKeys: Seq[Column]): DataFrame = {
+                      blockKeys: Seq[Column],
+                      maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking key")
-    val b = records.select(col(idCol).as("id"),
-        explode(array(blockKeys.zipWithIndex.map { case (k, i) =>
-          struct(lit(i).as("pass"), k.cast("string").as("bkey"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("bk.pass").as("pass"), col("bk.bkey").as("bkey"))
-      .where(col("bkey").isNotNull)
+    val b = purgeOversized(
+      records.select(col(idCol).as("id"),
+          explode(array(blockKeys.zipWithIndex.map { case (k, i) =>
+            struct(lit(i).as("pass"), k.cast("string").as("bkey"))
+          }: _*)).as("bk"))
+        .select(col("id"), col("bk.pass").as("pass"), col("bk.bkey").as("bkey"))
+        .where(col("bkey").isNotNull),
+      Seq("pass", "bkey"), maxBlockSize)
     b.as("a").join(b.as("b"),
         col("a.pass") === col("b.pass") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
@@ -72,15 +109,20 @@ object EntityResolution {
     * sharing a non-null block key value become id-only (l_id, r_id)
     * pairs. Each side contributes one row per record, so pairs are
     * already distinct; attributes join back afterwards exactly as in
-    * the self-join form.
+    * the self-join form. Keys exceeding `maxBlockSize` members on
+    * EITHER side are purged from both (per-key pair volume is
+    * |L_k|·|R_k|, so either side's occupancy alone can make a key
+    * quadratic).
     */
   def blockedJoin(left: DataFrame, leftId: String, leftKey: Column,
-                  right: DataFrame, rightId: String,
-                  rightKey: Column): DataFrame = {
-    val l = left.select(col(leftId).as("l_id"), leftKey.as("bkey"))
-      .where(col("bkey").isNotNull)
-    val r = right.select(col(rightId).as("r_id"), rightKey.as("bkey"))
-      .where(col("bkey").isNotNull)
+                  right: DataFrame, rightId: String, rightKey: Column,
+                  maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
+    val l = purgeOversized(
+      left.select(col(leftId).as("l_id"), leftKey.as("bkey"))
+        .where(col("bkey").isNotNull), Seq("bkey"), maxBlockSize)
+    val r = purgeOversized(
+      right.select(col(rightId).as("r_id"), rightKey.as("bkey"))
+        .where(col("bkey").isNotNull), Seq("bkey"), maxBlockSize)
     l.join(r, "bkey").select(col("l_id"), col("r_id"))
   }
 

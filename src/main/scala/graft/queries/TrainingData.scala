@@ -2575,6 +2575,39 @@ object TrainingData {
       |SELECT l_id AS batch_id, r_id AS master_id, name_sim
       |FROM best WHERE rk = 1""".stripMargin
 
+  // ------------------------------------------- block-occupancy guard
+  // Blocking skew under a NON-discriminative key: pass 0 blocks on the
+  // discriminative (nation, name-fragment) key, pass 1 on market
+  // segment — 5 values, so every segment block is hot at any scale.
+  // With the occupancy cap at 40, the segment pass is purged (its pair
+  // volume would be quadratic in corpus size) while the discriminative
+  // blocks pass through untouched. The oracle replays the purge
+  // exactly: per-(pass,key) counts, HAVING <= cap, then the pair join.
+  def erBlockGuardQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val recs = erRecords(spark, dir)
+    EntityResolution.blockedPairsAny(recs, "id",
+      Seq(concat(col("nation").cast("string"), lit(":"),
+          substring(col("name"), 10, 7)),
+        col("segment")),
+      maxBlockSize = 40)
+  }
+  val erBlockGuardSql: String =
+    s"""WITH recs AS ($erRecordsSql),
+       |keys AS (
+       |  SELECT id, 0 AS pass,
+       |         CAST(nation AS VARCHAR) || ':' || substr(name, 10, 7) AS bkey
+       |  FROM recs
+       |  UNION ALL
+       |  SELECT id, 1, segment FROM recs),
+       |k AS (SELECT * FROM keys WHERE bkey IS NOT NULL),
+       |keep AS (SELECT pass, bkey FROM k GROUP BY 1, 2
+       |         HAVING count(*) <= 40),
+       |b AS (SELECT k.* FROM k JOIN keep USING (pass, bkey))
+       |SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |FROM b a JOIN b b2
+       |  ON a.pass = b2.pass AND a.bkey = b2.bkey AND a.id < b2.id""".stripMargin
+
   // ----------------------------------------------- forward fill (LOCF)
   // Sensor-gap repair: values nulled deterministically (event_id % 7 in
   // 0..2) then each user's nulls take the most recent earlier non-null
@@ -2775,6 +2808,7 @@ object TrainingData {
     "x_semdedup" -> (semdedupQ _),
     "x_dedup_clusters_incr" -> (dedupClustersIncrQ _),
     "x_fuzzy_join" -> (fuzzyJoinQ _),
+    "x_er_block_guard" -> (erBlockGuardQ _),
     "x_forward_fill" -> (forwardFillQ _),
     "x_unicode_norm" -> (unicodeNormQ _),
     "x_dedup_normalized" -> (dedupNormalizedQ _),
@@ -2853,6 +2887,7 @@ object TrainingData {
     "x_semdedup" -> semdedupSql,
     "x_dedup_clusters_incr" -> dedupClustersIncrSql,
     "x_fuzzy_join" -> fuzzyJoinSql,
+    "x_er_block_guard" -> erBlockGuardSql,
     "x_forward_fill" -> forwardFillSql,
     "x_unicode_norm" -> unicodeNormSql,
     "x_dedup_normalized" -> dedupNormalizedSql,

@@ -88,6 +88,45 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out === Set((1L, 2L, "Acme Cor", 12.0), (3L, 1L, "Bolt", 5.0)))
   }
 
+  test("block-occupancy guard: a hot key is purged, not paired") {
+    // pathological skew: one blocking key shared by 1000 records would
+    // produce ~500k pairs unguarded; with the cap it must produce ZERO
+    // while the small discriminative blocks are untouched
+    val hot = spark.range(1000).select(col("id"), lit("hot").as("k"))
+    val small = Seq((2001L, "a"), (2002L, "a"), (2003L, "a"),
+      (2004L, "b"), (2005L, "b")).toDF("id", "k")
+    val pairs = EntityResolution.blockedPairs(
+        hot.union(small), "id", col("k"), maxBlockSize = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2001L, 2002L), (2001L, 2003L), (2002L, 2003L),
+      (2004L, 2005L)), "hot block leaked into the candidate set")
+  }
+
+  test("block-occupancy guard: purge is per (pass, key) in multi-pass") {
+    // the hot value occupies pass 0 only; the same value in pass 1 is
+    // small and must still block there
+    val hot = spark.range(200)
+      .select(col("id"), lit("v").as("k1"), concat(lit("u"), col("id")).as("k2"))
+    val small = Seq((900L, "w", "v"), (901L, "w2", "v")).toDF("id", "k1", "k2")
+    val pairs = EntityResolution.blockedPairsAny(
+        hot.union(small), "id", Seq(col("k1"), col("k2")), maxBlockSize = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((900L, 901L)),
+      "pass-0 hot value must purge without killing pass-1's small block")
+  }
+
+  test("block-occupancy guard: blockedJoin purges a key hot on one side") {
+    val master = spark.range(500)
+      .select(col("id"), lit("hot").as("k"))
+      .union(Seq((9000L, "ok")).toDF("id", "k"))
+    val batch = Seq((1L, "hot"), (2L, "ok")).toDF("id", "k")
+    val pairs = EntityResolution.blockedJoin(
+        batch, "id", col("k"), master, "id", col("k"), maxBlockSize = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 9000L)),
+      "a key oversized on the master side must produce no lookup pairs")
+  }
+
   test("er candidate pairs stay id-only through the block join") {
     // plan-shape: the block self-join must not carry payload columns
     val p = EntityResolution.blockedPairs(

@@ -125,6 +125,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ccIterWidth(huge, 8) == 8)
   }
 
+  test("small-graph CC fast path is label-equal to the iterative path") {
+    // chains, a merge, singletons-via-self-pair, and out-of-order ids —
+    // default call takes the union-find fold (edge count far below the
+    // ceiling); smallGraphMaxEdges = 0 forces the pointer-doubling
+    // rounds; both must produce the identical assignment
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 4L), (10L, 11L),
+      (7L, 7L), (100L, 5L)).toDF("doc_a", "doc_b")
+    def run(maxEdges: Long) = {
+      val m = Dedup.connectedComponentsM(pairs, "doc_a", "doc_b",
+        smallGraphMaxEdges = maxEdges)
+      try m.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally m.release()
+    }
+    val fast = run(Dedup.SmallGraphMaxEdges)
+    val iter = run(0L)
+    assert(fast === iter)
+    assert(fast(4L) === 1L && fast(9L) === 1L, "merged chain takes min rep")
+    assert(fast(7L) === 7L && fast(100L) === 5L)
+  }
+
   test("simhash banded pairs find exact copies at hamming 0") {
     val base = "spark catalyst optimizer rewrites logical plans into " +
       "physical plans using cost based and rule based passes"

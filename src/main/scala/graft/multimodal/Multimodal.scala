@@ -47,13 +47,15 @@ object Multimodal {
     * (a still); anything else falls back to [[decodeStub]]. Returns the
     * meta plus whether the real decoder handled the row — the contract
     * a mixed media column needs, since a crawl's "image" column always
-    * contains some undecodable bytes.
+    * contains some undecodable bytes. Any decoder failure (not just
+    * IOException — a malformed header can throw from deep inside a
+    * reader plugin) means "not an image".
     */
   def decodeImage(docId: Long, bytes: Array[Byte], nChars: Long,
                   digest: java.security.MessageDigest): (MediaMeta, Boolean) = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) (decodeStub(docId, bytes, nChars, digest), false)
     else {
       digest.reset()
@@ -63,13 +65,30 @@ object Multimodal {
     }
   }
 
-  /** Deterministic REAL PNG payload (decodable by any PNG reader):
-    * w×h RGB image whose pixels are a pure function of (seed, x, y),
-    * encoded by the JDK's PNG writer. Fixture generator for decode
-    * tests — the planted width/height are what an oracle checks the
-    * decoder's output against.
+  /** Does the payload CLAIM to be an image (container magic bytes:
+    * PNG/JPEG/GIF/BMP)? Claim + failed decode = a CORRUPT image row —
+    * the quarantine signal: it must not silently take the text-stub
+    * path and pollute downstream media stats (the Ingest quarantine
+    * pattern applied to a binary column).
     */
-  def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+  def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N') ||
+      ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8') ||
+      (bytes(0) == 'B' && bytes(1) == 'M'))
+
+  /** Deterministic REAL image payload (decodable by any reader of the
+    * format): w×h RGB image whose pixels are a pure function of
+    * (seed, x, y), encoded by the JDK's own writer. `format` is any
+    * ImageIO writer name — "png", "bmp", "gif", "jpg". Fixture
+    * generator for decode tests — the planted width/height are what an
+    * oracle checks the decoder's output against (dimensions survive
+    * every format, including palettized GIF and lossy JPEG).
+    */
+  def syntheticImage(w: Int, h: Int, seed: Long,
+                     format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -83,15 +102,26 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
+  def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] =
+    syntheticImage(w, h, seed, "png")
+
+  /** Deterministic CORRUPT image payload: a real PNG's first 20 bytes
+    * (valid magic + truncated header) — claims to be an image, fails
+    * every decoder. The quarantine fixture. */
+  def corruptImagePayload(seed: Long): Array[Byte] =
+    syntheticPng(3, 3, seed).take(20)
+
   /** Partition-wise REAL decode over a `(doc_id, media binary, n_chars)`
-    * frame: javax.imageio rows get true dimensions, the rest the stub
-    * fallback (flagged). Same no-shuffle mapPartitions shape as
-    * [[extractMeta]]; the per-partition init point disables ImageIO's
-    * temp-FILE cache so decode stays in-memory on executors.
+    * frame: javax.imageio rows get true dimensions; rows whose payload
+    * CLAIMS an image format but fails to decode are QUARANTINED
+    * (flagged, meta nulled — never silently stubbed); everything else
+    * takes the documented stub fallback. Same no-shuffle mapPartitions
+    * shape as [[extractMeta]]; the per-partition init point disables
+    * ImageIO's temp-FILE cache so decode stays in-memory on executors.
     */
   def extractMetaDecoded(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
@@ -103,9 +133,15 @@ object Multimodal {
         val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes, nChars) =>
           val (m, isImg) = decodeImage(id, bytes, nChars, digest)
-          (m.doc_id, isImg, m.width, m.height, m.frames)
+          if (!isImg && looksLikeImage(bytes))
+            (id, false, true,
+              None: Option[Long], None: Option[Long], None: Option[Long])
+          else
+            (m.doc_id, isImg, false,
+              Some(m.width), Some(m.height), Some(m.frames))
         }
-      }.toDF("doc_id", "is_image", "width", "height", "frames")
+      }.toDF("doc_id", "is_image", "quarantined", "width", "height",
+        "frames")
   }
 
   /** Attach the media payload as a BINARY column (stand-in for reading

@@ -31,18 +31,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!isImg2 && stub.width == stub.n_bytes % 640)
   }
 
-  test("extractMetaDecoded decodes mixed media partition-wise") {
+  test("extractMetaDecoded decodes mixed media partition-wise and " +
+    "quarantines corrupt image payloads") {
     import spark.implicits._
     val rows = Seq(
       (1L, Multimodal.syntheticPng(11, 4, 1L), 10L),
-      (2L, "plain text payload".getBytes("UTF-8"), 18L))
+      (2L, "plain text payload".getBytes("UTF-8"), 18L),
+      (3L, Multimodal.syntheticImage(9, 6, 3L, "bmp"), 12L),
+      (4L, Multimodal.syntheticImage(7, 2, 4L, "gif"), 13L),
+      (5L, Multimodal.corruptImagePayload(5L), 14L))
       .toDF("doc_id", "media", "n_chars")
     val out = Multimodal.extractMetaDecoded(rows)
       .collect().map(r => r.getLong(0) ->
-        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(out(1L) == ((true, 11L, 4L, 1L)))
+        ((r.getBoolean(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out(1L) == ((true, false, 11L, 4L, 1L)), "real PNG dims")
+    assert(out(3L) == ((true, false, 9L, 6L, 1L)), "real BMP dims")
+    assert(out(4L) == ((true, false, 7L, 2L, 1L)), "real GIF dims")
     val nb = "plain text payload".getBytes("UTF-8").length.toLong
-    assert(out(2L) == ((false, nb % 640, nb * 7 % 480, 18L % 30)))
+    assert(out(2L) == ((false, false, nb % 640, nb * 7 % 480, 18L % 30)),
+      "non-image bytes take the stub fallback, not quarantine")
+    assert(out(5L) == ((false, true, -1L, -1L, -1L)),
+      "image magic + failed decode must quarantine with nulled meta")
   }
 
   test("sampleFrames keeps every stride-th frame with stable uids") {

@@ -438,29 +438,43 @@ object Similarity {
     * the decoded corpus that [[sqTopK]] scores directly and
     * [[ivfSqTopK]] feeds to the trained IVF as ITS corpus. Split out so
     * both compose the identical, oracle-replayable quantization. */
-  def sqDecode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val stats = c.select(posexplode(col("v")).as(Seq("pos", "val")))
+  /** Per-dimension SQ8 stats of a `(id, v: array<double>)` relation —
+    * ONE row `(mnv, mxv)` (2 doubles per dimension), broadcast wherever
+    * the affine code is applied and persisted verbatim by
+    * [[writeIvfSqIndex]] so a stored index decodes bit-identically. */
+  private def sqStats(c: DataFrame): DataFrame =
+    c.select(posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("pos"))
       .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
-    // 2 doubles per dimension -> one row of arrays, broadcast everywhere
-    val sv = stats.agg(
-      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
-        s => s.getField("mn")).as("mnv"),
-      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-        s => s.getField("mx")).as("mxv"))
-    c.crossJoin(broadcast(sv))
-      // code_i = floor((x_i - mn_i) / (mx_i - mn_i) * 255), flat dims -> 0
-      .withColumn("codes", expr(
-        """zip_with(zip_with(v, mnv, (x, mn) -> x - mn),
-          |         zip_with(mxv, mnv, (a, b) -> a - b),
-          |         (d, r) -> CASE WHEN r = 0.0D THEN 0.0D
-          |                        ELSE floor(d / r * 255.0D) END)""".stripMargin))
-      // decode: x~_i = mn_i + code_i * (mx_i - mn_i) / 255
-      .withColumn("dv", expr(
-        """zip_with(zip_with(codes, zip_with(mxv, mnv, (a, b) -> a - b),
-          |                  (cd, r) -> cd * r / 255.0D),
-          |         mnv, (s, mn) -> mn + s)""".stripMargin))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mnv"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mxv"))
+
+  /** Row-local SQ8 code: `floor((x_i - mn_i) / (mx_i - mn_i) * 255)`,
+    * flat dimensions → 0. Values are exact small integers in [0, 255]
+    * carried as doubles (the shape the decode consumes); storage casts
+    * them down ([[writeIvfSqIndex]]) and back without loss. */
+  private val sqEncodeExpr: Column = expr(
+    """zip_with(zip_with(v, mnv, (x, mn) -> x - mn),
+      |         zip_with(mxv, mnv, (a, b) -> a - b),
+      |         (d, r) -> CASE WHEN r = 0.0D THEN 0.0D
+      |                        ELSE floor(d / r * 255.0D) END)""".stripMargin)
+
+  /** Row-local SQ8 reconstruction `x~_i = mn_i + code_i*(mx_i-mn_i)/255`
+    * — the SINGLE decode expression shared by the in-memory path and
+    * the stored-index path, so both produce the identical IEEE result. */
+  private val sqDecodeExpr: Column = expr(
+    """zip_with(zip_with(codes, zip_with(mxv, mnv, (a, b) -> a - b),
+      |                  (cd, r) -> cd * r / 255.0D),
+      |         mnv, (s, mn) -> mn + s)""".stripMargin)
+
+  def sqDecode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    c.crossJoin(broadcast(sqStats(c)))
+      .withColumn("codes", sqEncodeExpr)
+      .withColumn("dv", sqDecodeExpr)
       .select(col(idCol), col("dv"))
   }
 
@@ -721,5 +735,137 @@ object Similarity {
     // only so the search phase reads one vector column on both sides
     val q = queries.select(col(idCol), asDouble(col(vecCol)).as("dv"))
     ivfTopKTrained(q, dec, idCol, "dv", k, nlist, nprobe, iters)
+  }
+
+  // ------------------------------------------------ persisted ANN index
+
+  /** Write the SQ8∘IVF index as a MAINTAINED on-disk artifact — the
+    * mirror of [[Dedup.writeSignatureTable]]'s contract for embeddings:
+    * quantize and train ONCE at ingest, then every later search is
+    * [[ivfSqTopKFromIndex]] over the stored tables with no training, no
+    * encoding, and no full-precision corpus read. Layout under `path`:
+    *
+    *  - `sq_stats/`  — ONE row `(mnv, mxv)`: the per-dimension affine
+    *    bounds, so the decode is bit-identical to the build's;
+    *  - `centroids/` — `(c_id, c_v: array<double>)`: the k-means-trained
+    *    quantizer ([[kmeansQuantized]] over the DECODED corpus — the
+    *    compressed vectors ARE the corpus, same as [[ivfSqTopK]]);
+    *  - `codes/`     — `(n_id, codes: array<smallint>, list_id)`,
+    *    PARTITIONED BY `list_id`: one byte-scale code per dimension
+    *    (4-8× smaller than the raw column — the IO lever) laid out so a
+    *    probe's `list_id` join prunes to nprobe/nlist of the files on
+    *    disk (the compute lever);
+    *  - `_graft_ivfsq_meta` — format marker (version + nlist), refused
+    *    on mismatch like the signature table's shingle-size marker.
+    *
+    * Everything stored is exact (doubles verbatim, codes are integers),
+    * so a search over the stored index is hash-equal to the from-scratch
+    * [[ivfSqTopK]] chain — IndexSpec asserts it and x_ann_ivf_sq8_table
+    * oracle-gates it.
+    */
+  def writeIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nlist: Int = 16, iters: Int = 2,
+                      trainSample: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val sv = sqStats(c)
+    sv.coalesce(1).write.mode("overwrite").parquet(s"$path/sq_stats")
+    val stored = spark.read.parquet(s"$path/sq_stats")
+    val enc = c.crossJoin(broadcast(stored))
+      .withColumn("codes", sqEncodeExpr)
+      .withColumn("dv", sqDecodeExpr)
+      .select(col(idCol).as("n_id"), col("codes"), col("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainedCentroidTable(enc, "n_id", "dv", nlist, iters,
+        trainSample)
+      cents.select(col("c_id"), col("c_v"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // assignment: identical rule to the search phase (cosine desc,
+      // c_id tie-break) so the stored list_id IS ivfSearch's assignment
+      val withNorm = enc
+        .withColumn("n_norm", norm(col("dv")))
+      val w = Window.partitionBy(col("n_id"))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      withNorm.crossJoin(broadcast(cents))
+        .withColumn("c_sim",
+          dot(col("dv"), col("c_v")) / (col("n_norm") * col("c_norm")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("n_id"),
+          transform(col("codes"), x => x.cast("smallint")).as("codes"),
+          col("c_id").as("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/codes")
+    } finally enc.unpersist(false)
+    val meta = new org.apache.hadoop.fs.Path(path, "_graft_ivfsq_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(s"v1 nlist=$nlist".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Recorded `nlist` of a stored index; throws on a path that was not
+    * written by [[writeIvfSqIndex]] (mirror of
+    * [[Dedup.signatureTableK]]'s guarantee — a stale or foreign layout
+    * must fail loudly, not silently return wrong neighbors). */
+  def ivfSqIndexNlist(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_graft_ivfsq_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta))
+      throw new IllegalArgumentException(
+        s"no _graft_ivfsq_meta marker at $path — not a graft SQ8/IVF " +
+          "index (or written by another tool / path typo); write it " +
+          "with Similarity.writeIvfSqIndex")
+    val buf = new Array[Byte](fs.getFileStatus(meta).getLen.toInt)
+    val in = fs.open(meta)
+    try in.readFully(buf) finally in.close()
+    new String(buf, "UTF-8").trim.stripPrefix("v1 nlist=").toInt
+  }
+
+  /** Search a STORED SQ8∘IVF index ([[writeIvfSqIndex]]): decode is a
+    * row-local map over the pruned code lists, probing broadcasts the
+    * tiny centroid table, and only the `nprobe` probed lists are read
+    * at all — per-query work is O(probe), with the quantizer training
+    * and corpus encoding amortized to ingest time. Result is
+    * hash-equal to [[ivfSqTopK]] over the same corpus (same centroids,
+    * same codes, same IEEE decode and ranking).
+    */
+  def ivfSqTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+                         path: String, k: Int,
+                         nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    ivfSqIndexNlist(spark, path) // layout guard
+    val sv = spark.read.parquet(s"$path/sq_stats")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .withColumn("c_norm", norm(col("c_v")))
+    val assigned = spark.read.parquet(s"$path/codes")
+      .crossJoin(broadcast(sv))
+      .withColumn("codes", transform(col("codes"), x => x.cast("double")))
+      .withColumn("n_v", sqDecodeExpr)
+      .withColumn("n_norm", norm(col("n_v")))
+      .select(col("list_id").as("c_id"), col("n_id"), col("n_v"),
+        col("n_norm"))
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_norm"), col("c_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    probes.join(assigned, Seq("c_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(
+        dot(col("q_v"), col("n_v")) / (col("q_norm") * col("n_norm")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
   }
 }

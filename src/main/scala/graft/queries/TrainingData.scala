@@ -1030,13 +1030,13 @@ object TrainingData {
 
   // ------------------------------------------------- video frame sampling
   // ---------------------------------------------- multimodal REAL decode
-  // Mixed media column: every 4th doc carries a REAL PNG payload
-  // (deterministic pixels, planted dimensions doc_id%13+1 × doc_id%7+1),
-  // the rest raw UTF-8 text bytes. The pipeline decodes with
-  // javax.imageio — image rows report the DECODER's width/height (which
-  // the oracle checks against the planted truth), non-image rows fall
-  // back to the documented stub. This is the one place width/height come
-  // from an actual codec rather than arithmetic.
+  // Mixed media column across TWO real formats plus the failure mode a
+  // crawl always carries: doc_id%4==0 → REAL PNG (planted dims
+  // id%13+1 × id%7+1), %4==1 → REAL BMP (planted dims id%11+1 × id%5+1),
+  // %4==2 → CORRUPT image payload (valid PNG magic, truncated header —
+  // QUARANTINED with nulled meta, never silently stubbed), the rest raw
+  // UTF-8 text bytes (stub fallback). Image rows report the DECODER's
+  // width/height, which the oracle checks against the planted truth.
   def multimodalDecodeQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = docs(spark, dir)
@@ -1045,10 +1045,14 @@ object TrainingData {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, text, nChars) =>
-          val payload =
-            if (id % 4 == 0)
-              Multimodal.syntheticPng((id % 13).toInt + 1, (id % 7).toInt + 1, id)
-            else text.getBytes("UTF-8")
+          val payload = (id % 4) match {
+            case 0 => Multimodal.syntheticImage(
+              (id % 13).toInt + 1, (id % 7).toInt + 1, id, "png")
+            case 1 => Multimodal.syntheticImage(
+              (id % 11).toInt + 1, (id % 5).toInt + 1, id, "bmp")
+            case 2 => Multimodal.corruptImagePayload(id)
+            case _ => text.getBytes("UTF-8")
+          }
           (id, payload, nChars)
         }
       }.toDF("doc_id", "media", "n_chars")
@@ -1056,12 +1060,18 @@ object TrainingData {
   }
   val multimodalDecodeSql: String =
     """SELECT doc_id,
-      |  doc_id % 4 = 0 AS is_image,
+      |  doc_id % 4 IN (0, 1) AS is_image,
+      |  doc_id % 4 = 2 AS quarantined,
       |  CASE WHEN doc_id % 4 = 0 THEN doc_id % 13 + 1
+      |       WHEN doc_id % 4 = 1 THEN doc_id % 11 + 1
+      |       WHEN doc_id % 4 = 2 THEN NULL
       |       ELSE CAST(strlen(text) AS BIGINT) % 640 END AS width,
       |  CASE WHEN doc_id % 4 = 0 THEN doc_id % 7 + 1
+      |       WHEN doc_id % 4 = 1 THEN doc_id % 5 + 1
+      |       WHEN doc_id % 4 = 2 THEN NULL
       |       ELSE (CAST(strlen(text) AS BIGINT) * 7) % 480 END AS height,
-      |  CASE WHEN doc_id % 4 = 0 THEN 1
+      |  CASE WHEN doc_id % 4 IN (0, 1) THEN 1
+      |       WHEN doc_id % 4 = 2 THEN NULL
       |       ELSE CAST(n_chars % 30 AS BIGINT) END AS frames
       |FROM documents""".stripMargin
 
@@ -1706,6 +1716,31 @@ object TrainingData {
       |FROM scored
       |QUALIFY row_number() OVER
       |  (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+
+  // ------------------------------------------ persisted SQ8/IVF index
+  /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
+    * session and searched by every later ANN query — the embedding-side
+    * mirror of [[sigTableFor]]'s contract (Similarity.writeIvfSqIndex at
+    * ingest, O(probe) searches forever after). */
+  private def ivfSqIndexFor(spark: SparkSession, dir: String): String =
+    Fixtures.cached("ivfsq8-index", dir) { root =>
+      val path = new java.io.File(root, "index").toString
+      Similarity.writeIvfSqIndex(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", path, nlist = 16, iters = 2)
+      path
+    }
+
+  // x_ann_ivf_sq8_table: the SAME search as x_ann_ivf_sq8, but against
+  // the STORED index — no training, no encoding, no full-precision
+  // corpus read in the query path; per-query work is the probe join
+  // over the pruned code lists. Hash-equal to the from-scratch chain
+  // (everything stored is exact), so the oracle is the identical SQL.
+  def annIvfSq8TableQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfSqIndexFor(spark, dir)
+    Similarity.ivfSqTopKFromIndex(
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 20),
+      "vec_id", "embedding", path, 5, nprobe = 4)
+  }
 
   // x_ann_ivf runs the TRAINED quantizer: 2 Lloyd iterations of the
   // exact fixed-point k-means (Similarity.kmeansQuantized). The oracle
@@ -2797,6 +2832,7 @@ object TrainingData {
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
+    "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
     "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
     "x_mixture_temperature" -> (mixtureTemperatureQ _),
     "x_er_linkage" -> (erLinkageQ _),
@@ -2876,6 +2912,7 @@ object TrainingData {
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
+    "x_ann_ivf_sq8_table" -> annIvfSq8Sql,
     "x_dedup_best_keeper" -> dedupBestKeeperSql,
     "x_mixture_temperature" -> mixtureTemperatureSql,
     "x_er_linkage" -> erLinkageSql,

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The persisted SQ8∘IVF index (Similarity.writeIvfSqIndex /
+  * ivfSqTopKFromIndex): a search over the stored artifact must be
+  * EXACTLY the from-scratch ivfSqTopK chain — same centroids, same
+  * codes, same IEEE decode, same ranking — and the layout must refuse
+  * paths it didn't write (the signature-table marker contract).
+  */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus: 60 vectors, dim 6, values spread enough that
+  // every SQ8 dimension has a non-flat range
+  private def corpus = spark.range(60).select(
+    col("id").as("vec_id"),
+    transform(sequence(lit(0), lit(5)),
+      i => (pmod(col("id") * 31 + i * 17, lit(97)).cast("double") / 97.0)
+        .cast("float")).as("embedding"))
+
+  private def withIndex[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      Similarity.writeIvfSqIndex(corpus, "vec_id", "embedding", path,
+        nlist = 16, iters = 2)
+      f(path)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("stored-index search equals the from-scratch SQ8∘IVF chain") {
+    withIndex { path =>
+      val q = corpus.filter(col("vec_id") < 5)
+      val fromIndex = Similarity
+        .ivfSqTopKFromIndex(q, "vec_id", "embedding", path, 4, nprobe = 4)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val fromScratch = Similarity
+        .ivfSqTopK(q, corpus, "vec_id", "embedding", 4,
+          nlist = 16, nprobe = 4, iters = 2)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(fromIndex === fromScratch)
+      assert(fromIndex.nonEmpty)
+    }
+  }
+
+  test("index records nlist and refuses a foreign path") {
+    withIndex { path =>
+      assert(Similarity.ivfSqIndexNlist(spark, path) === 16)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSqIndexNlist(spark,
+        java.nio.file.Files.createTempDirectory("not-an-index").toString)
+    }
+    assert(e.getMessage.contains("_graft_ivfsq_meta"))
+  }
+
+  test("codes table stores byte-scale codes partitioned by list") {
+    withIndex { path =>
+      val codes = spark.read.parquet(s"$path/codes")
+      assert(codes.columns.toSet === Set("n_id", "codes", "list_id"))
+      // smallint element type — the storage-width contract
+      assert(codes.schema("codes").dataType ===
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ShortType, true) ||
+        codes.schema("codes").dataType ===
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ShortType, false))
+      val bounds = codes
+        .select(explode(col("codes")).as("c"))
+        .agg(min(col("c")), max(col("c"))).as[(Short, Short)].head()
+      assert(bounds._1 >= 0 && bounds._2 <= 255)
+      // layout: one directory per inverted list
+      val parts = new java.io.File(s"$path/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      assert(parts.nonEmpty)
+    }
+  }
+}

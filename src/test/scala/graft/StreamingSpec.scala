@@ -10,12 +10,17 @@ class StreamingSpec extends SparkSpec {
   private lazy val eventsSchema =
     Tables.load(spark, sf0001, "events").schema
 
-  // streaming sources need a directory, not a single parquet file
+  // streaming sources need a directory, not a single parquet file.
+  // Written THROUGH Tables.load (not a raw file copy): the testdata
+  // stores ts as timestamp[us], and streaming it under an explicit
+  // BIGINT schema would silently read raw MICROS where the library
+  // contract is epoch-NANOS — every event-time gap/window would be
+  // 1000x compressed. Materializing the loaded frame bakes the
+  // contract into the fixture's bytes.
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      dir.resolve("events.parquet"))
+    Tables.load(spark, sf0001, "events")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 

@@ -72,9 +72,22 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + (math.rint(f(r) * 1000) / 1000))
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(_._2)},"queries_cpu_sec":${jmap(_._3)},""" +
-      s""""sf":"$sfDir"}""")
+    val totalR = math.rint(total * 1000) / 1000
+    // The per-query maps for 140+ queries overflow a tail-truncated
+    // stdout capture (BENCH_r04 lost its wall-time map that way), so the
+    // COMPLETE artifact — totals first, then both per-query maps — goes
+    // to a known file, and stdout carries one short parseable line
+    // pointing at it.
+    val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
+    val full =
+      s"""{"metric":"total","value":$totalR,"unit":"sec",
+         |"n_queries":${results.size},"sf":"$sfDir",
+         |"queries":${jmap(_._2)},
+         |"queries_cpu_sec":${jmap(_._3)}}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec",""" +
+      s""""n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""detail_file":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -59,6 +59,13 @@ object Dedup {
       .select(col(idCol).as("doc_id") +: col("__sh") +:
         (0 until 16).map(j => col(s"m$j")): _*)
 
+  /** The signature relation, exposed for sinks that must write it with
+    * their own commit protocol (the curate stream's idempotent batch
+    * files). Same rows as what [[appendToSignatureTable]] appends. */
+  private[graft] def signatureRelation(docs: DataFrame, textCol: String,
+                                       idCol: String, k: Int): DataFrame =
+    sigOf(docs, textCol, idCol, k)
+
   /** LSH band keys of a signature relation: 4 bands × 4 signature rows
     * → one (doc_id, band, bkey) row per band.
     */

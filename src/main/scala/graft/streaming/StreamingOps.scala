@@ -296,6 +296,37 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Move `df`'s part files into `dir` under DETERMINISTIC names
+    * `<prefix><i>.parquet`, first deleting any files of the same prefix
+    * — a REPLAYABLE append: re-running the same (df, dir, prefix) from
+    * any crash point converges to exactly one copy of the rows, which
+    * is what makes the curate loop's at-least-once foreachBatch
+    * exactly-once at the sink. The staging dir is underscore-prefixed
+    * so a concurrent reader of `dir` never lists it.
+    */
+  private def idempotentAppend(df: DataFrame, dir: String,
+                               prefix: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, s"_stage_$prefix")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // stale files from a crashed attempt of the SAME batch go first, so
+    // a replay can only ever converge downward to the fresh set
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (p, i) =>
+        fs.rename(p, new org.apache.hadoop.fs.Path(dirPath,
+          s"$prefix$i.parquet")); ()
+      }
+    fs.delete(tmp, true)
+    ()
+  }
+
   /** Continuous corpus curation: screen each arriving batch of documents
     * against a maintained MinHash signature table
     * ([[graft.operators.Dedup.writeSignatureTable]]), append the
@@ -306,6 +337,21 @@ object StreamingOps {
     * continuous ingestion share one implementation, so their admit
     * decisions are identical by construction.
     *
+    * EXACTLY-ONCE under crash/restart (foreachBatch is at-least-once;
+    * CurateRestartSpec drives every window):
+    *  - both sinks write DETERMINISTIC batch-named files
+    *    ([[idempotentAppend]]), so a replayed batch rewrites its own
+    *    files instead of appending a second copy;
+    *  - the screen EXCLUDES the batch's own ids from the corpus side:
+    *    a crash after the signature append would otherwise make the
+    *    replay reject every batch row against its own signatures and
+    *    rewrite an EMPTY admit set (dropped survivors). Ids are unique
+    *    across the feed (the ingest contract), so in a clean run the
+    *    exclusion matches nothing;
+    *  - an underscore-prefixed marker lands in `admittedDir` after both
+    *    writes: a replay of a fully-applied batch skips the screen
+    *    entirely.
+    *
     * Scale notes: per batch, the corpus side is two column-pruned scans
     * of the signature table (bands + shingle sets) — corpus text is
     * never re-tokenized; the batch side is O(batch). State lives in the
@@ -313,27 +359,53 @@ object StreamingOps {
     * no per-key streaming state to bound. Within-batch duplicates are
     * NOT collapsed (documented screen semantics — run exact dedup
     * upstream if a feed can self-duplicate inside one trigger).
+    * `checkpointDir` MUST be durable storage in production (the temp
+    * default exists for single-run tests).
     */
   def continuousCurate(src: DataFrame, sigTablePath: String,
                        admittedDir: String, textCol: String, idCol: String,
-                       k: Int = 5, threshold: Double = 0.5): Unit = {
+                       k: Int = 5, threshold: Double = 0.5,
+                       checkpointDir: String = null): Unit = {
+    val ckpt = Option(checkpointDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString)
     val q = src.writeStream
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val screened = graft.operators.Dedup.incrementalNearDupAgainstSigsM(
-          batch, sigTablePath, textCol, idCol, k, threshold)
-        try {
-          val dupIds = screened.df.select(col("batch_id").as(idCol)).distinct()
-          // survivors is evaluated twice (admit write + signature
-          // append); the expensive half — the screen — is already
-          // materialized in `screened`, so each evaluation is one
-          // cheap batch-side anti-join
-          val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
-          survivors.write.mode("append").parquet(admittedDir)
-          graft.operators.Dedup.appendToSignatureTable(
-            survivors, textCol, idCol, sigTablePath, k)
-        } finally screened.release()
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val admPath = new org.apache.hadoop.fs.Path(admittedDir)
+        val fs = admPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(admittedDir,
+          s"_graft_applied_b$batchId")
+        if (!fs.exists(marker)) {
+          // same shingle-size refusal as appendToSignatureTable, checked
+          // BEFORE any write so a mismatched table is never half-updated
+          val storedK = graft.operators.Dedup
+            .signatureTableK(spark, sigTablePath)
+          require(storedK == k,
+            s"signature table at $sigTablePath was written with " +
+              s"k=$storedK but the curate loop hashes with k=$k")
+          val screened = graft.operators.Dedup
+            .incrementalNearDupAgainstSigsM(
+              batch, sigTablePath, textCol, idCol, k, threshold)
+          try {
+            val own = batch.select(col(idCol).as("corpus_id"))
+            val dupIds = screened.df
+              .join(broadcast(own), Seq("corpus_id"), "left_anti")
+              .select(col("batch_id").as(idCol)).distinct()
+            // survivors is evaluated twice (admit write + signature
+            // append); the expensive half — the screen — is already
+            // materialized in `screened`, so each evaluation is one
+            // cheap batch-side anti-join
+            val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+            idempotentAppend(survivors, admittedDir, s"b${batchId}_")
+            idempotentAppend(
+              graft.operators.Dedup.signatureRelation(
+                survivors, textCol, idCol, k),
+              sigTablePath, s"b${batchId}_sig_")
+            fs.create(marker, true).close()
+          } finally screened.release()
+        }
         ()
       }
       .start()

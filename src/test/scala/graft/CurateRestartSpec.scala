@@ -1,0 +1,148 @@
+package graft
+
+import graft.streaming.StreamingOps
+
+/** Crash/restart behavior of the curate-stream loop
+  * (StreamingOps.continuousCurate): foreachBatch is at-least-once, so a
+  * batch can REPLAY after a crash anywhere between its first sink write
+  * and the checkpoint commit. The loop's commit protocol (deterministic
+  * batch-named files + own-batch screen exclusion + applied marker)
+  * must make every replay converge to the clean run's exact state — no
+  * double-admit, no dropped survivor, no duplicate signatures.
+  *
+  * Replay is driven through the REAL mechanism: delete the checkpoint's
+  * `commits/&lt;latest&gt;` entry and restart — Structured Streaming
+  * re-executes that batch with the same files and batch id.
+  */
+class CurateRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusText = "alpha beta gamma delta epsilon zeta eta " +
+    "theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val novelText = "one two three four five six seven eight nine " +
+    "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+  private val freshText = "red orange yellow green blue indigo violet " +
+    "black white brown crimson scarlet amber teal navy maroon olive silver"
+
+  /** Fresh fixture: sig table over a 1-doc corpus, two source files
+    * (batch 0 admits 100; batch 1 rejects 200 as an echo of 100 and
+    * admits 201), durable checkpoint. Returns (root, run) where run()
+    * starts/restarts the loop over the same checkpoint. */
+  private def fixture(): (java.io.File, () => Unit) = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_curate_restart").toFile
+    def path(n: String) = new java.io.File(root, n).toString
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureTable(
+      corpus, "text", "doc_id", path("sigs"), k = 5)
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val batches = Seq(
+      Seq((100L, novelText)),
+      Seq((200L, novelText.substring(10)), (201L, freshText)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = path(s"tmp$i")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L); ()
+    }
+    val run = () => {
+      val src = spark.readStream
+        .schema(corpus.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      StreamingOps.continuousCurate(src, path("sigs"), path("admitted"),
+        "text", "doc_id", checkpointDir = path("ckpt"))
+      // the terminated query deregisters its checkpoint asynchronously;
+      // a restart racing that window trips the concurrent-use guard
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 200) {
+        Thread.sleep(50); waited += 1
+      }
+    }
+    (root, run)
+  }
+
+  private def admitted(root: java.io.File): Seq[Long] =
+    spark.read.parquet(new java.io.File(root, "admitted").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  private def sigIds(root: java.io.File): Seq[Long] =
+    spark.read.parquet(new java.io.File(root, "sigs").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Force a replay of the last batch: drop its checkpoint commit.
+    * Deletion goes through the Hadoop FS API — the checkpoint was
+    * written by ChecksumFileSystem, and a bare java.io delete would
+    * leave the .crc shadow behind, failing the replay's atomic
+    * commit-log rename with FileAlreadyExists. */
+  private def uncommitLastBatch(root: java.io.File): Unit = {
+    val commits = new java.io.File(root, "ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val p = new org.apache.hadoop.fs.Path(commits.last.getAbsolutePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(p, false)); ()
+  }
+
+  private def hdel(f: java.io.File): Unit = {
+    val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(p, false)); ()
+  }
+
+  private def rm(root: java.io.File, rel: String): Unit = {
+    val f = new java.io.File(root, rel)
+    if (f.exists()) hdel(f)
+  }
+
+  private def delPrefixed(root: java.io.File, dir: String,
+                          prefix: String): Unit = {
+    new java.io.File(root, dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith(prefix))
+      .foreach(hdel); ()
+  }
+
+  test("replay of a fully-applied batch changes nothing (marker skip)") {
+    val (root, run) = fixture()
+    run()
+    assert(admitted(root) == Seq(100L, 201L))
+    val sigsBefore = sigIds(root)
+    uncommitLastBatch(root)
+    run() // batch 1 replays; the applied marker short-circuits it
+    assert(admitted(root) == Seq(100L, 201L), "double-admit on replay")
+    assert(sigIds(root) == sigsBefore, "duplicate signatures on replay")
+  }
+
+  test("replay after the admit write but before the signature append " +
+    "converges to the clean state") {
+    val (root, run) = fixture()
+    run()
+    // crash window: admitted b1 files landed, signature append and
+    // marker did not — roll those back and drop the commit
+    uncommitLastBatch(root)
+    rm(root, "admitted/_graft_applied_b1")
+    delPrefixed(root, "sigs", "b1_sig_")
+    run()
+    assert(admitted(root) == Seq(100L, 201L),
+      "replayed batch must rewrite its own files, not append a second copy")
+    assert(sigIds(root) == Seq(1L, 100L, 201L),
+      "survivor signatures missing or duplicated after replay")
+  }
+
+  test("replay after BOTH appends but before the marker does not " +
+    "reject the batch against its own signatures") {
+    val (root, run) = fixture()
+    run()
+    // crash window: everything applied except the marker — the replayed
+    // screen sees 201's own signatures in the table; without own-batch
+    // exclusion it would rewrite an EMPTY admit set for batch 1
+    uncommitLastBatch(root)
+    rm(root, "admitted/_graft_applied_b1")
+    run()
+    assert(admitted(root) == Seq(100L, 201L),
+      "a survivor was dropped by screening the batch against itself")
+    assert(sigIds(root) == Seq(1L, 100L, 201L))
+  }
+}

@@ -415,6 +415,52 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Margin-based bitext mining (the Artetxe & Schwenk ratio margin —
+    * the standard recipe for harvesting parallel text from two
+    * monolingual corpora embedded in a shared space): a (src, tgt)
+    * pair survives iff each side is the other's TOP-1 neighbor
+    * (mutual nearest) and the margin
+    * `sim(x,y) / mean(avg top-k sim of x, avg top-k sim of y)`
+    * clears `marginThreshold` — pairs merely near a dense hub score
+    * ~1 and drop; genuinely aligned pairs stand out from both
+    * neighborhoods.
+    *
+    * Scale shape: both directions are [[lshTopK]] (bucketed id-only
+    * candidates — never |src|×|tgt|); the neighborhood averages are
+    * one k-row aggregation per side. Engine-exactness: per-pair sims
+    * are 4-decimal-rounded, neighborhood sums aggregate those as
+    * INTEGER basis points (order-independent), and the margin divides
+    * in one fixed IEEE order — the DuckDB oracle replays bucketing,
+    * ranking, and margin bit-for-bit (x_bitext_mine).
+    *
+    * Returns (src_id, tgt_id, sim, margin).
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 4,
+                 marginThreshold: Double = 0.0,
+                 tables: Int = 16, bits: Int = 6): DataFrame = {
+    val bp = round(col("sim") * 10000d, 0).cast("long")
+    val fwd = lshTopK(src, tgt, idCol, vecCol, k, tables, bits)
+    val rev = lshTopK(tgt, src, idCol, vecCol, k, tables, bits)
+    val aggF = fwd.groupBy(col("q_id"))
+      .agg(sum(bp).as("sf"), count(lit(1)).as("cf"))
+    val aggR = rev.groupBy(col("q_id"))
+      .agg(sum(bp).as("sr"), count(lit(1)).as("cr"))
+    val f1 = fwd.where(col("rank") === 1)
+      .select(col("q_id").as("src_id"), col("n_id").as("tgt_id"),
+        col("sim"))
+    val r1 = rev.where(col("rank") === 1)
+      .select(col("q_id").as("tgt_id"), col("n_id").as("src_id"))
+    f1.join(r1, Seq("src_id", "tgt_id"))
+      .join(aggF.withColumnRenamed("q_id", "src_id"), "src_id")
+      .join(aggR.withColumnRenamed("q_id", "tgt_id"), "tgt_id")
+      .withColumn("margin", round(col("sim") /
+        (((col("sf").cast("double") / col("cf") +
+           col("sr").cast("double") / col("cr")) / 2.0d) / 10000.0d), 4))
+      .where(col("margin") >= marginThreshold)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+  }
+
   /** Scalar-quantized (SQ8) cosine top-k — the compressed-corpus search
     * path: each dimension is affinely mapped to an 8-bit code against
     * per-dimension corpus min/max, and search scores the full-precision

@@ -781,6 +781,25 @@ object Parity {
   def csvIngestQ(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Ingest.readCsv(spark,
       ingestFixture(spark, dir, "csv"), docsSchema)._1
+
+  // --------------------------------------------- ORC source round-trip
+  // Spark's second first-class columnar format: documents rewritten as
+  // ORC (footer stats, predicate pushdown, and column pruning work
+  // there exactly as for parquet — the declarative scan is
+  // format-agnostic) and read back; content must hash-match the
+  // original table, proving the layout swap is lossless. Shares the
+  // line-format ingests' oracle.
+  private def orcFixture(spark: SparkSession, dir: String): String =
+    Fixtures.cached("orc", dir) { root =>
+      val out = new java.io.File(root, "docs_orc").toString
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.orc(out)
+      out
+    }
+  def orcRoundtripQ(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(orcFixture(spark, dir))
   val ingestRoundtripSql: String =
     "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
@@ -1161,6 +1180,7 @@ object Parity {
     "p_cdc_apply" -> (cdcApplyQ _),
     "p_jsonl_ingest" -> (jsonlIngestQ _),
     "p_csv_ingest" -> (csvIngestQ _),
+    "p_orc_roundtrip" -> (orcRoundtripQ _),
     "p_clustered_scan" -> (clusteredScanQ _),
     "p_compaction" -> (compactionQ _),
     "p_schema_evolution" -> (schemaEvolutionQ _),
@@ -1196,6 +1216,7 @@ object Parity {
     "p_cdc_apply" -> cdcApplySql,
     "p_jsonl_ingest" -> ingestRoundtripSql,
     "p_csv_ingest" -> ingestRoundtripSql,
+    "p_orc_roundtrip" -> ingestRoundtripSql,
     "p_clustered_scan" -> clusteredScanSql,
     "p_compaction" -> compactionSql,
     "p_schema_evolution" -> schemaEvolutionSql,

@@ -1208,6 +1208,89 @@ object TrainingData {
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
 
+  // ------------------------------------------------- bitext mining
+  // Margin-based parallel-pair harvesting over a shared embedding
+  // space (Similarity.bitextMine): even vec_ids play the source
+  // language, odd the target; a pair survives iff MUTUAL top-1 by
+  // cosine (LSH-bucketed candidates, never |src|x|tgt|) and the ratio
+  // margin clears 1.0 — hub-adjacent pairs score ~1 and drop. The
+  // oracle replays bucketing, both ranking directions, the integer
+  // basis-point neighborhood sums, and the margin division verbatim.
+  def bitextMineQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.operators.Similarity.bitextMine(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, marginThreshold = 1.0)
+  }
+  val bitextMineSql: String = {
+    // one direction of the mined chain: candidates restricted to
+    // (qPar -> cPar) parity, exact-cosine scored, ranked per query
+    def side(tag: String, qPar: Int, cPar: Int) =
+      s"""cand_$tag AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM bands q JOIN bands c
+         |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id % 2 = $qPar AND c.vec_id % 2 = $cPar),
+         |scored_$tag AS (
+         |  SELECT cand_$tag.q_id, cand_$tag.n_id,
+         |    round(list_dot_product(qv.vec, cv.vec) /
+         |          (sqrt(list_dot_product(qv.vec, qv.vec)) *
+         |           sqrt(list_dot_product(cv.vec, cv.vec))), 4) AS sim
+         |  FROM cand_$tag
+         |  JOIN v qv ON qv.vec_id = cand_$tag.q_id
+         |  JOIN v cv ON cv.vec_id = cand_$tag.n_id),
+         |top_$tag AS (
+         |  SELECT * FROM (
+         |    SELECT q_id, n_id, sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY sim DESC, n_id) AS rk
+         |    FROM scored_$tag)
+         |  WHERE rk <= 4),
+         |agg_$tag AS (
+         |  SELECT q_id,
+         |    CAST(sum(CAST(round(sim * 10000, 0) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS c
+         |  FROM top_$tag GROUP BY q_id)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |projs AS (
+       |  SELECT vec_id, vec,
+       |    list_transform(range(96), j ->
+       |      list_sum(list_transform(range(1, len(vec)+1), i ->
+       |        vec[CAST(i AS INT)] *
+       |        CASE WHEN ((j*2654435761 + i*40503) % 97) % 2 = 0
+       |             THEN 1.0 ELSE -1.0 END))) AS pj
+       |  FROM v),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    list_transform(range(16), t ->
+       |      list_sum(list_transform(range(6), r ->
+       |        CASE WHEN pj[CAST(t*6+r+1 AS INT)] > 0
+       |             THEN (CAST(1 AS BIGINT) << r) ELSE CAST(0 AS BIGINT) END)))
+       |      AS bk
+       |  FROM projs),
+       |bands AS (
+       |  SELECT vec_id, t AS tbl, bk[CAST(t+1 AS INT)] AS bucket
+       |  FROM buckets, range(16) tt(t)),
+       |${side("f", 0, 1)},
+       |${side("r", 1, 0)},
+       |m AS (
+       |  SELECT f.q_id AS src_id, f.n_id AS tgt_id, f.sim
+       |  FROM (SELECT q_id, n_id, sim FROM top_f WHERE rk = 1) f
+       |  JOIN (SELECT q_id AS tgt_id, n_id AS src_id FROM top_r
+       |        WHERE rk = 1) r
+       |    ON f.q_id = r.src_id AND f.n_id = r.tgt_id),
+       |scored AS (
+       |  SELECT m.src_id, m.tgt_id, m.sim,
+       |    round(m.sim / (((af.s::DOUBLE / af.c + ar.s::DOUBLE / ar.c)
+       |                    / 2) / 10000), 4) AS margin
+       |  FROM m JOIN agg_f af ON m.src_id = af.q_id
+       |         JOIN agg_r ar ON m.tgt_id = ar.q_id)
+       |SELECT src_id, tgt_id, sim, margin FROM scored
+       |WHERE margin >= 1.0""".stripMargin
+  }
+
   // ----------------------------------------------------- k-NN graph
   // Whole-corpus k-NN graph (every vector's top-3 bucket-mates by
   // cosine) — the building block embedding-cluster pipelines and graph
@@ -2849,7 +2932,8 @@ object TrainingData {
     "x_unicode_norm" -> (unicodeNormQ _),
     "x_dedup_normalized" -> (dedupNormalizedQ _),
     "x_oov_rate" -> (oovRateQ _),
-    "x_contrastive" -> (contrastiveQ _))
+    "x_contrastive" -> (contrastiveQ _),
+    "x_bitext_mine" -> (bitextMineQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -2929,5 +3013,6 @@ object TrainingData {
     "x_unicode_norm" -> unicodeNormSql,
     "x_dedup_normalized" -> dedupNormalizedSql,
     "x_oov_rate" -> oovRateSql,
-    "x_contrastive" -> contrastiveSql)
+    "x_contrastive" -> contrastiveSql,
+    "x_bitext_mine" -> bitextMineSql)
 }

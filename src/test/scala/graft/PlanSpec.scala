@@ -239,4 +239,45 @@ class PlanSpec extends SparkSpec {
       s"calendar generation must stay row-local:\n$p")
     assert(p.contains("Generate"), s"sequence+explode missing:\n$p")
   }
+
+  test("ER block guard: purge aggregates with map-side partials and " +
+    "the pair join stays id-only") {
+    val c = Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("payload"),
+        col("c_nationkey").as("k"))
+    val p = plan(graft.operators.EntityResolution.blockedPairs(
+      c, "id", col("k").cast("string")))
+    // occupancy count must be a partial-then-final hash aggregate (the
+    // skew-safe shape), never a window over the blocking key
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"occupancy count lost its map-side combine:\n$p")
+    assert(!p.contains("Window"), s"guard must not window by key:\n$p")
+    assert(!p.contains("payload"),
+      s"payload column crossed the guarded block join:\n$p")
+  }
+
+  test("stored SQ8/IVF index search column-prunes the code lists") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq_plan").toFile
+    try {
+      val emb = Tables.load(spark, sf0001, "embeddings")
+      val path = new java.io.File(dir, "idx").toString
+      graft.operators.Similarity.writeIvfSqIndex(
+        emb, "vec_id", "embedding", path, nlist = 16, iters = 1)
+      val p = plan(graft.operators.Similarity.ivfSqTopKFromIndex(
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", path, 3))
+      // the search never touches a full-precision corpus column — its
+      // only corpus input is the stored codes relation
+      assert(p.contains("ReadSchema: struct<n_id:bigint,codes:array<smallint>>"),
+        s"code-list scan not pruned to (n_id, codes):\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"probe join must stay hash-shaped:\n$p")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

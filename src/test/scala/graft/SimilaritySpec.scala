@@ -273,4 +273,39 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb) == run(emb.repartition(7)),
       "semanticDedup changed under repartitioning")
   }
+
+  test("bitextMine emits mutual top-1 pairs; a decoy-adjacent pair " +
+    "clears margin 1") {
+    // three aligned cross-corpus pairs in distinct directions; tgt 7 is
+    // a DECOY near src 0's direction (cos ≈ 0.994 — close enough to
+    // co-bucket, far enough to lose top-1), so (0,1)'s forward
+    // neighborhood average sits below its sim and the ratio margin
+    // exceeds 1; pairs with singleton neighborhoods score exactly 1
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val srcV = Seq(
+      (0L, v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (2L, v(0, 0.9, 0.1, 0, 0, 0, 0, 0)),
+      (4L, v(0, 0, 0.95, 0, 0.05, 0, 0, 0))).toDF("vec_id", "emb")
+    val tgtV = Seq(
+      (1L, v(0.99, 0.01, 0, 0, 0, 0, 0, 0)),
+      (3L, v(0, 1, 0, 0, 0, 0, 0, 0)),
+      (5L, v(0, 0, 1, 0, 0, 0, 0, 0)),
+      (7L, v(0.9, 0.1, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "emb")
+    val out = Similarity.bitextMine(srcV, tgtV, "vec_id", "emb", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(3))
+      .toMap.map { case ((t, s), m) => (s, t) -> m }
+    assert(out.keySet === Set((0L, 1L), (2L, 3L), (4L, 5L)),
+      s"mutual alignment set wrong: $out")
+    assert(out((0L, 1L)) > 1.0,
+      s"decoy-adjacent pair must clear its neighborhood average: $out")
+    assert(out.values.forall(_ >= 1.0), s"margin below 1 unexpected: $out")
+    // cross-check mutuality against the exact ranker
+    val f1 = Similarity.bruteForceTopK(srcV, tgtV, "vec_id", "emb", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = Similarity.bruteForceTopK(tgtV, srcV, "vec_id", "emb", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet.foreach { case (s, t) =>
+      assert(f1(s) == t && r1(t) == s, s"($s,$t) is not mutual top-1")
+    }
+  }
 }

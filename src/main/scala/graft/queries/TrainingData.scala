@@ -458,6 +458,46 @@ object TrainingData {
     s"""WITH ${minhashCtesOver(nearDupCorpusSql)}
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
+  // ---------------------------------------------- cross-split leakage
+  // The eval-integrity gate a split pipeline must run BEFORE training:
+  // near-duplicate pairs that STRADDLE a train/valid/test boundary are
+  // leakage (the eval member is effectively in the training set). The
+  // twin corpus makes this concrete — a twin's perturbed text hashes
+  // into an independent split, so ~1/3 of near-dup pairs cross a
+  // boundary. Composes the oracle-pinned MinHash screen with the
+  // hash-bucket split rule; output is the actionable pair list
+  // (who leaks, from where to where, how similar).
+  def splitLeakageQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val pairs = Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
+      k = 5, threshold = 0.5)
+    val bucket = TextFns.hash32(col("text")) % 100
+    val split = corpus.select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"),
+        col("split_b"), col("jaccard"))
+  }
+  val splitLeakageSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${duckHash32("text")} % 100 < 80 THEN 'train'
+       |         WHEN ${duckHash32("text")} % 100 < 90 THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM corpus)
+       |SELECT j.doc_a, j.doc_b, sa.split AS split_a, sb.split AS split_b,
+       |       j.jaccard
+       |FROM j JOIN splits sa ON j.doc_a = sa.doc_id
+       |       JOIN splits sb ON j.doc_b = sb.doc_id
+       |WHERE j.jaccard >= 0.5 AND sa.split != sb.split""".stripMargin
+
   // ------------------------------------------------ triangle counting
   // Graph analytics over the near-dup pair graph (operators.Graph):
   // per-document triangle participation — the community-density signal
@@ -2933,7 +2973,8 @@ object TrainingData {
     "x_dedup_normalized" -> (dedupNormalizedQ _),
     "x_oov_rate" -> (oovRateQ _),
     "x_contrastive" -> (contrastiveQ _),
-    "x_bitext_mine" -> (bitextMineQ _))
+    "x_bitext_mine" -> (bitextMineQ _),
+    "x_split_leakage" -> (splitLeakageQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3014,5 +3055,6 @@ object TrainingData {
     "x_dedup_normalized" -> dedupNormalizedSql,
     "x_oov_rate" -> oovRateSql,
     "x_contrastive" -> contrastiveSql,
-    "x_bitext_mine" -> bitextMineSql)
+    "x_bitext_mine" -> bitextMineSql,
+    "x_split_leakage" -> splitLeakageSql)
 }

@@ -14,18 +14,24 @@ class JobsSpec extends SparkSpec {
       job(spark, sf0001, out)
     }
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
-    // ingest_props, corpus_report, screen_batch, export_shards and
-    // resolve_customers emit two tables each; clean_corpus also
-    // persists the maintained signature table; curate_stream adds its
-    // feed + admitted tables (it reuses clean_corpus's signature
-    // table, running right after it)
-    assert(dirs.size == Jobs.all.size + 7,
-      s"expected ${Jobs.all.size + 7} output tables, got $dirs")
-    dirs.foreach { d =>
-      val n = spark.read.parquet(s"$out/$d").count()
-      // the quarantine table is rightly empty when every line parses
-      if (d.endsWith("_quarantine")) assert(n == 0, s"$d not empty")
-      else assert(n > 0, s"$d is empty")
+    // ingest_props, corpus_report, screen_batch, export_shards,
+    // resolve_customers and build_ann_index emit two tables each;
+    // clean_corpus also persists the maintained signature table;
+    // curate_stream adds its feed + admitted tables (it reuses
+    // clean_corpus's signature table, running right after it)
+    assert(dirs.size == Jobs.all.size + 8,
+      s"expected ${Jobs.all.size + 8} output tables, got $dirs")
+    dirs.foreach {
+      case "ann_index" =>
+        // composite SQ8/IVF layout, not one parquet relation — validate
+        // through its own reader contract
+        assert(graft.operators.Similarity
+          .ivfSqIndexNlist(spark, s"$out/ann_index") == 16)
+      case d =>
+        val n = spark.read.parquet(s"$out/$d").count()
+        // the quarantine table is rightly empty when every line parses
+        if (d.endsWith("_quarantine")) assert(n == 0, s"$d not empty")
+        else assert(n > 0, s"$d is empty")
     }
   }
 

@@ -115,6 +115,86 @@ object Multimodal {
   def corruptImagePayload(seed: Long): Array[Byte] =
     syntheticPng(3, 3, seed).take(20)
 
+  /** Deterministic REAL multi-frame GIF: `frames` w×h frames whose
+    * pixels are a pure function of (seed, frame, x, y), written through
+    * the JDK's GIF sequence writer. The planted frame count is what the
+    * oracle checks [[realFrameCount]] against — VIDEO-shaped media with
+    * an actual decodable frame structure, not a stub counter. */
+  def syntheticAnimatedGif(w: Int, h: Int, frames: Int,
+                           seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((seed + f * 7919L + x * 31L + y * 131L) *
+            2654435761L) & 0xFFFFFFL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL frame count of an image container (animated GIFs report every
+    * frame; still formats report 1); None when the payload doesn't
+    * decode. The reader is asked to SEARCH (count is exact, not a
+    * header hint). */
+  def realFrameCount(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0).toLong, r.getHeight(0).toLong,
+            r.getNumImages(true).toLong))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Partition-wise REAL frame enumeration — the video-pipeline fan-out
+    * ([[sampleFrames]]) driven by DECODED frame counts instead of the
+    * stub: every `stride`-th frame of each decodable multi-frame
+    * payload becomes a row. Non-image rows produce nothing. */
+  def sampleFramesDecoded(rows: DataFrame, stride: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          realFrameCount(bytes).map { case (_, _, n) => (id, n) }
+        }
+      }.toDF("doc_id", "n_frames")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1L,
+          lit(stride.toLong))).as("frame_idx"),
+        col("n_frames"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"))
+  }
+
   /** Partition-wise REAL decode over a `(doc_id, media binary, n_chars)`
     * frame: javax.imageio rows get true dimensions; rows whose payload
     * CLAIMS an image format but fails to decode are QUARANTINED
@@ -142,6 +222,130 @@ object Multimodal {
         }
       }.toDF("doc_id", "is_image", "quarantined", "width", "height",
         "frames")
+  }
+
+  /** Decoded WAV header facts — what a real audio pipeline keys on
+    * before any sample-level work. */
+  case class WavMeta(channels: Long, sampleRate: Long, bits: Long,
+                     nSamples: Long, durationMs: Long)
+
+  /** REAL WAV (RIFF/PCM) decode — pure JDK, no codec: walks the RIFF
+    * chunk list, reads the fmt chunk (PCM only) and the data chunk
+    * size, and derives channels / sample rate / bit depth / sample
+    * count / duration. Returns None for anything that is not a
+    * well-formed PCM WAV — the caller pairs this with [[looksLikeAudio]]
+    * to separate "not audio" (stub fallback) from "claims RIFF but
+    * corrupt" (quarantine), the same contract as the image path.
+    * Compressed codecs (MP3/AAC/opus) stay honestly stubbed: the
+    * container ships no decoders for them.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+    def u16(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Long, Int)] = None // fmtCode, ch, rate, bits
+    var dataSize = -1L
+    var malformed = false
+    while (!malformed && off + 8 <= bytes.length &&
+      (fmt.isEmpty || dataSize < 0)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      // a declared size past the payload is a truncated/corrupt file
+      if (size > bytes.length.toLong) malformed = true
+      else {
+        if (id == "fmt " && off + 24 <= bytes.length)
+          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12),
+            u16(off + 22)))
+        else if (id == "data") dataSize = math.min(size,
+          (bytes.length - off - 8).toLong)
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+    if (malformed) return None
+    fmt match {
+      case Some((1, ch, rate, bits))
+          if ch > 0 && rate > 0 && bits > 0 && dataSize >= 0 =>
+        val n = dataSize / (ch * bits / 8)
+        Some(WavMeta(ch.toLong, rate, bits.toLong, n, n * 1000L / rate))
+      case _ => None
+    }
+  }
+
+  /** Does the payload CLAIM to be RIFF audio? Claim + failed decode =
+    * quarantine (mirror of [[looksLikeImage]]). */
+  def looksLikeAudio(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F'
+
+  /** Deterministic REAL PCM16 mono WAV payload: standard 44-byte header
+    * plus `nSamples` samples that are a pure function of (seed, i).
+    * Decodable by any WAV reader — the planted (rate, nSamples) are
+    * what an oracle checks [[decodeWav]]'s output against. */
+  def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val data = nSamples * 2
+    val out = new Array[Byte](44 + data)
+    def put(o: Int, s: String): Unit = { s.getBytes("US-ASCII")
+      .copyToArray(out, o); () }
+    def p32(o: Int, v: Long): Unit = { var i = 0
+      while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 } }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte }
+    put(0, "RIFF"); p32(4, 36L + data); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16L); p16(20, 1); p16(22, 1)
+    p32(24, sampleRate.toLong); p32(28, sampleRate.toLong * 2)
+    p16(32, 2); p16(34, 16)
+    put(36, "data"); p32(40, data.toLong)
+    var i = 0
+    while (i < nSamples) {
+      p16(44 + 2 * i, (((seed + i * 2654435761L) >>> 16) & 0xFFFF).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic CORRUPT audio payload: a valid RIFF magic whose
+    * container type is not WAVE — claims audio, fails every parse. */
+  def corruptAudioPayload(seed: Long): Array[Byte] = {
+    val b = syntheticWav(4, 8000, seed)
+    b(8) = 'J'; b(9) = 'U'; b(10) = 'N'; b(11) = 'K'
+    b
+  }
+
+  /** Partition-wise REAL audio decode over a `(doc_id, media binary)`
+    * frame — the audio twin of [[extractMetaDecoded]]: PCM WAV rows get
+    * true header facts; RIFF-claiming rows that fail the parse are
+    * QUARANTINED with nulled meta; everything else is not audio. No
+    * shuffle; the parse is row-local.
+    */
+  def extractAudioMeta(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(m) =>
+              (id, true, false, Some(m.channels), Some(m.sampleRate),
+                Some(m.nSamples), Some(m.durationMs))
+            case None if looksLikeAudio(bytes) =>
+              (id, false, true, None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+            case None =>
+              (id, false, false, None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }.toDF("doc_id", "is_audio", "quarantined", "channels",
+        "sample_rate", "n_samples", "duration_ms")
   }
 
   /** Attach the media payload as a BINARY column (stand-in for reading

@@ -1115,6 +1115,77 @@ object TrainingData {
       |       ELSE CAST(n_chars % 30 AS BIGINT) END AS frames
       |FROM documents""".stripMargin
 
+  // ------------------------------------------- multimodal REAL audio
+  // The audio twin of the real image decode: every 3rd doc carries a
+  // REAL PCM WAV payload (planted sample count doc_id%400+100 and rate
+  // 8000+(doc_id%5)*1000, standard 44-byte header the pure-JDK RIFF
+  // walker parses), every 3rd+1 a corrupt RIFF (valid magic, non-WAVE
+  // container — QUARANTINED), the rest text (not audio). Channels /
+  // rate / sample count / duration come from the DECODER; the oracle
+  // checks them against the planted truth. Compressed codecs (MP3/AAC)
+  // remain honestly stubbed — no decoder ships in the container.
+  def multimodalAudioQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => Multimodal.syntheticWav((id % 400).toInt + 100,
+              8000 + (id % 5).toInt * 1000, id)
+            case 1 => Multimodal.corruptAudioPayload(id)
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.extractAudioMeta(media)
+  }
+  val multimodalAudioSql: String =
+    """SELECT doc_id,
+      |  doc_id % 3 = 0 AS is_audio,
+      |  doc_id % 3 = 1 AS quarantined,
+      |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE NULL END AS channels,
+      |  CASE WHEN doc_id % 3 = 0 THEN 8000 + (doc_id % 5) * 1000
+      |       ELSE NULL END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 400 + 100
+      |       ELSE NULL END AS n_samples,
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |         (doc_id % 400 + 100) * 1000 // (8000 + (doc_id % 5) * 1000)
+      |       ELSE NULL END AS duration_ms
+      |FROM documents""".stripMargin
+
+  // ------------------------------------- REAL multi-frame sampling
+  // Video-shaped fan-out driven by DECODED frame counts: every 2nd doc
+  // is a REAL animated GIF with doc_id%6+2 frames (the JDK GIF sequence
+  // writer/reader round-trips the exact count); the sampler keeps every
+  // 2nd frame of each payload. The stub variant (x_frame_sample) keys
+  // off arithmetic frames — this one's counts come from the container.
+  def frameSampleRealQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val payload =
+            if (id % 2 == 0)
+              Multimodal.syntheticAnimatedGif((id % 5).toInt + 1,
+                (id % 3).toInt + 1, (id % 6).toInt + 2, id)
+            else text.getBytes("UTF-8")
+          (id, payload)
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.sampleFramesDecoded(media, 2)
+  }
+  val frameSampleRealSql: String =
+    """SELECT doc_id,
+      |  unnest(range(0, doc_id % 6 + 2, 2)) AS frame_idx,
+      |  CAST(doc_id % 6 + 2 AS BIGINT) AS n_frames
+      |FROM documents WHERE doc_id % 2 = 0""".stripMargin
+
   // Every 5th frame of each media row (frames from the stubbed decode),
   // with a stable per-frame uid — the row-local fan-out stage a video
   // pipeline runs before per-frame dedup/embedding.
@@ -2974,7 +3045,9 @@ object TrainingData {
     "x_oov_rate" -> (oovRateQ _),
     "x_contrastive" -> (contrastiveQ _),
     "x_bitext_mine" -> (bitextMineQ _),
-    "x_split_leakage" -> (splitLeakageQ _))
+    "x_split_leakage" -> (splitLeakageQ _),
+    "x_multimodal_audio" -> (multimodalAudioQ _),
+    "x_frame_sample_real" -> (frameSampleRealQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3056,5 +3129,7 @@ object TrainingData {
     "x_oov_rate" -> oovRateSql,
     "x_contrastive" -> contrastiveSql,
     "x_bitext_mine" -> bitextMineSql,
-    "x_split_leakage" -> splitLeakageSql)
+    "x_split_leakage" -> splitLeakageSql,
+    "x_multimodal_audio" -> multimodalAudioSql,
+    "x_frame_sample_real" -> frameSampleRealSql)
 }

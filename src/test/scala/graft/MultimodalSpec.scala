@@ -57,6 +57,56 @@ class MultimodalSpec extends SparkSpec {
       "image magic + failed decode must quarantine with nulled meta")
   }
 
+  test("decodeWav parses real PCM headers; corrupt RIFF quarantines") {
+    val wav = Multimodal.syntheticWav(320, 16000, seed = 9L)
+    val m = Multimodal.decodeWav(wav).get
+    assert(m.channels == 1 && m.sampleRate == 16000 && m.bits == 16)
+    assert(m.nSamples == 320 && m.durationMs == 20)
+    assert(Multimodal.looksLikeAudio(wav))
+    val bad = Multimodal.corruptAudioPayload(9L)
+    assert(Multimodal.decodeWav(bad).isEmpty &&
+      Multimodal.looksLikeAudio(bad),
+      "corrupt RIFF must fail the parse while claiming audio")
+    assert(Multimodal.decodeWav("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractAudioMeta splits decoded / quarantined / not-audio") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticWav(8000, 8000, 1L)),
+      (2L, Multimodal.corruptAudioPayload(2L)),
+      (3L, "text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractAudioMeta(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(out(1L) == ((true, false, 8000L, 1000L)))
+    assert(out(2L) == ((false, true, -1L, -1L)))
+    assert(out(3L) == ((false, false, -1L, -1L)))
+  }
+
+  test("animated GIF round-trips its exact frame count and dims") {
+    val gif = Multimodal.syntheticAnimatedGif(4, 3, 5, seed = 11L)
+    assert(Multimodal.realFrameCount(gif).contains((4L, 3L, 5L)))
+    // a still PNG reports one frame; garbage reports none
+    assert(Multimodal.realFrameCount(
+      Multimodal.syntheticPng(2, 2, 1L)).contains((2L, 2L, 1L)))
+    assert(Multimodal.realFrameCount("nope".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleFramesDecoded fans out decoded frame counts by stride") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticAnimatedGif(2, 2, 5, 1L)),
+      (2L, "not media".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.sampleFramesDecoded(rows, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 0L, 5L), (1L, 2L, 5L), (1L, 4L, 5L)),
+      s"got ${out.toSeq}")
+  }
+
   test("sampleFrames keeps every stride-th frame with stable uids") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sf0001, "documents").limit(40)

@@ -850,6 +850,44 @@ object Similarity {
     try out.write(s"v1 nlist=$nlist".getBytes("UTF-8")) finally out.close()
   }
 
+  /** Append a NEW batch of embeddings to a stored SQ8∘IVF index under
+    * the FROZEN quantizer — the live-table half of the ANN ingest loop
+    * (mirror of [[Dedup.appendToSignatureTable]]): the batch is encoded
+    * with the index's recorded affine stats and assigned to its trained
+    * centroids, so the corpus is quantized exactly once in its life and
+    * an append never retrains, re-encodes, or rereads what is already
+    * on disk. Values outside the frozen per-dimension bounds
+    * extrapolate linearly (codes beyond [0,255], stored losslessly in
+    * the smallint column) — the decode stays exact, and a drifted feed
+    * is the signal to rebuild. Searches over the grown index remain
+    * fully deterministic; x_ann_index_incr oracles the composition.
+    */
+  def appendToIvfSqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val spark = batch.sparkSession
+    ivfSqIndexNlist(spark, path) // layout guard before any write
+    val sv = spark.read.parquet(s"$path/sq_stats")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .withColumn("c_norm", norm(col("c_v")))
+    val w = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    batch.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(sv))
+      .withColumn("codes", sqEncodeExpr)
+      .withColumn("dv", sqDecodeExpr)
+      .withColumn("n_norm", norm(col("dv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("dv"), col("c_v")) / (col("n_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("n_id"),
+        transform(col("codes"), x => x.cast("smallint")).as("codes"),
+        col("c_id").as("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/codes")
+  }
+
   /** Recorded `nlist` of a stored index; throws on a path that was not
     * written by [[writeIvfSqIndex]] (mirror of
     * [[Dedup.signatureTableK]]'s guarantee — a stale or foreign layout

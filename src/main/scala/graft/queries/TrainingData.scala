@@ -1964,8 +1964,10 @@ object TrainingData {
     * `trainSample` > 0 replays kmeansQuantized's deterministic
     * hash-ordered training sample (smallest (hash32("smp:"+id), id));
     * 0 trains on the full corpus. */
-  private def ivfAssignCtes(prelude: String, trainSample: Int = 0): String = {
+  private def ivfAssignCtes(prelude: String, trainSample: Int = 0,
+                            trainWhere: String = ""): String = {
     def cos(a: String, b: String) = ivfCos(a, b)
+    val tw = if (trainWhere.isEmpty) "" else s"WHERE $trainWhere"
     // one Lloyd iteration: exact-integer assignment + update over the
     // previous centroid CTE, empty clusters carrying over
     def iteration(t: Int): String = {
@@ -2010,13 +2012,13 @@ object TrainingData {
        |      x -> CAST(x AS HUGEINT) * x)) AS DOUBLE) AS qn2
        |  FROM q0),
        |trn AS (${
-      if (trainSample == 0) "SELECT n_id, qv, qn2 FROM qn"
+      if (trainSample == 0) s"SELECT n_id, qv, qn2 FROM qn $tw"
       else
         s"""
        |  SELECT n_id, qv, qn2 FROM (
        |    SELECT n_id, qv, qn2,
        |      ${duckHash32("'smp:' || CAST(n_id AS VARCHAR)")} AS hs
-       |    FROM qn ORDER BY hs, n_id LIMIT $trainSample)""".stripMargin
+       |    FROM qn $tw ORDER BY hs, n_id LIMIT $trainSample)""".stripMargin
     }),
        |cents0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, n_id) - 1 AS BIGINT) AS c_id,
@@ -2038,9 +2040,10 @@ object TrainingData {
        |a2 AS (SELECT c_id, n_id, n_v FROM assigned WHERE rn = 1)""".stripMargin
   }
 
-  private def ivfChainSql(prelude: String): String = {
+  private def ivfChainSql(prelude: String,
+                          trainWhere: String = ""): String = {
     def cos(a: String, b: String) = ivfCos(a, b)
-    s"""${ivfAssignCtes(prelude)},
+    s"""${ivfAssignCtes(prelude, trainWhere = trainWhere)},
        |probes AS (
        |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2100,6 +2103,58 @@ object TrainingData {
       |      AS vec
       |  FROM enc8, sv8),
       |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin)
+
+  // -------------------------------------- incremental index upkeep
+  // The ANN ingest loop: the index is BUILT once over the initial
+  // corpus (vec_id >= 50 — quantizer stats and centroids freeze
+  // there), then a new batch (vec_id < 50) is APPENDED under the
+  // frozen quantizer — encoded with the recorded affine stats,
+  // assigned to the stored centroids, never retraining or re-reading
+  // the existing lists. The oracle replays the composition: stats and
+  // training restricted to the original corpus, encode/assign over
+  // everything, search over the union.
+  def annIndexIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = Fixtures.cached("ivfsq8-incr", dir) { root =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      val p = new java.io.File(root, "index").toString
+      Similarity.writeIvfSqIndex(emb.filter(col("vec_id") >= 50),
+        "vec_id", "embedding", p, nlist = 16, iters = 2)
+      Similarity.appendToIvfSqIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", p)
+      p
+    }
+    Similarity.ivfSqTopKFromIndex(
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 20),
+      "vec_id", "embedding", path, 5, nprobe = 4)
+  }
+  val annIndexIncrSql: String = ivfChainSql(
+    """v0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |stats8 AS (
+      |  SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+      |    SELECT unnest(vec) AS val, generate_subscripts(vec, 1) AS pos
+      |    FROM v0 WHERE vec_id >= 50)
+      |  GROUP BY pos),
+      |sv8 AS (
+      |  SELECT list(mn ORDER BY pos) AS mnv, list(mx ORDER BY pos) AS mxv
+      |  FROM stats8),
+      |enc8 AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(vec) + 1), i -> CASE
+      |      WHEN mxv[CAST(i AS INT)] = mnv[CAST(i AS INT)] THEN 0.0
+      |      ELSE floor((vec[CAST(i AS INT)] - mnv[CAST(i AS INT)])
+      |           / (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) * 255.0)
+      |      END) AS codes
+      |  FROM v0, sv8),
+      |vc AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(codes) + 1),
+      |      i -> mnv[CAST(i AS INT)] + codes[CAST(i AS INT)]
+      |           * (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) / 255.0)
+      |      AS vec
+      |  FROM enc8, sv8),
+      |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin,
+    trainWhere = "n_id >= 50")
 
   // ------------------------------------------------------- as-of join
   // For every purchase, the user's latest click at-or-before it
@@ -3047,7 +3102,8 @@ object TrainingData {
     "x_bitext_mine" -> (bitextMineQ _),
     "x_split_leakage" -> (splitLeakageQ _),
     "x_multimodal_audio" -> (multimodalAudioQ _),
-    "x_frame_sample_real" -> (frameSampleRealQ _))
+    "x_frame_sample_real" -> (frameSampleRealQ _),
+    "x_ann_index_incr" -> (annIndexIncrQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3131,5 +3187,6 @@ object TrainingData {
     "x_bitext_mine" -> bitextMineSql,
     "x_split_leakage" -> splitLeakageSql,
     "x_multimodal_audio" -> multimodalAudioSql,
-    "x_frame_sample_real" -> frameSampleRealSql)
+    "x_frame_sample_real" -> frameSampleRealSql,
+    "x_ann_index_incr" -> annIndexIncrSql)
 }

@@ -52,6 +52,45 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("append grows the stored index under the frozen quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-a").toFile
+    try {
+      val path = new java.io.File(dir, "idx").toString
+      val original = corpus.filter(col("vec_id") >= 20)
+      val batch = corpus.filter(col("vec_id") < 20)
+      Similarity.writeIvfSqIndex(original, "vec_id", "embedding", path,
+        nlist = 16, iters = 2)
+      val statsBefore = spark.read.parquet(s"$path/sq_stats").collect()
+      val centsBefore = spark.read.parquet(s"$path/centroids")
+        .collect().map(_.toSeq).toSet
+      Similarity.appendToIvfSqIndex(batch, "vec_id", "embedding", path)
+      // quantizer untouched, every id present exactly once
+      assert(spark.read.parquet(s"$path/sq_stats").collect()
+        .toSeq == statsBefore.toSeq)
+      assert(spark.read.parquet(s"$path/centroids")
+        .collect().map(_.toSeq).toSet == centsBefore)
+      val ids = spark.read.parquet(s"$path/codes")
+        .select("n_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until 60L).toSeq,
+        "append must add exactly the batch ids")
+      // appended rows are searchable: an appended vector's own near
+      // neighbors come back, including other appended ids
+      val res = Similarity.ivfSqTopKFromIndex(
+          batch.filter(col("vec_id") < 5), "vec_id", "embedding", path, 4)
+        .collect()
+      assert(res.nonEmpty, "appended vectors must be searchable")
+      assert(res.map(_.getLong(0)).toSet.subsetOf((0L until 5L).toSet))
+      assert(res.forall(r => r.getLong(0) != r.getLong(1)),
+        "self-matches must stay excluded")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("index records nlist and refuses a foreign path") {
     withIndex { path =>
       assert(Similarity.ivfSqIndexNlist(spark, path) === 16)

@@ -2104,6 +2104,40 @@ object TrainingData {
       |  FROM enc8, sv8),
       |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin)
 
+  // ---------------------------------------- streaming ANN serving
+  // The serving half of the index split, online: query vectors arrive
+  // in TWO micro-batches (vec_id 0-9, then 10-19) and each batch is
+  // searched against the SAME stored index the batch query uses —
+  // foreachBatch delegates to ivfSqTopKFromIndex, so streamed results
+  // are identical to the batch search by construction, and the oracle
+  // is literally x_ann_ivf_sq8's SQL. Per-batch work is O(probe): no
+  // training, no encoding, no full-corpus read on the serving path.
+  def streamAnnQ(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfSqIndexFor(spark, dir)
+    val out = Fixtures.cached("stream-ann", dir) { root =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+      Seq((0L, 10L), (10L, 20L)).zipWithIndex.foreach { case ((lo, hi), i) =>
+        val tmp = new java.io.File(root, s"tmp$i").toString
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000000L + i * 60000L); ()
+      }
+      val served = new java.io.File(root, "served").toString
+      graft.streaming.StreamingOps.continuousAnnServe(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+        idx, served, "vec_id", "embedding", 5, nprobe = 4)
+      served
+    }
+    spark.read.parquet(out)
+  }
+  val streamAnnSql: String = annIvfSq8Sql
+
   // -------------------------------------- incremental index upkeep
   // The ANN ingest loop: the index is BUILT once over the initial
   // corpus (vec_id >= 50 — quantizer stats and centroids freeze
@@ -3103,7 +3137,8 @@ object TrainingData {
     "x_split_leakage" -> (splitLeakageQ _),
     "x_multimodal_audio" -> (multimodalAudioQ _),
     "x_frame_sample_real" -> (frameSampleRealQ _),
-    "x_ann_index_incr" -> (annIndexIncrQ _))
+    "x_ann_index_incr" -> (annIndexIncrQ _),
+    "p_stream_ann" -> (streamAnnQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3188,5 +3223,6 @@ object TrainingData {
     "x_split_leakage" -> splitLeakageSql,
     "x_multimodal_audio" -> multimodalAudioSql,
     "x_frame_sample_real" -> frameSampleRealSql,
-    "x_ann_index_incr" -> annIndexIncrSql)
+    "x_ann_index_incr" -> annIndexIncrSql,
+    "p_stream_ann" -> streamAnnSql)
 }

@@ -413,6 +413,35 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Online ANN serving: each arriving micro-batch of query vectors is
+    * searched against a STORED SQ8∘IVF index
+    * ([[graft.operators.Similarity.writeIvfSqIndex]]) and the top-k
+    * appended — the serving half of the index's ingest-then-serve
+    * split. Per batch the work is O(probe): the stream path never
+    * trains, never encodes, and reads only the probed code lists; the
+    * index itself stays a batch-maintained artifact
+    * (appendToIvfSqIndex), so serving and upkeep scale independently.
+    * Batch and streaming search share one implementation
+    * (ivfSqTopKFromIndex), so their results are identical by
+    * construction.
+    */
+  def continuousAnnServe(src: DataFrame, indexPath: String,
+                         outDir: String, idCol: String, vecCol: String,
+                         k: Int, nprobe: Int = 4): Unit = {
+    val q = src.writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_ann_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity
+          .ivfSqTopKFromIndex(batch, idCol, vecCol, indexPath, k, nprobe)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Continuous ingestion with quarantine: a text-line stream split by
     * the SAME parse expression as the batch Ingest layer, clean rows to
     * one parquet table and raw corrupt lines to a replayable quarantine

@@ -126,11 +126,60 @@ class PropertiesSpec extends SparkSpec {
           val rep = members.min
           members.map(_ -> rep)
         }
-        val got = graft.operators.Dedup.connectedComponents(
+        // both execution paths must produce the identical assignment:
+        // the default (single-stage union-find for graphs this small)
+        // and the forced pointer-doubling iteration
+        val fast = graft.operators.Dedup.connectedComponents(
           edges.toDF("a", "b"), "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expected, s"cc mismatch on sample $i: $edges")
+        val iterM = graft.operators.Dedup.connectedComponentsM(
+          edges.toDF("a", "b"), "a", "b", smallGraphMaxEdges = 0L)
+        val iter =
+          try iterM.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          finally iterM.release()
+        assert(fast == expected, s"fast-path cc mismatch on sample $i: $edges")
+        assert(iter == expected, s"iterative cc mismatch on sample $i: $edges")
       }
+    }
+  }
+
+  test("WAV codec round-trip: decode(planted) == planted for random " +
+    "(samples, rate)") {
+    val gen: Gen[(Int, Int)] = for {
+      n <- Gen.choose(1, 5000)
+      r <- Gen.oneOf(8000, 11025, 16000, 22050, 44100)
+    } yield (n, r)
+    (0 until 12).foreach { i =>
+      val (n, r) = gen.pureApply(Gen.Parameters.default, Seed(77L + i))
+      val m = graft.multimodal.Multimodal
+        .decodeWav(graft.multimodal.Multimodal.syntheticWav(n, r, i)).get
+      assert(m.channels == 1 && m.bits == 16, s"sample $i")
+      assert(m.sampleRate == r && m.nSamples == n, s"sample $i: $m")
+      assert(m.durationMs == n.toLong * 1000L / r, s"sample $i: $m")
+    }
+  }
+
+  test("block-occupancy guard == driver-computed within-kept-block " +
+    "pairs on random skews") {
+    val gen: Gen[List[(Long, String)]] =
+      Gen.listOfN(80, for {
+        id <- Gen.choose(1L, 10000L)
+        k <- Gen.frequency((6, Gen.const("hot")),
+          (4, Gen.oneOf("a", "b", "c", "d", "e", "f")))
+      } yield (id, k)).map(_.distinctBy(_._1))
+    (0 until 8).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(99L + i))
+      val cap = 12
+      val kept = rows.groupBy(_._2).filter(_._2.size <= cap)
+      val expected = kept.values.flatMap { members =>
+        val ids = members.map(_._1)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      val got = graft.operators.EntityResolution.blockedPairs(
+          rows.toDF("id", "k"), "id", col("k"), maxBlockSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"sample $i: cap=$cap sizes=" +
+        rows.groupBy(_._2).view.mapValues(_.size).toMap)
     }
   }
 

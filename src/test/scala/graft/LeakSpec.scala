@@ -73,6 +73,24 @@ class LeakSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 
+  test("SQ8/IVF index build + append + search leave no blocks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak_idx")
+    val path = dir.resolve("idx").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val leaked = leakedBlocks {
+      graft.operators.Similarity.writeIvfSqIndex(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 50),
+        "vec_id", "embedding", path, nlist = 16, iters = 2)
+      graft.operators.Similarity.appendToIvfSqIndex(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 50),
+        "vec_id", "embedding", path)
+      graft.operators.Similarity.ivfSqTopKFromIndex(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "embedding", path, 3).count()
+    }
+    assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
+  }
+
   test("connectedComponents over the Reliable strategy survives and cleans up") {
     val docs = TrainingData.nearDupCorpus(spark, sf0001)
     val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 5, 0.5)

@@ -1230,6 +1230,49 @@ object TrainingData {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------- per-language quality tiers
+  // The CCNet device: quality thresholds are only meaningful WITHIN a
+  // language (absolute scores aren't comparable across languages), so
+  // each language's documents are ranked by a quality signal and cut
+  // into head/middle/tail tiers — downstream mixtures upsample head,
+  // drop or downsample tail. ntile over a TOTAL per-language order
+  // (signal desc, doc_id) is engine-portable: both engines give the
+  // first (n mod k) tiles the extra row.
+  def qualityBucketsQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      round(TextFns.wordSetCount(t, TextFns.EnWords).cast("double") /
+        greatest(TextFns.tokenCount(t), lit(1L)).cast("double"), 4)
+        .as("signal"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("signal").desc, col("doc_id"))
+    scored.withColumn("tier_num", ntile(3).over(w).cast("long"))
+      .withColumn("tier", element_at(
+        array(lit("head"), lit("middle"), lit("tail")),
+        col("tier_num").cast("int")))
+      .select(col("doc_id"), col("lang"), col("signal"),
+        col("tier_num"), col("tier"))
+  }
+  val qualityBucketsSql: String = {
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    round(len(regexp_extract_all(lower(text), '$sw'))::DOUBLE /
+       |          greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+       |          4) AS signal
+       |  FROM documents),
+       |tiered AS (
+       |  SELECT doc_id, lang, signal,
+       |    CAST(ntile(3) OVER (PARTITION BY lang
+       |                        ORDER BY signal DESC, doc_id) AS BIGINT)
+       |      AS tier_num
+       |  FROM scored)
+       |SELECT doc_id, lang, signal, tier_num,
+       |  (['head', 'middle', 'tail'])[CAST(tier_num AS INT)] AS tier
+       |FROM tiered""".stripMargin
+  }
+
   // ------------------------------------------------------- PII scrubbing
   // The synthetic corpus carries no natural PII, so deterministic PII is
   // appended (identically on both engines) before scrubbing — the query
@@ -3138,7 +3181,8 @@ object TrainingData {
     "x_multimodal_audio" -> (multimodalAudioQ _),
     "x_frame_sample_real" -> (frameSampleRealQ _),
     "x_ann_index_incr" -> (annIndexIncrQ _),
-    "p_stream_ann" -> (streamAnnQ _))
+    "p_stream_ann" -> (streamAnnQ _),
+    "x_quality_buckets" -> (qualityBucketsQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3224,5 +3268,6 @@ object TrainingData {
     "x_multimodal_audio" -> multimodalAudioSql,
     "x_frame_sample_real" -> frameSampleRealSql,
     "x_ann_index_incr" -> annIndexIncrSql,
-    "p_stream_ann" -> streamAnnSql)
+    "p_stream_ann" -> streamAnnSql,
+    "x_quality_buckets" -> qualityBucketsSql)
 }

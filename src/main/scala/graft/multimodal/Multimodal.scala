@@ -71,13 +71,26 @@ object Multimodal {
     * path and pollute downstream media stats (the Ingest quarantine
     * pattern applied to a binary column).
     */
-  def looksLikeImage(bytes: Array[Byte]): Boolean =
+  def looksLikeImage(bytes: Array[Byte]): Boolean = {
+    // BMP needs more than the 2-byte 'BM' magic — ordinary text starting
+    // with "BM" (e.g. "BMW …") must NOT be claimed. A real
+    // BITMAPFILEHEADER is 14 bytes with reserved words 6-9 zero and a
+    // pixel-data offset (bytes 10-13, LE) that lands inside the payload
+    // past the header — both violated by ASCII text.
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def bmpClaim: Boolean =
+      bytes.length >= 14 && bytes(0) == 'B' && bytes(1) == 'M' &&
+        bytes(6) == 0 && bytes(7) == 0 && bytes(8) == 0 && bytes(9) == 0 &&
+        { val off = u32le(10); off >= 14L && off <= bytes.length.toLong }
     bytes.length >= 4 && (
       ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N') ||
       ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) ||
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
         bytes(3) == '8') ||
-      (bytes(0) == 'B' && bytes(1) == 'M'))
+      bmpClaim)
+  }
 
   /** Deterministic REAL image payload (decodable by any reader of the
     * format): w×h RGB image whose pixels are a pure function of
@@ -280,10 +293,19 @@ object Multimodal {
   }
 
   /** Does the payload CLAIM to be RIFF audio? Claim + failed decode =
-    * quarantine (mirror of [[looksLikeImage]]). */
+    * quarantine (mirror of [[looksLikeImage]]). The 4-byte magic alone
+    * would claim ordinary text starting with "RIFF", so the declared
+    * RIFF size (bytes 4-7, LE) must also be plausible — at most the
+    * payload minus the 8-byte header. ASCII text in the size field reads
+    * as ~0x20202020 (hundreds of MB) and is rejected; every RIFF writer
+    * (and the corrupt fixture, whose size field is intact) passes. */
   def looksLikeAudio(bytes: Array[Byte]): Boolean =
-    bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
-      bytes(2) == 'F' && bytes(3) == 'F'
+    bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && {
+        val sz = (bytes(4) & 0xFFL) | ((bytes(5) & 0xFFL) << 8) |
+          ((bytes(6) & 0xFFL) << 16) | ((bytes(7) & 0xFFL) << 24)
+        sz <= bytes.length.toLong - 8L
+      }
 
   /** Deterministic REAL PCM16 mono WAV payload: standard 44-byte header
     * plus `nSamples` samples that are a pure function of (seed, i).

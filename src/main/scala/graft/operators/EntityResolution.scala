@@ -48,10 +48,31 @@ object EntityResolution {
     */
   val DefaultMaxBlockSize: Int = 4096
 
+  /** The (bkey, occupancy) rows a blocking run at `maxBlockSize` will
+    * PURGE — the audit twin of the silent in-plan guard: purging is
+    * deliberately lossy under genuinely dense keys (their pairs vanish
+    * with no in-band signal), so a pipeline that cannot tolerate loss
+    * runs this first and alerts/logs on a non-empty result, or raises
+    * the cap (up to `Int.MaxValue` to disable) for keys it trusts.
+    * Same map-side-combining count as the guard itself; key-only rows,
+    * no payload.
+    */
+  def purgedBlocks(records: DataFrame, blockKey: Column,
+                   maxBlockSize: Int = DefaultMaxBlockSize): DataFrame =
+    records.select(blockKey.as("bkey")).where(col("bkey").isNotNull)
+      .groupBy(col("bkey")).agg(count(lit(1)).as("occupancy"))
+      .where(col("occupancy") > maxBlockSize)
+
   /** Drop rows whose `keyCols` group has more than `cap` members. The
     * count aggregates with map-side partials (hot keys never pile into
     * one task before combining) and the oversized-key relation is
     * key-only, so the anti-join ships no record payload.
+    *
+    * NOTE the default is LOSSY by design: pairs under a purged key are
+    * not produced, and no in-band signal marks the loss (an extra count
+    * action per call would defeat the one-pass plan). Callers needing
+    * visibility run [[purgedBlocks]] as the audit step; callers with
+    * trusted dense keys pass a higher cap / `Int.MaxValue`.
     */
   private def purgeOversized(b: DataFrame, keyCols: Seq[String],
                              cap: Int): DataFrame = {

@@ -859,8 +859,14 @@ object Similarity {
     * on disk. Values outside the frozen per-dimension bounds
     * extrapolate linearly (codes beyond [0,255], stored losslessly in
     * the smallint column) — the decode stays exact, and a drifted feed
-    * is the signal to rebuild. Searches over the grown index remain
-    * fully deterministic; x_ann_index_incr oracles the composition.
+    * is the signal to rebuild. A batch whose extrapolated codes leave
+    * the smallint range entirely (|code| > 32767 — ~128× the trained
+    * per-dimension spread) would WRAP in the narrowing cast and corrupt
+    * the stored vector silently, so the append fails loudly instead:
+    * that much drift means the frozen quantizer no longer describes the
+    * feed and the index must be rebuilt. Searches over the grown index
+    * remain fully deterministic; x_ann_index_incr oracles the
+    * composition.
     */
   def appendToIvfSqIndex(batch: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
@@ -871,7 +877,8 @@ object Similarity {
       .withColumn("c_norm", norm(col("c_v")))
     val w = Window.partitionBy(col("n_id"))
       .orderBy(col("c_sim").desc, col("c_id"))
-    batch.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("v"))
+    val assigned = batch
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(sv))
       .withColumn("codes", sqEncodeExpr)
       .withColumn("dv", sqDecodeExpr)
@@ -881,11 +888,26 @@ object Similarity {
         dot(col("dv"), col("c_v")) / (col("n_norm") * col("c_norm")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("n_id"),
-        transform(col("codes"), x => x.cast("smallint")).as("codes"),
-        col("c_id").as("list_id"))
-      .write.mode("append").partitionBy("list_id")
-      .parquet(s"$path/codes")
+      .select(col("n_id"), col("codes"), col("c_id").as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // smallint-range guard BEFORE the narrowing cast: the cast is
+      // non-ANSI (wraps), so out-of-range codes must be refused here,
+      // not discovered as wrong neighbors later
+      val nBad = assigned.where(exists(col("codes"),
+        x => abs(x) > lit(Short.MaxValue.toDouble))).count()
+      require(nBad == 0L,
+        s"$nBad row(s) in the batch encode outside the smallint code " +
+          s"range under the index's frozen quantizer at $path — the feed " +
+          "has drifted far beyond the trained bounds; rebuild the index " +
+          "with writeIvfSqIndex instead of appending")
+      assigned
+        .select(col("n_id"),
+          transform(col("codes"), x => x.cast("smallint")).as("codes"),
+          col("list_id"))
+        .write.mode("append").partitionBy("list_id")
+        .parquet(s"$path/codes")
+    } finally { assigned.unpersist(false); () }
   }
 
   /** Recorded `nlist` of a stored index; throws on a path that was not
@@ -907,13 +929,19 @@ object Similarity {
     new String(buf, "UTF-8").trim.stripPrefix("v1 nlist=").toInt
   }
 
-  /** Search a STORED SQ8∘IVF index ([[writeIvfSqIndex]]): decode is a
-    * row-local map over the pruned code lists, probing broadcasts the
-    * tiny centroid table, and only the `nprobe` probed lists are read
-    * at all — per-query work is O(probe), with the quantizer training
-    * and corpus encoding amortized to ingest time. Result is
-    * hash-equal to [[ivfSqTopK]] over the same corpus (same centroids,
-    * same codes, same IEEE decode and ranking).
+  /** Search a STORED SQ8∘IVF index ([[writeIvfSqIndex]]): the union of
+    * every query's probed `list_id`s is collected (≤ `nlist` ints after
+    * the distinct — the documented O(KB) driver-scalar pattern, K5) and
+    * pushed down as a LITERAL `isin` on the partition column, so the
+    * codes scan statically prunes to the probed directories
+    * (`PartitionFilters: [list_id IN …]`, plan-asserted by PlanSpec) and
+    * SQ8 decode runs AFTER the prune — unprobed lists are neither read
+    * nor decoded. Per-query work is O(probe), with quantizer training
+    * and corpus encoding amortized to ingest time. Result is hash-equal
+    * to [[ivfSqTopK]] over the same corpus (same centroids, same codes,
+    * same IEEE decode and ranking): the probe join on `c_id` already
+    * restricted scoring to probed lists, so pre-pruning the scan removes
+    * IO, never rows.
     */
   def ivfSqTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
                          path: String, k: Int,
@@ -923,13 +951,6 @@ object Similarity {
     val sv = spark.read.parquet(s"$path/sq_stats")
     val cents = spark.read.parquet(s"$path/centroids")
       .withColumn("c_norm", norm(col("c_v")))
-    val assigned = spark.read.parquet(s"$path/codes")
-      .crossJoin(broadcast(sv))
-      .withColumn("codes", transform(col("codes"), x => x.cast("double")))
-      .withColumn("n_v", sqDecodeExpr)
-      .withColumn("n_norm", norm(col("n_v")))
-      .select(col("list_id").as("c_id"), col("n_id"), col("n_v"),
-        col("n_norm"))
     val q = queries.select(col(idCol).as("q_id"),
         asDouble(col(vecCol)).as("q_v"))
       .withColumn("q_norm", norm(col("q_v")))
@@ -941,6 +962,19 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nprobe)
       .select(col("q_id"), col("q_v"), col("q_norm"), col("c_id"))
+    // distinct probed lists: bounded by nlist regardless of query count,
+    // so the collect is O(KB); the probe stage itself is queries × a
+    // broadcast centroid table — no corpus input
+    val probedIds = probes.select(col("c_id")).distinct()
+      .collect().map(_.get(0))
+    val assigned = spark.read.parquet(s"$path/codes")
+      .where(col("list_id").isin(probedIds.toIndexedSeq: _*))
+      .crossJoin(broadcast(sv))
+      .withColumn("codes", transform(col("codes"), x => x.cast("double")))
+      .withColumn("n_v", sqDecodeExpr)
+      .withColumn("n_norm", norm(col("n_v")))
+      .select(col("list_id").as("c_id"), col("n_id"), col("n_v"),
+        col("n_norm"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     probes.join(assigned, Seq("c_id"))

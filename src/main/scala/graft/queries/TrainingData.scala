@@ -466,11 +466,13 @@ object TrainingData {
   // into an independent split, so ~1/3 of near-dup pairs cross a
   // boundary. Composes the oracle-pinned MinHash screen with the
   // hash-bucket split rule; output is the actionable pair list
-  // (who leaks, from where to where, how similar).
+  // (who leaks, from where to where, how similar). Pairs come from the
+  // MAINTAINED signature table (shared with the clusters family) — the
+  // corpus is shingled once per session, not once per query.
   def splitLeakageQ(spark: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(spark, dir)
-    val pairs = Dedup.minhashNearDupPairs(corpus, "text", "doc_id",
-      k = 5, threshold = 0.5)
+    val sigs = sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir))
+    val pairs = Dedup.nearDupPairsFromSigs(spark, sigs, threshold = 0.5)
     val bucket = TextFns.hash32(col("text")) % 100
     val split = corpus.select(col("doc_id"),
       when(bucket < 80, "train").when(bucket < 90, "valid")
@@ -505,11 +507,13 @@ object TrainingData {
   // triangles) from a similarity CHAIN (a→b→c without a→c, zero
   // triangles), which dedup policies treat differently (a chain's ends
   // may be unrelated). Wedge-join plan over the canonical a<b edge set;
-  // every join a hash equi-join, triangles counted once as x<y<z.
+  // every join a hash equi-join, triangles counted once as x<y<z. The
+  // pair feed reads the maintained signature table, not corpus text.
   def trianglesQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.triangleCounts(
-      Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text",
-        "doc_id", k = 5, threshold = 0.5),
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.5),
       "doc_a", "doc_b")
   val trianglesSql: String =
     s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
@@ -668,11 +672,13 @@ object TrainingData {
   // truncating division — bit-identical across engines and
   // partitionings, so the oracle UNROLLS the same 10 power iterations
   // as chained CTEs (recursive CTEs can't aggregate) and must match
-  // exactly, no tolerance.
+  // exactly, no tolerance. The pair feed reads the maintained signature
+  // table (sig-table results are hash-equal to from-text, SigTableSpec).
   def pageRankQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.pageRank(
-      Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text",
-        "doc_id", k = 5, threshold = 0.5),
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.5),
       "doc_a", "doc_b", iters = 10)
   val pageRankSql: String = {
     val rounds = (1 to 10).map { i =>

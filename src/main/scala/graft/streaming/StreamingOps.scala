@@ -368,6 +368,15 @@ object StreamingOps {
                        checkpointDir: String = null): Unit = {
     val ckpt = Option(checkpointDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString)
+    // same shingle-size refusal as appendToSignatureTable, checked ONCE
+    // at query start (the table's k cannot change mid-stream — appends
+    // reuse it) so a mismatched table is refused before any write and
+    // each micro-batch skips the metadata read round-trip
+    val storedK = graft.operators.Dedup
+      .signatureTableK(src.sparkSession, sigTablePath)
+    require(storedK == k,
+      s"signature table at $sigTablePath was written with " +
+        s"k=$storedK but the curate loop hashes with k=$k")
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -378,13 +387,6 @@ object StreamingOps {
         val marker = new org.apache.hadoop.fs.Path(admittedDir,
           s"_graft_applied_b$batchId")
         if (!fs.exists(marker)) {
-          // same shingle-size refusal as appendToSignatureTable, checked
-          // BEFORE any write so a mismatched table is never half-updated
-          val storedK = graft.operators.Dedup
-            .signatureTableK(spark, sigTablePath)
-          require(storedK == k,
-            s"signature table at $sigTablePath was written with " +
-              s"k=$storedK but the curate loop hashes with k=$k")
           val screened = graft.operators.Dedup
             .incrementalNearDupAgainstSigsM(
               batch, sigTablePath, textCol, idCol, k, threshold)
@@ -424,17 +426,27 @@ object StreamingOps {
     * Batch and streaming search share one implementation
     * (ivfSqTopKFromIndex), so their results are identical by
     * construction.
+    *
+    * EXACTLY-ONCE at the sink: foreachBatch is at-least-once, so the
+    * top-k rows land via [[idempotentAppend]] under batch-named files —
+    * a replayed batch rewrites its own files instead of appending a
+    * duplicate copy (same commit protocol as [[continuousCurate]]).
+    * `checkpointDir` MUST be durable storage in production; the temp
+    * default exists for single-run tests.
     */
   def continuousAnnServe(src: DataFrame, indexPath: String,
                          outDir: String, idCol: String, vecCol: String,
-                         k: Int, nprobe: Int = 4): Unit = {
+                         k: Int, nprobe: Int = 4,
+                         checkpointDir: String = null): Unit = {
+    val ckpt = Option(checkpointDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ann_ckpt").toString)
     val q = src.writeStream
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_ann_ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity
-          .ivfSqTopKFromIndex(batch, idCol, vecCol, indexPath, k, nprobe)
-          .write.mode("append").parquet(outDir)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.Similarity
+            .ivfSqTopKFromIndex(batch, idCol, vecCol, indexPath, k, nprobe),
+          outDir, s"b${batchId}_")
         ()
       }
       .start()

@@ -264,14 +264,37 @@ class PlanSpec extends SparkSpec {
       val path = new java.io.File(dir, "idx").toString
       graft.operators.Similarity.writeIvfSqIndex(
         emb, "vec_id", "embedding", path, nlist = 16, iters = 1)
-      val p = plan(graft.operators.Similarity.ivfSqTopKFromIndex(
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding", path, 3))
+      val search = graft.operators.Similarity.ivfSqTopKFromIndex(
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", path, 3,
+        nprobe = 4)
+      val p = plan(search)
       // the search never touches a full-precision corpus column — its
       // only corpus input is the stored codes relation
       assert(p.contains("ReadSchema: struct<n_id:bigint,codes:array<smallint>>"),
         s"code-list scan not pruned to (n_id, codes):\n$p")
       assert(!p.contains("CartesianProduct"),
         s"probe join must stay hash-shaped:\n$p")
+      // O(probe) IO, plan-proven: the probed list ids are pushed down as
+      // a LITERAL predicate on the partition column, so the codes scan
+      // prunes to the probed directories — at nlist=4096/nprobe=64 an
+      // unpruned scan is 64× IO, the regression the index exists to
+      // prevent. The streaming serve path (continuousAnnServe) shares
+      // this implementation, so the assertion covers both.
+      assert(p.contains("PartitionFilters: [list_id"),
+        s"codes scan not partition-pruned to the probed lists:\n$p")
+      // a SINGLE query probes at most nprobe of the 16 lists, and the
+      // partition filter must carry exactly those ids — strict-subset IO
+      // (decode runs after this prune, so unprobed lists are neither
+      // read nor decoded)
+      val p1 = plan(graft.operators.Similarity.ivfSqTopKFromIndex(
+        emb.limit(1), "vec_id", "embedding", path, 3, nprobe = 2))
+      val inList = "list_id#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(p1)
+      assert(inList.isDefined,
+        s"single-query search has no list_id IN partition filter:\n$p1")
+      val nProbed = inList.get.group(1).split(",").length
+      assert(nProbed > 0 && nProbed <= 2,
+        s"single-query nprobe=2 search must prune to ≤2 lists, " +
+          s"filter was [${inList.get.group(1)}]:\n$p1")
     } finally {
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)

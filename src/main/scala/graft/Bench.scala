@@ -73,6 +73,16 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalR = math.rint(total * 1000) / 1000
+    // Streaming queries pay a per-query harness floor (checkpoint dirs,
+    // micro-batch trigger machinery, processAllAvailable drains) that
+    // batch plans don't; reporting their subtotal separately lets a
+    // round-over-round comparison tell plan cost from harness cost.
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val isStreaming: String => Boolean =
+      n => n.startsWith("p_stream_") || n.startsWith("x_stream_")
+    val streamRes = results.filter(r => isStreaming(r._1))
+    val streamSub = r3(streamRes.map(_._2).filter(_ >= 0).sum)
+    val streamCpu = r3(streamRes.map(_._3).filter(_ >= 0).sum)
     // The per-query maps for 140+ queries overflow a tail-truncated
     // stdout capture (BENCH_r04 lost its wall-time map that way), so the
     // COMPLETE artifact — totals first, then both per-query maps — goes
@@ -82,6 +92,9 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$totalR,"unit":"sec",
          |"n_queries":${results.size},"sf":"$sfDir",
+         |"streaming_subtotal_sec":$streamSub,
+         |"streaming_subtotal_cpu_sec":$streamCpu,
+         |"n_streaming_queries":${streamRes.size},
          |"queries":${jmap(_._2)},
          |"queries_cpu_sec":${jmap(_._3)}}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)

@@ -26,6 +26,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (args.contains("curate")) { profileCurate(spark, sfDir); spark.stop(); return }
+
     import graft.operators.Dedup
     val corpus = {
       val d = Tables.load(spark, sfDir, "documents")
@@ -50,5 +52,66 @@ object Profile {
         Dedup.minhashNearDupPairs(corpus, "text", "doc_id", 5, 0.5),
         "doc_a", "doc_b").count())
     spark.stop()
+  }
+
+  /** Phase timing for the x_stream_curate pipeline: sig-table write,
+    * batch staging, the streaming run itself, and the result read. */
+  def profileCurate(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-pcur").toFile
+    val sigPath = new java.io.File(root, "sigs").toString
+    val outPath = new java.io.File(root, "admitted").toString
+    val srcDir = new java.io.File(root, "src")
+    srcDir.mkdirs()
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    time("corpus count")(d.count())
+    time("sig table write")(
+      Dedup.writeSignatureTable(d, "text", "doc_id", sigPath, k = 5))
+    val chain = concat(md5(col("text")), md5(concat(col("text"), lit("a"))),
+      md5(concat(col("text"), lit("b"))))
+    val b0 = d.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text"))
+      .union(d.where(col("doc_id") % 5 === 1).select(
+        (col("doc_id") + 6000000L).as("doc_id"), chain.as("text")))
+    val b1 = d.where(col("doc_id") % 5 === 2).select(
+        (col("doc_id") + 7000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text"))
+    time("batch staging") {
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        val tmp = new java.io.File(root, s"tmp$i").toString
+        b.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000000L + i * 60000L)
+        ()
+      }
+    }
+    val src = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        progress.add(s"batch=${e.progress.batchId} " +
+          s"durationMs=${e.progress.durationMs}"); ()
+      }
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    time("stream run")(
+      graft.streaming.StreamingOps.continuousCurate(
+        src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5,
+        shufflePartitions = Some(8)))
+    spark.streams.removeListener(listener)
+    progress.forEach(p => println(s"[profile] $p"))
+    time("result read")(spark.read.parquet(outPath).count())
   }
 }

@@ -270,7 +270,25 @@ object Dedup {
         "never intersect and every duplicate would be silently admitted")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigB = sigOf(batch, textCol, idCol, k).persist(lvl)
-    val sigC = spark.read.parquet(sigTablePath)
+    val out = incrementalNearDupAgainstPreSigsM(sigB, sigTablePath,
+      threshold, mat)
+    sigB.unpersist(false)
+    out
+  }
+
+  /** [[incrementalNearDupAgainstSigsM]] over an ALREADY-COMPUTED batch
+    * signature relation (`(doc_id, __sh, m0..m15)`, typically persisted
+    * by the caller) — the shape for callers that need the batch's
+    * signatures again after the screen (the curate loop appends the
+    * survivors' signatures to the table: tokenizing the batch once and
+    * filtering beats tokenizing twice). No k-check here: the caller
+    * owns the signature computation and the guard that matched it to
+    * the table.
+    */
+  private[graft] def incrementalNearDupAgainstPreSigsM(
+      sigB: DataFrame, sigTablePath: String, threshold: Double = 0.5,
+      mat: MatStrategy = MatStrategy.Default): Materialized = {
+    val sigC = sigB.sparkSession.read.parquet(sigTablePath)
     val cand = bandsOf(sigB).withColumnRenamed("doc_id", "batch_id")
       .join(bandsOf(sigC).withColumnRenamed("doc_id", "corpus_id"),
         Seq("band", "bkey"))
@@ -286,9 +304,7 @@ object Dedup {
           col("sh_b"), col("sh_c")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-    val out = Materialize(verified, mat)
-    sigB.unpersist(false)
-    out
+    Materialize(verified, mat)
   }
 
   /** Whole-corpus near-dup pairs over a MAINTAINED signature table

@@ -1665,10 +1665,26 @@ object TrainingData {
     }))
     val sigPath = new java.io.File(root, "sigs").toString
     val outPath = new java.io.File(root, "admitted").toString
-    val srcDir = new java.io.File(root, "src")
-    srcDir.mkdirs()
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    Dedup.writeSignatureTable(d, "text", "doc_id", sigPath, k = 5)
+    // the corpus signature table is a deterministic function of the
+    // corpus, so it is built once per session (the sigTableFor
+    // contract: tokenize at ingest, never again) — but THIS query's
+    // stream APPENDS to its table, so each run works on a cheap
+    // file-level copy of the cached base rather than recomputing it
+    val baseSigs = Fixtures.cached("sigs-curate-base", dir) { base =>
+      val p = new java.io.File(base, "sigs").toString
+      Dedup.writeSignatureTable(d, "text", "doc_id", p, k = 5)
+      p
+    }
+    locally {
+      val from = java.nio.file.Paths.get(baseSigs)
+      val to = java.nio.file.Paths.get(sigPath)
+      java.nio.file.Files.createDirectories(to)
+      java.nio.file.Files.list(from).forEach { f =>
+        java.nio.file.Files.copy(f, to.resolve(f.getFileName.toString))
+        ()
+      }
+    }
     val chain = concat(md5(col("text")), md5(concat(col("text"), lit("a"))),
       md5(concat(col("text"), lit("b"))))
     val b0 = d.where(col("doc_id") % 5 === 0).select(
@@ -1687,21 +1703,30 @@ object TrainingData {
         concat(md5(concat(col("text"), lit("c"))),
           md5(concat(col("text"), lit("d"))),
           md5(concat(col("text"), lit("e")))).as("text")))
-    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
-      val tmp = new java.io.File(root, s"tmp$i").toString
-      b.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(srcDir, s"b$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1000000000000L + i * 60000L)
-      ()
+    // the staged feed is deterministic in the corpus and READ-ONLY to
+    // the stream (each run replays it from a fresh checkpoint), so it
+    // too is built once per session
+    val feedDir = Fixtures.cached("curate-src", dir) { base =>
+      val sd = new java.io.File(base, "src")
+      sd.mkdirs()
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        val tmp = new java.io.File(base, s"tmp$i").toString
+        b.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(sd, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000000L + i * 60000L)
+        ()
+      }
+      sd.toString
     }
     val src = spark.readStream.schema(b0.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir.toString)
+      .parquet(feedDir)
     graft.streaming.StreamingOps.continuousCurate(
-      src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5)
+      src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5,
+      shufflePartitions = Some(8))
     spark.read.parquet(outPath).select(col("doc_id"))
   }
   val streamCurateSql: String = {

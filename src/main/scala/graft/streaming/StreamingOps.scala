@@ -365,7 +365,38 @@ object StreamingOps {
   def continuousCurate(src: DataFrame, sigTablePath: String,
                        admittedDir: String, textCol: String, idCol: String,
                        k: Int = 5, threshold: Double = 0.5,
-                       checkpointDir: String = null): Unit = {
+                       checkpointDir: String = null,
+                       shufflePartitions: Option[Int] = None): Unit =
+    withShufflePartitions(src.sparkSession, shufflePartitions) {
+      continuousCurate0(src, sigTablePath, admittedDir, textCol, idCol,
+        k, threshold, checkpointDir)
+    }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` overridden — the
+    * runToMemory statePartitions discipline (set/execute/restore under
+    * the conf lock) shared by the batch-loop streams: a low-throughput
+    * micro-batch loop's joins are near-empty at the session's cluster
+    * width, and the per-task scheduling floor (32 near-empty tasks per
+    * stage, several stages per batch) dominates its wall. At cluster
+    * scale callers pass None and inherit the session's parallelism.
+    */
+  private def withShufflePartitions[A](spark: SparkSession,
+                                       n: Option[Int])(body: => A): A =
+    n match {
+      case None => body
+      case Some(p) => confLock.synchronized {
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, p.toString)
+        try body finally spark.conf.set(key, prev)
+      }
+    }
+
+  private def continuousCurate0(src: DataFrame, sigTablePath: String,
+                                admittedDir: String, textCol: String,
+                                idCol: String,
+                                k: Int, threshold: Double,
+                                checkpointDir: String): Unit = {
     val ckpt = Option(checkpointDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString)
     // same shingle-size refusal as appendToSignatureTable, checked ONCE
@@ -387,26 +418,47 @@ object StreamingOps {
         val marker = new org.apache.hadoop.fs.Path(admittedDir,
           s"_graft_applied_b$batchId")
         if (!fs.exists(marker)) {
+          // the batch is tokenized ONCE: the signature relation feeds
+          // both the screen and (filtered to survivors) the signature
+          // append — the original shape re-shingled the survivors for
+          // the append, a second full pass over the batch text
+          val sigB = graft.operators.Dedup
+            .signatureRelation(batch, textCol, idCol, k)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // Local (executor-block) materialization, not the default
+          // parquet spill: the screen result never escapes the batch
+          // (released in the finally) and a retry rebuilds it, so the
+          // DFS round-trip would buy nothing — this is the documented
+          // bounded-intra-job-state case for MatStrategy.Local
           val screened = graft.operators.Dedup
-            .incrementalNearDupAgainstSigsM(
-              batch, sigTablePath, textCol, idCol, k, threshold)
+            .incrementalNearDupAgainstPreSigsM(sigB, sigTablePath,
+              threshold, graft.ops.MatStrategy.Local)
           try {
             val own = batch.select(col(idCol).as("corpus_id"))
             val dupIds = screened.df
               .join(broadcast(own), Seq("corpus_id"), "left_anti")
               .select(col("batch_id").as(idCol)).distinct()
-            // survivors is evaluated twice (admit write + signature
-            // append); the expensive half — the screen — is already
-            // materialized in `screened`, so each evaluation is one
-            // cheap batch-side anti-join
+            // survivors / survivorSigs are each one cheap anti-join off
+            // materialized inputs (screen spilled, signatures persisted)
             val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
-            idempotentAppend(survivors, admittedDir, s"b${batchId}_")
-            idempotentAppend(
-              graft.operators.Dedup.signatureRelation(
-                survivors, textCol, idCol, k),
-              sigTablePath, s"b${batchId}_sig_")
+            val survivorSigs = sigB.join(
+              dupIds.select(col(idCol).as("doc_id")), Seq("doc_id"),
+              "left_anti")
+            // the two sinks are independent (different dirs, disjoint
+            // inputs): submit their jobs concurrently — the body's wall
+            // is the slower write, not the sum (Spark schedules jobs
+            // from concurrent threads fairly)
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val fAdm = Future(
+              idempotentAppend(survivors, admittedDir, s"b${batchId}_"))
+            val fSig = Future(
+              idempotentAppend(survivorSigs, sigTablePath,
+                s"b${batchId}_sig_"))
+            Await.result(fAdm, scala.concurrent.duration.Duration.Inf)
+            Await.result(fSig, scala.concurrent.duration.Duration.Inf)
             fs.create(marker, true).close()
-          } finally screened.release()
+          } finally { screened.release(); sigB.unpersist(false); () }
         }
         ()
       }

@@ -6,13 +6,32 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque BINARY columns
   * with typed metadata, and a partition-wise decode/feature-extract stage.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — it derives pseudo "decoded media"
-  * metadata (dimensions, frame count, content id) purely from the bytes.
-  * The Spark-side plumbing is real: binary column handling, a typed
-  * Dataset boundary, mapPartitions batch shape (one codec init per
-  * partition, streamed rows), and a schema contract identical to what a
-  * real decoder would return.
+  * == The codec boundary (what decodes REAL vs what is STUBBED) ==
+  *
+  * REAL decoders — pure JDK, no external dependency, oracle-gated:
+  *  - PNG, JPEG, BMP, GIF stills: `javax.imageio` ([[decodeImage]];
+  *    true width/height — `x_multimodal_decode`);
+  *  - multi-frame GIF: ImageIO's GIF reader ([[realFrameCount]] /
+  *    [[sampleFramesDecoded]]; true frame counts — `x_frame_sample_real`);
+  *  - PCM WAV: a hand-walked RIFF chunk parser ([[decodeWav]]; true
+  *    channels/rate/bits/samples — `x_multimodal_audio`).
+  *
+  * STUBS — formats whose codecs the JDK does not ship (MP3/AAC/Opus
+  * audio; H.264/VP9/AV1 video; WebP/HEIC images): [[decodeStub]] and
+  * [[resizeStub]] are clearly-marked deterministic fakes that keep the
+  * Spark-side contract real (schema, typed Dataset boundary, one codec
+  * init per partition, batched invocation). A cluster deployment fills
+  * exactly one seam: replace the stub body at the per-partition init
+  * point (where `MessageDigest.getInstance` sits) with the JNI/FFI
+  * codec — nothing else changes.
+  *
+  * QUARANTINE — the third leg: a payload that CLAIMS a decodable format
+  * (magic-byte sniff: [[looksLikeImage]] / [[looksLikeAudio]]) but fails
+  * its decoder is flagged with nulled meta, never silently stubbed —
+  * corrupt media must not pollute media stats. Every payload therefore
+  * takes exactly one of three paths — REAL decode, honest STUB, or
+  * QUARANTINE — and MultimodalSpec asserts the trichotomy stays
+  * exhaustive and mutually exclusive over the planted media fixture.
   *
   * Scale: decode runs partition-parallel with no shuffle; a real codec
   * (JNI/FFI) would be initialized once per partition exactly where

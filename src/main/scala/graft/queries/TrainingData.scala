@@ -2337,6 +2337,43 @@ object TrainingData {
        |WHERE char_len >= 100 AND token_cnt >= 15 AND punct_ratio <= 0.1""".stripMargin
   }
 
+  // ------------------------------------ deflate redundancy gate
+  // DeflateRatioExpr gated end to end: zlib has no DuckDB twin, so the
+  // oracle pins the ENGINE-side invariants relationally — for every
+  // document, a planted template-farm variant (a ~21-char phrase
+  // repeated 100×, the machine-generated-spam shape) must compress
+  // BELOW a planted high-entropy variant (8 chained md5 hex blocks) by
+  // a fixed 0.20 margin, with both ratios inside wide absolute bands
+  // (template < 0.3, jumble in (0.3, 1.2]); the payload lengths are
+  // exact string arithmetic both engines compute. A per-doc row
+  // (not one aggregate) so every single deflate evaluation is gated.
+  // Margins are deliberately coarse: repeated text deflates to < 0.05
+  // and 256 hex chars to ~0.55-0.65, so the gate is robust to zlib
+  // version drift while still catching a broken/garbage ratio.
+  def deflateGateQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val tpl = repeat(concat(substring(col("text"), 1, 10),
+      lit("-pad-phrase")), 100)
+    val jmb = concat((1 to 8).map(i =>
+      md5(concat(col("text"), lit(i.toString)))): _*)
+    val rTpl = graft.functions.native.NativeFns.deflateRatio(tpl)
+    val rJmb = graft.functions.native.NativeFns.deflateRatio(jmb)
+    d.select(col("doc_id"),
+      length(tpl).cast("long").as("tpl_len"),
+      length(jmb).cast("long").as("jmb_len"),
+      (rTpl + lit(0.2d) <= rJmb && rTpl > lit(0.0d) && rTpl < lit(0.3d) &&
+        rJmb > lit(0.3d) && rJmb <= lit(1.2d)).as("redundancy_separated"))
+  }
+  val deflateGateSql: String = {
+    val jmbLen = (1 to 8).map(i => s"md5(text || '$i')").mkString(" || ")
+    s"""SELECT doc_id,
+       |  CAST(length(repeat(substr(text, 1, 10) || '-pad-phrase', 100))
+       |       AS BIGINT) AS tpl_len,
+       |  CAST(length($jmbLen) AS BIGINT) AS jmb_len,
+       |  true AS redundancy_separated
+       |FROM documents""".stripMargin
+  }
+
   // ------------------------------------------------------- TF-IDF
   // Top-5 TF-IDF terms per document: token explode → term frequency →
   // document frequency → smoothed idf — the classic keyword-extraction
@@ -3213,7 +3250,8 @@ object TrainingData {
     "x_frame_sample_real" -> (frameSampleRealQ _),
     "x_ann_index_incr" -> (annIndexIncrQ _),
     "p_stream_ann" -> (streamAnnQ _),
-    "x_quality_buckets" -> (qualityBucketsQ _))
+    "x_quality_buckets" -> (qualityBucketsQ _),
+    "x_deflate_gate" -> (deflateGateQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3300,5 +3338,6 @@ object TrainingData {
     "x_frame_sample_real" -> frameSampleRealSql,
     "x_ann_index_incr" -> annIndexIncrSql,
     "p_stream_ann" -> streamAnnSql,
-    "x_quality_buckets" -> qualityBucketsSql)
+    "x_quality_buckets" -> qualityBucketsSql,
+    "x_deflate_gate" -> deflateGateSql)
 }

@@ -57,6 +57,49 @@ class MultimodalSpec extends SparkSpec {
       "image magic + failed decode must quarantine with nulled meta")
   }
 
+  test("codec-boundary trichotomy is exhaustive and mutually exclusive " +
+    "over the planted media fixture (real / stub / quarantine)") {
+    import spark.implicits._
+    // one payload per documented class, including the sniff edge cases
+    // (ordinary text starting with 'BM' / 'RIFF' must take the STUB
+    // path, not quarantine)
+    val fixture = Seq(
+      1L -> Multimodal.syntheticImage(5, 4, 1L, "png"),
+      2L -> Multimodal.syntheticImage(6, 3, 2L, "bmp"),
+      3L -> Multimodal.syntheticImage(4, 4, 3L, "gif"),
+      4L -> Multimodal.syntheticImage(8, 2, 4L, "jpg"),
+      5L -> Multimodal.syntheticAnimatedGif(3, 3, 4, 5L),
+      6L -> Multimodal.corruptImagePayload(6L),
+      7L -> "just ordinary prose, no media claim".getBytes("UTF-8"),
+      8L -> "BMW drivers wrote this text payload".getBytes("UTF-8"),
+      9L -> "RIFF through this prose, no audio here".getBytes("UTF-8"))
+    val img = Multimodal.extractMetaDecoded(
+      fixture.map { case (id, b) => (id, b, 10L) }
+        .toDF("doc_id", "media", "n_chars"))
+      .select("doc_id", "is_image", "quarantined").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    // exhaustive: every row classified; exclusive: never both flags
+    assert(img.size == fixture.size)
+    img.values.foreach { case (real, quar) => assert(!(real && quar)) }
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(id =>
+      assert(img(id) == ((true, false)), s"doc $id must REAL-decode"))
+    assert(img(6L) == ((false, true)), "corrupt claim must QUARANTINE")
+    Seq(7L, 8L, 9L).foreach(id =>
+      assert(img(id) == ((false, false)),
+        s"doc $id must take the honest STUB path (no false claim)"))
+    // audio trichotomy over the same contract
+    val aud = Multimodal.extractAudioMeta(Seq(
+        11L -> Multimodal.syntheticWav(160, 8000, 11L),
+        12L -> Multimodal.corruptAudioPayload(12L),
+        13L -> "RIFF riff prose that is not a container".getBytes("UTF-8"),
+        14L -> "no claim at all".getBytes("UTF-8"))
+      .toDF("doc_id", "media"))
+      .select("doc_id", "is_audio", "quarantined").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(aud(11L) == ((true, false)) && aud(12L) == ((false, true)) &&
+      aud(13L) == ((false, false)) && aud(14L) == ((false, false)))
+  }
+
   test("decodeWav parses real PCM headers; corrupt RIFF quarantines") {
     val wav = Multimodal.syntheticWav(320, 16000, seed = 9L)
     val m = Multimodal.decodeWav(wav).get

@@ -3021,6 +3021,24 @@ object TrainingData {
         col("segment")),
       maxBlockSize = 40)
   }
+  // --------------------------------------------- block-purge audit
+  // EntityResolution.purgedBlocks gated end to end: the guard's default
+  // is LOSSY by design (pairs under an over-occupied blocking key are
+  // silently dropped), so the audit operator that surfaces what WOULD
+  // be purged is itself oracle-checked — here every market segment is
+  // a dense key at cap 40 (each holds ~2·|customer|/5 records), so the
+  // report is the exact (key, occupancy) histogram a pipeline alerts
+  // on before trusting a blocking configuration. One map-side-combining
+  // count, key-only rows — the same skew-safe shape as the guard.
+  def erPurgeReportQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.purgedBlocks(
+      erRecords(spark, dir), col("segment"), maxBlockSize = 40)
+  val erPurgeReportSql: String =
+    s"""WITH recs AS ($erRecordsSql)
+       |SELECT segment AS bkey, count(*) AS occupancy
+       |FROM recs WHERE segment IS NOT NULL
+       |GROUP BY 1 HAVING count(*) > 40""".stripMargin
+
   val erBlockGuardSql: String =
     s"""WITH recs AS ($erRecordsSql),
        |keys AS (
@@ -3251,7 +3269,8 @@ object TrainingData {
     "x_ann_index_incr" -> (annIndexIncrQ _),
     "p_stream_ann" -> (streamAnnQ _),
     "x_quality_buckets" -> (qualityBucketsQ _),
-    "x_deflate_gate" -> (deflateGateQ _))
+    "x_deflate_gate" -> (deflateGateQ _),
+    "x_er_purge_report" -> (erPurgeReportQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3339,5 +3358,6 @@ object TrainingData {
     "x_ann_index_incr" -> annIndexIncrSql,
     "p_stream_ann" -> streamAnnSql,
     "x_quality_buckets" -> qualityBucketsSql,
-    "x_deflate_gate" -> deflateGateSql)
+    "x_deflate_gate" -> deflateGateSql,
+    "x_er_purge_report" -> erPurgeReportSql)
 }

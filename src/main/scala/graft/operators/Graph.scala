@@ -63,16 +63,26 @@ object Graph {
     * Scale shape: the edge list, degrees, and node set are materialized
     * ONCE and reused every round; each round is one hash join onto the
     * current ranks plus one aggregation, checkpoint-truncated like
-    * [[Dedup.connectedComponentsM]] so lineage never grows. Fixed
-    * `iters` (power iteration), no convergence collect.
+    * [[Dedup.connectedComponentsM]] so lineage never grows unboundedly.
+    * Fixed `iters` (power iteration), no convergence collect.
+    *
+    * `matEvery` sets the checkpoint cadence: rounds between checkpoints
+    * stay lazy, so Catalyst plans (and one action executes) a
+    * `matEvery`-round chain — halving the per-round job/commit fixed
+    * cost at cadence 2 with identical results (integer arithmetic is
+    * materialization-independent). Lineage depth between truncations is
+    * bounded by `matEvery` joins+aggregations; keep it small (2-3) so
+    * plan size and retry cost stay flat at 1000-executor scale.
     */
   def pageRankM(edges: DataFrame, aCol: String, bCol: String,
                 iters: Int = 10,
                 roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
-                mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
+                mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default,
+                matEvery: Int = 2)
       : graft.ops.Materialized = {
     import graft.ops.Materialize
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
     val e = canonicalEdges(edges, aCol, bCol)
     val directedM = Materialize(
       e.select(col("a").as("src"), col("b").as("dst"))
@@ -93,20 +103,24 @@ object Graph {
       val nodes = nodesM.df
       var ranks = nodes.withColumn("r", lit(1000000L))
       var freeRanks: () => Unit = () => ()
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = directed.join(deg, "src")
           .join(ranks.withColumnRenamed("v", "src"), "src")
           .select(col("dst").as("v"), expr("r div d").as("c"))
           .groupBy("v").agg(sum(col("c")).as("s"))
-        val next = Materialize(
-          nodes.join(contrib, Seq("v"), "left")
-            .select(col("v"),
-              (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
-                .as("r")),
-          roundMat)
-        freeRanks()
-        ranks = next.df
-        freeRanks = next.release
+        val nextDf = nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
+              .as("r"))
+        if (i % matEvery == 0 || i == iters) {
+          val next = Materialize(nextDf, roundMat)
+          // the lazy rounds since the last checkpoint rebuilt from the
+          // previous materialized ranks — release it only after the new
+          // checkpoint has landed
+          freeRanks()
+          ranks = next.df
+          freeRanks = next.release
+        } else ranks = nextDf
       }
       val out = Materialize(
         ranks.select(col("v").as("node"), col("r").as("rank")), mat)

@@ -596,6 +596,8 @@ object Parity {
     // state stores per partition (two per side), so it pays double the
     // per-store maintenance of the single-operator gates — at this
     // fixture's throughput the narrower width is pure overhead removed
+    // (isolated 7.1 -> 3.6 s; the single-store gates measured WORSE at
+    // 4 — they move real data per store and want the parallelism)
     graft.streaming.StreamingOps.runToMemory(joined, qname,
       statePartitions = Some(4))
     spark.table(qname)

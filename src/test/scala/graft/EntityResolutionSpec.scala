@@ -115,6 +115,27 @@ class EntityResolutionSpec extends SparkSpec {
       "pass-0 hot value must purge without killing pass-1's small block")
   }
 
+  test("purgedBlocks audit agrees exactly with what the guard drops") {
+    // the audit's contract: a key appears in the report IFF the guard
+    // purges it, with the exact occupancy — checked against a mixed
+    // fixture (two over-cap keys, two under-cap, nulls ignored)
+    val recs = spark.range(300).select(col("id"), lit("hotA").as("k"))
+      .union(spark.range(300, 380).select(col("id"), lit("hotB").as("k")))
+      .union(Seq((900L, "a"), (901L, "a"), (902L, "b"))
+        .toDF("id", "k"))
+      .union(Seq((903L, null.asInstanceOf[String])).toDF("id", "k"))
+    val audit = EntityResolution.purgedBlocks(recs, col("k"),
+        maxBlockSize = 50)
+      .as[(String, Long)].collect().toMap
+    assert(audit == Map("hotA" -> 300L, "hotB" -> 80L),
+      s"audit must list exactly the over-cap keys with occupancy: $audit")
+    val pairs = EntityResolution.blockedPairs(recs, "id", col("k"),
+        maxBlockSize = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)),
+      "guard must drop exactly the audited keys' pairs and no others")
+  }
+
   test("block-occupancy guard: blockedJoin purges a key hot on one side") {
     val master = spark.range(500)
       .select(col("id"), lit("hot").as("k"))

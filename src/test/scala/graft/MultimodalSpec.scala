@@ -57,6 +57,29 @@ class MultimodalSpec extends SparkSpec {
       "image magic + failed decode must quarantine with nulled meta")
   }
 
+  test("sniffs never claim on printable-ASCII text (property over " +
+    "seeded random prose, including 'BM'/'RIFF'/'GIF8' prefixes)") {
+    val rnd = new scala.util.Random(42)
+    val prefixes = Seq("", "BM", "RIFF", "GIF8", "BM ", "RIFF ")
+    (0 until 500).foreach { i =>
+      val body = Array.fill(rnd.nextInt(200))(
+        (0x20 + rnd.nextInt(0x5F)).toChar).mkString
+      val s = prefixes(i % prefixes.length) + body
+      val b = s.getBytes("US-ASCII")
+      // GIF8 prose CAN claim (the 4-byte magic is its full header
+      // sniff) — that is the documented limit; BM and RIFF must not,
+      // their tightened sniffs check binary header structure
+      if (!s.startsWith("GIF8"))
+        assert(!Multimodal.looksLikeImage(b),
+          s"text must not claim image: ${s.take(30)}")
+      assert(!Multimodal.looksLikeAudio(b),
+        s"text must not claim audio: ${s.take(30)}")
+    }
+    // and the real payloads still claim
+    assert(Multimodal.looksLikeImage(Multimodal.syntheticImage(3, 3, 1L, "bmp")))
+    assert(Multimodal.looksLikeAudio(Multimodal.syntheticWav(4, 8000, 1L)))
+  }
+
   test("codec-boundary trichotomy is exhaustive and mutually exclusive " +
     "over the planted media fixture (real / stub / quarantine)") {
     import spark.implicits._

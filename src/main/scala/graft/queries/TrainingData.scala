@@ -2862,6 +2862,58 @@ object TrainingData {
        |       round(votes::DOUBLE / n_annotations, 4) AS agreement
        |FROM rk WHERE rk = 1""".stripMargin
 
+  // ------------------------------------- corpus-level agreement (kappa)
+  // Labels.fleissKappa over the same synthetic 3-annotator table as
+  // x_label_vote: the chance-corrected agreement score an annotation
+  // campaign is accepted on. Every kappa term is an exact integer
+  // aggregate (decimal/HUGEINT), so both engines branch and divide on
+  // identical numbers; hash-random labels land near zero (no agreement
+  // beyond chance), which is itself the fixture's point.
+  def labelKappaQ(spark: SparkSession, dir: String): DataFrame = {
+    val ann = docs(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("annotator"))
+      .withColumn("label", element_at(
+        array(lit("pos"), lit("neg"), lit("neu")),
+        (TextFns.hash32(concat_ws(":", col("doc_id"), col("annotator"))) % 3
+          + 1).cast("int")))
+    graft.ops.Labels.fleissKappa(ann, "doc_id", "label")
+  }
+  val labelKappaSql: String =
+    s"""WITH ann AS (
+       |  SELECT doc_id, a.annotator,
+       |    (['pos','neg','neu'])[CAST(
+       |      ${duckHash32("CAST(doc_id AS VARCHAR) || ':' || CAST(a.annotator AS VARCHAR)")}
+       |      % 3 + 1 AS INT)] AS label
+       |  FROM documents, (SELECT unnest(range(3)) AS annotator) a),
+       |counts AS (SELECT doc_id, label, count(*) AS c FROM ann GROUP BY 1, 2),
+       |per_item AS (SELECT doc_id, sum(c) AS n, sum(c*c) AS s2
+       |             FROM counts GROUP BY 1),
+       |items AS (SELECT CAST(count(*) AS HUGEINT) AS n_items,
+       |                 CAST(min(n) AS HUGEINT) AS n_min,
+       |                 CAST(max(n) AS HUGEINT) AS n_max,
+       |                 CAST(sum(s2 - n) AS HUGEINT) AS s FROM per_item),
+       |cats AS (SELECT CAST(sum(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT))
+       |                     AS HUGEINT) AS u,
+       |                CAST(sum(cj) AS HUGEINT) AS tot
+       |         FROM (SELECT label, sum(c) AS cj FROM counts GROUP BY 1))
+       |SELECT CAST(n_items AS BIGINT) AS n_items,
+       |       CAST(n_min AS BIGINT) AS n_annotators,
+       |       CASE WHEN n_min < 2 THEN NULL
+       |            ELSE round(CAST(s AS DOUBLE) /
+       |                 CAST(n_items * n_min * (n_min - 1) AS DOUBLE), 6)
+       |       END AS p_bar,
+       |       round(CAST(u AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6)
+       |         AS p_exp,
+       |       CASE WHEN n_min != n_max OR n_min < 2 OR tot * tot = u
+       |            THEN NULL
+       |            ELSE round(
+       |              CAST(s * tot * tot - u * (n_items * n_min * (n_min - 1))
+       |                   AS DOUBLE) /
+       |              CAST((n_items * n_min * (n_min - 1)) * (tot * tot - u)
+       |                   AS DOUBLE), 6)
+       |       END AS kappa
+       |FROM items, cats""".stripMargin
+
   // ---------------------------------------------- weighted sampling
   // Quality-proportional corpus downsampling: keep probability grows
   // with document length (5 bp per char, capped at 1.0) — integer basis
@@ -3270,7 +3322,8 @@ object TrainingData {
     "p_stream_ann" -> (streamAnnQ _),
     "x_quality_buckets" -> (qualityBucketsQ _),
     "x_deflate_gate" -> (deflateGateQ _),
-    "x_er_purge_report" -> (erPurgeReportQ _))
+    "x_er_purge_report" -> (erPurgeReportQ _),
+    "x_label_kappa" -> (labelKappaQ _))
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
@@ -3359,5 +3412,6 @@ object TrainingData {
     "p_stream_ann" -> streamAnnSql,
     "x_quality_buckets" -> qualityBucketsSql,
     "x_deflate_gate" -> deflateGateSql,
-    "x_er_purge_report" -> erPurgeReportSql)
+    "x_er_purge_report" -> erPurgeReportSql,
+    "x_label_kappa" -> labelKappaSql)
 }

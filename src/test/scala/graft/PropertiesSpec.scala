@@ -183,6 +183,87 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("fleissKappa == driver-computed exact-integer reference on " +
+    "random equal-n annotation tables") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gen: Gen[(Int, Int, List[String])] = for {
+      nItems <- Gen.choose(2, 12)
+      nAnn <- Gen.choose(2, 4)
+      labs <- Gen.listOfN(nItems * nAnn, Gen.oneOf("A", "B", "C"))
+    } yield (nItems, nAnn, labs)
+    (0 until 10).foreach { i =>
+      val (nItems, nAnn, labs) =
+        gen.pureApply(Gen.Parameters.default, Seed(1234L + i))
+      val rows = labs.zipWithIndex.map { case (l, j) =>
+        ((j / nAnn).toLong, l)
+      }
+      // driver reference: the same integer terms, the same final
+      // double division and HALF_UP rounding as the operator
+      val cells = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val s = cells.values.map { ls =>
+        ls.groupBy(identity).values.map(g => g.size.toLong * g.size).sum -
+          nAnn.toLong
+      }.sum
+      val t = nItems.toLong * nAnn * (nAnn - 1)
+      val catTotals = rows.map(_._2).groupBy(identity).values
+        .map(_.size.toLong).toList
+      val u = catTotals.map(c => c * c).sum
+      val tot = catTotals.sum
+      val v = tot * tot
+      val expKappa =
+        if (v == u) None
+        else Some(round6((s * v - u * t).toDouble / (t * (v - u)).toDouble))
+      val out = graft.ops.Labels
+        .fleissKappa(rows.toDF("item", "label"), "item", "label").head()
+      assert(out.getLong(0) == nItems.toLong &&
+        out.getLong(1) == nAnn.toLong, s"sample $i shape")
+      assert(out.getDouble(2) == round6(s.toDouble / t), s"sample $i p_bar")
+      assert(out.getDouble(3) == round6(u.toDouble / v), s"sample $i p_exp")
+      val gotKappa = if (out.isNullAt(4)) None else Some(out.getDouble(4))
+      assert(gotKappa == expKappa,
+        s"sample $i kappa: got $gotKappa want $expKappa " +
+          s"(N=$nItems n=$nAnn s=$s t=$t u=$u v=$v)")
+    }
+  }
+
+  test("stored-index search (pruned literal probe scan) == from-scratch " +
+    "ivfSqTopK on random integer-grid embeddings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_propidx").toFile
+    try {
+      val gen: Gen[List[Seq[Double]]] = Gen.listOfN(36,
+        Gen.listOfN(6, Gen.choose(-8, 8).map(_.toDouble)).map(_.toSeq))
+        // a zero vector has no cosine direction; keep the grid away from it
+        .map(_.map(v => if (v.forall(_ == 0.0)) Seq(1.0, 0, 0, 0, 0, 0) else v))
+      (0 until 3).foreach { i =>
+        val vecs = gen.pureApply(Gen.Parameters.default, Seed(55L + i))
+          .zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        val emb = vecs.toDF("vec_id", "embedding")
+        val path = new java.io.File(dir, s"idx$i").toString
+        graft.operators.Similarity.writeIvfSqIndex(
+          emb, "vec_id", "embedding", path, nlist = 4, iters = 1)
+        val q = emb.filter(col("vec_id") < 6)
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getLong(3))).sortBy(x => (x._1, x._4)).toSeq
+        val stored = canon(graft.operators.Similarity.ivfSqTopKFromIndex(
+          q, "vec_id", "embedding", path, k = 3, nprobe = 2))
+        val scratch = canon(graft.operators.Similarity.ivfSqTopK(
+          q, emb, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2,
+          iters = 1))
+        assert(stored == scratch,
+          s"sample $i: stored-index search diverged from from-scratch")
+        assert(stored.nonEmpty, s"sample $i: degenerate fixture")
+      }
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("gapFilledCounts preserves totals and emits exactly the spans") {
     val evGen = Gen.listOfN(30, for {
       k <- Gen.choose(1L, 5L)

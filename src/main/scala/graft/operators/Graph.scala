@@ -47,6 +47,49 @@ object Graph {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
 
+  /** Common-neighbor link prediction with an INTEGER resource-allocation
+    * score — "which documents are probably near-dups even though no
+    * band ever bucketed them together" over the similarity graph, and
+    * generally the missing-edge ranker for any co-occurrence graph.
+    * For every non-adjacent pair (a, b) with at least `minCommon`
+    * common neighbors:
+    *
+    *   n_common = |N(a) ∩ N(b)|
+    *   ra_u     = Σ_{v ∈ N(a) ∩ N(b)}  1_000_000 div deg(v)
+    *
+    * ra_u is the resource-allocation index (Zhou, Lü, Zhang 2009 —
+    * the RA variant of Adamic-Adar) in exact integer micro-units:
+    * every term is an integer division, so the score is bit-identical
+    * across partitionings, retries, and engines — no floating-point
+    * log in sight.
+    *
+    * Plan shape mirrors [[triangles]]: wedges come from ONE self-join
+    * of the directed adjacency on the center vertex (hash equi-join,
+    * intermediate size = the wedge count), the degree join is another
+    * hash join on the center, and known edges leave via a left-anti
+    * join on the canonical edge set. Nothing is collected; hub vertices
+    * are AQE-skew-split like every other hot key in this library.
+    */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     minCommon: Long = 1L): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = canonicalEdges(edges, aCol, bCol)
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .union(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = adj.alias("x")
+      .join(adj.alias("y"),
+        col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"),
+        col("x.v").as("via"))
+    wedges.join(deg.withColumnRenamed("v", "via"), "via")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000L div d")).as("ra_u"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .where(col("n_common") >= minCommon)
+  }
+
   /** Deterministic FIXED-POINT PageRank over the undirected graph —
     * the same integer-arithmetic determinism trick as the k-means
     * quantizer (Similarity.kmeansQuantized): ranks live in integer

@@ -50,6 +50,44 @@ object TimeSeries {
         coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
   }
 
+  /** Overlapping-interval coalescing (the gaps-and-islands merge): per
+    * key, every maximal run of pairwise-overlapping-or-touching
+    * `[start, end]` intervals collapses to one row carrying the run's
+    * bounds and member count — availability windows, session spans,
+    * retention holds, crawl leases all reduce to this.
+    *
+    * An interval starts a new island iff its start exceeds the running
+    * MAX end of every interval sorted before it (strictly — touching
+    * intervals, `start == prev end`, merge). That running max is a
+    * window aggregate over `UNBOUNDED PRECEDING .. 1 PRECEDING`, so the
+    * whole merge is ONE hash shuffle on the key plus the island rollup,
+    * which Catalyst colocates on the same partitioning — the identical
+    * scale shape as [[Sessionize.sessionize]]. No self-join (the naive
+    * O(n²) overlap join), no driver state; a key's cost is its own row
+    * count, 100 TB of keys merge independently.
+    *
+    * Ordering must be total per key for a deterministic `interval_idx`:
+    * (start, end, idCol). Output: (key, interval_idx, iv_start, iv_end,
+    * n_merged) with interval_idx 1-based per key in start order.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol), col(idCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Long.MinValue, -1))
+    df.withColumn("__new_iv",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("interval_idx",
+        sum(col("__new_iv")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col(keyCol), col("interval_idx"))
+      .agg(
+        min(col(startCol)).as("iv_start"),
+        max(col(endCol)).as("iv_end"),
+        count(lit(1)).as("n_merged"))
+  }
+
   /** Last-observation-carried-forward (LOCF) repair: every null in each
     * of `fillCols` takes the key's most recent non-null value in
     * `(orderCol, tieCol)` order — the sensor/telemetry gap repair that

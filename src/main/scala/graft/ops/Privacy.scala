@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk auditing for release pipelines (the
+  * complement of the PII SCRUB in [[graft.functions.TextFns]]: scrub
+  * removes direct identifiers from text, this measures how exposed the
+  * STRUCTURED columns still leave each row). A row is k-anonymous when
+  * at least k rows share its full quasi-identifier combination (Sweeney
+  * 2002); groups below k are linkage-attack targets and either get
+  * suppressed or generalized before export.
+  *
+  * Scale shape: the audit is ONE hash aggregation on the
+  * quasi-identifier tuple — the groupBy key IS the privacy unit, so
+  * 100 TB audits at the cost of a count(*). Suppression is a broadcast
+  * of the (small, by definition: only groups BELOW k, each carrying no
+  * payload beyond the key) risky-key list back onto the fact rows —
+  * never a window over the full table and never a driver collect.
+  */
+object Privacy {
+
+  /** Per-quasi-identifier-group occupancy: (quasiCols*, group_n,
+    * at_risk) — `at_risk` marks groups with fewer than `k` members.
+    * The release gate reads `max(at_risk)` / the risky-row total; the
+    * full report is the remediation worklist.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+                       k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", col("group_n") < k)
+  }
+
+  /** The release projection: rows in groups below `k` have every
+    * quasi-identifier REPLACED with null (cell suppression), all other
+    * rows pass through unchanged. The risky-key list is an aggregation
+    * output (bounded by the number of small groups), joined back
+    * broadcast-style on the quasi tuple; null-safe equality (`<=>`)
+    * keeps null-valued quasi cells in the same group on both sides.
+    */
+  def suppressBelowK(df: DataFrame, quasiCols: Seq[String],
+                     k: Long): DataFrame = {
+    val risky = kAnonymityReport(df, quasiCols, k)
+      .where(col("at_risk"))
+      .select(quasiCols.map(c => col(c).as(s"__r_$c")) :+
+        lit(1).as("__risky"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    val joined = df.join(broadcast(risky), cond, "left")
+    // the literal marker (never null on a match, even when every quasi
+    // cell of the risky group is null) decides suppression
+    val suppressed = quasiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col("__risky").isNotNull,
+          lit(null).cast(d.schema(c).dataType))
+          .otherwise(col(c)))
+    }
+    suppressed.drop(quasiCols.map(c => s"__r_$c") :+ "__risky": _*)
+  }
+}

@@ -842,6 +842,37 @@ object Parity {
       |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
       |  AND l_shipdate < TIMESTAMP '1995-04-01'""".stripMargin
 
+  // ---------------------------------------------- file-skipping index
+  // SkippingIndex gated end to end: lineitem range-clustered on
+  // l_orderkey (8 disjoint-range files), a per-file min/max stats
+  // table built over it, then an orderkey range read THROUGH the stats
+  // table — only files whose envelope intersects the range are opened
+  // (FileSkipSpec asserts the file-count collapse); content must equal
+  // the same filter over the original table. The Delta-style skip at
+  // planner level, above parquet's own footer stats.
+  def fileskipScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = Fixtures.cached("fileskip", dir) { root =>
+      val p = new java.io.File(root, "li").toString
+      graft.sources.ClusteredWrite.writeClustered(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")),
+        p, Seq("l_orderkey"), partitions = 8)
+      graft.sources.SkippingIndex.buildStats(spark, p, Seq("l_orderkey"))
+      p
+    }
+    graft.sources.SkippingIndex
+      .readRange(spark, path, "l_orderkey", 1000L, 5000L)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+  }
+  val fileskipScanSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 5000""".stripMargin
+
   // ---------------------------------------------- small-file compaction
   // Compaction gated end to end: documents deliberately shattered into
   // 16 small files, then compacted toward bytes/4-sized targets — a
@@ -1188,6 +1219,7 @@ object Parity {
     "p_csv_ingest" -> (csvIngestQ _),
     "p_orc_roundtrip" -> (orcRoundtripQ _),
     "p_clustered_scan" -> (clusteredScanQ _),
+    "p_fileskip_scan" -> (fileskipScanQ _),
     "p_compaction" -> (compactionQ _),
     "p_schema_evolution" -> (schemaEvolutionQ _),
     "p_zorder_scan" -> (zorderScanQ _),
@@ -1224,6 +1256,7 @@ object Parity {
     "p_csv_ingest" -> ingestRoundtripSql,
     "p_orc_roundtrip" -> ingestRoundtripSql,
     "p_clustered_scan" -> clusteredScanSql,
+    "p_fileskip_scan" -> fileskipScanSql,
     "p_compaction" -> compactionSql,
     "p_schema_evolution" -> schemaEvolutionSql,
     "p_zorder_scan" -> zorderScanSql,

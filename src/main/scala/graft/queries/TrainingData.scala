@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sessionize, Similarity, UrlOps}
+import graft.operators.{Dedup, Sessionize, Similarity, TimeSeries, UrlOps}
 
 /** Training-data pipeline queries: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard), text analysis (stats, language-ID, fingerprints),
@@ -528,6 +528,45 @@ object TrainingData {
        |                WHERE e3.a = e1.a AND e3.b = e2.b)),
        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
        |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- link prediction
+  // Graph.linkPrediction over the same signature-table pair feed as
+  // x_triangles: ranks the non-edges two hops apart in the near-dup
+  // graph by common-neighbor count and the integer resource-allocation
+  // score — the "transitive near-dup" candidates an LSH screen misses
+  // when no band bucketed the pair directly (a~b, b~c, a≁c). Purely
+  // integer arithmetic end to end, so both engines agree bit-exact.
+  // Threshold 0.2 (vs the dedup family's 0.5) keeps the WEAK edges the
+  // strict screen drops — exactly the regime link prediction is for:
+  // the 0.5 graph is near-1:1 twin pairs with almost no open wedges.
+  def linkPredictQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.linkPrediction(
+        Dedup.nearDupPairsFromSigs(spark,
+          sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+          threshold = 0.2),
+        "doc_a", "doc_b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_common"), col("ra_u"))
+  val linkPredictSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.2),
+       |adj AS (SELECT a AS v, b AS n FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+       |w AS (
+       |  SELECT x.n AS a, y.n AS b, x.v AS via
+       |  FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n),
+       |s AS (
+       |  SELECT w.a, w.b, count(*) AS n_common,
+       |         CAST(sum(1000000 // d.d) AS BIGINT) AS ra_u
+       |  FROM w JOIN deg d ON w.via = d.v GROUP BY 1, 2)
+       |SELECT s.a AS doc_a, s.b AS doc_b, s.n_common, s.ra_u
+       |FROM s
+       |WHERE NOT EXISTS (SELECT 1 FROM e
+       |                  WHERE e.a = s.a AND e.b = s.b)""".stripMargin
 
   // ------------------------------------------------- distribution drift
   // Drift.psiReport gated end to end: the PSI report between the
@@ -1061,6 +1100,85 @@ object TrainingData {
       |       count(*) AS n_events,
       |       round(sum(value), 2) AS sum_value
       |FROM s2 GROUP BY user_id, sess_idx""".stripMargin
+
+  // ------------------------------------------------ interval coalescing
+  // TimeSeries.mergeIntervals gated end to end: each event opens an
+  // interval [ts, ts + dur) with a deterministic integer duration
+  // (event_id % 900 + 60 seconds — pure integer arithmetic, so both
+  // engines derive the identical interval set), then per-user
+  // overlapping-or-touching intervals collapse to their maximal runs.
+  // The gaps-and-islands merge every availability/lease/retention
+  // pipeline needs, as one window shuffle — never the O(n²) self-join.
+  def intervalMergeQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val iv = e.select(col("user_id"), col("event_id"),
+      col("ts").as("start_ns"),
+      (col("ts") + (col("event_id") % 900 + lit(60L)) * 1000000000L)
+        .as("end_ns"))
+    TimeSeries.mergeIntervals(iv, "user_id", "start_ns", "end_ns",
+        "event_id")
+      .select(col("user_id"), col("interval_idx").cast("long")
+          .as("interval_idx"),
+        expr("iv_start div 1000").as("start_us"),
+        expr("iv_end div 1000").as("end_us"),
+        col("n_merged"))
+  }
+  val intervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS s,
+      |         epoch_ns(ts) + (event_id % 900 + 60) * 1000000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN max(e) OVER wp IS NULL
+      |                   OR s > max(e) OVER wp THEN 1 ELSE 0 END AS nw
+      |  FROM iv
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY s, e, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |m2 AS (
+      |  SELECT *, sum(nw) OVER
+      |    (PARTITION BY user_id ORDER BY s, e, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS idx
+      |  FROM m)
+      |SELECT user_id, CAST(idx AS BIGINT) AS interval_idx,
+      |       min(s) // 1000 AS start_us, max(e) // 1000 AS end_us,
+      |       count(*) AS n_merged
+      |FROM m2 GROUP BY user_id, idx""".stripMargin
+
+  // --------------------------------------------------- k-anonymity audit
+  // ops.Privacy gated end to end: the release projection of the
+  // customer table under k=5 cell suppression over the
+  // (segment, nation, acctbal-kilobucket) quasi-identifier tuple.
+  // Rows whose quasi group has ≥5 members pass through; rows in
+  // smaller groups ship with every quasi cell nulled. The output being
+  // the row-level release table means the oracle re-derives BOTH
+  // stages (occupancy audit + suppression join) to hash-match.
+  def kAnonymityQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast("long").as("nation"),
+      floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_kb"))
+    graft.ops.Privacy
+      .suppressBelowK(c, Seq("segment", "nation", "bal_kb"), 5L)
+      .select(col("c_custkey"), col("segment"), col("nation"),
+        col("bal_kb"))
+  }
+  val kAnonymitySql: String =
+    """WITH q AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |         CAST(c_nationkey AS BIGINT) AS nation,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_kb
+      |  FROM customer),
+      |g AS (
+      |  SELECT segment, nation, bal_kb, count(*) AS n
+      |  FROM q GROUP BY 1, 2, 3),
+      |r AS (SELECT segment, nation, bal_kb FROM g WHERE n < 5)
+      |SELECT q.c_custkey,
+      |  CASE WHEN r.segment IS NULL THEN q.segment END AS segment,
+      |  CASE WHEN r.segment IS NULL THEN q.nation END AS nation,
+      |  CASE WHEN r.segment IS NULL THEN q.bal_kb END AS bal_kb
+      |FROM q LEFT JOIN r ON q.segment = r.segment
+      |  AND q.nation = r.nation AND q.bal_kb = r.bal_kb""".stripMargin
 
   // --------------------------------------------------- multimodal metadata
   def multimodalMetaQ(spark: SparkSession, dir: String): DataFrame =
@@ -3259,6 +3377,8 @@ object TrainingData {
     "x_embedding_neardup" -> (embeddingNearDupQ _),
     "x_neardup_lsh" -> (neardupLshQ _),
     "x_sessionize" -> (sessionizeQ _),
+    "x_interval_merge" -> (intervalMergeQ _),
+    "x_k_anonymity" -> (kAnonymityQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_multimodal_decode" -> (multimodalDecodeQ _),
     "x_ann_lsh" -> (annLshQ _),
@@ -3287,6 +3407,7 @@ object TrainingData {
     "x_shard_export" -> (shardExportQ _),
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
+    "x_link_predict" -> (linkPredictQ _),
     "x_pagerank" -> (pageRankQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
@@ -3347,6 +3468,8 @@ object TrainingData {
     "x_embedding_neardup" -> embeddingNearDupSql,
     "x_neardup_lsh" -> neardupLshSql,
     "x_sessionize" -> sessionizeSql,
+    "x_interval_merge" -> intervalMergeSql,
+    "x_k_anonymity" -> kAnonymitySql,
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_multimodal_decode" -> multimodalDecodeSql,
     "x_ann_lsh" -> annLshSql,
@@ -3377,6 +3500,7 @@ object TrainingData {
     "x_shard_export" -> shardExportSql,
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
+    "x_link_predict" -> linkPredictSql,
     "x_pagerank" -> pageRankSql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,

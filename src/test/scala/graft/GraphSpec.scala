@@ -45,4 +45,40 @@ class GraphSpec extends SparkSpec {
     assert(t.length == 1)
     assert((t(0).getLong(0), t(0).getLong(1), t(0).getLong(2)) == (1L, 2L, 3L))
   }
+
+  private def lpMap(e: org.apache.spark.sql.DataFrame) =
+    Graph.linkPrediction(e, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+  test("linkPrediction on a path: the two-hop pair, RA = 1e6 div deg") {
+    // 1-2-3: only candidate is (1,3) via 2, deg(2)=2
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(lpMap(e) == Map((1L, 3L) -> (1L, 500000L)))
+  }
+
+  test("linkPrediction on a star: leaf pairs share the hub's score") {
+    // hub 1 with leaves 2,3,4: every leaf pair via 1, deg(1)=3
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    assert(lpMap(e) == Map(
+      (2L, 3L) -> (1L, 333333L),
+      (2L, 4L) -> (1L, 333333L),
+      (3L, 4L) -> (1L, 333333L)))
+  }
+
+  test("linkPrediction excludes existing edges and sums shared neighbors") {
+    // square 1-2-3-4-1 plus diagonal 1-3: (2,4) has common neighbors
+    // {1,3} (deg 3 each) and is NOT an edge → n_common=2,
+    // ra = 2*(1e6 div 3); (1,3) also has two common neighbors but IS
+    // an edge → excluded
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    assert(lpMap(e) == Map((2L, 4L) -> (2L, 666666L)))
+  }
+
+  test("linkPrediction is invariant under edge order and direction") {
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val e2 = Seq((4L, 3L), (2L, 1L), (3L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(lpMap(e1) == lpMap(e2))
+  }
 }

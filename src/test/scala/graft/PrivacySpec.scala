@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Privacy
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // group (us, a): 3 members — safe at k=3
+    (1L, "us", "a"), (2L, "us", "a"), (3L, "us", "a"),
+    // group (us, b): 2 members — risky at k=3
+    (4L, "us", "b"), (5L, "us", "b"),
+    // group (de, a): 1 member — risky
+    (6L, "de", "a")
+  ).toDF("id", "country", "seg")
+
+  test("kAnonymityReport: occupancy and the below-k flag per group") {
+    val r = Privacy.kAnonymityReport(fixture, Seq("country", "seg"), 3L)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getBoolean(3))).toMap
+    assert(r == Map(
+      ("us", "a") -> (3L, false),
+      ("us", "b") -> (2L, true),
+      ("de", "a") -> (1L, true)))
+  }
+
+  test("suppressBelowK nulls every quasi cell of risky rows only") {
+    val out = Privacy.suppressBelowK(fixture, Seq("country", "seg"), 3L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(out(1L) == (Some("us"), Some("a")))
+    assert(out(2L) == (Some("us"), Some("a")))
+    assert(out(3L) == (Some("us"), Some("a")))
+    assert(out(4L) == (None, None))
+    assert(out(5L) == (None, None))
+    assert(out(6L) == (None, None))
+  }
+
+  test("suppression leaves the release k-anonymous at the suppressed " +
+    "level (no surviving group below k)") {
+    val released = Privacy.suppressBelowK(fixture, Seq("country", "seg"), 3L)
+      .where($"country".isNotNull)
+    val bad = Privacy.kAnonymityReport(released, Seq("country", "seg"), 3L)
+      .where($"at_risk").count()
+    assert(bad == 0L)
+  }
+
+  test("a risky group keyed by NULL quasi cells still suppresses " +
+    "(null-safe join + literal marker)") {
+    val withNull = Seq(
+      (1L, Some("us"), "a"), (2L, Some("us"), "a"), (3L, Some("us"), "a"),
+      (4L, None: Option[String], "b")
+    ).toDF("id", "country", "seg")
+    val out = Privacy.suppressBelowK(withNull, Seq("country", "seg"), 2L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    // row 4's group (null, b) has 1 member: seg must be suppressed too
+    assert(out(4L) == (None, None))
+    assert(out(1L) == (Some("us"), Some("a")))
+  }
+
+  test("report is one aggregation over one scan (no join, no window)") {
+    val plan = Privacy.kAnonymityReport(fixture, Seq("country", "seg"), 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"audit should be a bare aggregation:\n$plan")
+  }
+}

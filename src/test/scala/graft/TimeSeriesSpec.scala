@@ -65,4 +65,51 @@ class TimeSeriesSpec extends SparkSpec {
         (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     assert(out(2L) === Some(3.0) && out(3L) === Some(3.0))
   }
+
+  private def mergedMap(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("mergeIntervals merges overlapping AND touching, splits gaps") {
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 20L, 30L),
+      (1L, 4L, 40L, 50L),
+      (2L, 5L, 0L, 5L)
+    ).toDF("k", "id", "s", "e")
+    val out = mergedMap(TimeSeries.mergeIntervals(iv, "k", "s", "e", "id")
+      .select("k", "interval_idx", "iv_start", "iv_end", "n_merged")
+      .collect())
+    // touching (20 == prev end 20) merges; the 30→40 gap splits
+    assert(out == Map(
+      (1L, 1L) -> (0L, 30L, 3L),
+      (1L, 2L) -> (40L, 50L, 1L),
+      (2L, 1L) -> (0L, 5L, 1L)))
+  }
+
+  test("mergeIntervals running max survives a covering first interval") {
+    // the case a naive lag(end) check gets wrong: [0,100] covers both
+    // later intervals, so all three are ONE island even though
+    // [30,40] starts after its immediate predecessor's end (20)
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 30L, 40L),
+      (1L, 4L, 150L, 160L)
+    ).toDF("k", "id", "s", "e")
+    val out = mergedMap(TimeSeries.mergeIntervals(iv, "k", "s", "e", "id")
+      .select("k", "interval_idx", "iv_start", "iv_end", "n_merged")
+      .collect())
+    assert(out == Map(
+      (1L, 1L) -> (0L, 100L, 3L),
+      (1L, 2L) -> (150L, 160L, 1L)))
+  }
+
+  test("mergeIntervals result is invariant under input partitioning") {
+    val base = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id AS k", "event_id AS id", "ts AS s",
+        "ts + (event_id % 900 + 60) * 1000000000 AS e")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      mergedMap(TimeSeries.mergeIntervals(df, "k", "s", "e", "id")
+        .select("k", "interval_idx", "iv_start", "iv_end", "n_merged")
+        .collect())
+    assert(run(base) == run(base.repartition(7)))
+  }
 }

@@ -327,6 +327,120 @@ object Similarity {
     ivfSearch(queries, corpus, cents, idCol, vecCol, k, nprobe)
   }
 
+  /** Product-quantization codebooks (Jégou, Douze, Schmid 2011): the
+    * embedding splits into `m` contiguous `dim/m`-wide subspaces and
+    * each gets an INDEPENDENT [[kmeansQuantized]] codebook of `ksub`
+    * codewords over its sub-vectors — every corpus vector then stores
+    * as `m` small codeword ids (`m·log2(ksub)` bits, vs `32·dim` for
+    * the raw floats; at m=4/ksub=16 that is 2 BYTES per 64-dim vector,
+    * a 128× compression, coarser than SQ8's 64× but with the lookup
+    * structure ADC search wants). Training inherits every determinism
+    * guarantee of the underlying quantizer (integer sums, hash-ordered
+    * init/sample), so the DuckDB oracle replays all `m` codebooks
+    * bit-exact (x_ann_pq).
+    *
+    * Returns the driver-side codebook (the documented O(KB) centroid
+    * pattern — m·ksub·(dim/m) doubles): (s, c_id, c_v) per codeword.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int,
+                  trainSample: Int = 0): Seq[(Int, Long, Seq[Double])] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val sub = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    (0 until m).flatMap { s =>
+      val sliced = sub.select(col(idCol),
+        expr(s"slice(__v, $s * (size(__v) div $m) + 1, " +
+          s"size(__v) div $m)").as("__sv"))
+      kmeansQuantized(sliced, idCol, "__sv", ksub, iters, trainSample)
+        .map { case (cid, csum, cnt) =>
+          (s, cid, csum.map(x => x.toDouble / cnt / KmeansScale).toSeq)
+        }
+    }
+  }
+
+  /** PQ encoding: `(n_id, s, code)` — per-subspace nearest-codeword
+    * assignment, the same broadcast cosine-argmax pass as the IVF
+    * assignment, over subspace-exploded thin rows. The full vector
+    * never shuffles: slicing is row-local (one `posexplode` of the m
+    * slices) and the codebook is a broadcast literal-sized table.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[(Int, Long, Seq[Double])],
+               m: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = spark.createDataFrame(codebooks).toDF("s", "c_id", "c_v")
+      .withColumn("c_norm", norm(col("c_v")))
+    val exploded = corpus
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_v"))
+      .select(col("n_id"), posexplode(
+        expr(s"transform(sequence(0, $m - 1), s -> " +
+          s"slice(n_v, s * (size(n_v) div $m) + 1, size(n_v) div $m))"))
+        .as(Seq("s", "sub_v")))
+      .withColumn("sub_norm", norm(col("sub_v")))
+    val w = Window.partitionBy(col("n_id"), col("s"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    exploded.join(broadcast(cb), "s")
+      .withColumn("c_sim",
+        dot(col("sub_v"), col("c_v")) / (col("sub_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("n_id"), col("s"), col("c_id").as("code"))
+  }
+
+  /** PQ top-k search against the RECONSTRUCTION: each corpus row's
+    * stored m codes rebuild the concatenated codeword vector
+    * row-locally from the broadcast literal codebook (no join carries
+    * a wide array), and queries score `round(cos(q, recon), 4)` —
+    * exactly the quantity the oracle recomputes from its replayed
+    * codebooks, summed in the same full-vector ascending-index fold
+    * so the two engines agree bit-for-bit.
+    *
+    * Scale shape: after encoding, the corpus representation IS the
+    * code table (2 bytes/vector at the defaults) — the scan side of
+    * the search carries thin rows only, with reconstruction and
+    * scoring fused row-local into the scan. Like the brute baseline
+    * this variant visits every row per query (that is ADC's contract);
+    * compose with the IVF probe pruning ([[ivfTopKTrained]] /
+    * [[ivfSqTopKFromIndex]]) when sublinear reads are needed.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
+             iters: Int = 2, trainSample: Int = 0): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters,
+      trainSample)
+    // nested literal codebook indexed [s][c_id] — m·ksub·(dim/m)
+    // doubles folded into the plan as a constant
+    val nested: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val bySub = cbs.filter(_._1 == s).sortBy(_._2)
+      bySub.map(_._3)
+    }
+    val cbLit = typedLit(nested)
+    val codes = pqEncode(corpus, idCol, vecCol, cbs, m)
+      .groupBy("n_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("code"))))
+        .as("cs"))
+    val recon = codes
+      .withColumn("r_v", flatten(transform(col("cs"),
+        c => element_at(
+          element_at(cbLit, c.getField("s") + 1),
+          (c.getField("code") + 1).cast("int")))))
+      .withColumn("r_norm", norm(col("r_v")))
+      .select(col("n_id"), col("r_v"), col("r_norm"))
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    recon.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(
+        dot(col("q_v"), col("r_v")) / (col("q_norm") * col("r_norm")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Near-dup PAIRS via LSH bucketing — the 100 TB upgrade of
     * [[nearDupPairs]]: instead of the all-pairs product, candidates are
     * the pairs sharing a bucket in ANY of the `tables` hyperplane

@@ -2139,6 +2139,53 @@ object TrainingData {
     Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 20), emb,
       "vec_id", "embedding", 5, nlist = 16, nprobe = 4, iters = 2)
   }
+  // ------------------------------------------- product quantization ANN
+  // Similarity.pqTopK gated end to end: four independent 16-codeword
+  // codebooks (one per 16-dim subspace of the 64-dim embedding), each
+  // the SAME deterministic quantizer replay as x_ann_ivf, composed in
+  // one statement via the suffix-parameterized chain; corpus vectors
+  // reconstruct from their codes and queries rank round(cos, 4)
+  // against the reconstruction — both engines fold the full 64-dim
+  // dot identically.
+  def annPqQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5, m = 4, ksub = 16, iters = 2)
+  }
+  lazy val annPqSql: String = {
+    val m = 4; val sub = 16
+    val preludes = (0 until m).map(s =>
+      s"vc_s$s AS (SELECT vec_id, " +
+        s"vec[${s * sub + 1}:${(s + 1) * sub}] AS vec FROM v0)")
+      .mkString(",\n")
+    val bodies = (0 until m).map(s =>
+      ivfAssignBody(s"_s$s", s"vc_s$s", 16)).mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |$preludes,
+       |$bodies,
+       |rec AS (
+       |  SELECT a0.n_id,
+       |    c0.c_v || c1.c_v || c2.c_v || c3.c_v AS r_v
+       |  FROM a2_s0 a0 JOIN cents_s0 c0 ON a0.c_id = c0.c_id
+       |  JOIN a2_s1 x1 ON x1.n_id = a0.n_id
+       |  JOIN cents_s1 c1 ON x1.c_id = c1.c_id
+       |  JOIN a2_s2 x2 ON x2.n_id = a0.n_id
+       |  JOIN cents_s2 c2 ON x2.c_id = c2.c_id
+       |  JOIN a2_s3 x3 ON x3.n_id = a0.n_id
+       |  JOIN cents_s3 c3 ON x3.c_id = c3.c_id),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, r.n_id,
+       |    round(${ivfCos("q.vec", "r.r_v")}, 4) AS sim
+       |  FROM v0 q CROSS JOIN rec r
+       |  WHERE q.vec_id < 20 AND q.vec_id != r.n_id)
+       |SELECT q_id, n_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+       |       AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+  }
+
   /** The trained-IVF oracle chain, parameterized by a CTE prelude that
     * must define `vc(vec_id, vec)` — the corpus the quantizer trains
     * on, assigns, and scores — and `vq(vec_id, vec)` — the query
@@ -2157,19 +2204,30 @@ object TrainingData {
     * hash-ordered training sample (smallest (hash32("smp:"+id), id));
     * 0 trains on the full corpus. */
   private def ivfAssignCtes(prelude: String, trainSample: Int = 0,
+                            trainWhere: String = ""): String =
+    s"""WITH $prelude,
+       |${ivfAssignBody("", "vc", 16, trainSample, trainWhere)}""".stripMargin
+
+  /** The suffix-parameterized chain body (no WITH, no prelude): every
+    * CTE name carries `sfx` so several independent quantizer replays
+    * can coexist in one statement (x_ann_pq trains one per PQ
+    * subspace); `vcName` is the prelude-defined corpus CTE, `nlist`
+    * the codebook width. `sfx = ""` reproduces the original chain. */
+  private def ivfAssignBody(sfx: String, vcName: String, nlist: Int,
+                            trainSample: Int = 0,
                             trainWhere: String = ""): String = {
     def cos(a: String, b: String) = ivfCos(a, b)
     val tw = if (trainWhere.isEmpty) "" else s"WHERE $trainWhere"
     // one Lloyd iteration: exact-integer assignment + update over the
     // previous centroid CTE, empty clusters carrying over
     def iteration(t: Int): String = {
-      val prev = if (t == 1) "cents0" else s"cents${t - 1}"
-      s"""cn$t AS (
+      val prev = if (t == 1) s"cents0$sfx" else s"cents${t - 1}$sfx"
+      s"""cn$t$sfx AS (
          |  SELECT c_id, csum, cnt,
          |    CAST(list_sum(list_transform(csum,
          |      x -> CAST(x AS HUGEINT) * x)) AS DOUBLE) AS cn2
          |  FROM $prev),
-         |as$t AS (
+         |as$t$sfx AS (
          |  SELECT n_id, c_id, qv FROM (
          |    SELECT q.n_id, c.c_id, q.qv,
          |      row_number() OVER (PARTITION BY q.n_id ORDER BY
@@ -2177,59 +2235,58 @@ object TrainingData {
          |          i -> CAST(q.qv[CAST(i AS INT)] AS HUGEINT)
          |               * c.csum[CAST(i AS INT)])) AS DOUBLE)
          |        / (sqrt(q.qn2) * sqrt(c.cn2)) DESC, c.c_id) AS rn
-         |    FROM trn q CROSS JOIN cn$t c)
+         |    FROM trn$sfx q CROSS JOIN cn$t$sfx c)
          |  WHERE rn = 1),
-         |u$t AS (
+         |u$t$sfx AS (
          |  SELECT c_id, pos, CAST(sum(val) AS BIGINT) AS s,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT c_id, generate_subscripts(qv, 1) AS pos,
-         |               unnest(qv) AS val FROM as$t)
+         |               unnest(qv) AS val FROM as$t$sfx)
          |  GROUP BY c_id, pos),
-         |nc$t AS (
+         |nc$t$sfx AS (
          |  SELECT c_id, list(s ORDER BY pos) AS csum, min(cnt) AS cnt
-         |  FROM u$t GROUP BY c_id),
-         |cents$t AS (
+         |  FROM u$t$sfx GROUP BY c_id),
+         |cents$t$sfx AS (
          |  SELECT p.c_id, COALESCE(n.csum, p.csum) AS csum,
          |         COALESCE(n.cnt, p.cnt) AS cnt
-         |  FROM $prev p LEFT JOIN nc$t n USING (c_id))""".stripMargin
+         |  FROM $prev p LEFT JOIN nc$t$sfx n USING (c_id))""".stripMargin
     }
-    s"""WITH $prelude,
-       |q0 AS (
+    s"""q0$sfx AS (
        |  SELECT vec_id AS n_id, vec,
        |    list_transform(vec, x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
-       |  FROM vc),
-       |qn AS (
+       |  FROM $vcName),
+       |qn$sfx AS (
        |  SELECT n_id, qv,
        |    CAST(list_sum(list_transform(qv,
        |      x -> CAST(x AS HUGEINT) * x)) AS DOUBLE) AS qn2
-       |  FROM q0),
-       |trn AS (${
-      if (trainSample == 0) s"SELECT n_id, qv, qn2 FROM qn $tw"
+       |  FROM q0$sfx),
+       |trn$sfx AS (${
+      if (trainSample == 0) s"SELECT n_id, qv, qn2 FROM qn$sfx $tw"
       else
         s"""
        |  SELECT n_id, qv, qn2 FROM (
        |    SELECT n_id, qv, qn2,
        |      ${duckHash32("'smp:' || CAST(n_id AS VARCHAR)")} AS hs
-       |    FROM qn $tw ORDER BY hs, n_id LIMIT $trainSample)""".stripMargin
+       |    FROM qn$sfx $tw ORDER BY hs, n_id LIMIT $trainSample)""".stripMargin
     }),
-       |cents0 AS (
+       |cents0$sfx AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, n_id) - 1 AS BIGINT) AS c_id,
        |         qv AS csum, CAST(1 AS BIGINT) AS cnt
        |  FROM (SELECT n_id, qv,
        |          ${duckHash32("CAST(n_id AS VARCHAR)")} AS h
-       |        FROM trn ORDER BY h, n_id LIMIT 16)),
+       |        FROM trn$sfx ORDER BY h, n_id LIMIT $nlist)),
        |${iteration(1)},
        |${iteration(2)},
-       |cents AS (
+       |cents$sfx AS (
        |  SELECT c_id,
        |    list_transform(csum, s -> (CAST(s AS DOUBLE) / cnt) / 1048576) AS c_v
-       |  FROM cents2),
-       |assigned AS (
+       |  FROM cents2$sfx),
+       |assigned$sfx AS (
        |  SELECT n.vec_id AS n_id, n.vec AS n_v, c.c_id,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      ${cos("n.vec", "c.c_v")} DESC, c.c_id) AS rn
-       |  FROM vc n CROSS JOIN cents c),
-       |a2 AS (SELECT c_id, n_id, n_v FROM assigned WHERE rn = 1)""".stripMargin
+       |  FROM $vcName n CROSS JOIN cents$sfx c),
+       |a2$sfx AS (SELECT c_id, n_id, n_v FROM assigned$sfx WHERE rn = 1)""".stripMargin
   }
 
   private def ivfChainSql(prelude: String,
@@ -3392,6 +3449,7 @@ object TrainingData {
     "x_token_bpe" -> (tokenBpeQ _),
     "x_pii_scrub" -> (piiScrubQ _),
     "x_ann_ivf" -> (annIvfQ _),
+    "x_ann_pq" -> (annPqQ _),
     "x_dedup_drop" -> (dedupDropQ _),
     "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
     "x_containment" -> (containmentQ _),
@@ -3483,6 +3541,7 @@ object TrainingData {
     "x_token_bpe" -> tokenBpeSql,
     "x_pii_scrub" -> piiScrubSql,
     "x_ann_ivf" -> annIvfSql,
+    "x_ann_pq" -> annPqSql,
     "x_dedup_drop" -> dedupDropSql,
     // same oracle as x_dedup_drop: the sig-table composition must
     // reproduce the from-text composition's survivor set exactly

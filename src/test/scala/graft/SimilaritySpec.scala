@@ -308,4 +308,66 @@ class SimilaritySpec extends SparkSpec {
       assert(f1(s) == t && r1(t) == s, s"($s,$t) is not mutual top-1")
     }
   }
+
+  test("pqCodebooks: m independent codebooks of ksub subspace-wide " +
+    "codewords") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 1)
+    assert(cbs.length == 32)
+    assert(cbs.map(_._1).distinct.sorted == Seq(0, 1, 2, 3))
+    // 64-dim vectors, 4 subspaces -> 16-wide codewords
+    assert(cbs.forall(_._3.length == 16))
+    (0 until 4).foreach { s =>
+      assert(cbs.filter(_._1 == s).map(_._2).sorted == (0L until 8L))
+    }
+  }
+
+  test("pqEncode: every vector gets one in-range code per subspace") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs, 4)
+    val n = emb.count()
+    assert(codes.count() == n * 4)
+    assert(codes.groupBy("n_id").count()
+      .where($"count" =!= 4).count() == 0)
+    assert(codes.where($"code" < 0 || $"code" >= 8).count() == 0)
+  }
+
+  test("pqTopK finds planted near-twins and beats chance on random data") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    // twins: each query vector re-inserted (ids +10000) with its first
+    // component nudged — a ~0.999-cosine planted neighbor that encodes
+    // to the same (or adjacent) codes, which PQ must surface at rank 1
+    val twins = emb.filter($"vec_id" < 10).select(
+      ($"vec_id" + 10000L).as("vec_id"),
+      transform($"embedding",
+        (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+        .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    val q = emb.filter($"vec_id" < 10)
+    val top1 = Similarity.pqTopK(q, corpus, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(i => top1(i) == i + 10000L)
+    assert(hits >= 9, s"only $hits/10 planted twins ranked first")
+    // on the raw near-random corpus, 2-byte codes are coarse by design
+    // but must still beat chance (5/499 ~ 0.01) clearly
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.04, s"recall@5 $recall is not above chance")
+  }
+
+  test("pqTopK is deterministic across partitionings") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(q, c, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+    assert(run(emb) == run(emb.repartition(13)))
+  }
 }

@@ -419,6 +419,91 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals == driver sort-sweep merge on random intervals") {
+    val gen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(50, for {
+        k <- Gen.choose(1L, 5L)
+        s <- Gen.choose(0L, 100L)
+        len <- Gen.choose(0L, 30L)
+      } yield (k, s, s + len))
+    (0 until 8).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(900L + i))
+        .zipWithIndex.map { case ((k, s, e), id) => (k, id.toLong, s, e) }
+      // driver reference: per key, sort by start and sweep with a
+      // running max end; touching intervals merge (strict > splits)
+      val expected = rows.groupBy(_._1).flatMap { case (k, ivs) =>
+        val sorted = ivs.map(x => (x._3, x._4)).sortBy(identity)
+        val islands = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)] // (start, maxEnd, n)
+        sorted.foreach { case (s, e) =>
+          if (islands.nonEmpty && s <= islands.last._2) {
+            val (is, ie, n) = islands.last
+            islands(islands.length - 1) = (is, math.max(ie, e), n + 1)
+          } else islands += ((s, e, 1L))
+        }
+        islands.zipWithIndex.map { case ((s, e, n), idx) =>
+          (k, idx + 1L) -> ((s, e, n))
+        }
+      }
+      val got = graft.operators.TimeSeries
+        .mergeIntervals(rows.toDF("k", "id", "s", "e"), "k", "s", "e", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expected, s"sample $i diverged")
+    }
+  }
+
+  test("linkPrediction == driver brute-force common-neighbor scoring " +
+    "on random graphs") {
+    val gen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, for {
+        a <- Gen.choose(1L, 12L)
+        b <- Gen.choose(1L, 12L)
+      } yield (a, b)).map(_.filter(e => e._1 != e._2))
+    (0 until 8).foreach { i =>
+      val raw = gen.pureApply(Gen.Parameters.default, Seed(1300L + i))
+      val edges = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+        val nodes = adj.keys.toSeq.sorted
+        val expected = (for {
+          a <- nodes; b <- nodes if a < b && !adj(a).contains(b)
+          common = adj(a).intersect(adj(b)) if common.nonEmpty
+        } yield (a, b) -> ((common.size.toLong,
+          common.toSeq.map(v => 1000000L / adj(v).size).sum))).toMap
+        val got = graft.operators.Graph
+          .linkPrediction(raw.toDF("a", "b"), "a", "b")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap
+        assert(got == expected, s"sample $i diverged")
+      }
+    }
+  }
+
+  test("suppressBelowK: rows preserved, surviving groups all >= k, " +
+    "suppression matches the driver's group census") {
+    samples(8).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "t", "v")
+      val k = 3L
+      val out = graft.ops.Privacy.suppressBelowK(df, Seq("k", "t"), k)
+        .collect()
+      assert(out.length == rows.length, "row count changed")
+      val census = rows.groupBy(x => (x._1, x._2)).map {
+        case (g, rs) => g -> rs.size
+      }
+      // a surviving (non-null) quasi tuple must come from a group >= k,
+      // and exactly the >= k rows survive
+      val survivors = out.filter(!_.isNullAt(0))
+      survivors.foreach { r =>
+        assert(census((r.getLong(0), r.getLong(1))) >= k)
+      }
+      val expectSurvive = rows.count(x => census((x._1, x._2)) >= k)
+      assert(survivors.length == expectSurvive)
+    }
+  }
+
   test("scdMerge output keys = keys(ods) ∪ keys(dwd); audit never null") {
     samples(10).sliding(2).foreach { case Seq(o, d) =>
       if (o.nonEmpty && d.nonEmpty) {

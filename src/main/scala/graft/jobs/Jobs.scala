@@ -319,8 +319,77 @@ object Jobs {
     graft.queries.TrainingData.bitextMineQ(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/bitext_pairs")
 
+  /** Privacy release: the customer table under k=5 cell suppression on
+    * its quasi-identifier tuple, written alongside the risky-group
+    * worklist — the export gate a data-release pipeline runs last. */
+  private def releaseCustomersJob(spark: SparkSession, sfDir: String,
+                                  outDir: String): Unit = {
+    val c = Tables.load(spark, sfDir, "customer").select(
+      col("c_custkey"), col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast("long").as("nation"),
+      floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_kb"))
+    val quasi = Seq("segment", "nation", "bal_kb")
+    graft.ops.Privacy.suppressBelowK(c, quasi, 5L)
+      .write.mode("overwrite").parquet(s"$outDir/customer_release")
+    graft.ops.Privacy.kAnonymityReport(c, quasi, 5L)
+      .where(col("at_risk"))
+      .write.mode("overwrite").parquet(s"$outDir/customer_risky_groups")
+  }
+
+  /** Availability rollup: each event opens a deterministic lease
+    * window; overlapping-or-touching windows per user coalesce into
+    * maximal availability intervals (TimeSeries.mergeIntervals). */
+  private def mergeAvailabilityJob(spark: SparkSession, sfDir: String,
+                                   outDir: String): Unit = {
+    val e = Tables.load(spark, sfDir, "events")
+    val iv = e.select(col("user_id"), col("event_id"),
+      col("ts").as("start_ns"),
+      (col("ts") + (col("event_id") % 900 + lit(60L)) * 1000000000L)
+        .as("end_ns"))
+    graft.operators.TimeSeries
+      .mergeIntervals(iv, "user_id", "start_ns", "end_ns", "event_id")
+      .write.mode("overwrite").parquet(s"$outDir/user_availability")
+  }
+
+  /** Skip-index build: lineitem rewritten range-clustered on
+    * l_orderkey with a per-file min/max stats table, then a pruned
+    * range read exercised against the fresh index — the ingest-time
+    * layout work that makes later point/range scans touch only their
+    * files. */
+  private def indexLineitemJob(spark: SparkSession, sfDir: String,
+                               outDir: String): Unit = {
+    val p = s"$outDir/lineitem_skip"
+    graft.sources.ClusteredWrite.writeClustered(
+      Tables.load(spark, sfDir, "lineitem"),
+      p, Seq("l_orderkey"), partitions = 8)
+    graft.sources.SkippingIndex.buildStats(spark, p, Seq("l_orderkey"))
+    graft.sources.SkippingIndex.readRange(spark, p, "l_orderkey",
+        1000L, 5000L)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem_slice")
+  }
+
+  /** PQ compression: train the per-subspace codebooks once and write
+    * the corpus as its m-code rows — the 2-bytes-per-vector
+    * representation an ADC search serves from. */
+  private def encodePqJob(spark: SparkSession, sfDir: String,
+                          outDir: String): Unit = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cbs = graft.operators.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+    spark.createDataFrame(cbs.map { case (s, c, v) => (s, c, v) })
+      .toDF("s", "c_id", "c_v")
+      .write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
+    graft.operators.Similarity
+      .pqEncode(emb, "vec_id", "embedding", cbs, 4)
+      .write.mode("overwrite").parquet(s"$outDir/pq_codes")
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
     "build_ann_index" -> (buildAnnIndexJob _),
+    "release_customers" -> (releaseCustomersJob _),
+    "merge_availability" -> (mergeAvailabilityJob _),
+    "index_lineitem" -> (indexLineitemJob _),
+    "encode_pq" -> (encodePqJob _),
     "mine_bitext" -> (mineBitextJob _),
     "resolve_customers" -> (resolveCustomersJob _),
     "profile_tables" -> (profileTablesJob _),

@@ -15,12 +15,14 @@ class JobsSpec extends SparkSpec {
     }
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
     // ingest_props, corpus_report, screen_batch, export_shards,
-    // resolve_customers and build_ann_index emit two tables each;
-    // clean_corpus also persists the maintained signature table;
-    // curate_stream adds its feed + admitted tables (it reuses
-    // clean_corpus's signature table, running right after it)
-    assert(dirs.size == Jobs.all.size + 8,
-      s"expected ${Jobs.all.size + 8} output tables, got $dirs")
+    // resolve_customers, build_ann_index, release_customers and
+    // encode_pq emit two tables each; clean_corpus also persists the
+    // maintained signature table; curate_stream adds its feed +
+    // admitted tables (it reuses clean_corpus's signature table,
+    // running right after it); index_lineitem emits three (clustered
+    // layout, its _stats index, the pruned slice)
+    assert(dirs.size == Jobs.all.size + 12,
+      s"expected ${Jobs.all.size + 12} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>
         // composite SQ8/IVF layout, not one parquet relation — validate

@@ -88,6 +88,58 @@ object TimeSeries {
         count(lit(1)).as("n_merged"))
   }
 
+  /** Trailing-window z-score anomaly flags in EXACT integer
+    * arithmetic — the online telemetry monitor ("is this reading wild
+    * against ITS OWN recent history"), complementing the static
+    * per-group fences in [[graft.ops.Outliers]]. The value quantizes
+    * to `scale` units, the strictly-preceding `window` rows supply
+    * rolling count/sum/sum-of-squares, and the z-threshold test
+    * cross-multiplies so no division, sqrt, or float ever runs:
+    *
+    *   |x·n − Σx| > z·sqrt(n·(n·Σx² − (Σx)²))
+    *   ⇔ (x·n − Σx)² > z²·n·(n·Σx² − (Σx)²)    (integers both sides)
+    *
+    * Integer moments are association-free, so the flag is
+    * bit-identical across partitionings, retries, and engines
+    * (`zSq` = z², e.g. 9 for the 3-sigma rule); a float z-score
+    * pipeline is none of those. Warmup rows (fewer than `window`
+    * predecessors) flag false — they have no verdict, not an anomaly.
+    *
+    * One hash shuffle on the key (the window), everything after is
+    * row-local; wide history never materializes — the frame carries
+    * three running integers. Ordering must be total per key:
+    * (orderCol, idCol).
+    *
+    * Output: input keys + (ts order) + `v_c` (quantized value),
+    * `n_prev`, `is_anomaly`.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, orderCol: String,
+                       idCol: String, valueCol: String,
+                       window: Int = 20, zSq: Long = 9L,
+                       scale: Long = 100L): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val dec = "decimal(38,0)"
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(idCol))
+      .rowsBetween(-window.toLong, -1)
+    val base = df.withColumn("v_c",
+      floor(col(valueCol) * scale).cast("long"))
+    base
+      .withColumn("n_prev", count(col("v_c")).over(wp))
+      .withColumn("__s", coalesce(sum(col("v_c")).over(wp), lit(0L)))
+      .withColumn("__ss",
+        coalesce(sum(col("v_c") * col("v_c")).over(wp), lit(0L)))
+      .withColumn("is_anomaly",
+        when(col("n_prev") === window.toLong, {
+          val dev = (col("v_c") * col("n_prev") - col("__s")).cast(dec)
+          val varTerm = (col("n_prev").cast(dec) * col("__ss").cast(dec) -
+            col("__s").cast(dec) * col("__s").cast(dec))
+          dev * dev > lit(zSq).cast(dec) * col("n_prev").cast(dec) * varTerm
+        }).otherwise(lit(false)))
+      .drop("__s", "__ss")
+  }
+
   /** Last-observation-carried-forward (LOCF) repair: every null in each
     * of `fillCols` takes the key's most recent non-null value in
     * `(orderCol, tieCol)` order — the sensor/telemetry gap repair that

@@ -247,6 +247,54 @@ object TrainingData {
       |          4) END AS jaccard2
       |FROM grams""".stripMargin
 
+  // --------------------------------------------- verified near-dup pairs
+  // The production two-stage judgment: the MinHash screen (maintained
+  // signature table, loose 0.2 threshold) proposes candidates cheaply,
+  // then each surviving pair is verified by the EXACT word-bigram
+  // Jaccard over the two texts before any data is dropped — estimates
+  // screen, exact measures judge. Output carries both scores, so the
+  // table doubles as the screen's calibration record. Texts join back
+  // AFTER the id-only candidate generation (the r3 occupancy rule).
+  def neardupVerifiedQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.2)
+    pairs
+      .join(corpus.select(col("doc_id").as("doc_a"),
+        col("text").as("__ta")), "doc_a")
+      .join(corpus.select(col("doc_id").as("doc_b"),
+        col("text").as("__tb")), "doc_b")
+      .withColumn("jaccard2", Dedup.ngramJaccard(col("__ta"), col("__tb"), 2))
+      .select(col("doc_a"), col("doc_b"),
+        col("jaccard").as("est_jaccard"), col("jaccard2"),
+        (col("jaccard2") >= 0.4).as("verified"))
+  }
+  val neardupVerifiedSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |prs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 2 THEN
+       |      list_distinct(list_transform(range(1, len(t)),
+       |        i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]))
+       |    ELSE [] END AS gr
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(lower(trim(text)), '\\s+') AS t
+       |        FROM corpus)),
+       |v AS (
+       |  SELECT p.doc_a, p.doc_b, p.jaccard AS est_jaccard,
+       |    CASE WHEN len(a.gr) + len(b.gr) = 0 THEN 0.0 ELSE
+       |      round(len(list_filter(a.gr, x -> list_contains(b.gr, x)))::DOUBLE /
+       |            (len(a.gr) + len(b.gr)
+       |             - len(list_filter(a.gr, x -> list_contains(b.gr, x)))),
+       |            4) END AS jaccard2
+       |  FROM prs p JOIN g a ON p.doc_a = a.doc_id
+       |             JOIN g b ON p.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard, jaccard2,
+       |       jaccard2 >= 0.4 AS verified
+       |FROM v""".stripMargin
+
   // ------------------------------------------------ shingle containment
   // Containment C(A,B) = |A∩B| / |A| over distinct 5-shingle hash sets —
   // the ASYMMETRIC near-dup measure (quote/subset detection): a short
@@ -1143,6 +1191,43 @@ object TrainingData {
       |       min(s) // 1000 AS start_us, max(e) // 1000 AS end_us,
       |       count(*) AS n_merged
       |FROM m2 GROUP BY user_id, idx""".stripMargin
+
+  // ------------------------------------------------ rolling anomalies
+  // TimeSeries.rollingAnomalies gated end to end: each event's value
+  // judged against its user's trailing 20 readings by the 3-sigma rule
+  // with every moment an exact integer (cents lane, cross-multiplied
+  // compare — decimal(38,0) ↔ HUGEINT, the q_corr_exact device), so
+  // both engines flag identical rows. Warmup rows flag false.
+  def rollingAnomalyQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    TimeSeries.rollingAnomalies(
+        e.select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value")),
+        "user_id", "ts_us", "event_id", "value",
+        window = 20, zSq = 9L, scale = 100L)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("v_c"), col("n_prev"), col("is_anomaly"))
+  }
+  val rollingAnomalySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |         CAST(floor(value * 100) AS BIGINT) AS v_c
+      |  FROM events),
+      |w AS (
+      |  SELECT *, count(v_c) OVER wp AS n_prev,
+      |         COALESCE(sum(v_c) OVER wp, 0) AS s,
+      |         COALESCE(sum(v_c * v_c) OVER wp, 0) AS ss
+      |  FROM e
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, ts_us, v_c,
+      |  CAST(n_prev AS BIGINT) AS n_prev,
+      |  CASE WHEN n_prev = 20 THEN
+      |    CAST(v_c * n_prev - s AS HUGEINT) * (v_c * n_prev - s) >
+      |    9 * CAST(n_prev AS HUGEINT) *
+      |      (CAST(n_prev AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+      |  ELSE FALSE END AS is_anomaly
+      |FROM w""".stripMargin
 
   // --------------------------------------------------- k-anonymity audit
   // ops.Privacy gated end to end: the release projection of the
@@ -3436,6 +3521,7 @@ object TrainingData {
     "x_sessionize" -> (sessionizeQ _),
     "x_interval_merge" -> (intervalMergeQ _),
     "x_k_anonymity" -> (kAnonymityQ _),
+    "x_rolling_anomaly" -> (rollingAnomalyQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_multimodal_decode" -> (multimodalDecodeQ _),
     "x_ann_lsh" -> (annLshQ _),
@@ -3466,6 +3552,7 @@ object TrainingData {
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
     "x_link_predict" -> (linkPredictQ _),
+    "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_pagerank" -> (pageRankQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
@@ -3528,6 +3615,7 @@ object TrainingData {
     "x_sessionize" -> sessionizeSql,
     "x_interval_merge" -> intervalMergeSql,
     "x_k_anonymity" -> kAnonymitySql,
+    "x_rolling_anomaly" -> rollingAnomalySql,
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_multimodal_decode" -> multimodalDecodeSql,
     "x_ann_lsh" -> annLshSql,
@@ -3560,6 +3648,7 @@ object TrainingData {
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
     "x_link_predict" -> linkPredictSql,
+    "x_neardup_verified" -> neardupVerifiedSql,
     "x_pagerank" -> pageRankSql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,

@@ -303,4 +303,32 @@ class PlanSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  private def countExchanges(p: String): Int =
+    "Exchange".r.findAllIn(p).length
+
+  test("mergeIntervals costs ONE shuffle: the island rollup reuses the " +
+    "window's key partitioning") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id AS k", "event_id AS id", "ts AS s",
+        "ts + 1000000000 AS e")
+    val p = plan(graft.operators.TimeSeries
+      .mergeIntervals(ev, "k", "s", "e", "id"))
+    // HashPartitioning(k) satisfies the (k, interval_idx) clustering,
+    // so the groupBy must NOT re-exchange after the window
+    assert(countExchanges(p) == 1,
+      s"expected exactly one Exchange:\n$p")
+  }
+
+  test("rollingAnomalies costs ONE shuffle and keeps the flag compare " +
+    "row-local") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id AS k", "event_id AS id",
+        "ts div 1000 AS t", "value AS v")
+    val p = plan(graft.operators.TimeSeries
+      .rollingAnomalies(ev, "k", "t", "id", "v"))
+    assert(countExchanges(p) == 1,
+      s"expected exactly one Exchange:\n$p")
+    assert(!p.contains("Join"), s"anomaly flag must not join:\n$p")
+  }
 }

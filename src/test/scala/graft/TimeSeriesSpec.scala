@@ -102,6 +102,44 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 2L) -> (150L, 160L, 1L)))
   }
 
+  test("rollingAnomalies flags a planted spike, not the steady tail") {
+    // 20 warmup readings ~100, then a 10x spike, then a normal reading
+    val rows = (1 to 20).map(i => (1L, i.toLong, i.toLong, 100.0 + i % 3)) ++
+      Seq((1L, 21L, 21L, 1000.0), (1L, 22L, 22L, 101.0))
+    val out = TimeSeries.rollingAnomalies(
+        rows.toDF("k", "id", "t", "v"), "k", "t", "id", "v")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(5), r.getBoolean(6))).toMap
+    // warmup rows have no verdict
+    (1 to 20).foreach(i => assert(out(i.toLong) == (i - 1L, false)))
+    assert(out(21L) == (20L, true), "spike not flagged")
+    // the reading after the spike: history now contains the spike, so
+    // the inflated variance absorbs a normal value
+    assert(out(22L)._2 == false, "normal reading after spike flagged")
+  }
+
+  test("rollingAnomalies: zero-variance history flags any deviation, " +
+    "not an identical reading") {
+    val rows = (1 to 20).map(i => (1L, i.toLong, i.toLong, 50.0)) ++
+      Seq((1L, 21L, 21L, 50.0), (1L, 22L, 22L, 50.01))
+    val out = TimeSeries.rollingAnomalies(
+        rows.toDF("k", "id", "t", "v"), "k", "t", "id", "v")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    assert(!out(21L), "identical reading flagged on constant history")
+    assert(out(22L), "deviation from constant history not flagged")
+  }
+
+  test("rollingAnomalies is invariant under input partitioning") {
+    val base = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id AS k", "event_id AS id",
+        "ts div 1000 AS t", "value AS v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.rollingAnomalies(df, "k", "t", "id", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(run(base) == run(base.repartition(11)))
+  }
+
   test("mergeIntervals result is invariant under input partitioning") {
     val base = Tables.load(spark, sf0001, "events")
       .selectExpr("user_id AS k", "event_id AS id", "ts AS s",

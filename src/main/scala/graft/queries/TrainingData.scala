@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sessionize, Similarity, TimeSeries, UrlOps}
+import graft.operators.{Dedup, Sessionize, Similarity, SparseSim, TimeSeries, UrlOps}
 
 /** Training-data pipeline queries: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard), text analysis (stats, language-ID, fingerprints),
@@ -295,6 +295,62 @@ object TrainingData {
        |       jaccard2 >= 0.4 AS verified
        |FROM v""".stripMargin
 
+  // --------------------------------------- sparse TF-IDF cosine pairs
+  // The third similarity modality alongside set-overlap (MinHash
+  // Jaccard) and dense embeddings: TF-IDF-weighted cosine over word
+  // TRIGRAM features via the inverted-index posting join
+  // (operators.SparseSim) — rare shared phrases dominate the score, so
+  // template/citation overlap surfaces that Jaccard under-scores.
+  // df cap 50 bounds the posting self-join (candidates ≤ maxDf·Σdf,
+  // linear in the corpus); IDF is quantized once to integer micro-nats
+  // and every shuffled aggregate is an exact integer (decimal(38,0) ↔
+  // HUGEINT), so both engines cut on an identical rounded cosine.
+  def sparseSimQ(spark: SparkSession, dir: String): DataFrame =
+    SparseSim.cosinePairs(
+      SparseSim.tfidfPostings(nearDupCorpus(spark, dir), "text", "doc_id",
+        n = 3, maxDf = 50),
+      threshold = 0.2)
+  val sparseSimSql: String =
+    s"""WITH corpus AS (
+       |  $nearDupCorpusSql),
+       |toksp AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ta
+       |  FROM corpus),
+       |g3 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ta) >= 3 THEN
+       |      list_transform(range(1, len(ta) - 1),
+       |        i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1]
+       |             || ' ' || ta[CAST(i AS INT)+2])
+       |    ELSE [] END AS gs
+       |  FROM toksp),
+       |tfc AS (
+       |  SELECT doc_id, term, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(gs) AS term FROM g3)
+       |  GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT term, count(*) AS d FROM tfc GROUP BY 1
+       |  HAVING count(*) <= 50),
+       |nn AS (SELECT count(*) AS n_docs FROM corpus),
+       |wp AS (
+       |  SELECT t.doc_id, t.term,
+       |    t.c * CAST(round(ln((nn.n_docs + 1.0) / (d.d + 1.0)) * 1000000, 0)
+       |               AS BIGINT) AS w
+       |  FROM tfc t JOIN dfreq d USING (term), nn),
+       |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wp GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+       |  FROM wp a JOIN wp b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cosd AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+       |      4) AS cos_sim
+       |  FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+       |            JOIN norms nb ON nb.doc_id = dots.doc_b)
+       |SELECT doc_a, doc_b, cos_sim FROM cosd WHERE cos_sim >= 0.2""".stripMargin
+
   // ------------------------------------------------ shingle containment
   // Containment C(A,B) = |A∩B| / |A| over distinct 5-shingle hash sets —
   // the ASYMMETRIC near-dup measure (quote/subset detection): a short
@@ -425,6 +481,68 @@ object TrainingData {
       |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank
       |FROM c
       |QUALIFY row_number() OVER (ORDER BY cnt DESC, gram) <= 20""".stripMargin
+
+  // ----------------------------------------- count-min frequency sketch
+  // The point-query companion to the Misra-Gries screen above, over the
+  // SAME 5-char gram stream: a d=3 × w=2048 Count-Min cell table built
+  // by plain hash aggregation (partial aggregation IS the sketch —
+  // ops.Sketches), probed for the exact top-20 grams. Output carries
+  // estimate, exact count, and the overcount, so the one-sided CM
+  // guarantee (est ≥ exact, always) is proven relationally in the
+  // gated result. Cell-wise-sum merge is commutative — the sketch is
+  // bit-identical under any partitioning, unlike the MG candidate tail.
+  def countMinQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    import graft.ops.Sketches
+    val (depth, width) = (3, 2048)
+    val fan = spark.sessionState.conf.numShufflePartitions
+    val grams = docs(spark, dir).repartition(fan, col("doc_id")).select(
+      explode(expr("transform(sequence(1, greatest(length(text)-4, 1))," +
+        " i -> substring(text, i, 5))")).as("gram"))
+    val sketch = Sketches.countMinTable(grams, "gram", depth, width)
+    // probe set: exact top-20 via the MG nominate + exact recount device
+    val cand = grams.agg(NativeFns.heavyHitters(col("gram"), 1024).as("c"))
+      .select(explode(col("c")).as("gram"))
+    val counts = grams.join(broadcast(cand), Seq("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("gram"))
+    val top = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 20)
+    Sketches.cmEstimate(sketch, top.select(col("gram")), "gram", depth, width)
+      .join(top, Seq("gram"))
+      .select(col("gram"), col("cnt"), col("cm_est"),
+        (col("cm_est") - col("cnt")).as("overcount"), col("rank"))
+  }
+  val countMinSql: String =
+    s"""WITH g AS (
+       |  SELECT unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+       |         i -> substr(text, CAST(i AS INT), 5))) AS gram
+       |  FROM documents),
+       |dd AS (SELECT unnest([0, 1, 2]) AS d),
+       |cells AS (
+       |  SELECT dd.d,
+       |    ${duckHash32("'cm' || CAST(dd.d AS VARCHAR) || ':' || g.gram")}
+       |      % 2048 AS cell,
+       |    count(*) AS cnt
+       |  FROM g CROSS JOIN dd
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+       |topg AS (
+       |  SELECT gram, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank
+       |  FROM exact
+       |  QUALIFY row_number() OVER (ORDER BY cnt DESC, gram) <= 20),
+       |probe AS (
+       |  SELECT t.gram, dd.d,
+       |    ${duckHash32("'cm' || CAST(dd.d AS VARCHAR) || ':' || t.gram")}
+       |      % 2048 AS cell
+       |  FROM topg t CROSS JOIN dd),
+       |est AS (
+       |  SELECT p.gram, min(coalesce(c.cnt, 0)) AS cm_est
+       |  FROM probe p LEFT JOIN cells c ON c.d = p.d AND c.cell = p.cell
+       |  GROUP BY 1)
+       |SELECT t.gram, t.cnt, e.cm_est, e.cm_est - t.cnt AS overcount, t.rank
+       |FROM topg t JOIN est e USING (gram)""".stripMargin
 
   // ------------------------------------- group-aware (leakage-free) split
   // Hash the SOURCE, not the document: every doc from one source lands in
@@ -3544,6 +3662,7 @@ object TrainingData {
     "x_dup_spans" -> (dupSpansQ _),
     "x_split_by_source" -> (splitBySourceQ _),
     "x_heavy_hitters" -> (heavyHittersQ _),
+    "x_count_min" -> (countMinQ _),
     "x_ann_sq8" -> (annSq8Q _),
     "x_chunk" -> (chunkQ _),
     "x_lm_score" -> (lmScoreQ _),
@@ -3553,6 +3672,7 @@ object TrainingData {
     "x_triangles" -> (trianglesQ _),
     "x_link_predict" -> (linkPredictQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
+    "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
@@ -3640,6 +3760,7 @@ object TrainingData {
     "x_dup_spans" -> dupSpansSql,
     "x_split_by_source" -> splitBySourceSql,
     "x_heavy_hitters" -> heavyHittersSql,
+    "x_count_min" -> countMinSql,
     "x_ann_sq8" -> annSq8Sql,
     "x_chunk" -> chunkSql,
     "x_lm_score" -> lmScoreSql,
@@ -3649,6 +3770,7 @@ object TrainingData {
     "x_triangles" -> trianglesSql,
     "x_link_predict" -> linkPredictSql,
     "x_neardup_verified" -> neardupVerifiedSql,
+    "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,

@@ -873,6 +873,36 @@ object Parity {
       |FROM lineitem
       |WHERE l_orderkey BETWEEN 1000 AND 5000""".stripMargin
 
+  // ------------------------------------------- Bloom-filter file skip
+  // The point-lookup complement to p_fileskip_scan: orders HASHED into
+  // 8 files by customer (each file holds a subset of custkeys but a
+  // near-full custkey RANGE, so min/max envelopes prune nothing), a
+  // per-file Bloom postings table built over o_custkey, then a point
+  // read THROUGH the Bloom — only files whose filter contains all k
+  // bit positions of the probe are opened (BloomSkipSpec asserts the
+  // collapse to the one true file and no false negatives). Content
+  // must equal the plain equality filter over the original table.
+  def bloomskipScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = Fixtures.cached("bloomskip", dir) { root =>
+      val p = new java.io.File(root, "ord").toString
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.parquet(p)
+      graft.sources.SkippingIndex.buildBloom(spark, p, "o_custkey")
+      p
+    }
+    graft.sources.SkippingIndex
+      .readPoint(spark, path, "o_custkey", 42L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+  val bloomskipScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_custkey = 42""".stripMargin
+
   // ---------------------------------------------- small-file compaction
   // Compaction gated end to end: documents deliberately shattered into
   // 16 small files, then compacted toward bytes/4-sized targets — a
@@ -1220,6 +1250,7 @@ object Parity {
     "p_orc_roundtrip" -> (orcRoundtripQ _),
     "p_clustered_scan" -> (clusteredScanQ _),
     "p_fileskip_scan" -> (fileskipScanQ _),
+    "p_bloomskip_scan" -> (bloomskipScanQ _),
     "p_compaction" -> (compactionQ _),
     "p_schema_evolution" -> (schemaEvolutionQ _),
     "p_zorder_scan" -> (zorderScanQ _),
@@ -1257,6 +1288,7 @@ object Parity {
     "p_orc_roundtrip" -> ingestRoundtripSql,
     "p_clustered_scan" -> clusteredScanSql,
     "p_fileskip_scan" -> fileskipScanSql,
+    "p_bloomskip_scan" -> bloomskipScanSql,
     "p_compaction" -> compactionSql,
     "p_schema_evolution" -> schemaEvolutionSql,
     "p_zorder_scan" -> zorderScanSql,

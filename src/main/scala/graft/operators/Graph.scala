@@ -181,4 +181,85 @@ object Graph {
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
                iters: Int = 10): DataFrame =
     pageRankM(edges, aCol, bCol, iters).df
+
+  /** Deterministic SYNCHRONOUS label propagation (Raghavan, Albert &
+    * Kumara 2007) for community detection — the mesoscale between
+    * [[Dedup.connectedComponents]] (too coarse: one bridge edge merges
+    * two communities) and [[triangles]] (local density only): labels
+    * start as node ids and each round every node adopts the label most
+    * frequent among its neighbors PLUS ITSELF, ties broken toward the
+    * SMALLEST label. Classic async LPA is nondeterministic (visit
+    * order decides); fixing synchronous rounds, the self-vote (which
+    * also damps the 2-cycle oscillation sync updates are prone to),
+    * and the min-label tie-break makes every round a pure function of
+    * the previous labeling — bit-identical across partitionings,
+    * retries, and engines, so a SQL oracle can replay the rounds
+    * exactly.
+    *
+    * Per round: one hash join of the adjacency onto the current
+    * labels, one (node, label) count aggregation, and one
+    * deterministic argmax via `max(struct(cnt, -lbl))` — an
+    * aggregation, not a window, so the round needs no sort. The
+    * adjacency and node set are materialized ONCE; rounds checkpoint
+    * every `matEvery` like [[pageRankM]], keeping lineage flat. Fixed
+    * `iters`, no convergence collect.
+    */
+  def labelPropagationM(edges: DataFrame, aCol: String, bCol: String,
+                        iters: Int = 4,
+                        roundMat: graft.ops.MatStrategy =
+                          graft.ops.MatStrategy.Local,
+                        mat: graft.ops.MatStrategy =
+                          graft.ops.MatStrategy.Default,
+                        matEvery: Int = 2)
+      : graft.ops.Materialized = {
+    import graft.ops.Materialize
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
+    val e = canonicalEdges(edges, aCol, bCol)
+    val adjM = Materialize(
+      e.select(col("a").as("v"), col("b").as("n"))
+        .union(e.select(col("b").as("v"), col("a").as("n")))
+        .repartition(col("n")),
+      roundMat)
+    var nodesM: graft.ops.Materialized = null
+    try {
+      val adj = adjM.df
+      nodesM = Materialize(adj.select(col("v")).distinct(), roundMat)
+      val nodes = nodesM.df
+      var labels = nodes.withColumn("lbl", col("v"))
+      var freeLabels: () => Unit = () => ()
+      for (i <- 1 to iters) {
+        val votes = adj
+          .join(labels.withColumnRenamed("v", "n"), "n")
+          .select(col("v"), col("lbl"))
+          .union(labels.select(col("v"), col("lbl")))
+        val nextDf = votes
+          .groupBy(col("v"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("v"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("v"), (-col("m.nl")).as("lbl"))
+        if (i % matEvery == 0 || i == iters) {
+          val next = Materialize(nextDf, roundMat)
+          freeLabels()
+          labels = next.df
+          freeLabels = next.release
+        } else labels = nextDf
+      }
+      val out = Materialize(
+        labels.select(col("v").as("node"), col("lbl").as("community")),
+        mat)
+      freeLabels()
+      out
+    } finally {
+      adjM.release()
+      if (nodesM != null) nodesM.release()
+    }
+  }
+
+  /** [[labelPropagationM]] with default materialization, returning the
+    * bare frame: no RDD blocks outlive the call. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 4): DataFrame =
+    labelPropagationM(edges, aCol, bCol, iters).df
 }

@@ -734,6 +734,48 @@ object TrainingData {
        |WHERE NOT EXISTS (SELECT 1 FROM e
        |                  WHERE e.a = s.a AND e.b = s.b)""".stripMargin
 
+  // --------------------------------------- label-propagation communities
+  // Graph.labelPropagation over the same loose-threshold (0.2)
+  // signature-table pair graph as x_link_predict: the mesoscale
+  // community label between connected components (one bridge edge
+  // merges everything) and triangles (local density only). Four
+  // SYNCHRONOUS rounds with a self-vote and min-label tie-break make
+  // every round a pure function of the previous labeling, so the
+  // oracle UNROLLS the identical rounds as chained CTEs and must match
+  // exactly — the PageRank device applied to community detection.
+  def labelPropQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.2),
+      "doc_a", "doc_b", iters = 4)
+  val labelPropSql: String = {
+    def round(k: Int) =
+      s"""lp$k AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl,
+         |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC)
+         |        AS rn
+         |    FROM (
+         |      SELECT v, lbl, count(*) AS cnt FROM (
+         |        SELECT a.v AS v, l.lbl AS lbl
+         |        FROM adj a JOIN lp${k - 1} l ON l.v = a.n
+         |        UNION ALL SELECT v, lbl FROM lp${k - 1}) t$k
+         |      GROUP BY 1, 2) c$k) r$k
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |ce AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.2),
+       |adj AS (SELECT a AS v, b AS n FROM ce
+       |        UNION ALL SELECT b, a FROM ce),
+       |nodes AS (SELECT DISTINCT v FROM adj),
+       |lp0 AS (SELECT v, v AS lbl FROM nodes),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT v AS node, lbl AS community FROM lp4""".stripMargin
+  }
+
   // ------------------------------------------------- distribution drift
   // Drift.psiReport gated end to end: the PSI report between the
   // even-id and odd-id halves of the corpus over the n_chars
@@ -3671,6 +3713,7 @@ object TrainingData {
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
     "x_link_predict" -> (linkPredictQ _),
+    "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
@@ -3769,6 +3812,7 @@ object TrainingData {
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
     "x_link_predict" -> linkPredictSql,
+    "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,

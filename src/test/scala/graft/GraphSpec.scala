@@ -81,4 +81,59 @@ class GraphSpec extends SparkSpec {
     val e2 = Seq((4L, 3L), (2L, 1L), (3L, 2L), (2L, 3L)).toDF("a", "b")
     assert(lpMap(e1) == lpMap(e2))
   }
+
+  private def communities(e: org.apache.spark.sql.DataFrame, iters: Int = 4) =
+    Graph.labelPropagation(e, "a", "b", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation splits two cliques that a bridge edge connects") {
+    // triangles {1,2,3} and {4,5,6} joined by (3,4): connected
+    // components would merge everything; LPA keeps two communities
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    assert(communities(e) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("labelPropagation min-label tie-break on a single edge") {
+    // both endpoints see votes {1, 2} in round 1 → both pick 1
+    val e = Seq((2L, 1L)).toDF("a", "b")
+    assert(communities(e) === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("labelPropagation is invariant to partitioning and edge direction") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L), (5L, 6L))
+    val e1 = edges.toDF("a", "b")
+    val e2 = edges.reverse.map { case (a, b) => (b, a) }
+      .toDF("a", "b").repartition(7)
+    assert(communities(e1) === communities(e2))
+  }
+
+  test("labelPropagation matches a driver-side sync-rounds reference") {
+    val rng = new scala.util.Random(777L)
+    for (trial <- 0 until 3) {
+      val n = 14
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rng.nextDouble() < 0.22
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = communities(edges.toDF("a", "b"), iters = 4)
+
+        // reference: identical synchronous rounds, serially
+        val adj = (edges.map { case (a, b) => a -> b } ++
+          edges.map { case (a, b) => b -> a })
+          .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+        var lbl = adj.keys.map(v => v -> v).toMap
+        for (_ <- 1 to 4) {
+          lbl = adj.map { case (v, ns) =>
+            val votes = (ns.map(lbl) :+ lbl(v))
+              .groupBy(identity).map { case (l, o) => l -> o.size }
+            v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        assert(got === lbl, s"trial $trial mismatch")
+      }
+    }
+  }
 }

@@ -408,24 +408,7 @@ object Similarity {
              iters: Int = 2, trainSample: Int = 0): DataFrame = {
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters,
       trainSample)
-    // nested literal codebook indexed [s][c_id] — m·ksub·(dim/m)
-    // doubles folded into the plan as a constant
-    val nested: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
-      val bySub = cbs.filter(_._1 == s).sortBy(_._2)
-      bySub.map(_._3)
-    }
-    val cbLit = typedLit(nested)
-    val codes = pqEncode(corpus, idCol, vecCol, cbs, m)
-      .groupBy("n_id")
-      .agg(array_sort(collect_list(struct(col("s"), col("code"))))
-        .as("cs"))
-    val recon = codes
-      .withColumn("r_v", flatten(transform(col("cs"),
-        c => element_at(
-          element_at(cbLit, c.getField("s") + 1),
-          (c.getField("code") + 1).cast("int")))))
-      .withColumn("r_norm", norm(col("r_v")))
-      .select(col("n_id"), col("r_v"), col("r_norm"))
+    val recon = pqReconTable(corpus, idCol, vecCol, cbs, m)
     val q = queries.select(col(idCol).as("q_id"),
         asDouble(col(vecCol)).as("q_v"))
       .withColumn("q_norm", norm(col("q_v")))
@@ -433,6 +416,96 @@ object Similarity {
       .orderBy(col("sim").desc, col("n_id"))
     recon.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(
+        dot(col("q_v"), col("r_v")) / (col("q_norm") * col("r_norm")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** PQ reconstruction table `(n_id, r_v, r_norm)`: every corpus row's
+    * m stored codes rebuild the concatenated codeword vector
+    * row-locally from the broadcast literal codebook — no join carries
+    * a wide array. Shared by [[pqTopK]] (exhaustive ADC) and
+    * [[ivfPqTopK]] (probe-pruned ADC). */
+  private def pqReconTable(corpus: DataFrame, idCol: String,
+                           vecCol: String,
+                           cbs: Seq[(Int, Long, Seq[Double])],
+                           m: Int): DataFrame = {
+    // nested literal codebook indexed [s][c_id] — m·ksub·(dim/m)
+    // doubles folded into the plan as a constant
+    val nested: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val bySub = cbs.filter(_._1 == s).sortBy(_._2)
+      bySub.map(_._3)
+    }
+    val cbLit = typedLit(nested)
+    pqEncode(corpus, idCol, vecCol, cbs, m)
+      .groupBy("n_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("code"))))
+        .as("cs"))
+      .withColumn("r_v", flatten(transform(col("cs"),
+        c => element_at(
+          element_at(cbLit, c.getField("s") + 1),
+          (c.getField("code") + 1).cast("int")))))
+      .withColumn("r_norm", norm(col("r_v")))
+      .select(col("n_id"), col("r_v"), col("r_norm"))
+  }
+
+  /** IVF∘PQ: the coarse trained-IVF probe pruning composed with
+    * PQ-code reconstruction scoring — the IVFPQ layout (Jégou, Douze,
+    * Schmid 2011, §IV) as relational operators. The coarse quantizer
+    * bounds READS (candidates come only from the `nprobe` probed
+    * inverted lists — sublinear like [[ivfTopKTrained]]); the product
+    * quantizer bounds BYTES (ranking touches nothing but the 2-byte
+    * codes reconstructed row-locally from the broadcast codebook —
+    * 128× smaller than raw floats at the defaults). Both quantizers
+    * are the same deterministic integer k-means, so the DuckDB oracle
+    * replays coarse + all m sub-codebooks bit-exact in one statement
+    * (x_ann_ivf_pq).
+    *
+    * Plan: coarse assignment and probe selection are broadcast
+    * argmaxes (id-only candidates through the probe join), the PQ
+    * recon table joins by id AFTER pruning, so unprobed lists are
+    * never reconstructed — the same decode-after-prune rule the stored
+    * SQ8 index follows ([[ivfSqTopKFromIndex]]).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16,
+                nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+                iters: Int = 2, trainSample: Int = 0): DataFrame = {
+    val cents = trainedCentroidTable(corpus, idCol, vecCol, nlist, iters,
+      trainSample)
+    val c = corpus.select(col(idCol).as("n_id"),
+        asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_norm", norm(col("n_v")))
+    val wAssign = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("c_id"), col("n_id"))
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters,
+      trainSample)
+    val recon = pqReconTable(corpus, idCol, vecCol, cbs, m)
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_norm"), col("c_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    probes.join(assigned, Seq("c_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .join(recon, Seq("n_id"))
       .withColumn("sim", round(
         dot(col("q_v"), col("r_v")) / (col("q_norm") * col("r_norm")), 4))
       .withColumn("rank", row_number().over(wRank))

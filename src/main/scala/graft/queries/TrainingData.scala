@@ -2431,6 +2431,62 @@ object TrainingData {
        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
   }
 
+  // --------------------------------------------------- IVF∘PQ (IVFPQ)
+  // Similarity.ivfPqTopK gated end to end: the coarse trained-IVF
+  // quantizer bounds READS (candidates only from the 4 probed lists)
+  // and the product quantizer bounds BYTES (ranking reconstructs from
+  // 2-byte codes) — FIVE independent replays of the oracle-pinned
+  // integer k-means (coarse + 4 subspace codebooks) composed in one
+  // statement via the suffix-parameterized chain, scored in the same
+  // full-vector fold both engines use.
+  def annIvfPqQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 4,
+      m = 4, ksub = 16, iters = 2)
+  }
+  lazy val annIvfPqSql: String = {
+    val m = 4; val sub = 16
+    val preludes = (0 until m).map(s =>
+      s"vc_s$s AS (SELECT vec_id, " +
+        s"vec[${s * sub + 1}:${(s + 1) * sub}] AS vec FROM v0)")
+      .mkString(",\n")
+    val bodies = (0 until m).map(s =>
+      ivfAssignBody(s"_s$s", s"vc_s$s", 16)).mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |vc AS (SELECT vec_id, vec FROM v0),
+       |${ivfAssignBody("", "vc", 16)},
+       |$preludes,
+       |$bodies,
+       |rec AS (
+       |  SELECT a0.n_id,
+       |    c0.c_v || c1.c_v || c2.c_v || c3.c_v AS r_v
+       |  FROM a2_s0 a0 JOIN cents_s0 c0 ON a0.c_id = c0.c_id
+       |  JOIN a2_s1 x1 ON x1.n_id = a0.n_id
+       |  JOIN cents_s1 c1 ON x1.c_id = c1.c_id
+       |  JOIN a2_s2 x2 ON x2.n_id = a0.n_id
+       |  JOIN cents_s2 c2 ON x2.c_id = c2.c_id
+       |  JOIN a2_s3 x3 ON x3.n_id = a0.n_id
+       |  JOIN cents_s3 c3 ON x3.c_id = c3.c_id),
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${ivfCos("q.vec", "c.c_v")} DESC, c.c_id) AS rn
+       |  FROM v0 q CROSS JOIN cents c WHERE q.vec_id < 20),
+       |p2 AS (SELECT q_id, q_v, c_id FROM probes WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p2.q_id, a2.n_id,
+       |    round(${ivfCos("p2.q_v", "r.r_v")}, 4) AS sim
+       |  FROM p2 JOIN a2 USING (c_id) JOIN rec r ON r.n_id = a2.n_id
+       |  WHERE p2.q_id != a2.n_id)
+       |SELECT q_id, n_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+       |       AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+  }
+
   /** The trained-IVF oracle chain, parameterized by a CTE prelude that
     * must define `vc(vec_id, vec)` — the corpus the quantizer trains
     * on, assigns, and scores — and `vq(vec_id, vec)` — the query
@@ -3696,6 +3752,7 @@ object TrainingData {
     "x_pii_scrub" -> (piiScrubQ _),
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
+    "x_ann_ivf_pq" -> (annIvfPqQ _),
     "x_dedup_drop" -> (dedupDropQ _),
     "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
     "x_containment" -> (containmentQ _),
@@ -3793,6 +3850,7 @@ object TrainingData {
     "x_pii_scrub" -> piiScrubSql,
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,
+    "x_ann_ivf_pq" -> annIvfPqSql,
     "x_dedup_drop" -> dedupDropSql,
     // same oracle as x_dedup_drop: the sig-table composition must
     // reproduce the from-text composition's survivor set exactly

@@ -370,4 +370,51 @@ class SimilaritySpec extends SparkSpec {
           r.getDouble(2), r.getLong(3))).toSet
     assert(run(emb) == run(emb.repartition(13)))
   }
+
+  test("ivfPqTopK finds planted near-twins through probe + code pruning") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    // the pqTopK twin fixture: a ~0.999-cosine neighbor lands in the
+    // query's own coarse cell (the IVF probe must not lose it) and
+    // encodes to the same or adjacent codes (PQ must rank it first)
+    val twins = emb.filter($"vec_id" < 10).select(
+      ($"vec_id" + 10000L).as("vec_id"),
+      transform($"embedding",
+        (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+        .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    val q = emb.filter($"vec_id" < 10)
+    val top1 = Similarity.ivfPqTopK(q, corpus, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(i => top1.get(i).contains(i + 10000L))
+    assert(hits >= 9, s"only $hits/10 planted twins ranked first")
+  }
+
+  test("ivfPqTopK results are a subset of exhaustive pqTopK's candidates") {
+    // probe pruning may DROP neighbors that live in unprobed lists but
+    // must never invent them: every (q, n, sim) it returns appears in
+    // the exhaustive ADC ranking with the identical reconstruction sim
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val exhaustive = Similarity
+      .pqTopK(q, emb, "vec_id", "embedding", Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val pruned = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (key, sim) =>
+      assert(exhaustive.get(key).contains(sim),
+        s"$key sim $sim not in exhaustive ADC (${exhaustive.get(key)})")
+    }
+  }
+
+  test("ivfPqTopK is deterministic across partitionings") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(q, c, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+    assert(run(emb) == run(emb.repartition(13)))
+  }
 }

@@ -63,6 +63,30 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Per-query recall of an approximate top-k ranking against the
+    * exact one — the index-quality AUDIT a production ANN deployment
+    * runs before trusting (and after rebuilding) an index: sample
+    * queries, search both ways, gate the deploy on recall@k. Both
+    * inputs are `(q_id, n_id, ...)` rankings (any of this library's
+    * topK operators); output is `(q_id, n_exact, n_hit, recall)` with
+    * recall rounded to 4 decimals. Pure relational compose — one
+    * semi-join on the id pairs plus two per-query counts; at 100 TB
+    * the audit costs one brute-force search over the SAMPLED query
+    * set (bounded by construction), never over the corpus pair space.
+    */
+  def recallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("n_id"))
+    val hits = e.join(approx.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 4).as("recall"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — exact, for near-dup
     * detection on a bounded corpus slice (the oracle-checkable form;
     * use `lshBuckets` + bucket join for unbounded corpora).

@@ -75,4 +75,18 @@ object Sketches {
       .join(broadcast(sketch), Seq("d", "cell"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
+  /** Merge Count-Min cell tables built with the SAME (depth, width):
+    * cell-wise sum — the linearity that makes the sketch incremental
+    * (sketch(old ∪ delta) = merge(sketch(old), sketch(delta)), exactly,
+    * so a maintained sketch table absorbs each new batch with O(d·w)
+    * work and NEVER re-reads history; [[SketchesSpec]] proves the
+    * hash-equality, x_count_min_incr gates it end to end).
+    */
+  def mergeCm(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch to merge")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("d"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
 }

@@ -544,6 +544,43 @@ object TrainingData {
        |SELECT t.gram, t.cnt, e.cm_est, e.cm_est - t.cnt AS overcount, t.rank
        |FROM topg t JOIN est e USING (gram)""".stripMargin
 
+  // ----------------------------------- incremental count-min maintenance
+  // The sketch's linearity gated end to end: two INDEPENDENT cell
+  // tables (even-id and odd-id halves of the corpus, each seeing only
+  // its half) merged by cell-wise sum must be indistinguishable from
+  // the sketch built over everything — so the oracle IS x_count_min's
+  // SQL, and hash-equality proves a maintained 100 TB sketch table can
+  // absorb each ingest batch with O(d·w) work, never re-reading
+  // history. Probe set and exact counts unchanged (the audit side
+  // still reads the full stream; the SKETCH side is what increments).
+  def countMinIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    import graft.ops.Sketches
+    val (depth, width) = (3, 2048)
+    val fan = spark.sessionState.conf.numShufflePartitions
+    def gramsOf(d: DataFrame) = d.repartition(fan, col("doc_id")).select(
+      explode(expr("transform(sequence(1, greatest(length(text)-4, 1))," +
+        " i -> substring(text, i, 5))")).as("gram"))
+    val d = docs(spark, dir)
+    val sketch = Sketches.mergeCm(
+      Sketches.countMinTable(gramsOf(d.where(col("doc_id") % 2 === 0)),
+        "gram", depth, width),
+      Sketches.countMinTable(gramsOf(d.where(col("doc_id") % 2 === 1)),
+        "gram", depth, width))
+    val grams = gramsOf(d)
+    val cand = grams.agg(NativeFns.heavyHitters(col("gram"), 1024).as("c"))
+      .select(explode(col("c")).as("gram"))
+    val counts = grams.join(broadcast(cand), Seq("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("gram"))
+    val top = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 20)
+    Sketches.cmEstimate(sketch, top.select(col("gram")), "gram", depth, width)
+      .join(top, Seq("gram"))
+      .select(col("gram"), col("cnt"), col("cm_est"),
+        (col("cm_est") - col("cnt")).as("overcount"), col("rank"))
+  }
+
   // ------------------------------------- group-aware (leakage-free) split
   // Hash the SOURCE, not the document: every doc from one source lands in
   // the same split, so near-identical pages from a single site can never
@@ -2487,6 +2524,59 @@ object TrainingData {
        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
   }
 
+  // ------------------------------------------------ ANN recall audit
+  // Similarity.recallReport gated end to end: recall@5 of the trained
+  // IVF search against the exact brute-force ranking, per query — the
+  // audit that decides whether an index (or its nlist/nprobe setting)
+  // is fit to serve. Composes two already-pinned rankings; the oracle
+  // runs the identical IVF chain and brute chain in one statement and
+  // joins them the same way. At 100 TB the exact side runs over the
+  // SAMPLED query set only (here: vec_id < 20), never the pair space.
+  def annRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    Similarity.recallReport(
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5),
+      Similarity.ivfTopKTrained(q, emb, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4, iters = 2))
+  }
+  lazy val annRecallSql: String =
+    s"""${ivfAssignCtes(
+        """v0 AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          |vc AS (SELECT vec_id, vec FROM v0)""".stripMargin)},
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${ivfCos("q.vec", "c.c_v")} DESC, c.c_id) AS rn
+       |  FROM v0 q CROSS JOIN cents c WHERE q.vec_id < 20),
+       |p2 AS (SELECT q_id, q_v, c_id FROM probes WHERE rn <= 4),
+       |apx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT p2.q_id, a2.n_id,
+       |      row_number() OVER (PARTITION BY p2.q_id ORDER BY
+       |        round(${ivfCos("p2.q_v", "a2.n_v")}, 4) DESC, a2.n_id) AS rk
+       |    FROM p2 JOIN a2 USING (c_id) WHERE p2.q_id != a2.n_id)
+       |  WHERE rk <= 5),
+       |ext AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(${ivfCos("q.vec", "n.vec")}, 4) DESC, n.vec_id) AS rk
+       |    FROM v0 q JOIN v0 n ON n.vec_id != q.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rk <= 5),
+       |hits AS (
+       |  SELECT e.q_id, count(*) AS n_hit
+       |  FROM ext e JOIN apx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |  GROUP BY 1)
+       |SELECT e.q_id, count(*) AS n_exact,
+       |  coalesce(any_value(h.n_hit), 0) AS n_hit,
+       |  round(coalesce(any_value(h.n_hit), 0)::DOUBLE / count(*), 4)
+       |    AS recall
+       |FROM ext e LEFT JOIN hits h ON h.q_id = e.q_id
+       |GROUP BY e.q_id""".stripMargin
+
   /** The trained-IVF oracle chain, parameterized by a CTE prelude that
     * must define `vc(vec_id, vec)` — the corpus the quantizer trains
     * on, assigns, and scores — and `vq(vec_id, vec)` — the query
@@ -3753,6 +3843,7 @@ object TrainingData {
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
     "x_ann_ivf_pq" -> (annIvfPqQ _),
+    "x_ann_recall" -> (annRecallQ _),
     "x_dedup_drop" -> (dedupDropQ _),
     "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
     "x_containment" -> (containmentQ _),
@@ -3762,6 +3853,7 @@ object TrainingData {
     "x_split_by_source" -> (splitBySourceQ _),
     "x_heavy_hitters" -> (heavyHittersQ _),
     "x_count_min" -> (countMinQ _),
+    "x_count_min_incr" -> (countMinIncrQ _),
     "x_ann_sq8" -> (annSq8Q _),
     "x_chunk" -> (chunkQ _),
     "x_lm_score" -> (lmScoreQ _),
@@ -3851,6 +3943,7 @@ object TrainingData {
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,
     "x_ann_ivf_pq" -> annIvfPqSql,
+    "x_ann_recall" -> annRecallSql,
     "x_dedup_drop" -> dedupDropSql,
     // same oracle as x_dedup_drop: the sig-table composition must
     // reproduce the from-text composition's survivor set exactly
@@ -3862,6 +3955,9 @@ object TrainingData {
     "x_split_by_source" -> splitBySourceSql,
     "x_heavy_hitters" -> heavyHittersSql,
     "x_count_min" -> countMinSql,
+    // same oracle as x_count_min: the merged incremental sketch must be
+    // indistinguishable from the from-scratch sketch (CM linearity)
+    "x_count_min_incr" -> countMinSql,
     "x_ann_sq8" -> annSq8Sql,
     "x_chunk" -> chunkSql,
     "x_lm_score" -> lmScoreSql,

@@ -408,6 +408,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recallReport: identity, disjoint, and partial-overlap cases") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "n_id")
+    // q1: 2 of 3 hit; q2: none hit (and q2 absent from approx entirely)
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L))
+      .toDF("q_id", "n_id")
+    val r = Similarity.recallReport(exact, approx)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r === Map(1L -> (3L, 2L, 0.6667), 2L -> (2L, 0L, 0.0)))
+    val ident = Similarity.recallReport(exact, exact)
+      .collect().map(_.getDouble(3))
+    assert(ident.forall(_ == 1.0))
+  }
+
   test("ivfPqTopK is deterministic across partitionings") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val q = emb.filter($"vec_id" < 5)

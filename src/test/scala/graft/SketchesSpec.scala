@@ -54,6 +54,21 @@ class SketchesSpec extends SparkSpec {
     assert(est.length === 1 && est.head >= 0L)
   }
 
+  test("mergeCm of disjoint halves equals the from-scratch sketch") {
+    val keys = Seq.tabulate(240)(i => s"m${i % 31}")
+    val (left, right) = keys.splitAt(110)
+    val whole = Sketches.countMinTable(stream(keys: _*), "k",
+      depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val merged = Sketches.mergeCm(
+      Sketches.countMinTable(stream(left: _*), "k", depth = 3, width = 64),
+      Sketches.countMinTable(stream(right: _*), "k", depth = 3, width = 64))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged === whole)
+  }
+
   test("cell table total mass equals depth times stream length") {
     val keys = Seq.fill(97)("z") ++ Seq.fill(13)("w")
     val sketch = Sketches.countMinTable(stream(keys: _*), "k",

@@ -384,7 +384,71 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/pq_codes")
   }
 
+  /** Bloom skip-index build: orders rewritten hashed by customer (the
+    * layout where min/max stats prune nothing), a per-file Bloom
+    * postings table built over o_custkey, then a point probe exercised
+    * through it — the ingest-time work that turns customer lookups
+    * from 8 file opens into 1. */
+  private def bloomOrdersJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val p = s"$outDir/orders_bloom_t"
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").parquet(p)
+    graft.sources.SkippingIndex.buildBloom(spark, p, "o_custkey")
+    graft.sources.SkippingIndex.readPoint(spark, p, "o_custkey", 42L)
+      .write.mode("overwrite").parquet(s"$outDir/orders_cust42")
+  }
+
+  /** Sparse-similarity build: the TF-IDF trigram posting table written
+    * once (the inverted index a 100 TB corpus maintains at ingest),
+    * then the thresholded cosine pair set derived from it. */
+  private def similarDocsJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val postings = graft.operators.SparseSim.tfidfPostings(
+      d, "text", "doc_id", n = 3, maxDf = 50)
+    postings.write.mode("overwrite").parquet(s"$outDir/doc_postings")
+    graft.operators.SparseSim
+      .cosinePairs(spark.read.parquet(s"$outDir/doc_postings"), 0.2)
+      .write.mode("overwrite").parquet(s"$outDir/doc_similar_pairs")
+  }
+
+  /** Frequency-sketch maintenance: the Count-Min cell table over the
+    * corpus 5-gram stream persisted as a d×w-row table (broadcastable,
+    * answers any later point query without re-reading the corpus),
+    * incrementally mergeable by cell-wise sum. */
+  private def sketchGramsJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val grams = Tables.load(spark, sfDir, "documents")
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(length(text)-4, 1))," +
+          " i -> substring(text, i, 5))")).as("gram"))
+    graft.ops.Sketches.countMinTable(grams, "gram", 3, 2048)
+      .write.mode("overwrite").parquet(s"$outDir/gram_sketch")
+  }
+
+  /** Community labeling: near-dup candidate pairs over the corpus at
+    * the loose screen threshold, then deterministic label-propagation
+    * communities — the duplicate-network map reviewers triage by. */
+  private def communityDocsJob(spark: SparkSession, sfDir: String,
+                               outDir: String): Unit = {
+    val pairs = Dedup.minhashNearDupPairs(
+      Tables.load(spark, sfDir, "documents"), "text", "doc_id",
+      k = 5, threshold = 0.2)
+    graft.operators.Graph.labelPropagation(pairs, "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$outDir/doc_communities")
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "bloom_orders" -> (bloomOrdersJob _),
+    "similar_docs" -> (similarDocsJob _),
+    "sketch_grams" -> (sketchGramsJob _),
+    "community_docs" -> (communityDocsJob _),
     "build_ann_index" -> (buildAnnIndexJob _),
     "release_customers" -> (releaseCustomersJob _),
     "merge_availability" -> (mergeAvailabilityJob _),

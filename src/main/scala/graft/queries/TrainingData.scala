@@ -435,6 +435,54 @@ object TrainingData {
        |FROM sh s JOIN cnt c ON s.h = c.h
        |GROUP BY s.doc_id""".stripMargin
 
+  // ------------------------------------------ cross-source overlap matrix
+  // Corpus forensics ABOVE the document grain: for every source pair,
+  // how much 20-char span mass they share (mirror-site, syndication,
+  // and scraper-overlap detection — the signal that decides which
+  // SOURCES to merge or drop before any per-doc dedup runs). Spans are
+  // the one-pass polynomial hashes the dup-spans family pins, deduped
+  // to (source, span) rows; the matrix is a self-join on the span hash
+  // — a span seen in s sources costs s² pair rows, bounded by the
+  // SOURCE count, not the corpus, so the output is |sources|² however
+  // big the data. Exact integer counts plus a rounded span-Jaccard.
+  def sourceOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
+    val sh = docs(spark, dir)
+      .select(col("source"), explode(
+        NativeFns.shingleHashes(col("text"), 20)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.select(col("source").as("source_a"), col("h"))
+      .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"),
+        col("n").as("na")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"),
+        col("n").as("nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"), 4)
+          .as("span_jaccard"))
+  }
+  val sourceOverlapSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source, unnest(${shingleHashesSql("text", 20)}) AS h
+       |    FROM documents)),
+       |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |pm AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT pm.source_a, pm.source_b, pm.n_shared,
+       |  round(pm.n_shared::DOUBLE / (za.n + zb.n - pm.n_shared), 4)
+       |    AS span_jaccard
+       |FROM pm JOIN sz za ON za.source = pm.source_a
+       |        JOIN sz zb ON zb.source = pm.source_b""".stripMargin
+
   // --------------------------------------------- sketched heavy hitters
   // Top-20 most frequent 5-char grams of the corpus — the boilerplate /
   // template detector — computed the 100 TB way: a Misra-Gries k-counter
@@ -3848,6 +3896,7 @@ object TrainingData {
     "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
     "x_containment" -> (containmentQ _),
     "x_source_report" -> (sourceReportQ _),
+    "x_source_overlap" -> (sourceOverlapQ _),
     "x_embedding_clusters" -> (embeddingClustersQ _),
     "x_dup_spans" -> (dupSpansQ _),
     "x_split_by_source" -> (splitBySourceQ _),
@@ -3950,6 +3999,7 @@ object TrainingData {
     "x_dedup_drop_sigtable" -> dedupDropSql,
     "x_containment" -> containmentSql,
     "x_source_report" -> sourceReportSql,
+    "x_source_overlap" -> sourceOverlapSql,
     "x_embedding_clusters" -> embeddingClustersSql,
     "x_dup_spans" -> dupSpansSql,
     "x_split_by_source" -> splitBySourceSql,

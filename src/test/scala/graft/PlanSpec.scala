@@ -331,4 +331,32 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one Exchange:\n$p")
     assert(!p.contains("Join"), s"anomaly flag must not join:\n$p")
   }
+
+  test("countMinTable: partial aggregation IS the sketch — one exchange, " +
+    "map-side combine before it") {
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("source").as("k"))
+    val p = plan(graft.ops.Sketches.countMinTable(d, "k", 3, 64))
+    assert(countExchanges(p) == 1,
+      s"expected exactly one Exchange:\n$p")
+    // the combine below the exchange is what bounds per-task output at
+    // d·w cells regardless of stream length
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"no map-side partial aggregation below the exchange:\n$p")
+  }
+
+  test("sparse-sim postings: no cartesian product, and the pair join is " +
+    "a hash equi-join on the term") {
+    val d = Tables.load(spark, sf0001, "documents").limit(50)
+    val pairs = graft.operators.SparseSim.cosinePairs(
+      graft.operators.SparseSim.tfidfPostings(d, "text", "doc_id",
+        n = 3, maxDf = 50),
+      threshold = 0.2)
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct"),
+      s"sparse-sim must never go all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"pair generation is not an equi-join:\n$p")
+  }
 }

@@ -296,6 +296,41 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Continuous Count-Min sketch maintenance: each micro-batch's d×w
+    * cell DELTA lands as its own replay-stable file set (`b<id>_`
+    * prefix through [[idempotentAppend]] — at-least-once replays
+    * rewrite their own files and can never double-count), and the
+    * maintained sketch is the cell-wise sum of all deltas
+    * ([[graft.ops.Sketches.mergeCm]] linearity: merge(sketch(b1),
+    * sketch(b2)) = sketch(b1 ∪ b2), exactly). The table stays
+    * metadata-sized — O(batches · d · w) rows — and [[readSketch]]
+    * folds it in one aggregation; a periodic compaction would fold the
+    * deltas into one without changing any estimate. `checkpointDir`
+    * MUST be durable storage in production.
+    */
+  def continuousSketchMaintenance(src: DataFrame, keyCol: String,
+                                  table: String, depth: Int, width: Int,
+                                  checkpointDir: String = null): Unit = {
+    val ckpt = Option(checkpointDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_cm_ckpt").toString)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.ops.Sketches.countMinTable(batch, keyCol, depth, width),
+          table, s"b${batchId}_")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The maintained sketch of [[continuousSketchMaintenance]]: the
+    * cell-wise sum over every batch delta in `table`. */
+  def readSketch(spark: SparkSession, table: String): DataFrame =
+    graft.ops.Sketches.mergeCm(spark.read.parquet(table))
+
   /** Move `df`'s part files into `dir` under DETERMINISTIC names
     * `<prefix><i>.parquet`, first deleting any files of the same prefix
     * — a REPLAYABLE append: re-running the same (df, dir, prefix) from

@@ -344,4 +344,37 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(latest == Map(1L -> (2L, 13L), 2L -> (1L, 5L), 3L -> (1L, 7L)))
   }
+
+  test("continuousSketchMaintenance: the maintained sketch equals the " +
+    "from-scratch sketch over everything that streamed") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_streamcm").toString
+    val b0 = Seq.fill(7)("x") ++ Seq("y", "z")
+    val b1 = Seq.fill(4)("y") ++ Seq("x", "w")
+    b0.toDF("k").coalesce(1).write.parquet(s"$root/src/b0")
+    b1.toDF("k").coalesce(1).write.parquet(s"$root/src/b1")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src/*")
+    val table = s"$root/sketch"
+    StreamingOps.continuousSketchMaintenance(src, "k", table,
+      depth = 3, width = 32)
+    // one delta file set per micro-batch, replay-stable names
+    val prefixes = new java.io.File(table).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.takeWhile(_ != '_')).toSet
+    assert(prefixes == Set("b0", "b1"), s"unexpected deltas: $prefixes")
+    val maintained = StreamingOps.readSketch(spark, table)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val scratch = graft.ops.Sketches
+      .countMinTable((b0 ++ b1).toDF("k"), "k", depth = 3, width = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(maintained === scratch)
+  }
 }

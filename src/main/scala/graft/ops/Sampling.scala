@@ -81,4 +81,31 @@ object Sampling {
     df.where(inSample(
       concat(coalesce(stratum, lit("")), lit(":"), key.cast("string")), bp))
   }
+
+  /** Fill a per-group TOKEN budget, deterministically: within each
+    * group, rows are admitted in stable hash order (`hash32("tb:" ||
+    * group || ":" || key)`, key tie-break) until the RUNNING token
+    * total would exceed `budget` — the "fill a 1B-token training mix"
+    * operator, where the unit that matters is tokens, not documents
+    * (a doc-count cap over-represents long documents). Admission is
+    * PREFIX semantics: the kept set is the longest prefix of the hash
+    * order whose token total fits (the first row to cross the budget
+    * ends the group's fill) — reproducible across engines and
+    * partitionings because the admission order is a total order and
+    * the running total is an exact integer.
+    *
+    * ONE window shuffle on the group key; output carries the running
+    * `cum_tokens` so the consumer can audit the fill level per group.
+    */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, keyCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(TextFns.hash32(concat(lit("tb:"), col(groupCol),
+        lit(":"), col(keyCol).cast("string"))).asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
 }

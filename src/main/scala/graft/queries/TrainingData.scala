@@ -1999,6 +1999,35 @@ object TrainingData {
        |WHERE ${duckHash32("d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
        |      % 10000 < r.bp""".stripMargin
 
+  // ------------------------------------------- token-budget mixture fill
+  // The unit a training mix is specified in is TOKENS, not documents —
+  // a doc-count cap over-represents long documents. Sampling
+  // .tokenBudgetSample fills each source's 600-token budget as the
+  // longest prefix of a stable hash order whose running token total
+  // fits (prefix semantics; exact-integer running sum, total order →
+  // engine- and partitioning-identical). One window shuffle on the
+  // source; output carries cum_tokens as the per-group fill audit.
+  def tokenBudgetQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetSample(
+      docs(spark, dir).select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 600L)
+  val tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    ${duckHash32("'tb:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+       |      AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM r WHERE cum_tokens <= 600""".stripMargin
+
   // ----------------------------------------- best-keeper cluster dedup
   // Near-dup clusters keep their BEST member, not their first: real
   // pipelines retain the longest (or highest-quality) variant of a
@@ -3926,6 +3955,7 @@ object TrainingData {
     "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
     "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
     "x_mixture_temperature" -> (mixtureTemperatureQ _),
+    "x_token_budget" -> (tokenBudgetQ _),
     "x_er_linkage" -> (erLinkageQ _),
     "x_er_golden" -> (erGoldenQ _),
     "x_profile" -> (profileQ _),
@@ -4031,6 +4061,7 @@ object TrainingData {
     "x_ann_ivf_sq8_table" -> annIvfSq8Sql,
     "x_dedup_best_keeper" -> dedupBestKeeperSql,
     "x_mixture_temperature" -> mixtureTemperatureSql,
+    "x_token_budget" -> tokenBudgetSql,
     "x_er_linkage" -> erLinkageSql,
     "x_er_golden" -> erGoldenSql,
     "x_profile" -> profileSql,

@@ -40,4 +40,47 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("tokenBudgetSample keeps the longest in-budget prefix per group") {
+    // hash order within group "s" is discoverable: run once with a huge
+    // budget, then check the tight budget keeps exactly the prefix
+    val rows = (1L to 8L).map(i => (i, "s", 10L * i))
+      .toDF("id", "g", "tok")
+    val order = Sampling.tokenBudgetSample(rows, "g", "id", "tok",
+      budget = Long.MaxValue / 2)
+      .orderBy(col("cum_tokens"))
+      .select("id", "tok", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // running sum is consistent with the admitted order
+    assert(order.scanLeft(0L)(_ + _._2).tail.toSeq === order.map(_._3).toSeq)
+    val budget = order(2)._3 // exactly covers the first three rows
+    val kept = Sampling.tokenBudgetSample(rows, "g", "id", "tok", budget)
+      .select("id").as[Long].collect().toSet
+    assert(kept === order.take(3).map(_._1).toSet)
+    // one token less drops the third row but not the first two
+    val keptTight = Sampling
+      .tokenBudgetSample(rows, "g", "id", "tok", budget - 1)
+      .select("id").as[Long].collect().toSet
+    assert(keptTight === order.take(2).map(_._1).toSet)
+  }
+
+  test("tokenBudgetSample: zero budget empties, groups fill independently") {
+    val rows = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "b", 7L))
+      .toDF("id", "g", "tok")
+    assert(Sampling.tokenBudgetSample(rows, "g", "id", "tok", 0L)
+      .count() === 0L)
+    val kept = Sampling.tokenBudgetSample(rows, "g", "id", "tok", 7L)
+      .select("id").as[Long].collect().toSet
+    // b's single 7-token row fits its own budget regardless of a's fill
+    assert(kept.contains(3L))
+  }
+
+  test("tokenBudgetSample is invariant to partitioning") {
+    val rows = (1L to 200L).map(i => (i, s"g${i % 5}", i % 37 + 1L))
+      .toDF("id", "g", "tok")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetSample(d, "g", "id", "tok", 150L)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(run(rows) === run(rows.repartition(11)))
+  }
 }

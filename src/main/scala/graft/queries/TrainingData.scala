@@ -84,6 +84,45 @@ object TrainingData {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------- model-as-literal scoring
+  // The "apply a trained quality classifier at 100 TB" pattern: a
+  // linear model whose weights were fit OFFLINE ships as integer
+  // micro-unit literals folded into the plan, and scoring is a
+  // row-local integer multiply-add over exact count features
+  // (stopwords, tokens, punctuation, chars) at scan speed — no model
+  // server, no UDF, no float until nothing is left to compute. The
+  // keep decision is logit > 0, so the sigmoid never needs computing
+  // (monotone), and both engines branch on an identical integer.
+  // Weights are illustrative; the operator pattern — broadcast-free
+  // literal model, codegen'd features — is what is being pinned.
+  def qualityLogitQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val logit = lit(-900000L) +
+      lit(60000L) * TextFns.wordSetCount(t, TextFns.EnWords) +
+      lit(9000L) * TextFns.tokenCount(t) -
+      lit(150000L) * TextFns.punctCount(t) +
+      lit(500L) * length(t).cast("long")
+    docs(spark, dir).select(
+      col("doc_id"), logit.as("logit_micro"),
+      (logit > 0L).as("keep"))
+  }
+  val qualityLogitSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '$sw')) AS BIGINT) AS sw,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tc,
+       |    CAST(length(text) - length(regexp_replace(text, '$punct', '', 'g'))
+       |         AS BIGINT) AS pc,
+       |    CAST(length(text) AS BIGINT) AS cl
+       |  FROM documents)
+       |SELECT doc_id,
+       |  -900000 + 60000*sw + 9000*tc - 150000*pc + 500*cl AS logit_micro,
+       |  (-900000 + 60000*sw + 9000*tc - 150000*pc + 500*cl) > 0 AS keep
+       |FROM f""".stripMargin
+  }
+
   // ------------------------------------------------- per-source curation
   // The per-source (≈ per-domain) corpus report every curation pipeline
   // keeps: volume, size, language spread, and exact-dup rate by source —
@@ -3910,6 +3949,7 @@ object TrainingData {
     "x_ann_lsh" -> (annLshQ _),
     "x_asof_join" -> (asOfJoinQ _),
     "x_quality_filter" -> (qualityFilterQ _),
+    "x_quality_logit" -> (qualityLogitQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
     "x_dataset_split" -> (datasetSplitQ _),
@@ -4012,6 +4052,7 @@ object TrainingData {
     "x_ann_lsh" -> annLshSql,
     "x_asof_join" -> asOfJoinSql,
     "x_quality_filter" -> qualityFilterSql,
+    "x_quality_logit" -> qualityLogitSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
     "x_dataset_split" -> datasetSplitSql,

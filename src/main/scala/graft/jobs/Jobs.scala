@@ -444,7 +444,24 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/doc_communities")
   }
 
+  /** ANN index-quality audit: recall@5 of the trained-IVF search
+    * against the exact brute-force ranking over the sampled query set
+    * — the number that gates an index (or its nlist/nprobe setting)
+    * before it serves. */
+  private def auditAnnJob(spark: SparkSession, sfDir: String,
+                          outDir: String): Unit = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    graft.operators.Similarity.recallReport(
+      graft.operators.Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", 5),
+      graft.operators.Similarity.ivfTopKTrained(q, emb,
+        "vec_id", "embedding", 5, nlist = 16, nprobe = 4, iters = 2))
+      .write.mode("overwrite").parquet(s"$outDir/ann_recall_audit")
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "audit_ann" -> (auditAnnJob _),
     "bloom_orders" -> (bloomOrdersJob _),
     "similar_docs" -> (similarDocsJob _),
     "sketch_grams" -> (sketchGramsJob _),

@@ -354,6 +354,42 @@ object Dedup {
                            threshold: Double = 0.5): DataFrame =
     nearDupPairsFromSigsM(spark, sigTablePath, threshold).df
 
+  /** LSH calibration record over a maintained signature table: every
+    * verified near-dup pair with HOW MANY of the bands bucketed it —
+    * the measured side of the banding S-curve (P[collide] =
+    * 1-(1-j^r)^b). A true pair found by only one band sits at the
+    * screen's recall edge (tightening the threshold or widening rows
+    * per band loses it next); pairs hit by every band are deep inside.
+    * Tuning b×r against THIS table — instead of the textbook curve —
+    * is how a production screen is recalibrated after a corpus shift.
+    * Same plan shape as [[nearDupPairsFromSigsM]] with the candidate
+    * `distinct` replaced by a count aggregation: band keys read
+    * (doc_id, m0..m15), verification reads (doc_id, __sh), text never
+    * touched.
+    */
+  def nearDupBandProfile(spark: org.apache.spark.sql.SparkSession,
+                         sigTablePath: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val sig = spark.read.parquet(sigTablePath)
+    val bands = bandsOf(sig)
+    val collisions = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val shSets = sig.select(col("doc_id"), col("__sh"))
+    collisions
+      .join(shSets.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")),
+        "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")),
+        "doc_b")
+      .withColumn("jaccard", round(
+        graft.functions.native.NativeFns.jaccardNative(
+          col("sh_a"), col("sh_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("jaccard"))
+  }
+
   /** 48-bit SimHash per document — one-pass native expression
     * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);
     * bit-identical to the HOF pipeline tokenHashes48→simhash48. */

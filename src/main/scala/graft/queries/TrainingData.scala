@@ -390,6 +390,31 @@ object TrainingData {
        |            JOIN norms nb ON nb.doc_id = dots.doc_b)
        |SELECT doc_a, doc_b, cos_sim FROM cosd WHERE cos_sim >= 0.2""".stripMargin
 
+  // ------------------------------------------- LSH banding calibration
+  // Dedup.nearDupBandProfile gated end to end: every verified near-dup
+  // pair with the NUMBER of LSH bands that bucketed it — the measured
+  // side of the banding S-curve. A pair found by one band sits at the
+  // screen's recall edge; pairs hit by all four are deep inside. This
+  // table — not the textbook curve — is what recalibrates b×r after a
+  // corpus shift. Reads the maintained signature table (text never
+  // touched); the oracle counts the same band collisions from its
+  // replayed signatures.
+  def neardupBandsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupBandProfile(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+  val neardupBandsSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |bc AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT j.doc_a, j.doc_b, bc.n_bands, j.jaccard
+       |FROM j JOIN bc ON bc.doc_a = j.doc_a AND bc.doc_b = j.doc_b
+       |WHERE j.jaccard >= 0.5""".stripMargin
+
   // ------------------------------------------------ shingle containment
   // Containment C(A,B) = |A∩B| / |A| over distinct 5-shingle hash sets —
   // the ASYMMETRIC near-dup measure (quote/subset detection): a short
@@ -3982,6 +4007,7 @@ object TrainingData {
     "x_link_predict" -> (linkPredictQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
+    "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
     "x_drift" -> (driftQ _),
@@ -4089,6 +4115,7 @@ object TrainingData {
     "x_link_predict" -> linkPredictSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
+    "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
     "x_drift" -> driftSql,

@@ -376,5 +376,23 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     assert(maintained === scratch)
+
+    // FULL REPLAY: a fresh checkpoint re-delivers every batch (the
+    // worst at-least-once case — the whole history replays against a
+    // table that already has all the deltas). Sum-merges double-count
+    // under naive append; the b<id>_ rewrite protocol must converge to
+    // the identical sketch instead.
+    val src2 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src/*")
+    StreamingOps.continuousSketchMaintenance(src2, "k", table,
+      depth = 3, width = 32)
+    val replayed = StreamingOps.readSketch(spark, table)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(replayed === scratch, "replay double-counted the deltas")
   }
 }

@@ -1242,6 +1242,79 @@ object TrainingData {
        |WHERE r.cluster_rep IS NULL OR r.cluster_rep = k.doc_id""".stripMargin
   }
 
+  // ------------------------------------------- end-to-end curation gate
+  // The WHOLE batch-curation pipeline as one oracle-checked result:
+  // quality gate (the x_quality_filter rule) → near-dup drop over the
+  // FILTERED corpus (MinHash screen + connected components, keep the
+  // cluster rep) → content-hash split → per-split report with exact
+  // membership checksums (sum of ids, sum of chars). Each stage is
+  // individually gated elsewhere; THIS query pins their composition —
+  // the filter changes which pairs exist, the drop changes what the
+  // split sees — so a user can trust the assembled pipeline, not just
+  // its parts. The oracle nests the same parameterized CTE chains over
+  // the same intermediate corpus.
+  def curateE2eQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val q = nearDupCorpus(spark, dir).where(
+      length(t).cast("long") >= 100L &&
+        TextFns.tokenCount(t) >= 15L &&
+        round(TextFns.punctCount(t).cast("double") /
+          greatest(length(t).cast("long"), lit(1L)).cast("double"), 4)
+          <= 0.1d)
+    val pairs = Dedup.minhashNearDupPairs(q, "text", "doc_id", 5, 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val survivors = q.join(clusters, Seq("doc_id"), "left")
+      .where(col("cluster_rep").isNull ||
+        col("cluster_rep") === col("doc_id"))
+    val bucket = TextFns.hash32(col("text")) % 100
+    survivors
+      .select(col("doc_id"), col("text"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+  val curateE2eSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    s"""WITH RECURSIVE corpus0 AS (
+       |  $nearDupCorpusSql),
+       |qual AS (
+       |  SELECT doc_id, text FROM corpus0
+       |  WHERE length(text) >= 100
+       |    AND len(string_split_regex(trim(text), '\\s+')) >= 15
+       |    AND round((length(text)
+       |          - length(regexp_replace(text, '$punct', '', 'g')))::DOUBLE /
+       |          greatest(length(text), 1), 4) <= 0.1),
+       |${minhashCtesOver("SELECT doc_id, text FROM qual")},
+       |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |reps AS (SELECT n AS doc_id, min(m) AS cluster_rep
+       |         FROM reach GROUP BY n),
+       |surv AS (
+       |  SELECT qq.doc_id, qq.text FROM qual qq
+       |  LEFT JOIN reps r USING (doc_id)
+       |  WHERE r.cluster_rep IS NULL OR r.cluster_rep = qq.doc_id),
+       |sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${duckHash32("text")} % 100 < 80 THEN 'train'
+       |         WHEN ${duckHash32("text")} % 100 < 90 THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM surv)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM sp GROUP BY 1""".stripMargin
+  }
+
   // -------------------------------------------------------- cosine top-k
   def cosineTopKQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -3987,6 +4060,7 @@ object TrainingData {
     "x_ann_ivf_pq" -> (annIvfPqQ _),
     "x_ann_recall" -> (annRecallQ _),
     "x_dedup_drop" -> (dedupDropQ _),
+    "x_curate_e2e" -> (curateE2eQ _),
     "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
     "x_containment" -> (containmentQ _),
     "x_source_report" -> (sourceReportQ _),
@@ -4091,6 +4165,7 @@ object TrainingData {
     "x_ann_ivf_pq" -> annIvfPqSql,
     "x_ann_recall" -> annRecallSql,
     "x_dedup_drop" -> dedupDropSql,
+    "x_curate_e2e" -> curateE2eSql,
     // same oracle as x_dedup_drop: the sig-table composition must
     // reproduce the from-text composition's survivor set exactly
     "x_dedup_drop_sigtable" -> dedupDropSql,

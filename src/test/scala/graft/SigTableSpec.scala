@@ -76,4 +76,28 @@ class SigTableSpec extends SparkSpec {
     assert(!bandScan.contains("__sh"),
       s"band scan must prune the shingle array:\n$bandScan")
   }
+
+  test("nearDupBandProfile is consistent with the pair screen: same " +
+    "pairs, same jaccards, 1 <= n_bands <= 4") {
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = d.union(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, 11)").as("text")))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bandprof").toString + "/sigs"
+    Dedup.writeSignatureTable(corpus, "text", "doc_id", path)
+    val pairs = Dedup.nearDupPairsFromSigs(spark, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val profile = Dedup.nearDupBandProfile(spark, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(profile.keySet === pairs.keySet,
+      "profile must cover exactly the verified pair set")
+    assert(profile.nonEmpty)
+    profile.foreach { case (k, (nb, j)) =>
+      assert(nb >= 1L && nb <= 4L, s"$k collided in $nb bands")
+      assert(j === pairs(k), s"$k jaccard drifted: $j vs ${pairs(k)}")
+    }
+  }
 }

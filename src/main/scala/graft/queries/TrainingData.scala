@@ -547,6 +547,71 @@ object TrainingData {
        |FROM pm JOIN sz za ON za.source = pm.source_a
        |        JOIN sz zb ON zb.source = pm.source_b""".stripMargin
 
+  // ---------------------------------------- longest duplicated span
+  // The span-LEVEL sharpening of x_dup_spans: not what FRACTION of a
+  // document is duplicated, but the length of its longest CONTIGUOUS
+  // duplicated region — the signal that separates a quoted paragraph
+  // or license block (one long run) from scattered idiom overlap (many
+  // length-1 runs), and the unit Lee et al.'s exact-substring pass
+  // removes. Windows carry their POSITION; a window shared with
+  // another document flags its position, and runs of consecutive
+  // flagged positions collapse via the gaps-and-islands device
+  // (pos - row_number is constant within a run — the x_interval_merge
+  // idea applied to character positions). Cost is O(total chars); the
+  // comparison unit is the window, never a doc pair.
+  def dupLongestQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val w = d.select(col("doc_id"),
+      posexplode(expr("transform(sequence(1, greatest(length(text)-19, 1))," +
+        " i -> substring(text, i, 20))")).as(Seq("p", "win")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"),
+        TextFns.polyHash(col("win")).as("h"))
+    val nd = w.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2)
+    val shared = w.join(nd, Seq("h")).select(col("doc_id"), col("pos"))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = shared
+      .withColumn("g", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("longest"))
+    d.select(col("doc_id")).join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("longest"), lit(0L)).as("longest_run"),
+        when(col("longest").isNull, lit(0L))
+          .otherwise(col("longest") + 19L).as("span_chars"))
+  }
+  val dupLongestSql: String = {
+    val win = "substr(text, CAST(i AS INT), 20)"
+    val ph =
+      s"""list_reduce(
+         |      list_concat([CAST(0 AS BIGINT)],
+         |        list_transform(range(1, length($win)+1),
+         |          c -> CAST(unicode(substr($win, CAST(c AS INT), 1)) AS BIGINT))),
+         |      (a, c) -> (a*31 + c) % 1000000007)""".stripMargin
+    s"""WITH wpos AS (
+       |  SELECT doc_id, i AS pos, $ph AS h
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, greatest(length(text)-19, 1)+1)) AS i
+       |        FROM documents)),
+       |nd AS (
+       |  SELECT h, count(*) AS ndocs
+       |  FROM (SELECT DISTINCT doc_id, h FROM wpos)
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |sh AS (SELECT w.doc_id, w.pos FROM wpos w JOIN nd ON nd.h = w.h),
+       |isl AS (
+       |  SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM sh),
+       |runs AS (
+       |  SELECT doc_id, g, count(*) AS run FROM isl GROUP BY 1, 2),
+       |mx AS (SELECT doc_id, max(run) AS longest FROM runs GROUP BY 1)
+       |SELECT d.doc_id, coalesce(mx.longest, 0) AS longest_run,
+       |  CASE WHEN mx.longest IS NULL THEN 0
+       |       ELSE mx.longest + 19 END AS span_chars
+       |FROM documents d LEFT JOIN mx ON mx.doc_id = d.doc_id""".stripMargin
+  }
+
   // --------------------------------------------- sketched heavy hitters
   // Top-20 most frequent 5-char grams of the corpus — the boilerplate /
   // template detector — computed the 100 TB way: a Misra-Gries k-counter
@@ -4067,6 +4132,7 @@ object TrainingData {
     "x_source_overlap" -> (sourceOverlapQ _),
     "x_embedding_clusters" -> (embeddingClustersQ _),
     "x_dup_spans" -> (dupSpansQ _),
+    "x_dup_longest" -> (dupLongestQ _),
     "x_split_by_source" -> (splitBySourceQ _),
     "x_heavy_hitters" -> (heavyHittersQ _),
     "x_count_min" -> (countMinQ _),
@@ -4174,6 +4240,7 @@ object TrainingData {
     "x_source_overlap" -> sourceOverlapSql,
     "x_embedding_clusters" -> embeddingClustersSql,
     "x_dup_spans" -> dupSpansSql,
+    "x_dup_longest" -> dupLongestSql,
     "x_split_by_source" -> splitBySourceSql,
     "x_heavy_hitters" -> heavyHittersSql,
     "x_count_min" -> countMinSql,

@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *  - multi-frame GIF: ImageIO's GIF reader ([[realFrameCount]] /
   *    [[sampleFramesDecoded]]; true frame counts — `x_frame_sample_real`);
   *  - PCM WAV: a hand-walked RIFF chunk parser ([[decodeWav]]; true
-  *    channels/rate/bits/samples — `x_multimodal_audio`).
+  *    channels/rate/bits/samples — `x_multimodal_audio`);
+  *  - nearest-neighbor RESIZE of any ImageIO-decodable raster
+  *    ([[resizeReal]]; exact thumbnail pixels + integer fingerprint —
+  *    `x_resize_real`, pixel-arithmetic-checked for lossless formats).
   *
   * STUBS — formats whose codecs the JDK does not ship (MP3/AAC/Opus
   * audio; H.264/VP9/AV1 video; WebP/HEIC images): [[decodeStub]] and
@@ -427,6 +430,67 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         md5(concat(col("content_id"), lit(":"),
           col("frame_idx").cast("string"))).as("frame_uid"))
+
+  /** REAL nearest-neighbor resize for ImageIO-decodable payloads (the
+    * PNG/BMP/GIF/JPEG formats the JDK decodes — same real/stub/
+    * quarantine trichotomy as [[extractMetaDecoded]]): decode, sample
+    * the raster at `srcX = xo·W div w` / `srcY = yo·H div h`, and emit
+    * the w×h thumbnail as packed RGB bytes plus `pix_sum` — the exact
+    * integer sum of the sampled 24-bit pixels, the deterministic
+    * raster fingerprint a media pipeline stores for thumbnail-level
+    * dedup (and the value the oracle recomputes from planted-pixel
+    * arithmetic for lossless formats). Rows that CLAIM an image magic
+    * but fail decode are quarantined (null raster); non-image rows
+    * take the digest-cycled stub path (byte-sum replayable from the
+    * payload md5). One codec/digest instance per partition — the
+    * [[resizeStub]] batching contract with the real decode filled in.
+    */
+  def resizeReal(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null) {
+            val out = new Array[Byte](w * h * 3)
+            var sum = 0L
+            var yo = 0
+            while (yo < h) {
+              var xo = 0
+              while (xo < w) {
+                val sx = xo * img.getWidth / w
+                val sy = yo * img.getHeight / h
+                val rgb = img.getRGB(sx, sy) & 0xFFFFFF
+                sum += rgb
+                val o = (yo * w + xo) * 3
+                out(o) = ((rgb >> 16) & 0xFF).toByte
+                out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+                out(o + 2) = (rgb & 0xFF).toByte
+                xo += 1
+              }
+              yo += 1
+            }
+            (id, "real", out, Some(w.toLong), Some(h.toLong), Some(sum))
+          } else if (looksLikeImage(bytes)) {
+            (id, "quarantine", null: Array[Byte],
+              None: Option[Long], None: Option[Long], None: Option[Long])
+          } else {
+            digest.reset()
+            val seed = digest.digest(bytes)
+            val out = Array.tabulate[Byte](w * h)(i => seed(i % seed.length))
+            val sum = out.foldLeft(0L)((a, b) => a + (b & 0xFF))
+            (id, "stub", out, Some(w.toLong), Some(h.toLong), Some(sum))
+          }
+        }
+      }.toDF("doc_id", "path", "media", "out_w", "out_h", "pix_sum")
+  }
 
   /** STUB resize: a real implementation would decode, scale to `w`×`h`
     * and re-encode each payload. The deterministic fake keeps the batch

@@ -1771,6 +1771,66 @@ object TrainingData {
       |       ELSE CAST(n_chars % 30 AS BIGINT) END AS frames
       |FROM documents""".stripMargin
 
+  // -------------------------------------------- multimodal REAL resize
+  // The resize stub upgraded to a REAL raster operation for every
+  // format the JDK decodes: PNG/BMP rows decode, nearest-neighbor
+  // sample to a 4×3 thumbnail, and report pix_sum — the exact integer
+  // sum of the sampled 24-bit pixels (the thumbnail fingerprint). The
+  // planted images' pixels are a pure function of (id, x, y) and both
+  // formats are lossless, so the oracle recomputes every fingerprint
+  // from arithmetic alone — the decoder's raster, the NN sampling
+  // grid, and the packing are all checked, not just dimensions.
+  // Corrupt claims quarantine; text rows take the digest-cycled stub
+  // whose byte-sum replays from md5(text).
+  def resizeRealQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val payload = (id % 4) match {
+            case 0 => Multimodal.syntheticImage(
+              (id % 13).toInt + 1, (id % 7).toInt + 1, id, "png")
+            case 1 => Multimodal.syntheticImage(
+              (id % 11).toInt + 1, (id % 5).toInt + 1, id, "bmp")
+            case 2 => Multimodal.corruptImagePayload(id)
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.resizeReal(media, 4, 3)
+      .select(col("doc_id"), col("path"), col("out_w"), col("out_h"),
+        col("pix_sum"))
+  }
+  val resizeRealSql: String = {
+    def nnSum(wMod: Int, hMod: Int) =
+      s"""CAST(list_sum(list_transform(range(12),
+         |      p -> ((doc_id + ((p % 4) * (doc_id % $wMod + 1) // 4) * 31
+         |             + ((p // 4) * (doc_id % $hMod + 1) // 3) * 131)
+         |            * 2654435761) & 16777215)) AS BIGINT)""".stripMargin
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'real'
+       |       WHEN doc_id % 4 = 2 THEN 'quarantine'
+       |       ELSE 'stub' END AS path,
+       |  CASE WHEN doc_id % 4 = 2 THEN NULL ELSE 4 END AS out_w,
+       |  CASE WHEN doc_id % 4 = 2 THEN NULL ELSE 3 END AS out_h,
+       |  CASE
+       |    WHEN doc_id % 4 = 0 THEN ${nnSum(13, 7)}
+       |    WHEN doc_id % 4 = 1 THEN ${nnSum(11, 5)}
+       |    WHEN doc_id % 4 = 2 THEN NULL
+       |    ELSE CAST(list_sum(list_transform(range(12),
+       |      j -> (strpos('0123456789abcdef',
+       |              substr(md5(text), CAST(2*j+1 AS INT), 1)) - 1) * 16
+       |           + (strpos('0123456789abcdef',
+       |              substr(md5(text), CAST(2*j+2 AS INT), 1)) - 1)))
+       |      AS BIGINT)
+       |  END AS pix_sum
+       |FROM documents""".stripMargin
+  }
+
   // ------------------------------------------- multimodal REAL audio
   // The audio twin of the real image decode: every 3rd doc carries a
   // REAL PCM WAV payload (planted sample count doc_id%400+100 and rate
@@ -4109,6 +4169,7 @@ object TrainingData {
     "x_rolling_anomaly" -> (rollingAnomalyQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_multimodal_decode" -> (multimodalDecodeQ _),
+    "x_resize_real" -> (resizeRealQ _),
     "x_ann_lsh" -> (annLshQ _),
     "x_asof_join" -> (asOfJoinQ _),
     "x_quality_filter" -> (qualityFilterQ _),
@@ -4215,6 +4276,7 @@ object TrainingData {
     "x_rolling_anomaly" -> rollingAnomalySql,
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_multimodal_decode" -> multimodalDecodeSql,
+    "x_resize_real" -> resizeRealSql,
     "x_ann_lsh" -> annLshSql,
     "x_asof_join" -> asOfJoinSql,
     "x_quality_filter" -> qualityFilterSql,

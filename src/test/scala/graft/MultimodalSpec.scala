@@ -210,4 +210,35 @@ class MultimodalSpec extends SparkSpec {
       .count()
     assert(mismatch == 0)
   }
+
+  test("resizeReal: exact NN thumbnail of a lossless raster, " +
+    "quarantine and stub paths intact") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticPng(8, 6, 42L)), // real: 8x6 -> 4x3
+      (2L, Multimodal.corruptImagePayload(7L)), // claims PNG, fails
+      (3L, "plain text".getBytes("UTF-8"))) // stub
+      .toDF("doc_id", "media")
+    val out = Multimodal.resizeReal(media, 4, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "real")
+    assert(out(2L).getString(1) === "quarantine")
+    assert(out(3L).getString(1) === "stub")
+    // hand-verify every sampled pixel: srcX = xo*8/4, srcY = yo*6/3,
+    // planted rgb = ((seed + x*31 + y*131) * 2654435761) & 0xFFFFFF
+    val bytes = out(1L).getAs[Array[Byte]](2)
+    assert(bytes.length === 4 * 3 * 3)
+    var expSum = 0L
+    for (yo <- 0 until 3; xo <- 0 until 4) {
+      val (sx, sy) = (xo * 8 / 4, yo * 6 / 3)
+      val rgb = ((42L + sx * 31L + sy * 131L) * 2654435761L) & 0xFFFFFFL
+      expSum += rgb
+      val o = (yo * 4 + xo) * 3
+      val got = ((bytes(o) & 0xFFL) << 16) |
+        ((bytes(o + 1) & 0xFFL) << 8) | (bytes(o + 2) & 0xFFL)
+      assert(got === rgb, s"pixel ($xo,$yo) mismatch")
+    }
+    assert(out(1L).getLong(5) === expSum)
+    assert(out(2L).isNullAt(5))
+  }
 }

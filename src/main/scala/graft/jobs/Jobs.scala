@@ -460,8 +460,20 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/ann_recall_audit")
   }
 
+  /** Thumbnail pipeline: the corpus's media column decoded and
+    * nearest-neighbor resized to 4×3 thumbnails with their integer
+    * raster fingerprints — the media-side dedup key table. */
+  private def thumbnailCorpusJob(spark: SparkSession, sfDir: String,
+                                 outDir: String): Unit = {
+    val media = graft.multimodal.Multimodal.withMediaBinary(
+      Tables.load(spark, sfDir, "documents"), "text")
+    graft.multimodal.Multimodal.resizeReal(media, 4, 3)
+      .write.mode("overwrite").parquet(s"$outDir/thumbnails")
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
     "audit_ann" -> (auditAnnJob _),
+    "thumbnail_corpus" -> (thumbnailCorpusJob _),
     "bloom_orders" -> (bloomOrdersJob _),
     "similar_docs" -> (similarDocsJob _),
     "sketch_grams" -> (sketchGramsJob _),

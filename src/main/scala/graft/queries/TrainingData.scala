@@ -2672,6 +2672,51 @@ object TrainingData {
       |  CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id
       |FROM c""".stripMargin
 
+  // ------------------------------------------ packing efficiency audit
+  // The report a packing run is judged by: per source, how many
+  // 2048-token sequences the greedy concat produced, the fill ratio
+  // (total tokens / capacity — waste lives only in each source's last
+  // partial sequence), and how many documents STRADDLE a sequence
+  // boundary (the fragmentation a loss-masking scheme must handle —
+  // a doc straddles iff its start token and last token land in
+  // different sequences). Same windowed running total as x_seq_pack;
+  // one extra aggregation on the partition key.
+  def packReportQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir).select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("straddles",
+        expr("(cum - n_tok) div 2048") =!= expr("(cum - 1) div 2048"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (max(expr("(cum - 1) div 2048")) + 1L).as("n_seqs"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+      .withColumn("fill_ratio", round(col("total_tokens").cast("double") /
+        (col("n_seqs") * 2048L).cast("double"), 4))
+  }
+  val packReportSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(n_tok) OVER
+      |    (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    AS cum
+      |  FROM t)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(max((cum - 1) // 2048) + 1 AS BIGINT) AS n_seqs,
+      |  CAST(sum(CASE WHEN (cum - n_tok) // 2048 != (cum - 1) // 2048
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+      |  round(sum(n_tok)::DOUBLE / ((max((cum - 1) // 2048) + 1) * 2048), 4)
+      |    AS fill_ratio
+      |FROM c GROUP BY 1""".stripMargin
+
   // --------------------------------------- scalar-quantized (SQ8) ANN
   // The compressed-corpus search path: per-dimension min/max maps every
   // coordinate to an 8-bit code (1 byte/dim vs 4-8 raw — the 100 TB
@@ -4216,6 +4261,7 @@ object TrainingData {
     "x_url_dedup" -> (urlDedupQ _),
     "x_domain_cap" -> (domainCapQ _),
     "x_seq_pack" -> (seqPackQ _),
+    "x_pack_report" -> (packReportQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
@@ -4327,6 +4373,7 @@ object TrainingData {
     "x_url_dedup" -> urlDedupSql,
     "x_domain_cap" -> domainCapSql,
     "x_seq_pack" -> seqPackSql,
+    "x_pack_report" -> packReportSql,
     "x_stream_curate" -> streamCurateSql,
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,

@@ -262,4 +262,81 @@ object Graph {
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        iters: Int = 4): DataFrame =
     labelPropagationM(edges, aCol, bCol, iters).df
+
+  /** k-core decomposition by synchronous peeling (Seidman 1983; the
+    * distributed formulation of Montresor, De Pellegrini & Miorandi
+    * 2013): each round simultaneously deletes every node whose degree
+    * in the CURRENT subgraph is below `k`, until a round deletes
+    * nothing (or `maxRounds` is hit). The survivors are the k-core —
+    * the maximal subgraph where every node keeps ≥ k neighbors — with
+    * their core degree. On a near-dup graph this separates dense
+    * template farms (which survive) from incidental pairwise overlaps
+    * (peeled in round one); it is also the standard pre-filter before
+    * triangle/community work.
+    *
+    * Synchronous rounds make the peel a pure function of the previous
+    * subgraph — bit-identical across partitionings, retries, and
+    * engines — so a SQL oracle can replay the SAME `maxRounds` peels
+    * as chained CTEs and must match exactly: converged-early results
+    * are a fixed point, so extra replayed rounds change nothing, and
+    * un-converged results agree because both sides stop after the same
+    * round count.
+    *
+    * Scale shape: each round is one degree aggregation plus two hash
+    * semi-joins of the adjacency against the surviving node set —
+    * never a window, never a collect beyond the O(1) convergence
+    * witness (edge count, the [[Dedup.connectedComponentsM]] device).
+    * Rounds run at most `maxRounds` ≈ O(peel depth); real similarity
+    * graphs converge in a handful. Each round's adjacency is
+    * checkpoint-truncated so lineage stays flat.
+    */
+  def kCoreM(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             maxRounds: Int = 8,
+             roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
+             mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
+      : graft.ops.Materialized = {
+    import graft.ops.Materialize
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = canonicalEdges(edges, aCol, bCol)
+    var adjM = Materialize(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")),
+      roundMat)
+    try {
+      var nEdges = adjM.df.count()
+      var round = 0
+      var converged = nEdges == 0L
+      while (round < maxRounds && !converged) {
+        val adj = adjM.df
+        val keep = adj.groupBy("src").agg(count(lit(1)).as("d"))
+          .where(col("d") >= k).select(col("src").as("v"))
+        val nextM = Materialize(
+          adj.join(keep.withColumnRenamed("v", "src"), Seq("src"),
+              "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), Seq("dst"),
+              "left_semi")
+            .select(col("src"), col("dst")),
+          roundMat)
+        val nNext = nextM.df.count() // O(1) convergence witness
+        converged = nNext == nEdges
+        nEdges = nNext
+        adjM.release()
+        adjM = nextM
+        round += 1
+      }
+      val out = Materialize(
+        adjM.df.groupBy("src").agg(count(lit(1)).as("core_deg"))
+          .select(col("src").as("node"), col("core_deg")),
+        mat)
+      out
+    } finally adjM.release()
+  }
+
+  /** [[kCoreM]] with default materialization, returning the bare
+    * frame: no RDD blocks outlive the call. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 8): DataFrame =
+    kCoreM(edges, aCol, bCol, k, maxRounds).df
 }

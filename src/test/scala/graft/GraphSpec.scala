@@ -136,4 +136,64 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  private def coreMap(e: org.apache.spark.sql.DataFrame, k: Int,
+                      maxRounds: Int = 8) =
+    Graph.kCore(e, "a", "b", k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: a chain has an empty 2-core") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(coreMap(e, k = 2).isEmpty)
+  }
+
+  test("kCore: triangle with a tail keeps only the triangle") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(coreMap(e, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a path needs one peel round per depth level") {
+    // 1-2-3-4-5 under k=2: round 1 drops the endpoints, round 2 drops
+    // 2 and 4 (their degree just fell), round 3 drops 3 — the
+    // multi-round cascade a single-pass degree filter would get wrong
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(coreMap(e, k = 2).isEmpty)
+    // a too-small round budget stops mid-cascade, by construction
+    assert(coreMap(e, k = 2, maxRounds = 1) == Map(2L -> 1L, 3L -> 2L,
+      4L -> 1L))
+  }
+
+  test("kCore converged early is a fixed point: extra rounds change nothing") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(coreMap(e, k = 2, maxRounds = 3) ==
+      coreMap(e, k = 2, maxRounds = 50))
+  }
+
+  test("kCore matches a driver-side peel reference on random graphs") {
+    val rng = new scala.util.Random(4242L)
+    for (trial <- 0 until 3) {
+      val n = 16
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rng.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = coreMap(edges.toDF("a", "b"), k = 3, maxRounds = 16)
+
+        // reference: peel to the fixed point, serially
+        var es = edges.toSet
+        var changed = true
+        while (changed) {
+          val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+          val keep = deg.filter(_._2 >= 3).keySet
+          val next = es.filter(e => keep(e._1) && keep(e._2))
+          changed = next != es
+          es = next
+        }
+        val ref = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+        assert(got === ref, s"trial $trial mismatch")
+      }
+    }
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Selection
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // target slice: shares the "alpha beta" phrase family
+    (1L, "alpha beta gamma alpha beta", true),
+    (2L, "alpha beta delta alpha beta", true),
+    // raw docs: one target-like, one alien, one too short for bigrams
+    (3L, "alpha beta gamma delta", false),
+    (4L, "zig zag zig zag zig zag", false),
+    (5L, "word", false)
+  ).toDF("id", "text", "tgt")
+
+  test("dsirWeights ranks target-like docs above alien ones; gram-less docs weigh 0") {
+    val w = Selection.dsirWeights(corpus, "text", "id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(w(5L) == 0L) // one token -> no bigrams -> exactly zero
+    assert(w(3L) > w(4L)) // target-phrase doc above the alien-vocab doc
+    assert(w(1L) > w(4L) && w(2L) > w(4L)) // targets above the alien too
+    assert(w(4L) < 0L) // grams never seen in target: negative log-ratio
+  }
+
+  test("dsirWeights matches the formula replayed serially on the same hash") {
+    val got = Selection
+      .dsirWeights(corpus, "text", "id", col("tgt"), n = 2, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val occ = rows.flatMap { case (id, text, tgt) =>
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      t.sliding(2).filter(_.size == 2)
+        .map(g => (id, tgt, hash32(g.mkString(" ")) % 256)).toSeq
+    }
+    val ct = occ.filter(_._2).groupBy(_._3).map { case (b, o) => b -> o.size.toLong }
+    val cr = occ.groupBy(_._3).map { case (b, o) => b -> o.size.toLong }
+    val nt = ct.values.sum; val nr = cr.values.sum
+    val lr = cr.keys.map { b =>
+      val num = (ct.getOrElse(b, 0L) + 1L) * (nr + 256L)
+      val den = (cr(b) + 1L) * (nt + 256L)
+      b -> BigDecimal(math.log(num.toDouble / den.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val ref = rows.map { case (id, _, _) =>
+      id -> occ.filter(_._1 == id).map(o => lr(o._3)).sum
+    }.toMap
+    assert(got === ref)
+  }
+
+  test("selectByWeight keeps exactly k with the (w DESC, id) tie-break") {
+    val w = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 5L), (5L, 20L))
+      .toDF("id", "w_micro")
+    val sel = Selection.selectByWeight(w, keep = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // 5 (w=20), then the w=10 tie resolves to smaller ids first
+    assert(sel == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true))
+  }
+
+  test("selectByWeight with keep beyond the corpus selects everything") {
+    val w = Seq((1L, 1L), (2L, 2L)).toDF("id", "w_micro")
+    val sel = Selection.selectByWeight(w, keep = 10)
+      .collect().map(r => r.getBoolean(2))
+    assert(sel.forall(identity))
+  }
+
+  test("dsirSelect is bit-identical under repartitioning") {
+    val a = Selection.dsirSelect(corpus, "text", "id", col("tgt"), keep = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = Selection
+      .dsirSelect(corpus.repartition(7), "text", "id", col("tgt"), keep = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
+}

@@ -754,6 +754,80 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Two-stage search: COMPRESSED candidate generation, EXACT rerank —
+    * the production serving pattern for a quantized index (IVF-SQ/PQ
+    * papers' "asymmetric distance + rerank" step): the SQ8-decoded
+    * corpus proposes `cand` candidates per query (cheap, compressed-IO
+    * pass), then ONLY those `cand · |queries|` rows are re-scored
+    * against their full-precision vectors and the top `k` kept. The
+    * rerank fetch is an id equi-join into the corpus — point lookups,
+    * never a second scan-wide decode — so the exact pass costs
+    * O(cand · |queries|) regardless of corpus size, while recall
+    * recovers whatever the 8-bit rounding blurred inside the
+    * candidate set. Ranked on (round(sim,4) DESC, n_id): total order,
+    * oracle-stable.
+    */
+  def sqRerankTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   cand: Int): DataFrame = {
+    require(cand >= k, s"candidate count $cand must be >= k=$k")
+    val cands = sqTopK(queries, corpus, idCol, vecCol, cand)
+      .select(col("q_id"), col("n_id"))
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val c = corpus.select(col(idCol).as("n_id"),
+        asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_norm", norm(col("n_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    cands.join(broadcast(q), Seq("q_id")).join(c, Seq("n_id"))
+      .withColumn("sim", round(
+        dot(col("q_v"), col("n_v")) / (col("q_norm") * col("n_norm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Johnson-Lindenstrauss random projection with a PORTABLE sign
+    * matrix (Achlioptas 2003's ±1 database-friendly variant): output
+    * dimension j of vector v is `Σ_i v_i · s(i,j)` with
+    * `s(i,j) = +1 iff md5-hash32("i_j") is even` — no RNG state, so
+    * the same matrix exists in any engine that can md5, and reruns,
+    * retries, and oracles agree bit-for-bit. The matrix is driver-built
+    * (O(inDim·outDim) — KBs) and folded into the plan as literals;
+    * each projection is a fixed ascending-index fold, the same
+    * evaluation order as DuckDB's list_dot_product, so the one
+    * floating-point reduction is order-pinned on both engines.
+    *
+    * Scale shape: row-local, no shuffle — a map over the scan, exactly
+    * like the SQ8 encode. 64→16 dims cuts downstream pair-scoring IO
+    * 4× while JL keeps relative distances within the usual ε bounds
+    * (audited relationally by the x_random_projection query, not
+    * assumed).
+    */
+  def randomProject(corpus: DataFrame, idCol: String, vecCol: String,
+                    inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"need 1 <= outDim <= inDim, got inDim=$inDim outDim=$outDim")
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val v = asDouble(col(vecCol))
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until inDim).map { i =>
+        lit(if (hash32(s"${i}_$j") % 2 == 0) 1.0d else -1.0d)
+      }: _*)
+      aggregate(zip_with(v, signs, (x, s) => x * s),
+        lit(0.0d), (acc, x) => acc + x)
+    }
+    corpus.select(col(idCol), array(comps: _*).as("rv"))
+  }
+
   /** Contrastive training triplets (anchor, positive, negative) mined
     * from the corpus — the data-prep stage for embedding-model
     * fine-tuning: POSITIVES are LSH-verified near-duplicate pairs

@@ -432,4 +432,74 @@ class SimilaritySpec extends SparkSpec {
           r.getDouble(2), r.getLong(3))).toSet
     assert(run(emb) == run(emb.repartition(13)))
   }
+
+  test("sqRerankTopK over ALL candidates equals the exact brute force") {
+    // with cand = corpus size the compressed stage filters nothing, so
+    // the exact rerank must reproduce bruteForceTopK bit-for-bit —
+    // the invariant that says the rerank stage scores with the TRUE
+    // vectors, not the decoded ones
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(Similarity.sqRerankTopK(q, emb, "vec_id", "embedding",
+        k = 5, cand = n)) ==
+      rows(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)))
+  }
+
+  test("sqRerankTopK emits exact sims for a candidate subset of sqTopK") {
+    // narrow candidates: every reranked neighbor must have been a
+    // compressed-stage candidate, and its sim must be the EXACT cosine
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val cands = Similarity.sqTopK(q, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rr = Similarity.sqRerankTopK(q, emb, "vec_id", "embedding",
+      k = 5, cand = 10).collect()
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(cands.contains(key), s"$key not a compressed candidate")
+      assert(exact(key) == r.getDouble(2), s"$key sim not the exact cosine")
+    }
+  }
+
+  test("randomProject matches a driver-side replay of the md5 sign matrix") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val got = Similarity
+      .randomProject(emb, "vec_id", "embedding", inDim = 64, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val raw = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    raw.foreach { case (id, v) =>
+      val ref = (0 until 16).map { j =>
+        var acc = 0.0d
+        for (i <- 0 until 64)
+          acc += v(i) * (if (hash32(s"${i}_$j") % 2 == 0) 1.0d else -1.0d)
+        acc
+      }
+      assert(got(id) == ref, s"vec $id projection mismatch")
+    }
+  }
+
+  test("randomProject is deterministic across partitionings") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.randomProject(c, "vec_id", "embedding", 64, 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run(emb) == run(emb.repartition(13)))
+  }
 }

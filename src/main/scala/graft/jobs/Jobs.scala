@@ -460,6 +460,39 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/ann_recall_audit")
   }
 
+  /** Distribution-matched corpus selection (the DSIR recipe): score
+    * every document by hashed-bigram importance against the trusted
+    * English slice of the first three sources, persist the full weight
+    * table (the audit artifact), and the selected top slice as the
+    * curated output. */
+  private def selectCorpusJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val wPath = s"$outDir/dsir_weights"
+    graft.operators.Selection.dsirWeights(docs, "text", "doc_id",
+        isTarget = col("lang") === "en" &&
+          col("source").isin("src0", "src1", "src2"))
+      .write.mode("overwrite").parquet(wPath)
+    graft.operators.Selection
+      .selectByWeight(spark.read.parquet(wPath), keep = 100)
+      .where(col("selected"))
+      .join(docs, col("id") === col("doc_id"))
+      .select(docs.columns.map(col): _*)
+      .write.mode("overwrite").parquet(s"$outDir/corpus_selected")
+  }
+
+  /** Dense-core triage: k-core decomposition of the near-dup graph —
+    * the subgraph every reviewer starts from, separating template
+    * farms (which survive the peel) from incidental pairwise overlap. */
+  private def coreDocsJob(spark: SparkSession, sfDir: String,
+                          outDir: String): Unit = {
+    val pairs = Dedup.minhashNearDupPairs(
+      Tables.load(spark, sfDir, "documents"), "text", "doc_id",
+      k = 5, threshold = 0.2)
+    graft.operators.Graph.kCore(pairs, "doc_a", "doc_b", k = 2)
+      .write.mode("overwrite").parquet(s"$outDir/doc_cores")
+  }
+
   /** Thumbnail pipeline: the corpus's media column decoded and
     * nearest-neighbor resized to 4×3 thumbnails with their integer
     * raster fingerprints — the media-side dedup key table. */
@@ -473,6 +506,8 @@ object Jobs {
 
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
     "audit_ann" -> (auditAnnJob _),
+    "select_corpus" -> (selectCorpusJob _),
+    "core_docs" -> (coreDocsJob _),
     "thumbnail_corpus" -> (thumbnailCorpusJob _),
     "bloom_orders" -> (bloomOrdersJob _),
     "similar_docs" -> (similarDocsJob _),

@@ -1183,6 +1183,159 @@ object TrainingData {
        |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM pr10""".stripMargin
   }
 
+  // ------------------------------------------------ k-core decomposition
+  // Graph.kCore over the near-dup pair graph: the dense-template-farm
+  // detector — nodes that keep >= 2 neighbors after synchronous
+  // peeling, with their core degree. Rounds are a pure function of the
+  // previous subgraph, so the oracle replays the SAME 8 peels as
+  // chained CTEs (converged-early results are a fixed point; extra
+  // replayed rounds are no-ops) and must match exactly. Pair feed:
+  // the maintained signature table, like the rest of the graph family.
+  def kcoreQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.5),
+      "doc_a", "doc_b", k = 2, maxRounds = 8)
+  val kcoreSql: String = {
+    // every e_i is referenced three times by round i+1 (directly and
+    // through kp twice); left inlinable the unrolled chain expands
+    // 3^8 replays of the whole minhash pipeline — AS MATERIALIZED pins
+    // each round to one evaluation, which is also what the engine does
+    val rounds = (1 to 8).map { i =>
+      s"""kp$i AS MATERIALIZED (
+         |  SELECT src AS v FROM e${i - 1}
+         |  GROUP BY src HAVING count(*) >= 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN kp$i a ON e.src = a.v
+         |  JOIN kp$i b ON e.dst = b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |ce AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.5),
+       |e0 AS MATERIALIZED (
+       |       SELECT a AS src, b AS dst FROM ce
+       |       UNION ALL SELECT b, a FROM ce),
+       |$rounds
+       |SELECT src AS node, count(*) AS core_deg FROM e8 GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------- DSIR distribution-matched selection
+  // Selection.dsirSelect end to end: hashed-bigram importance weights
+  // against a trusted target slice (English docs from the first three
+  // sources), top-100 kept. The weight table is materialized once per
+  // session (selectByWeight reads it twice — the posting-table
+  // contract); the oracle replays bucket counts, the micro-nat
+  // log-ratio, the per-doc sums, and the same (w DESC, id) boundary
+  // cut, and must match exactly — every shuffled aggregate is an
+  // exact BIGINT.
+  def dsirSelectQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.selectByWeight(
+        spark.read.parquet(dsirWeightTableFor(spark, dir)), keep = 100)
+      .select(col("id").as("doc_id"), col("w_micro"), col("selected"))
+
+  private def dsirWeightTableFor(spark: SparkSession, dir: String): String =
+    Fixtures.cached("dsir-weights", dir) { root =>
+      val path = new java.io.File(root, "weights").toString
+      graft.operators.Selection.dsirWeights(
+          docs(spark, dir), "text", "doc_id",
+          isTarget = col("lang") === "en" &&
+            col("source").isin("src0", "src1", "src2"),
+          n = 2, buckets = 256)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+  val dsirSelectSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    (lang = 'en' AND source IN ('src0','src1','src2')) AS is_tgt,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ta
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, is_tgt, ${duckHash32("g")} % 256 AS bucket
+       |  FROM (
+       |    SELECT doc_id, is_tgt, unnest(
+       |      CASE WHEN len(ta) >= 2 THEN
+       |        list_transform(range(1, len(ta)),
+       |          i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1])
+       |      ELSE [] END) AS g
+       |    FROM toks)),
+       |counts AS (
+       |  SELECT bucket,
+       |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+       |    count(*) AS cr
+       |  FROM occ GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+       |lr AS (
+       |  SELECT bucket,
+       |    CAST(round(ln(((ct + 1) * (nr + 256))::DOUBLE /
+       |                  ((cr + 1) * (nt + 256))) * 1000000, 0) AS BIGINT)
+       |      AS lr_micro
+       |  FROM counts, tot),
+       |sums AS (
+       |  SELECT o.doc_id, sum(l.lr_micro) AS w
+       |  FROM occ o JOIN lr l USING (bucket) GROUP BY 1),
+       |wts AS (
+       |  SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS w_micro
+       |  FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id),
+       |topk AS (
+       |  SELECT w_micro, -doc_id AS nid FROM wts
+       |  ORDER BY w_micro DESC, doc_id LIMIT 100),
+       |kth AS (
+       |  SELECT w_micro AS bw, nid AS bnid FROM topk
+       |  ORDER BY w_micro, nid LIMIT 1)
+       |SELECT w.doc_id, w.w_micro,
+       |  (w.w_micro > k.bw OR (w.w_micro = k.bw AND -w.doc_id >= k.bnid))
+       |    AS selected
+       |FROM wts w, kth k""".stripMargin
+
+  // ----------------------------------------- curriculum interleave order
+  // The training-order builder: within each source, rank documents by
+  // a difficulty proxy (token count), cut into 5 difficulty tiers
+  // (ntile), and emit one document per tier in rotation (easy -> hard,
+  // cycling) — the interleaved curriculum that avoids both sorted-easy
+  // collapse and uniform shuffle. Every window is PARTITIONED BY
+  // source (no global sort anywhere); the cross-source order is
+  // metadata (round-robin over sources at read time). All orderings
+  // carry doc_id tie-breaks, so both engines emit identical positions.
+  def curriculumQ(spark: SparkSession, dir: String): DataFrame = {
+    val diff = Window.partitionBy(col("source"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    val inTier = Window.partitionBy(col("source"), col("tier"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    val rot = Window.partitionBy(col("source"))
+      .orderBy(col("cycle"), col("tier"), col("doc_id"))
+    docs(spark, dir).select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("tier", ntile(5).over(diff).cast("long"))
+      .withColumn("cycle", row_number().over(inTier).cast("long"))
+      .withColumn("pos", row_number().over(rot).cast("long"))
+      .select(col("doc_id"), col("source"), col("tier"), col("pos"))
+  }
+  val curriculumSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |tiers AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(ntile(5) OVER (PARTITION BY source
+      |      ORDER BY n_tok, doc_id) AS BIGINT) AS tier
+      |  FROM t),
+      |cyc AS (
+      |  SELECT doc_id, source, tier,
+      |    CAST(row_number() OVER (PARTITION BY source, tier
+      |      ORDER BY n_tok, doc_id) AS BIGINT) AS cycle
+      |  FROM tiers)
+      |SELECT doc_id, source, tier,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY cycle, tier, doc_id) AS BIGINT) AS pos
+      |FROM cyc""".stripMargin
+
   // --------------------------------------- maintained signature tables
   /** Path of the MAINTAINED signature table for a (sf-dir, corpus-tag)
     * pair, written on first use and reused by every later query in the
@@ -2745,8 +2898,11 @@ object TrainingData {
     Similarity.sqTopK(emb.filter(col("vec_id") < 20), emb,
       "vec_id", "embedding", 5)
   }
-  val annSq8Sql: String =
-    """WITH base AS (
+  /** The SQ8 encode→decode oracle chain ending in `dec(n_id, dv)` —
+    * shared by the from-scratch search, and the rerank query's
+    * candidate stage. */
+  private val sq8DecCtes: String =
+    """base AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |stats AS (
       |  SELECT pos, min(val) AS mn, max(val) AS mx FROM (
@@ -2770,7 +2926,9 @@ object TrainingData {
       |      i -> mnv[CAST(i AS INT)] + codes[CAST(i AS INT)]
       |           * (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) / 255.0)
       |      AS dv
-      |  FROM enc, sv),
+      |  FROM enc, sv)""".stripMargin
+  val annSq8Sql: String =
+    s"""WITH $sq8DecCtes,
       |scored AS (
       |  SELECT q.vec_id AS q_id, d.n_id,
       |    round(list_dot_product(q.v, d.dv) /
@@ -2784,6 +2942,136 @@ object TrainingData {
       |FROM scored
       |QUALIFY row_number() OVER
       |  (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+
+  // --------------------------------- compressed-candidates exact rerank
+  // Similarity.sqRerankTopK end to end: the SQ8 pass proposes 20
+  // candidates per query, the exact pass re-scores ONLY those against
+  // their full-precision vectors and keeps the top 5 — the asymmetric
+  // "search compressed, rerank exact" serving pattern. The oracle runs
+  // the identical two stages; the exact stage's fetch is an id join,
+  // so at 100 TB the full-precision read is O(cand·|queries|) point
+  // lookups, never a second corpus scan.
+  def annRerankQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.sqRerankTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", k = 5, cand = 20)
+  }
+  val annRerankSql: String =
+    s"""WITH $sq8DecCtes,
+      |cand AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, d.n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_dot_product(q.v, d.dv) /
+      |          (sqrt(list_dot_product(q.v, q.v))
+      |           * sqrt(list_dot_product(d.dv, d.dv))), 4) DESC, d.n_id)
+      |        AS rk
+      |    FROM base q JOIN dec d ON q.vec_id <> d.n_id
+      |    WHERE q.vec_id < 20)
+      |  WHERE rk <= 20),
+      |rr AS (
+      |  SELECT c.q_id, c.n_id,
+      |    round(list_dot_product(q.v, n.v) /
+      |      (sqrt(list_dot_product(q.v, q.v))
+      |       * sqrt(list_dot_product(n.v, n.v))), 4) AS sim
+      |  FROM cand c JOIN base q ON q.vec_id = c.q_id
+      |              JOIN base n ON n.vec_id = c.n_id)
+      |SELECT q_id, n_id, sim,
+      |  CAST(row_number() OVER
+      |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+      |FROM rr
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+
+  // ----------------------------------- random projection (JL) + audit
+  // Similarity.randomProject gated through its distance-preservation
+  // audit: 64-dim embeddings projected to 16 dims with the portable
+  // ±1 md5-sign matrix, then for 20 fixed pairs (a, a+100) the cosine
+  // in full space vs projected space, both rounded — the table that
+  // decides whether the 4× IO cut is safe for a given corpus. The
+  // oracle rebuilds the same matrix from the same md5 parity and folds
+  // every projection in the same ascending-index order.
+  def randomProjectionQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val rp = Similarity.randomProject(emb, "vec_id", "embedding",
+      inDim = 64, outDim = 16)
+    val full = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val a = full.join(rp, "vec_id").where(col("vec_id") < 20)
+      .select(col("vec_id").as("a"), col("v").as("va"),
+        col("rv").as("ra"))
+    val b = full.join(rp, "vec_id")
+      .select(col("vec_id").as("b"), col("v").as("vb"),
+        col("rv").as("rb"))
+    a.join(b, col("a") + 100 === col("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.dot(col("va"), col("vb")) /
+          (Similarity.norm(col("va")) * Similarity.norm(col("vb"))), 4)
+          .as("cos_full"),
+        round(Similarity.dot(col("ra"), col("rb")) /
+          (Similarity.norm(col("ra")) * Similarity.norm(col("rb"))), 4)
+          .as("cos_rp"))
+  }
+  val randomProjectionSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |mat AS (
+       |  SELECT j,
+       |    list(CASE WHEN ${duckHash32(
+              "CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+       |  FROM range(64) t(i) CROSS JOIN range(16) u(j)
+       |  GROUP BY j),
+       |rp AS (
+       |  SELECT vec_id,
+       |    list(list_dot_product(v, m.s) ORDER BY m.j) AS rv
+       |  FROM base CROSS JOIN mat m GROUP BY vec_id, v),
+       |pairs AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    round(list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v))
+       |       * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_full,
+       |    round(list_dot_product(ra.rv, rb.rv) /
+       |      (sqrt(list_dot_product(ra.rv, ra.rv))
+       |       * sqrt(list_dot_product(rb.rv, rb.rv))), 4) AS cos_rp
+       |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 100
+       |  JOIN rp ra ON ra.vec_id = a.vec_id
+       |  JOIN rp rb ON rb.vec_id = b.vec_id
+       |  WHERE a.vec_id < 20)
+       |SELECT a, b, cos_full, cos_rp FROM pairs""".stripMargin
+
+  // ------------------------------------------- first BPE merge table
+  // The tokenizer-training seed: frequency of every adjacent CHARACTER
+  // pair inside words across the corpus, top 20 by (count DESC, pair)
+  // — the table whose argmax is BPE's first merge, and whose tail is
+  // the merge queue. One explode + one aggregation; the ranking window
+  // runs over the aggregated pair vocabulary (bounded by |alphabet|²),
+  // not the corpus.
+  def bpeMergesQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    docs(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 20)
+  }
+  val bpeMergesSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |  FROM w WHERE len(w) >= 2),
+      |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+      |SELECT pair, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+      |FROM c
+      |QUALIFY row_number() OVER (ORDER BY cnt DESC, pair) <= 20""".stripMargin
 
   // ------------------------------------------ persisted SQ8/IVF index
   /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
@@ -4272,6 +4560,12 @@ object TrainingData {
     "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
+    "x_kcore" -> (kcoreQ _),
+    "x_dsir_select" -> (dsirSelectQ _),
+    "x_curriculum" -> (curriculumQ _),
+    "x_ann_rerank" -> (annRerankQ _),
+    "x_random_projection" -> (randomProjectionQ _),
+    "x_bpe_merges" -> (bpeMergesQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
     "x_url_dedup" -> (urlDedupQ _),
@@ -4384,6 +4678,12 @@ object TrainingData {
     "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
+    "x_kcore" -> kcoreSql,
+    "x_dsir_select" -> dsirSelectSql,
+    "x_curriculum" -> curriculumSql,
+    "x_ann_rerank" -> annRerankSql,
+    "x_random_projection" -> randomProjectionSql,
+    "x_bpe_merges" -> bpeMergesSql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,
     "x_url_dedup" -> urlDedupSql,

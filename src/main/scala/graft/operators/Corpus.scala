@@ -154,6 +154,60 @@ object Corpus {
     * Callers wanting normalized matching (case/digit-insensitive)
     * should pre-normalize a shadow column and split on that.
     */
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): of every `window` consecutive k-shingle hashes,
+    * keep the minimum — the guarantee-bearing sparse fingerprint set
+    * (any shared substring of length >= k + window - 1 shares at least
+    * one selected fingerprint), at ~2/(window+1) the density of the
+    * full hash stream. This is the plagiarism/near-dup screen that
+    * bounds index size with a COVERAGE guarantee, where MinHash bounds
+    * it probabilistically.
+    *
+    * Ties select the LEFTMOST minimal hash (deterministic; the paper's
+    * robust variant picks rightmost — leftmost is equally covered and
+    * lets both engines select on one packed integer min). The packed
+    * key `h * 2^21 + pos` is exact: h < 1e9+7 < 2^30, pos < 2^21
+    * guarded, so the minimum orders by (h, pos) lexicographically.
+    *
+    * Scale shape: one positional shingle explode (row-local), one
+    * sliding window partitioned BY DOCUMENT (never global), one
+    * distinct — all parallel over doc_id. Output is (id, pos, h) per
+    * SELECTED fingerprint.
+    */
+  def winnowingFingerprints(docs: DataFrame, textCol: String,
+                            idCol: String, k: Int = 5,
+                            window: Int = 4): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val t = lower(trim(col(textCol)))
+    val sh = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => t.substr(i, lit(k)))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    // The positional shingle explosion (this operator's CPU) runs
+    // BEFORE any shuffle, so its parallelism would be the scan's split
+    // count; one doc-keyed repartition fans it out (the SparseSim
+    // device) AND pre-partitions for the per-document window, so the
+    // window's own exchange disappears — the sort runs on the already
+    // doc-hashed exploded stream.
+    val fan = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val hashed = docs
+      .repartition(fan, col(idCol))
+      .select(col(idCol).as("id"), posexplode(sh).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"),
+        TextFns.polyHash(col("s")).as("h"),
+        count(lit(1)).over(Window.partitionBy(col("id"))).as("n"))
+    hashed
+      .withColumn("sel",
+        min(col("h") * lit(2097152L) + col("pos")).over(w))
+      .where(col("pos") <= col("n") - window) // full windows only
+      .select(col("id"),
+        (col("sel") % lit(2097152L)).as("pos"),
+        expr("sel div 2097152L").as("h"))
+      .distinct()
+  }
+
   def removeBoilerplateLines(docs: DataFrame, textCol: String,
                              idCol: String, maxOccurrences: Long,
                              sep: String = "\n",

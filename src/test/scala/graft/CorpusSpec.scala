@@ -217,4 +217,56 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(1))
     assert(out.toSeq == Seq(11L))
   }
+
+  test("winnowing matches a driver-side replay of window minima") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "shrt")) // under one full window -> no fingerprints
+      .toDF("doc_id", "text")
+    val got = Corpus.winnowingFingerprints(docs, "text", "doc_id",
+        k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    def poly(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val ref = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase
+        val hs = (0 to math.max(t.length - 5, 0))
+          .map(i => poly(t.substring(i, math.min(i + 5, t.length))))
+        (0 to hs.length - 4).map { p =>
+          val win = (p until p + 4).map(q => (hs(q), q.toLong))
+          val (h, pos) = win.min
+          (id, pos, h)
+        }
+      }.toSet
+    assert(got == ref)
+  }
+
+  test("winnowing coverage guarantee: shared >=8-char substrings share a fingerprint") {
+    // k=5, window=4: any common substring of length k+window-1=8 must
+    // contribute at least one SELECTED fingerprint hash to both docs
+    val shared = "zqxjkvbw" // 8 chars, planted mid-document
+    val docs = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"eeee $shared ffff gggg hhhh iiii"))
+      .toDF("doc_id", "text")
+    val fps = Corpus.winnowingFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.intersect(h2).nonEmpty,
+      "planted 8-char substring selected no common fingerprint")
+  }
+
+  test("winnowing density is ~2/(window+1) of the hash stream") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val n = Corpus.winnowingFingerprints(docs, "text", "doc_id").count()
+    val stream = docs.select(
+      sum(greatest(length(lower(trim($"text"))) - 4, lit(1)))).head.getLong(0)
+    // paper's expected density 2/(w+1) = 0.4; allow a generous band
+    assert(n > stream / 10 && n < stream * 6 / 10,
+      s"selected $n of $stream hashes - outside the winnowing band")
+  }
 }

@@ -48,16 +48,7 @@ object Selection {
                   buckets: Int = 256): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     require(buckets >= 2, s"bucket count must be >= 2, got $buckets")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val occ = corpus
-      .select(col(idCol).as("id"), isTarget.as("is_tgt"),
-        explode(grams).as("g"))
-      .select(col("id"), col("is_tgt"),
-        (graft.functions.TextFns.hash32(col("g")) % buckets).as("bucket"))
+    val occ = gramBuckets(corpus, textCol, idCol, isTarget, n, buckets)
     // both count vectors in ONE aggregation pass over the gram stream
     val counts = occ.groupBy(col("bucket"))
       .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
@@ -93,6 +84,71 @@ object Selection {
                  buckets: Int = 256): DataFrame =
     selectByWeight(
       dsirWeights(corpus, textCol, idCol, isTarget, n, buckets), keep)
+
+  /** The trained DSIR "model" alone: the per-bucket micro-nat
+    * log-ratio table `(bucket, lr_micro)` — ≤ `buckets` rows, the
+    * whole artifact a serving path needs. Train at ingest over the
+    * corpus + target slice, persist, then score any stream of new
+    * documents against it with [[scoreWithModel]] (broadcast join —
+    * the model never re-trains on the serve path). Same counts,
+    * smoothing, and quantization as [[dsirWeights]];
+    * `scoreWithModel(corpus, dsirModel(corpus))` reproduces
+    * `dsirWeights(corpus)` exactly (SelectionSpec pins this).
+    */
+  def dsirModel(corpus: DataFrame, textCol: String, idCol: String,
+                isTarget: Column, n: Int = 2,
+                buckets: Int = 256): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    require(buckets >= 2, s"bucket count must be >= 2, got $buckets")
+    val occ = gramBuckets(corpus, textCol, idCol, isTarget, n, buckets)
+    val counts = occ.groupBy(col("bucket"))
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(((col("ct") + lit(1L)) * (col("nr") + lit(buckets.toLong)))
+            .cast("double") /
+          ((col("cr") + lit(1L)) * (col("nt") + lit(buckets.toLong)))
+            .cast("double")) * lit(1000000.0d), 0)
+          .cast("long").as("lr_micro"))
+  }
+
+  /** Score documents against an already-trained `(bucket, lr_micro)`
+    * model — the SERVING path: one row-local gram explosion, one
+    * broadcast join of the ≤ `buckets`-row model, one per-doc sum.
+    * `n` and `buckets` MUST match the model's training parameters
+    * (they define the feature space the model's buckets live in).
+    */
+  def scoreWithModel(docs: DataFrame, textCol: String, idCol: String,
+                     model: DataFrame, n: Int = 2,
+                     buckets: Int = 256): DataFrame = {
+    val occ = gramBuckets(docs, textCol, idCol, lit(false), n, buckets)
+    val sums = occ
+      .join(broadcast(model.select(col("bucket"), col("lr_micro"))),
+        Seq("bucket"))
+      .groupBy(col("id")).agg(sum(col("lr_micro")).as("w"))
+    docs.select(col(idCol).as("id"))
+      .join(sums, Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0L)).as("w_micro"))
+  }
+
+  /** Shared gram→bucket stream `(id, is_tgt, bucket)`, one row per
+    * gram OCCURRENCE. */
+  private def gramBuckets(corpus: DataFrame, textCol: String,
+                          idCol: String, isTarget: Column, n: Int,
+                          buckets: Int): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    corpus
+      .select(col(idCol).as("id"), isTarget.as("is_tgt"),
+        explode(grams).as("g"))
+      .select(col("id"), col("is_tgt"),
+        (graft.functions.TextFns.hash32(col("g")) % buckets).as("bucket"))
+  }
 
   /** The selection cut alone, over an already-computed (id, w_micro)
     * weight table. Split out so callers can MATERIALIZE the weights

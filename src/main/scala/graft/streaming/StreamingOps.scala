@@ -541,6 +541,45 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Online DSIR scoring: each arriving micro-batch of documents is
+    * scored against a STORED `(bucket, lr_micro)` model
+    * ([[graft.operators.Selection.dsirModel]], persisted at train
+    * time) and the `(id, w_micro)` weights appended — the serving half
+    * of distribution-matched selection's train-then-serve split. Per
+    * batch the work is one row-local gram pass plus a broadcast join
+    * of the ≤ buckets-row model: no re-training, no corpus read, no
+    * shuffle wider than the batch. Batch and streaming scoring share
+    * one implementation (scoreWithModel), so streamed weights are
+    * identical to the batch path by construction.
+    *
+    * EXACTLY-ONCE at the sink via [[idempotentAppend]] under
+    * batch-named files (the [[continuousAnnServe]] commit protocol).
+    * `checkpointDir` MUST be durable storage in production; the temp
+    * default exists for single-run tests. `n`/`buckets` must match
+    * the stored model's training parameters.
+    */
+  def continuousSelectServe(src: DataFrame, modelPath: String,
+                            outDir: String, textCol: String,
+                            idCol: String, n: Int = 2,
+                            buckets: Int = 256,
+                            checkpointDir: String = null): Unit = {
+    val ckpt = Option(checkpointDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_select_ckpt").toString)
+    val model = src.sparkSession.read.parquet(modelPath)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.Selection
+            .scoreWithModel(batch, textCol, idCol, model, n, buckets),
+          outDir, s"b${batchId}_")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Continuous ingestion with quarantine: a text-line stream split by
     * the SAME parse expression as the batch Ingest layer, clean rows to
     * one parquet table and raw corrupt lines to a replayable quarantine

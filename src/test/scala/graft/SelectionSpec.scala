@@ -76,6 +76,26 @@ class SelectionSpec extends SparkSpec {
     assert(sel.forall(identity))
   }
 
+  test("scoreWithModel over the trained model reproduces dsirWeights") {
+    // the serve/batch equivalence that lets a stored (bucket, lr)
+    // model score streams without retraining
+    val batch = Selection.dsirWeights(corpus, "text", "id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val model = Selection.dsirModel(corpus, "text", "id", col("tgt"))
+    val served = Selection.scoreWithModel(corpus, "text", "id", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === batch)
+  }
+
+  test("dsirModel is bounded by the bucket count and covers every occupied bucket") {
+    val model = Selection
+      .dsirModel(corpus, "text", "id", col("tgt"), buckets = 16)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(model.size <= 16)
+    assert(model.distinct.size == model.size)
+    assert(model.forall(b => b >= 0 && b < 16))
+  }
+
   test("dsirSelect is bit-identical under repartitioning") {
     val a = Selection.dsirSelect(corpus, "text", "id", col("tgt"), keep = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet

@@ -3040,6 +3040,272 @@ object TrainingData {
        |  WHERE a.vec_id < 20)
        |SELECT a, b, cos_full, cos_rp FROM pairs""".stripMargin
 
+  // ---------------------------------------- streaming DSIR serving
+  // The serving half of distribution-matched selection, online:
+  // documents arrive in TWO micro-batches (doc_id < 250, then >= 250)
+  // and each is scored against the SAME stored (bucket, lr_micro)
+  // model the batch query trains — foreachBatch delegates to
+  // Selection.scoreWithModel, so streamed weights are identical to
+  // the batch path by construction, and the oracle is the weight half
+  // of x_dsir_select's SQL. Per-batch work: one gram pass + one
+  // broadcast model join; no re-training on the serve path.
+  def streamSelectQ(spark: SparkSession, dir: String): DataFrame = {
+    val model = Fixtures.cached("dsir-model", dir) { root =>
+      val path = new java.io.File(root, "model").toString
+      graft.operators.Selection.dsirModel(
+          docs(spark, dir), "text", "doc_id",
+          isTarget = col("lang") === "en" &&
+            col("source").isin("src0", "src1", "src2"),
+          n = 2, buckets = 256)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    val out = Fixtures.cached("stream-select", dir) { root =>
+      val d = docs(spark, dir)
+      val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+      Seq((0L, 250L), (250L, 100000L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          val tmp = new java.io.File(root, s"tmp$i").toString
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1000000000000L + i * 60000L); ()
+      }
+      val served = new java.io.File(root, "served").toString
+      graft.streaming.StreamingOps.continuousSelectServe(
+        spark.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+        model, served, "text", "doc_id")
+      served
+    }
+    spark.read.parquet(out).select(col("id").as("doc_id"), col("w_micro"))
+  }
+  val streamSelectSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    (lang = 'en' AND source IN ('src0','src1','src2')) AS is_tgt,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ta
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, is_tgt, ${duckHash32("g")} % 256 AS bucket
+       |  FROM (
+       |    SELECT doc_id, is_tgt, unnest(
+       |      CASE WHEN len(ta) >= 2 THEN
+       |        list_transform(range(1, len(ta)),
+       |          i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1])
+       |      ELSE [] END) AS g
+       |    FROM toks)),
+       |counts AS (
+       |  SELECT bucket,
+       |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+       |    count(*) AS cr
+       |  FROM occ GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+       |lr AS (
+       |  SELECT bucket,
+       |    CAST(round(ln(((ct + 1) * (nr + 256))::DOUBLE /
+       |                  ((cr + 1) * (nt + 256))) * 1000000, 0) AS BIGINT)
+       |      AS lr_micro
+       |  FROM counts, tot),
+       |sums AS (
+       |  SELECT o.doc_id, sum(l.lr_micro) AS w
+       |  FROM occ o JOIN lr l USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS w_micro
+       |FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id""".stripMargin
+
+  // ------------------------------------------- eval-proximity scoring
+  /** (id, w_micro) for every embedding row: micro-quantized cosine to
+    * the INTEGER SUM centroid of the eval slice (vec_id < 20). The
+    * per-dimension centroid is an exact BIGINT sum of round(x*1e6)
+    * micro-units — order-independent, and cosine is scale-invariant so
+    * the sum stands in for the mean with no division (integer `div`
+    * truncates toward zero on Spark but floors in DuckDB; the sum
+    * sidesteps the disagreement entirely). Shared by the proximity
+    * query and the MMR pool below. */
+  private def evalCentroidScored(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val cent = base.where(col("vec_id") < 20)
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("x") * lit(1000000.0d), 0).cast("long")).as("s"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s")))),
+        t => t.getField("s").cast("double") / lit(1000000.0d)).as("cv"))
+    base.crossJoin(broadcast(cent))
+      .select(col("vec_id").as("id"),
+        round(round(Similarity.dot(col("v"), col("cv")) /
+            (Similarity.norm(col("v")) * Similarity.norm(col("cv"))), 4)
+          * lit(1000000.0d), 0).cast("long").as("w_micro"))
+  }
+  /** Oracle twin of [[evalCentroidScored]], ending in
+    * `scored(vec_id, w_micro)` (requires a `base(vec_id, v)` CTE). */
+  private val evalScoredCtes: String =
+    """base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT list(CAST(s AS DOUBLE) / 1000000 ORDER BY pos) AS cv
+      |  FROM (
+      |    SELECT pos, sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS s
+      |    FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      |          FROM base WHERE vec_id < 20)
+      |    GROUP BY pos)),
+      |scored AS (
+      |  SELECT vec_id,
+      |    CAST(round(round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+      |      4) * 1000000, 0) AS BIGINT) AS w_micro
+      |  FROM base, cent)""".stripMargin
+
+  // x_eval_proximity: targeted-selection scoring — every corpus
+  // embedding ranked by closeness to the eval-set centroid (the
+  // gradient-free proxy for "looks like what we evaluate on"), fed
+  // through the same distributed boundary cut as DSIR. The complement
+  // of x_dsir_select: DSIR matches an n-gram DISTRIBUTION, this
+  // matches a dense-embedding REGION.
+  def evalProximityQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection
+      .selectByWeight(evalCentroidScored(spark, dir), keep = 100)
+      .select(col("id").as("vec_id"), col("w_micro"), col("selected"))
+  val evalProximitySql: String =
+    s"""WITH $evalScoredCtes,
+       |topk AS (
+       |  SELECT w_micro, -vec_id AS nid FROM scored
+       |  ORDER BY w_micro DESC, vec_id LIMIT 100),
+       |kth AS (
+       |  SELECT w_micro AS bw, nid AS bnid FROM topk
+       |  ORDER BY w_micro, nid LIMIT 1)
+       |SELECT s.vec_id, s.w_micro,
+       |  (s.w_micro > k.bw OR (s.w_micro = k.bw AND -s.vec_id >= k.bnid))
+       |    AS selected
+       |FROM scored s, kth k""".stripMargin
+
+  // ------------------------------------- MMR diverse subset selection
+  // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+  // over a BOUNDED candidate pool: greedily pick 8 of the 50 most
+  // eval-proximate vectors, each round's winner maximizing
+  // relevance − max-similarity-to-already-selected (λ=1/2 folded out:
+  // same argmax), every quantity an exact micro-int so both engines
+  // agree on every argmax. Greedy selection is inherently sequential —
+  // each of the 8 rounds is a DISTRIBUTED score-and-argmax
+  // (TakeOrdered limit 1) whose single winner row is the documented
+  // O(1) driver scalar; at 100 TB the pool is a pre-selected top-N
+  // (bounded by construction), never the corpus, so pool×selected
+  // rescoring stays O(N·k). The oracle unrolls the same 8 rounds as
+  // materialized CTEs.
+  def mmrDiverseQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val pool = evalCentroidScored(spark, dir).where(col("id") < 50)
+      .join(base, col("id") === col("vec_id"))
+      .select(col("id"), col("w_micro"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pool.count()
+      var selected = Vector.empty[Long]
+      for (_ <- 0 until 8) {
+        val pick =
+          if (selected.isEmpty)
+            pool.orderBy(col("w_micro").desc, col("id")).limit(1)
+              .select(col("id"))
+          else {
+            val sel = pool
+              .where(col("id").isin(selected: _*))
+              .select(col("id").as("s_id"), col("v").as("sv"))
+            pool.where(!col("id").isin(selected: _*))
+              .crossJoin(broadcast(sel))
+              .withColumn("sim_micro",
+                round(round(Similarity.dot(col("v"), col("sv")) /
+                    (Similarity.norm(col("v")) * Similarity.norm(col("sv"))),
+                  4) * lit(1000000.0d), 0).cast("long"))
+              .groupBy(col("id"), col("w_micro"))
+              .agg(max(col("sim_micro")).as("msim"))
+              .orderBy((col("w_micro") - col("msim")).desc, col("id"))
+              .limit(1).select(col("id"))
+          }
+        selected = selected :+ pick.collect()(0).getLong(0)
+      }
+      import spark.implicits._
+      selected.zipWithIndex
+        .map { case (id, i) => ((i + 1).toLong, id) }
+        .toDF("ord", "vec_id")
+    } finally { pool.unpersist(false); () }
+  }
+  val mmrDiverseSql: String = {
+    val sim =
+      """CAST(round(round(list_dot_product(cb.v, sb.v) /
+        |      (sqrt(list_dot_product(cb.v, cb.v))
+        |       * sqrt(list_dot_product(sb.v, sb.v))), 4) * 1000000, 0)
+        |     AS BIGINT)""".stripMargin
+    val rounds = (2 to 8).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT c.vec_id, c.w_micro, max($sim) AS msim
+         |  FROM pool c
+         |  JOIN base cb ON cb.vec_id = c.vec_id
+         |  CROSS JOIN a${r - 1} s
+         |  JOIN base sb ON sb.vec_id = s.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM a${r - 1})
+         |  GROUP BY c.vec_id, c.w_micro),
+         |p$r AS MATERIALIZED (
+         |  SELECT $r AS ord, vec_id FROM m$r
+         |  ORDER BY (w_micro - msim) DESC, vec_id LIMIT 1),
+         |a$r AS MATERIALIZED (
+         |  SELECT * FROM a${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $evalScoredCtes,
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, w_micro FROM scored WHERE vec_id < 50),
+       |a1 AS MATERIALIZED (
+       |  SELECT 1 AS ord, vec_id FROM pool
+       |  ORDER BY w_micro DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(ord AS BIGINT) AS ord, vec_id FROM a8""".stripMargin
+  }
+
+  // ------------------------------------------- winnowing fingerprints
+  // Corpus.winnowingFingerprints gated end to end: the minimum of
+  // every 4 consecutive 5-shingle hashes — the sparse fingerprint set
+  // with the COVERAGE guarantee (any shared substring of length >= 8
+  // shares a selected fingerprint), vs MinHash's probabilistic bound.
+  // The oracle replays the same packed-integer window minimum; both
+  // engines select on one BIGINT, so ties resolve identically.
+  def winnowingQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus
+      .winnowingFingerprints(docs(spark, dir), "text", "doc_id",
+        k = 5, window = 4)
+      .select(col("id").as("doc_id"), col("pos"), col("h"))
+  val winnowingSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      range(1, greatest(length(lower(trim(text)))-4, 1)+1),
+      |      i -> substr(lower(trim(text)), CAST(i AS INT), 5)) AS ss
+      |  FROM documents),
+      |hr AS (
+      |  SELECT doc_id, pos,
+      |    list_reduce(
+      |      list_concat([CAST(0 AS BIGINT)],
+      |        list_transform(range(1, length(s)+1),
+      |          c -> CAST(unicode(substr(s, CAST(c AS INT), 1)) AS BIGINT))),
+      |      (a, c) -> (a*31 + c) % 1000000007) AS h
+      |  FROM (SELECT doc_id, unnest(ss) AS s,
+      |          generate_subscripts(ss, 1) - 1 AS pos
+      |        FROM sh)),
+      |win AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY doc_id) AS n,
+      |    min(h * 2097152 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM hr)
+      |SELECT DISTINCT doc_id,
+      |  CAST(sel % 2097152 AS BIGINT) AS pos,
+      |  CAST(sel // 2097152 AS BIGINT) AS h
+      |FROM win WHERE pos <= n - 4""".stripMargin
+
   // ------------------------------------------- first BPE merge table
   // The tokenizer-training seed: frequency of every adjacent CHARACTER
   // pair inside words across the corpus, top 20 by (count DESC, pair)
@@ -4566,6 +4832,10 @@ object TrainingData {
     "x_ann_rerank" -> (annRerankQ _),
     "x_random_projection" -> (randomProjectionQ _),
     "x_bpe_merges" -> (bpeMergesQ _),
+    "x_winnowing" -> (winnowingQ _),
+    "x_eval_proximity" -> (evalProximityQ _),
+    "x_mmr_diverse" -> (mmrDiverseQ _),
+    "p_stream_select" -> (streamSelectQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
     "x_url_dedup" -> (urlDedupQ _),
@@ -4684,6 +4954,10 @@ object TrainingData {
     "x_ann_rerank" -> annRerankSql,
     "x_random_projection" -> randomProjectionSql,
     "x_bpe_merges" -> bpeMergesSql,
+    "x_winnowing" -> winnowingSql,
+    "x_eval_proximity" -> evalProximitySql,
+    "x_mmr_diverse" -> mmrDiverseSql,
+    "p_stream_select" -> streamSelectSql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,
     "x_url_dedup" -> urlDedupSql,

@@ -359,4 +359,55 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"pair generation is not an equi-join:\n$p")
   }
+
+  test("winnowing costs ONE exchange: the fan-out doubles as the " +
+    "window partitioning") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val p = plan(graft.operators.Corpus
+      .winnowingFingerprints(d, "text", "doc_id"))
+    // repartition(id) before the explosion is the only shuffle until
+    // the final distinct; both per-doc windows must reuse it
+    assert(countExchanges(p) <= 2, // fan-out + the distinct's exchange
+      s"expected fan-out + distinct exchanges only:\n$p")
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+  }
+
+  test("DSIR serving: the model joins as a broadcast, the corpus side " +
+    "never shuffles for it") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val model = graft.operators.Selection.dsirModel(
+      d, "text", "doc_id", col("lang") === "en")
+    val p = plan(graft.operators.Selection
+      .scoreWithModel(d, "text", "doc_id", model))
+    // the BUCKET join (model onto the gram stream) must broadcast —
+    // the id-keyed left join that restores zero-weight docs is a
+    // legitimate batch-sized equi-join and may sort-merge
+    assert(p.contains("BroadcastHashJoin [bucket"),
+      s"model must broadcast-join onto the gram stream:\n$p")
+    assert(!p.contains("SortMergeJoin [bucket"),
+      s"gram-side shuffle for the model join:\n$p")
+  }
+
+  test("curriculum ordering has no global (unpartitioned) window sort") {
+    val p = plan(graft.queries.TrainingData.curriculumQ(spark, sf0001))
+    // every Exchange must be hashpartitioning — a rangepartitioning or
+    // SinglePartition exchange would be the global sort this operator
+    // exists to avoid
+    assert(!p.contains("rangepartitioning"),
+      s"global sort in the curriculum plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in the curriculum plan:\n$p")
+  }
+
+  test("sqRerankTopK fetches candidates by id equi-join (no second " +
+    "corpus-wide decode, no cartesian)") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val p = plan(graft.operators.Similarity.sqRerankTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 5, cand = 10))
+    assert(!p.contains("CartesianProduct"),
+      s"rerank must never go all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"candidate fetch is not an equi-join:\n$p")
+  }
 }

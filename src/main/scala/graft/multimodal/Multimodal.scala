@@ -392,6 +392,96 @@ object Multimodal {
         "sample_rate", "n_samples", "duration_ms")
   }
 
+  /** REAL PCM16-mono sample extraction: the `data` chunk of a decodable
+    * WAV as signed 16-bit values — the input every audio-side feature
+    * (energy, crossings, VAD, resample) consumes. Same RIFF walk as
+    * [[decodeWav]]; None for anything that isn't uncompressed 16-bit
+    * mono PCM. */
+  def wavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    def u16(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var off = 12
+    var pcm16mono = false
+    var dataOff = -1; var dataLen = -1L
+    var malformed = false
+    while (!malformed && off + 8 <= bytes.length &&
+      (!pcm16mono || dataOff < 0)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (size > bytes.length.toLong) malformed = true
+      else {
+        if (id == "fmt " && off + 24 <= bytes.length)
+          pcm16mono = u16(off + 8) == 1 && u16(off + 10) == 1 &&
+            u16(off + 22) == 16
+        else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(size, (bytes.length - off - 8).toLong)
+        }
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    if (malformed || !pcm16mono || dataOff < 0) None
+    else {
+      val n = (dataLen / 2).toInt
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (((bytes(dataOff + 2 * i + 1) & 0xFF) << 8) |
+          (bytes(dataOff + 2 * i) & 0xFF)).toShort.toInt
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Audio DSP features from REAL decoded PCM — the signal-side quality
+    * screen (silence/clipping/noise triage) a multimodal pipeline runs
+    * at ingest: per decodable row the sample count, zero-crossing count
+    * ((s_i < 0) != (s_{i+1} < 0) — the coarse pitch/noise proxy), total
+    * energy Σ s², and Σ|s| — ALL exact integers (PCM16 squares over
+    * bounded clips stay far under 2^63), so the features are
+    * engine-identical and a SQL oracle can replay them from planted
+    * synthesis arithmetic. Non-PCM rows pass through with nulls (the
+    * extractAudioMeta stub/quarantine contract decides their fate;
+    * this operator only computes where the decode is real). Row-local
+    * mapPartitions — no shuffle, codec-free. */
+  def extractAudioFeatures(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          wavSamples(bytes) match {
+            case Some(s) =>
+              var zc = 0L; var energy = 0L; var absSum = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i).toLong
+                energy += v * v
+                absSum += math.abs(v)
+                if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+                i += 1
+              }
+              (id, true, Some(s.length.toLong), Some(zc), Some(energy),
+                Some(absSum))
+            case None =>
+              (id, false, None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }.toDF("doc_id", "is_audio", "n_samples", "zero_crossings",
+        "energy", "abs_sum")
+  }
+
   /** Attach the media payload as a BINARY column (stand-in for reading
     * image/audio bytes from a blob store column). */
   def withMediaBinary(docs: DataFrame, textCol: String): DataFrame =

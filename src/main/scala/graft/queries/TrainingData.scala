@@ -1408,6 +1408,41 @@ object TrainingData {
        |SELECT cluster_size, count(*) AS n_clusters
        |FROM sizes GROUP BY cluster_size""".stripMargin
 
+  // ------------------------------------------------ soft dedup weights
+  // The alternative to dropping duplicates: keep every document but
+  // downweight copies so each near-dup CLUSTER contributes one
+  // document's worth of sampling mass — weight = 1e6 div cluster_size
+  // micro-units (singletons keep 1e6). The mixture-sampling input for
+  // pipelines that prefer soft dedup to hard drops (duplicate count
+  // still carries signal). Same maintained-signature clustering as
+  // x_dedup_clusters; one size aggregation and two id-keyed joins on
+  // top. Integer division only — engine-identical weights.
+  def dedupSoftQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = clusters.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    nearDupCorpus(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_rep"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .select(col("doc_id"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_micro"))
+  }
+  val dedupSoftSql: String =
+    s"""$clustersClosureCtes,
+       |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
+       |          FROM reps GROUP BY cluster_rep)
+       |SELECT c.doc_id,
+       |  CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT)
+       |    AS weight_micro
+       |FROM corpus c
+       |LEFT JOIN reps r ON r.doc_id = c.doc_id
+       |LEFT JOIN sizes s ON s.cluster_rep = r.cluster_rep""".stripMargin
+
   // ---------------------------------------------- end-to-end dedup drop
   // The decision stage a pretraining pipeline actually ships: exact
   // dedup (fingerprint keepers) -> MinHash near-dup clustering on the
@@ -2040,6 +2075,59 @@ object TrainingData {
       |         (doc_id % 400 + 100) * 1000 // (8000 + (doc_id % 5) * 1000)
       |       ELSE NULL END AS duration_ms
       |FROM documents""".stripMargin
+
+  // --------------------------------------- REAL audio DSP features
+  // Multimodal.extractAudioFeatures over the same media column as
+  // x_multimodal_audio: zero crossings, Σs² energy, Σ|s| from the
+  // REAL PCM16 decode (the signal-side silence/clipping/noise triage).
+  // Every feature is an exact integer, so the oracle replays them from
+  // the planted synthesis arithmetic — sample i of an audio doc is
+  // ((doc_id + i·2654435761) >> 16) & 0xFFFF reinterpreted signed,
+  // which SQL reproduces with // 65536 and % 65536 (all operands
+  // nonnegative). Corrupt-RIFF and text rows pass through as nulls —
+  // the quarantine DECISION stays with extractAudioMeta.
+  def audioFeaturesQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => Multimodal.syntheticWav((id % 400).toInt + 100,
+              8000 + (id % 5).toInt * 1000, id)
+            case 1 => Multimodal.corruptAudioPayload(id)
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.extractAudioFeatures(media)
+  }
+  val audioFeaturesSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, doc_id % 400 + 100),
+      |      i -> CASE
+      |        WHEN ((doc_id + i * 2654435761) // 65536) % 65536 >= 32768
+      |        THEN ((doc_id + i * 2654435761) // 65536) % 65536 - 65536
+      |        ELSE ((doc_id + i * 2654435761) // 65536) % 65536 END) AS sm
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT d.doc_id,
+      |  (d.doc_id % 3 = 0) AS is_audio,
+      |  CASE WHEN d.doc_id % 3 = 0
+      |       THEN CAST(len(sm) AS BIGINT) END AS n_samples,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN
+      |    CAST(len(list_filter(range(1, len(sm)),
+      |      i -> (sm[CAST(i AS INT)] < 0) != (sm[CAST(i AS INT)+1] < 0)))
+      |      AS BIGINT) END AS zero_crossings,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN
+      |    CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT)
+      |    END AS energy,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN
+      |    CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT)
+      |    END AS abs_sum
+      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
 
   // ------------------------------------- REAL multi-frame sampling
   // Video-shaped fan-out driven by DECODED frame counts: every 2nd doc
@@ -3338,6 +3426,91 @@ object TrainingData {
       |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
       |FROM c
       |QUALIFY row_number() OVER (ORDER BY cnt DESC, pair) <= 20""".stripMargin
+
+  // --------------------------------------------- iterated BPE training
+  // Three full BPE merge rounds (Sennrich, Haddow & Birch, ACL 2016)
+  // over the corpus vocabulary: count adjacent symbol pairs weighted
+  // by word frequency, merge the argmax pair everywhere (leftmost
+  // non-overlapping — a string replace on the separator-joined symbol
+  // representation is EXACTLY the greedy BPE scan, and both engines'
+  // replace() is leftmost non-overlapping), recount, repeat. Output is
+  // the learned merge table (ord, lhs, rhs, pair_count) — the real
+  // tokenizer-training loop, not a one-shot count.
+  //
+  // Scale shape: everything runs on the (word, count) VOCABULARY
+  // table — the shape real BPE trainers use — so corpus size enters
+  // only through the initial word count; each round is one explode +
+  // one weighted aggregation + a TakeOrdered argmax whose single
+  // winner row is the documented O(1) driver scalar. The oracle
+  // replays the same three rounds as materialized CTEs.
+  def bpeTrainQ(spark: SparkSession, dir: String): DataFrame = {
+    val sep = "\u001f" // unit separator: joins symbols, never in corpus text
+    var vocab = docs(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), array_join(split(col("w"), ""), sep).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      vocab.count()
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      for (r <- 1 to 3) {
+        val withSyms = vocab.withColumn("syms", split(col("rep"), sep))
+        val best = withSyms.where(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " i -> named_struct('lhs', syms[i-1], 'rhs', syms[i]))"))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()(0)
+        val (l, rr, tot) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r.toLong, l, rr, tot))
+        vocab = vocab.withColumn("rep",
+          org.apache.spark.sql.functions
+            .replace(col("rep"), lit(l + sep + rr), lit(l + rr)))
+      }
+      import spark.implicits._
+      merges.toSeq.toDF("ord", "lhs", "rhs", "pair_count")
+    } finally { vocab.unpersist(false); () }
+  }
+  val bpeTrainSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""p$r AS (
+         |  SELECT p.lhs, p.rhs, sum(cnt) AS pair_count FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(lhs := syms[CAST(i AS INT)],
+         |                       rhs := syms[CAST(i AS INT)+1]))) AS p
+         |    FROM (SELECT cnt, string_split(rep, chr(31)) AS syms
+         |          FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT cnt,
+         |    replace(rep, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs) AS rep
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT count(*) AS cnt,
+       |    array_to_string(string_split(w, ''), chr(31)) AS rep
+       |  FROM (SELECT unnest(
+       |          string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 1
+       |  GROUP BY w),
+       |$rounds
+       |SELECT CAST(ord AS BIGINT) AS ord, lhs, rhs,
+       |  CAST(pair_count AS BIGINT) AS pair_count
+       |FROM (
+       |  SELECT 1 AS ord, lhs, rhs, pair_count FROM b1
+       |  UNION ALL SELECT 2, lhs, rhs, pair_count FROM b2
+       |  UNION ALL SELECT 3, lhs, rhs, pair_count FROM b3)""".stripMargin
+  }
 
   // ------------------------------------------ persisted SQ8/IVF index
   /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
@@ -4836,6 +5009,9 @@ object TrainingData {
     "x_eval_proximity" -> (evalProximityQ _),
     "x_mmr_diverse" -> (mmrDiverseQ _),
     "p_stream_select" -> (streamSelectQ _),
+    "x_dedup_soft" -> (dedupSoftQ _),
+    "x_bpe_train" -> (bpeTrainQ _),
+    "x_audio_features" -> (audioFeaturesQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
     "x_url_dedup" -> (urlDedupQ _),
@@ -4958,6 +5134,9 @@ object TrainingData {
     "x_eval_proximity" -> evalProximitySql,
     "x_mmr_diverse" -> mmrDiverseSql,
     "p_stream_select" -> streamSelectSql,
+    "x_dedup_soft" -> dedupSoftSql,
+    "x_bpe_train" -> bpeTrainSql,
+    "x_audio_features" -> audioFeaturesSql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,
     "x_url_dedup" -> urlDedupSql,

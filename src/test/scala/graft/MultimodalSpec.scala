@@ -241,4 +241,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).getLong(5) === expSum)
     assert(out(2L).isNullAt(5))
   }
+
+  test("wavSamples round-trips the planted PCM16 values exactly") {
+    val seed = 77L
+    val wav = Multimodal.syntheticWav(16, 8000, seed)
+    val got = Multimodal.wavSamples(wav).get
+    val exp = (0 until 16).map { i =>
+      (((seed + i * 2654435761L) >>> 16) & 0xFFFF).toInt.toShort.toInt
+    }
+    assert(got.toSeq == exp)
+    // corrupt container and plain text decode no samples
+    assert(Multimodal.wavSamples(Multimodal.corruptAudioPayload(1L)).isEmpty)
+    assert(Multimodal.wavSamples("RIFFxxxxTEXT".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("extractAudioFeatures matches a driver-side DSP replay") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(50, 8000, 1L)),
+      (2L, Multimodal.corruptAudioPayload(2L)),
+      (3L, "just text".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractAudioFeatures(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && !out(2L).getBoolean(1)
+      && !out(3L).getBoolean(1))
+    assert(out(2L).isNullAt(4) && out(3L).isNullAt(4))
+    val s = (0 until 50).map { i =>
+      (((1L + i * 2654435761L) >>> 16) & 0xFFFF).toInt.toShort.toLong
+    }
+    assert(out(1L).getLong(2) === 50L)
+    assert(out(1L).getLong(3) ===
+      s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+    assert(out(1L).getLong(4) === s.map(v => v * v).sum)
+    assert(out(1L).getLong(5) === s.map(math.abs).sum)
+  }
 }

@@ -493,6 +493,34 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/doc_cores")
   }
 
+  /** Media feature report: REAL raster channel sums and REAL PCM DSP
+    * features over the corpus's media column — the pixel/signal-side
+    * quality screen (black-frame, silence, clipping triage) run at
+    * ingest. */
+  private def mediaFeaturesJob(spark: SparkSession, sfDir: String,
+                               outDir: String): Unit = {
+    val media = graft.multimodal.Multimodal.withMediaBinary(
+      Tables.load(spark, sfDir, "documents"), "text")
+    graft.multimodal.Multimodal.extractImageFeatures(media)
+      .write.mode("overwrite").parquet(s"$outDir/image_features")
+    graft.multimodal.Multimodal.extractAudioFeatures(media)
+      .write.mode("overwrite").parquet(s"$outDir/audio_features")
+  }
+
+  /** Winnowing match run: coverage-guaranteed fingerprint selection
+    * over the corpus, then the MOSS-style shared-fingerprint candidate
+    * pairs — the deterministic complement to the MinHash screen. */
+  private def winnowCorpusJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.Corpus
+      .winnowingFingerprints(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/winnow_fingerprints")
+    graft.operators.Corpus
+      .winnowingCandidates(docs, "text", "doc_id", minShared = 2)
+      .write.mode("overwrite").parquet(s"$outDir/winnow_candidates")
+  }
+
   /** Thumbnail pipeline: the corpus's media column decoded and
     * nearest-neighbor resized to 4×3 thumbnails with their integer
     * raster fingerprints — the media-side dedup key table. */
@@ -508,6 +536,8 @@ object Jobs {
     "audit_ann" -> (auditAnnJob _),
     "select_corpus" -> (selectCorpusJob _),
     "core_docs" -> (coreDocsJob _),
+    "media_features" -> (mediaFeaturesJob _),
+    "winnow_corpus" -> (winnowCorpusJob _),
     "thumbnail_corpus" -> (thumbnailCorpusJob _),
     "bloom_orders" -> (bloomOrdersJob _),
     "similar_docs" -> (similarDocsJob _),

@@ -442,6 +442,51 @@ object Multimodal {
     }
   }
 
+  /** Image channel statistics from the REAL raster — the pixel-side
+    * quality screen (black-frame / washed-out / single-color triage):
+    * per decodable row the true width/height and the exact per-channel
+    * intensity sums Σr, Σg, Σb over every pixel. All integers, so for
+    * LOSSLESS formats (PNG/BMP) an oracle replays them from planted
+    * pixel arithmetic — the same contract resizeReal's thumbnails are
+    * verified under. Non-decodable rows pass through with nulls.
+    * Row-local mapPartitions, one reader per partition, no shuffle. */
+  def extractImageFeatures(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null)
+            (id, false, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long])
+          else {
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                r += (rgb >> 16) & 0xFF
+                g += (rgb >> 8) & 0xFF
+                b += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            (id, true, Some(img.getWidth.toLong),
+              Some(img.getHeight.toLong), Some(r), Some(g), Some(b))
+          }
+        }
+      }.toDF("doc_id", "is_image", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+  }
+
   /** Audio DSP features from REAL decoded PCM — the signal-side quality
     * screen (silence/clipping/noise triage) a multimodal pipeline runs
     * at ingest: per decodable row the sample count, zero-crossing count

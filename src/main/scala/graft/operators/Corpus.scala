@@ -208,6 +208,38 @@ object Corpus {
       .distinct()
   }
 
+  /** Winnowing-index candidate pairs — the MOSS matching step over
+    * [[winnowingFingerprints]]: documents sharing at least `minShared`
+    * DISTINCT selected fingerprints, ranked by how many they share.
+    * Because selection is coverage-guaranteed, any pair sharing enough
+    * long substrings MUST surface here — the deterministic complement
+    * to the MinHash screen's probabilistic recall.
+    *
+    * Scale shape mirrors [[SparseSim]]: fingerprints seen in more than
+    * `maxDf` documents leave the index (boilerplate shingles carry no
+    * discriminative power and quadratically dominate the join), so
+    * candidate volume is ≤ maxDf · Σdf — linear in corpus size; the
+    * pair join is a hash equi-join on the fingerprint, id-only rows.
+    */
+  def winnowingCandidates(docs: DataFrame, textCol: String,
+                          idCol: String, k: Int = 5, window: Int = 4,
+                          maxDf: Long = 50,
+                          minShared: Long = 5): DataFrame = {
+    require(maxDf >= 1, s"df cap must be >= 1, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val ih = winnowingFingerprints(docs, textCol, idCol, k, window)
+      .select(col("id"), col("h")).distinct()
+    val rare = ih.groupBy(col("h")).agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxDf).select(col("h"))
+    val p = ih.join(rare, Seq("h"))
+    p.select(col("h"), col("id").as("id_a"))
+      .join(p.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def removeBoilerplateLines(docs: DataFrame, textCol: String,
                              idCol: String, maxOccurrences: Long,
                              sep: String = "\n",

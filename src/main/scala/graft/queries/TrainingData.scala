@@ -2129,6 +2129,59 @@ object TrainingData {
       |    END AS abs_sum
       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
 
+  // --------------------------------------- REAL image channel stats
+  // Multimodal.extractImageFeatures over a lossless-format media
+  // column: true dimensions plus exact Σr/Σg/Σb from the decoded
+  // raster. Fixture plants PNG (doc_id%3=0) and BMP (doc_id%3=1) with
+  // pixel (x,y) = ((doc_id + 31x + 131y)·2654435761) & 0xFFFFFF, so
+  // the oracle recomputes every channel sum arithmetically — the
+  // resizeReal contract extended from sampled pixels to whole-raster
+  // aggregates. Text rows pass through as nulls.
+  def imageFeaturesQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => Multimodal.syntheticImage((id % 6).toInt + 2,
+              (id % 4).toInt + 2, id, "png")
+            case 1 => Multimodal.syntheticImage((id % 6).toInt + 2,
+              (id % 4).toInt + 2, id, "bmp")
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.extractImageFeatures(media)
+  }
+  val imageFeaturesSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+      |    CAST(doc_id % 4 + 2 AS BIGINT) AS h,
+      |    flatten(list_transform(range(0, doc_id % 4 + 2), y ->
+      |      list_transform(range(0, doc_id % 6 + 2), x ->
+      |        ((doc_id + x * 31 + y * 131) * 2654435761) & 16777215)))
+      |      AS rgbs
+      |  FROM documents WHERE doc_id % 3 < 2)
+      |SELECT d.doc_id,
+      |  (d.doc_id % 3 < 2) AS is_image,
+      |  CASE WHEN d.doc_id % 3 < 2 THEN p.w END AS width,
+      |  CASE WHEN d.doc_id % 3 < 2 THEN p.h END AS height,
+      |  CASE WHEN d.doc_id % 3 < 2 THEN
+      |    CAST(list_sum(list_transform(p.rgbs, v -> (v >> 16) & 255))
+      |      AS BIGINT) END AS sum_r,
+      |  CASE WHEN d.doc_id % 3 < 2 THEN
+      |    CAST(list_sum(list_transform(p.rgbs, v -> (v >> 8) & 255))
+      |      AS BIGINT) END AS sum_g,
+      |  CASE WHEN d.doc_id % 3 < 2 THEN
+      |    CAST(list_sum(list_transform(p.rgbs, v -> v & 255))
+      |      AS BIGINT) END AS sum_b
+      |FROM documents d LEFT JOIN px p USING (doc_id)""".stripMargin
+
   // ------------------------------------- REAL multi-frame sampling
   // Video-shaped fan-out driven by DECODED frame counts: every 2nd doc
   // is a REAL animated GIF with doc_id%6+2 frames (the JDK GIF sequence
@@ -3366,8 +3419,11 @@ object TrainingData {
       .winnowingFingerprints(docs(spark, dir), "text", "doc_id",
         k = 5, window = 4)
       .select(col("id").as("doc_id"), col("pos"), col("h"))
-  val winnowingSql: String =
-    """WITH sh AS (
+  /** Oracle winnowing chain ending in `fp(doc_id, pos, h)` —
+    * MATERIALIZED because the pairs query references it on both join
+    * sides. */
+  private val winnowCtes: String =
+    """sh AS (
       |  SELECT doc_id,
       |    list_transform(
       |      range(1, greatest(length(lower(trim(text)))-4, 1)+1),
@@ -3388,11 +3444,35 @@ object TrainingData {
       |    count(*) OVER (PARTITION BY doc_id) AS n,
       |    min(h * 2097152 + pos) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-      |  FROM hr)
-      |SELECT DISTINCT doc_id,
-      |  CAST(sel % 2097152 AS BIGINT) AS pos,
-      |  CAST(sel // 2097152 AS BIGINT) AS h
-      |FROM win WHERE pos <= n - 4""".stripMargin
+      |  FROM hr),
+      |fp AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(sel % 2097152 AS BIGINT) AS pos,
+      |    CAST(sel // 2097152 AS BIGINT) AS h
+      |  FROM win WHERE pos <= n - 4)""".stripMargin
+  val winnowingSql: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, pos, h FROM fp""".stripMargin
+
+  // --------------------------------------- winnowing candidate pairs
+  // Corpus.winnowingCandidates gated end to end: the MOSS matching
+  // step — pairs sharing >= 5 distinct df-capped fingerprints, with
+  // the shared count. The deterministic (coverage-guaranteed)
+  // complement to the MinHash screen; same inverted-index shape as
+  // x_sparse_sim, id-only candidates.
+  def winnowPairsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.winnowingCandidates(docs(spark, dir),
+      "text", "doc_id", k = 5, window = 4, maxDf = 50, minShared = 5)
+  val winnowPairsSql: String =
+    s"""WITH $winnowCtes,
+       |ih AS (SELECT DISTINCT doc_id, h FROM fp),
+       |rare AS (SELECT h FROM ih GROUP BY h HAVING count(*) <= 50),
+       |p AS MATERIALIZED (
+       |  SELECT ih.doc_id, ih.h FROM ih JOIN rare USING (h))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  count(*) AS n_shared
+       |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
   // ------------------------------------------- first BPE merge table
   // The tokenizer-training seed: frequency of every adjacent CHARACTER
@@ -5012,6 +5092,8 @@ object TrainingData {
     "x_dedup_soft" -> (dedupSoftQ _),
     "x_bpe_train" -> (bpeTrainQ _),
     "x_audio_features" -> (audioFeaturesQ _),
+    "x_image_features" -> (imageFeaturesQ _),
+    "x_winnow_pairs" -> (winnowPairsQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
     "x_url_dedup" -> (urlDedupQ _),
@@ -5137,6 +5219,8 @@ object TrainingData {
     "x_dedup_soft" -> dedupSoftSql,
     "x_bpe_train" -> bpeTrainSql,
     "x_audio_features" -> audioFeaturesSql,
+    "x_image_features" -> imageFeaturesSql,
+    "x_winnow_pairs" -> winnowPairsSql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,
     "x_url_dedup" -> urlDedupSql,

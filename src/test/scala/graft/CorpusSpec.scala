@@ -260,6 +260,38 @@ class CorpusSpec extends SparkSpec {
       "planted 8-char substring selected no common fingerprint")
   }
 
+  test("winnowingCandidates surfaces the planted shared substring and " +
+    "counts shared fingerprints") {
+    val shared = "zqxjkvbwmmpp" // 12 chars: multiple selected fingerprints
+    val docs = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"eeee $shared ffff gggg hhhh iiii"),
+      (3L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.winnowingCandidates(docs, "text", "doc_id",
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out.contains((1L, 2L)), s"planted pair missing: $out")
+    assert(out((1L, 2L)) >= 1L)
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("winnowingCandidates df cap drops ubiquitous fingerprints") {
+    // every doc shares the boilerplate prefix; with maxDf below the
+    // corpus size those fingerprints leave the index and no pair
+    // survives, with a generous cap the pairs appear
+    val docs = (1L to 6L)
+      .map(i => (i, s"common boilerplate prefix here unique$i"))
+      .toDF("doc_id", "text")
+    val capped = Corpus.winnowingCandidates(docs, "text", "doc_id",
+      maxDf = 2, minShared = 1)
+    val open = Corpus.winnowingCandidates(docs, "text", "doc_id",
+      maxDf = 100, minShared = 1)
+    assert(capped.count() == 0)
+    assert(open.count() == 15) // all C(6,2) pairs share the prefix
+  }
+
   test("winnowing density is ~2/(window+1) of the hash stream") {
     val docs = Tables.load(spark, sf0001, "documents")
     val n = Corpus.winnowingFingerprints(docs, "text", "doc_id").count()

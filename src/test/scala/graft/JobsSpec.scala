@@ -16,13 +16,14 @@ class JobsSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
     // ingest_props, corpus_report, screen_batch, export_shards,
     // resolve_customers, build_ann_index, release_customers, encode_pq,
-    // select_corpus and similar_docs emit two tables each; clean_corpus
-    // also persists the maintained signature table; curate_stream adds
-    // its feed + admitted tables (it reuses clean_corpus's signature
-    // table, running right after it); index_lineitem and bloom_orders
-    // emit three each (layout, its index table, the pruned read)
-    assert(dirs.size == Jobs.all.size + 16,
-      s"expected ${Jobs.all.size + 16} output tables, got $dirs")
+    // select_corpus, media_features, winnow_corpus and similar_docs
+    // emit two tables each; clean_corpus also persists the maintained
+    // signature table; curate_stream adds its feed + admitted tables
+    // (it reuses clean_corpus's signature table, running right after
+    // it); index_lineitem and bloom_orders emit three each (layout,
+    // its index table, the pruned read)
+    assert(dirs.size == Jobs.all.size + 18,
+      s"expected ${Jobs.all.size + 18} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>
         // composite SQ8/IVF layout, not one parquet relation — validate

@@ -255,6 +255,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavSamples("RIFFxxxxTEXT".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("extractImageFeatures channel sums match planted pixel arithmetic") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticImage(4, 3, 1L, "png")),
+      (2L, Multimodal.syntheticImage(5, 2, 2L, "bmp")),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractImageFeatures(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getBoolean(1) === false)
+    assert(out(3L).isNullAt(4))
+    for ((id, w, h) <- Seq((1L, 4, 3), (2L, 5, 2))) {
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ((id + x * 31L + y * 131L) * 2654435761L) & 0xFFFFFFL
+        er += (rgb >> 16) & 0xFF; eg += (rgb >> 8) & 0xFF; eb += rgb & 0xFF
+      }
+      val r = out(id)
+      assert(r.getBoolean(1) && r.getLong(2) == w.toLong &&
+        r.getLong(3) == h.toLong)
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((er, eg, eb)),
+        s"image $id channel sums mismatch")
+    }
+  }
+
   test("extractAudioFeatures matches a driver-side DSP replay") {
     import spark.implicits._
     val media = Seq(

@@ -224,11 +224,24 @@ object Corpus {
   def winnowingCandidates(docs: DataFrame, textCol: String,
                           idCol: String, k: Int = 5, window: Int = 4,
                           maxDf: Long = 50,
-                          minShared: Long = 5): DataFrame = {
+                          minShared: Long = 5): DataFrame =
+    winnowingCandidatesFrom(
+      winnowingFingerprints(docs, textCol, idCol, k, window),
+      maxDf, minShared)
+
+  /** The matching step alone, over an already-computed `(id, pos, h)`
+    * fingerprint table. Split out so callers can MATERIALIZE the
+    * fingerprints first — the match references them three times (df
+    * cap + both self-join sides), and a lazy fingerprint plan re-runs
+    * its shingle extraction per reference (the [[SparseSim]]
+    * posting-table lesson); at 100 TB the fingerprint table is an
+    * ingest artifact like the signature table anyway.
+    */
+  def winnowingCandidatesFrom(fingerprints: DataFrame, maxDf: Long = 50,
+                              minShared: Long = 5): DataFrame = {
     require(maxDf >= 1, s"df cap must be >= 1, got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val ih = winnowingFingerprints(docs, textCol, idCol, k, window)
-      .select(col("id"), col("h")).distinct()
+    val ih = fingerprints.select(col("id"), col("h")).distinct()
     val rare = ih.groupBy(col("h")).agg(count(lit(1)).as("d"))
       .where(col("d") <= maxDf).select(col("h"))
     val p = ih.join(rare, Seq("h"))

@@ -3461,8 +3461,23 @@ object TrainingData {
   // complement to the MinHash screen; same inverted-index shape as
   // x_sparse_sim, id-only candidates.
   def winnowPairsQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Corpus.winnowingCandidates(docs(spark, dir),
-      "text", "doc_id", k = 5, window = 4, maxDf = 50, minShared = 5)
+    graft.operators.Corpus.winnowingCandidatesFrom(
+      spark.read.parquet(winnowTableFor(spark, dir)),
+      maxDf = 50, minShared = 5)
+
+  /** Session-materialized winnowing fingerprint table — the sig-table
+    * contract applied to the MOSS index: fingerprints are extracted
+    * ONCE per (session, sf-dir); the match's three references read the
+    * stored projection. */
+  private def winnowTableFor(spark: SparkSession, dir: String): String =
+    Fixtures.cached("winnow-fps", dir) { root =>
+      val path = new java.io.File(root, "fps").toString
+      graft.operators.Corpus
+        .winnowingFingerprints(docs(spark, dir), "text", "doc_id",
+          k = 5, window = 4)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
   val winnowPairsSql: String =
     s"""WITH $winnowCtes,
        |ih AS (SELECT DISTINCT doc_id, h FROM fp),

@@ -60,4 +60,29 @@ object Privacy {
     }
     suppressed.drop(quasiCols.map(c => s"__r_$c") :+ "__risky": _*)
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): k-anonymity
+    * bounds identity disclosure, but a group whose members all share
+    * ONE sensitive value still discloses that attribute at any k — the
+    * homogeneity attack. Per quasi group: occupancy, the number of
+    * DISTINCT sensitive values, and `at_risk` for groups below `l`.
+    *
+    * Same scale shape as [[kAnonymityReport]]: the quasi tuple is the
+    * aggregation key, and count(DISTINCT sensitive) runs as Spark's
+    * standard two-phase expand-aggregate — one shuffle keyed by
+    * (quasi*, sensitive) then one by quasi*, both partial-aggregated
+    * map-side, so a 100 TB audit never materializes per-group value
+    * lists.
+    */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < l)
+  }
 }

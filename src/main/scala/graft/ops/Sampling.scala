@@ -108,4 +108,32 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .where(col("cum_tokens") <= budget)
   }
+
+  /** Temporal holdout split: within each group, the LAST `testBp`/10000
+    * of rows by the (tsCol, tieCol) TOTAL order become `test`, the rest
+    * `train` — the time-respecting split every forecasting / recsys /
+    * drift eval needs, where a hash split would leak the future into
+    * training. The boundary is rank-based and the comparison is pure
+    * integer cross-multiplication (rank·10000 > n·(10000−testBp)), so
+    * the assignment is bit-identical across engines and partitionings;
+    * the last row of every group is always test, so no group ends up
+    * test-empty. ONE window shuffle on the group key (rank and count
+    * share the same exchange); output keeps `t_rank`/`t_n` so callers
+    * can audit the cut.
+    */
+  def temporalHoldout(df: DataFrame, groupCol: String, tsCol: String,
+                      tieCol: String, testBp: Long): DataFrame = {
+    require(testBp > 0 && testBp < 10000,
+      s"testBp must be in (0, 10000), got $testBp")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.withColumn("t_rank", row_number().over(ord).cast("long"))
+      .withColumn("t_n", count(lit(1)).over(all))
+      .withColumn("split",
+        when(col("t_rank") * 10000L > col("t_n") * (10000L - testBp),
+          "test").otherwise("train"))
+  }
 }

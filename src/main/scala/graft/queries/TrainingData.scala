@@ -161,22 +161,57 @@ object TrainingData {
       col("doc_id"), col("lang"),
       TextFns.langId(col("text")).as("pred_lang"))
       .withColumn("correct", col("pred_lang") === col("lang"))
-  val langIdSql: String = {
+  /** `scored AS (doc_id, lang, pred_lang)` CTE body replaying
+    * TextFns.langId — shared by the row-level lang-id oracle and the
+    * confusion-matrix oracle. */
+  private val langScoredCteSql: String = {
     def cnt(words: Seq[String]) =
       s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
     val (en, de, fr, es) = (cnt(TextFns.EnWords), cnt(TextFns.DeWords),
       cnt(TextFns.FrWords), cnt(TextFns.EsWords))
-    s"""WITH scored AS (
+    s"""scored AS (
        |  SELECT doc_id, lang,
        |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
        |         WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
        |         WHEN $de >= $fr AND $de >= $es THEN 'de'
        |         WHEN $fr >= $es THEN 'fr'
        |         ELSE 'es' END AS pred_lang
-       |  FROM documents)
+       |  FROM documents)""".stripMargin
+  }
+  val langIdSql: String =
+    s"""WITH $langScoredCteSql
        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS correct
        |FROM scored""".stripMargin
+
+  // ------------------------------------------------ lang-id confusion
+  // The classifier EVALUATED, not just applied: the full confusion
+  // matrix of the n-gram heuristic against the corpus's ground-truth
+  // lang column, each cell carrying its within-true-language share in
+  // integer basis points. The matrix is |langs|² rows from one hash
+  // aggregation — the shape that still costs one shuffle at 100 TB —
+  // and share_bp is truncating integer division, so both engines emit
+  // identical cells with no float tolerance.
+  def langConfusionQ(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(
+      col("lang"), TextFns.langId(col("text")).as("pred_lang"))
+    val cells = scored.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("lang_total", sum(col("n")).over(w))
+      .select(col("lang"), col("pred_lang"), col("n"), col("lang_total"),
+        expr("n * 10000 div lang_total").as("share_bp"))
   }
+  val langConfusionSql: String =
+    s"""WITH $langScoredCteSql,
+       |cells AS (
+       |  SELECT lang, pred_lang, count(*) AS n
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       |  CAST(n * 10000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS share_bp
+       |FROM cells""".stripMargin
 
   // ---------------------------------------------------------- fingerprints
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
@@ -1880,6 +1915,40 @@ object TrainingData {
       |  ELSE FALSE END AS is_anomaly
       |FROM w""".stripMargin
 
+  // ------------------------------------------------- hourly seasonality
+  // The hour-of-day × event-type load profile that sizes every
+  // streaming deployment: per (event_type, UTC hour) event counts,
+  // exact cent totals, and the hour's share of its type's traffic in
+  // integer basis points. Hours come from pure epoch arithmetic
+  // (ns // 3600e9 mod 24 — no timezone, no calendar), cents from the
+  // floor(value·100) lane, share from truncating division: every cell
+  // engine-identical. One hash aggregation over 24·|types| cells.
+  def seasonalityQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select(
+      col("event_type"),
+      expr("(ts div 3600000000000) % 24").as("hour"),
+      floor(col("value") * 100).cast("long").as("v_c"))
+    val g = e.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_cents"))
+    val w = Window.partitionBy(col("event_type"))
+    g.withColumn("type_total", sum(col("n")).over(w))
+      .select(col("event_type"), col("hour"), col("n"), col("sum_cents"),
+        expr("n * 10000 div type_total").as("share_bp"))
+  }
+  val seasonalitySql: String =
+    """WITH e AS (
+      |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |         CAST(floor(value * 100) AS BIGINT) AS v_c
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, hour, count(*) AS n,
+      |         CAST(sum(v_c) AS BIGINT) AS sum_cents
+      |  FROM e GROUP BY 1, 2)
+      |SELECT event_type, CAST(hour AS BIGINT) AS hour, n, sum_cents,
+      |  CAST(n * 10000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS share_bp
+      |FROM g""".stripMargin
+
   // --------------------------------------------------- k-anonymity audit
   // ops.Privacy gated end to end: the release projection of the
   // customer table under k=5 cell suppression over the
@@ -1915,6 +1984,27 @@ object TrainingData {
       |  CASE WHEN r.segment IS NULL THEN q.bal_kb END AS bal_kb
       |FROM q LEFT JOIN r ON q.segment = r.segment
       |  AND q.nation = r.nation AND q.bal_kb = r.bal_kb""".stripMargin
+
+  // ---------------------------------------------------- l-diversity audit
+  // Privacy.lDiversityReport gated end to end: the homogeneity-attack
+  // complement of x_k_anonymity. Quasi-identifier = (source, length
+  // half-KB bucket) over documents, sensitive attribute = lang; a group
+  // is at risk when its members span fewer than 3 distinct languages —
+  // k-anonymous or not, such a group discloses lang to a linker. One
+  // two-phase distinct-aggregate, no per-group value lists.
+  def lDiversityQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = docs(spark, dir).select(
+      col("source"),
+      expr("n_chars div 512").as("len_b"),
+      col("lang"))
+    graft.ops.Privacy.lDiversityReport(q, Seq("source", "len_b"), "lang", 3L)
+  }
+  val lDiversitySql: String =
+    """SELECT source, CAST(n_chars // 512 AS BIGINT) AS len_b,
+      |  count(*) AS group_n,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+      |  count(DISTINCT lang) < 3 AS at_risk
+      |FROM documents GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------- multimodal metadata
   def multimodalMetaQ(spark: SparkSession, dir: String): DataFrame =
@@ -3607,6 +3697,100 @@ object TrainingData {
        |  UNION ALL SELECT 3, lhs, rhs, pair_count FROM b3)""".stripMargin
   }
 
+  // ---------------------------------------------- BPE merge application
+  // The learned merge table CONSUMED: every document re-tokenized with
+  // x_bpe_train's three merges, reporting symbols before/after and the
+  // per-doc compression — the number a tokenizer-training run is
+  // actually judged by. The document representation joins words with a
+  // space symbol, so word-internal merges (all the trainer can learn)
+  // never straddle boundaries; each merge application removes exactly
+  // one separator, so symbol counts fall out of string lengths — no
+  // parsing. The engine replays training once per session (three O(1)
+  // argmax scalars, Fixtures-cached); the oracle chains the same three
+  // rounds and applies them in one statement.
+  def bpeApplyQ(spark: SparkSession, dir: String): DataFrame = {
+    val sep = "\u001f"
+    val merges: Seq[(String, String)] =
+      Fixtures.cached("bpe-merges", dir) { root =>
+        val path = new java.io.File(root, "merges").toString
+        bpeTrainQ(spark, dir).write.mode("overwrite").parquet(path)
+        path
+      } match {
+        case p => spark.read.parquet(p).orderBy(col("ord"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+    val base = docs(spark, dir).select(col("doc_id"),
+      array_join(transform(split(lower(trim(col("text"))), "\\s+"),
+        w => array_join(split(w, ""), sep)), sep + " " + sep).as("rep"))
+    val applied = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("rep", org.apache.spark.sql.functions
+        .replace(col("rep"), lit(l + sep + r), lit(l + r)))
+    }
+    val nSyms = (rep: org.apache.spark.sql.Column) => (length(rep) -
+      length(org.apache.spark.sql.functions
+        .replace(rep, lit(sep), lit(""))) + 1L).cast("long")
+    base.select(col("doc_id"), nSyms(col("rep")).as("n_before"))
+      .join(applied.select(col("doc_id"), nSyms(col("rep")).as("n_after")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        round(col("n_after").cast("double") /
+          col("n_before").cast("double"), 4).as("compression"))
+  }
+  val bpeApplySql: String = {
+    // the same three training rounds as bpeTrainSql, then one
+    // application pass over the document representations
+    val trainRounds = (1 to 3).map { r =>
+      s"""p$r AS (
+         |  SELECT p.lhs, p.rhs, sum(cnt) AS pair_count FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(lhs := syms[CAST(i AS INT)],
+         |                       rhs := syms[CAST(i AS INT)+1]))) AS p
+         |    FROM (SELECT cnt, string_split(rep, chr(31)) AS syms
+         |          FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT cnt,
+         |    replace(rep, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs) AS rep
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT count(*) AS cnt,
+       |    array_to_string(string_split(w, ''), chr(31)) AS rep
+       |  FROM (SELECT unnest(
+       |          string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 1
+       |  GROUP BY w),
+       |$trainRounds,
+       |d0 AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      string_split_regex(lower(trim(text)), '\\s+'),
+       |      w -> array_to_string(string_split(w, ''), chr(31))),
+       |      chr(31) || ' ' || chr(31)) AS rep
+       |  FROM documents),
+       |d3 AS (
+       |  SELECT doc_id,
+       |    replace(replace(replace(d0.rep,
+       |      b1.lhs || chr(31) || b1.rhs, b1.lhs || b1.rhs),
+       |      b2.lhs || chr(31) || b2.rhs, b2.lhs || b2.rhs),
+       |      b3.lhs || chr(31) || b3.rhs, b3.lhs || b3.rhs) AS rep
+       |  FROM d0, b1, b2, b3)
+       |SELECT d0.doc_id,
+       |  CAST(length(d0.rep) - length(replace(d0.rep, chr(31), '')) + 1
+       |    AS BIGINT) AS n_before,
+       |  CAST(length(d3.rep) - length(replace(d3.rep, chr(31), '')) + 1
+       |    AS BIGINT) AS n_after,
+       |  round((length(d3.rep) - length(replace(d3.rep, chr(31), '')) + 1)
+       |    ::DOUBLE /
+       |    (length(d0.rep) - length(replace(d0.rep, chr(31), '')) + 1),
+       |    4) AS compression
+       |FROM d0 JOIN d3 USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------ persisted SQ8/IVF index
   /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
     * session and searched by every later ANN query — the embedding-side
@@ -4225,6 +4409,53 @@ object TrainingData {
       |       WHEN bucket < 90 THEN 'valid'
       |       ELSE 'test' END AS split
       |FROM b""".stripMargin
+
+  // --------------------------------------------- temporal holdout split
+  // Sampling.temporalHoldout gated end to end: per user the last 20% of
+  // events by (ts, event_id) become test — the time-respecting split a
+  // hash split (x_dataset_split) cannot give, because hashing leaks the
+  // future into training. The query emits the per-user audit a release
+  // gate reads: train/test counts, the boundary timestamps, and
+  // boundary_ok — false exactly when a same-nanosecond tie straddles
+  // the cut (the tie-break keeps the ASSIGNMENT deterministic; the
+  // audit still reports that time alone didn't separate the sides).
+  def splitTemporalQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val s = graft.ops.Sampling.temporalHoldout(
+      e, "user_id", "ts", "event_id", testBp = 2000L)
+    val isTrain = col("split") === "train"
+    s.groupBy(col("user_id")).agg(
+        count(when(isTrain, 1)).as("n_train"),
+        count(when(!isTrain, 1)).as("n_test"),
+        max(when(isTrain, col("ts"))).as("train_end_ns"),
+        min(when(!isTrain, col("ts"))).as("test_start_ns"))
+      .select(col("user_id"), col("n_train"), col("n_test"),
+        expr("train_end_ns div 1000").as("train_end_us"),
+        expr("test_start_ns div 1000").as("test_start_us"),
+        (col("n_train") === 0L ||
+          col("train_end_ns") < col("test_start_ns")).as("boundary_ok"))
+  }
+  val splitTemporalSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM e),
+      |s AS (
+      |  SELECT *, rk * 10000 > n * 8000 AS is_test FROM r)
+      |SELECT user_id,
+      |  count(CASE WHEN NOT is_test THEN 1 END) AS n_train,
+      |  count(CASE WHEN is_test THEN 1 END) AS n_test,
+      |  max(CASE WHEN NOT is_test THEN tsn END) // 1000 AS train_end_us,
+      |  min(CASE WHEN is_test THEN tsn END) // 1000 AS test_start_us,
+      |  (count(CASE WHEN NOT is_test THEN 1 END) = 0 OR
+      |   max(CASE WHEN NOT is_test THEN tsn END) <
+      |     min(CASE WHEN is_test THEN tsn END)) AS boundary_ok
+      |FROM s GROUP BY user_id""".stripMargin
 
   /** DuckDB reproduction of TextFns.hash32: fold the first 8 hex chars
     * of md5 into an unsigned 32-bit value (bit-identical; established by
@@ -5039,6 +5270,7 @@ object TrainingData {
     "x_dedup_exact" -> (dedupExactQ _),
     "x_text_stats" -> (textStatsQ _),
     "x_lang_id" -> (langIdQ _),
+    "x_lang_confusion" -> (langConfusionQ _),
     "x_fingerprint" -> (fingerprintQ _),
     "x_simhash" -> (simhashQ _),
     "x_ngram_jaccard" -> (ngramJaccardQ _),
@@ -5049,6 +5281,8 @@ object TrainingData {
     "x_sessionize" -> (sessionizeQ _),
     "x_interval_merge" -> (intervalMergeQ _),
     "x_k_anonymity" -> (kAnonymityQ _),
+    "x_l_diversity" -> (lDiversityQ _),
+    "x_seasonality" -> (seasonalityQ _),
     "x_rolling_anomaly" -> (rollingAnomalyQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_multimodal_decode" -> (multimodalDecodeQ _),
@@ -5060,6 +5294,7 @@ object TrainingData {
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
     "x_dataset_split" -> (datasetSplitQ _),
+    "x_split_temporal" -> (splitTemporalQ _),
     "x_tfidf" -> (tfidfQ _),
     "x_simhash_pairs" -> (simhashPairsQ _),
     "x_token_bpe" -> (tokenBpeQ _),
@@ -5109,6 +5344,7 @@ object TrainingData {
     "x_audio_features" -> (audioFeaturesQ _),
     "x_image_features" -> (imageFeaturesQ _),
     "x_winnow_pairs" -> (winnowPairsQ _),
+    "x_bpe_apply" -> (bpeApplyQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
     "x_url_dedup" -> (urlDedupQ _),
@@ -5162,6 +5398,7 @@ object TrainingData {
     "x_dedup_exact" -> dedupExactSql,
     "x_text_stats" -> textStatsSql,
     "x_lang_id" -> langIdSql,
+    "x_lang_confusion" -> langConfusionSql,
     "x_fingerprint" -> fingerprintSql,
     "x_simhash" -> simhashSql,
     "x_ngram_jaccard" -> ngramJaccardSql,
@@ -5172,6 +5409,8 @@ object TrainingData {
     "x_sessionize" -> sessionizeSql,
     "x_interval_merge" -> intervalMergeSql,
     "x_k_anonymity" -> kAnonymitySql,
+    "x_l_diversity" -> lDiversitySql,
+    "x_seasonality" -> seasonalitySql,
     "x_rolling_anomaly" -> rollingAnomalySql,
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_multimodal_decode" -> multimodalDecodeSql,
@@ -5183,6 +5422,7 @@ object TrainingData {
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
     "x_dataset_split" -> datasetSplitSql,
+    "x_split_temporal" -> splitTemporalSql,
     "x_tfidf" -> tfidfSql,
     "x_simhash_pairs" -> simhashPairsSql,
     "x_token_bpe" -> tokenBpeSql,
@@ -5236,6 +5476,7 @@ object TrainingData {
     "x_audio_features" -> audioFeaturesSql,
     "x_image_features" -> imageFeaturesSql,
     "x_winnow_pairs" -> winnowPairsSql,
+    "x_bpe_apply" -> bpeApplySql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,
     "x_url_dedup" -> urlDedupSql,

@@ -65,4 +65,54 @@ class PrivacySpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"),
       s"audit should be a bare aggregation:\n$plan")
   }
+
+  // ------------------------------------------------------- l-diversity
+
+  private def sensFixture = Seq(
+    // group (us, a): 3 members, 3 distinct segs — diverse at l=3
+    (1L, "us", "a", "x"), (2L, "us", "a", "y"), (3L, "us", "a", "z"),
+    // group (us, b): 3 members but ONE seg — k-anonymous at k=3 yet
+    // homogeneous: the case k-anonymity misses and l-diversity catches
+    (4L, "us", "b", "x"), (5L, "us", "b", "x"), (6L, "us", "b", "x"),
+    // group (de, a): 2 members, 2 distinct — still below l=3
+    (7L, "de", "a", "x"), (8L, "de", "a", "y")
+  ).toDF("id", "country", "seg", "sens")
+
+  test("lDiversityReport: distinct-sensitive counts and the below-l flag") {
+    val r = Privacy
+      .lDiversityReport(sensFixture, Seq("country", "seg"), "sens", 3L)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getBoolean(4))).toMap
+    assert(r == Map(
+      ("us", "a") -> (3L, 3L, false),
+      ("us", "b") -> (3L, 1L, true),
+      ("de", "a") -> (2L, 2L, true)))
+  }
+
+  test("a k-anonymous homogeneous group is flagged by l-diversity " +
+    "but not by k-anonymity") {
+    val kRisky = Privacy
+      .kAnonymityReport(sensFixture, Seq("country", "seg"), 3L)
+      .where($"at_risk" && $"country" === "us" && $"seg" === "b").count()
+    val lRisky = Privacy
+      .lDiversityReport(sensFixture, Seq("country", "seg"), "sens", 3L)
+      .where($"at_risk" && $"country" === "us" && $"seg" === "b").count()
+    assert(kRisky == 0L && lRisky == 1L)
+  }
+
+  test("lDiversityReport rejects a sensitive column that is also quasi") {
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityReport(sensFixture, Seq("country", "sens"),
+        "sens", 2L)
+    }
+  }
+
+  test("lDiversityReport plan has no join and no window (two-phase " +
+    "distinct aggregate only)") {
+    val plan = Privacy
+      .lDiversityReport(sensFixture, Seq("country", "seg"), "sens", 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"audit should be aggregations only:\n$plan")
+  }
 }

@@ -83,4 +83,61 @@ class SamplingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(run(rows) === run(rows.repartition(11)))
   }
+
+  // -------------------------------------------------- temporal holdout
+
+  private def events = Seq(
+    // user 1: 10 events at ts 10..100 — 20% test = ranks 9, 10
+    (1L to 10L).map(i => (1L, i, i * 10L)): _*
+  ).toDF("u", "eid", "ts")
+
+  test("temporalHoldout: the last 20% by time become test") {
+    val s = Sampling.temporalHoldout(events, "u", "ts", "eid", 2000L)
+      .collect().map(r => r.getLong(1) -> r.getString(5)).toMap
+    assert((1L to 8L).forall(s(_) == "train"))
+    assert(s(9L) == "test" && s(10L) == "test")
+  }
+
+  test("temporalHoldout: a singleton group is all test, the last row " +
+    "of every group is always test") {
+    val mixed = (Seq((1L, 99L, 5L)) ++
+      (1L to 3L).map(i => (2L, i, i))).toDF("u", "eid", "ts")
+    val s = Sampling.temporalHoldout(mixed, "u", "ts", "eid", 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(5))
+      .toMap
+    assert(s((1L, 99L)) == "test") // n=1: rank 1*10000 > 1*8000
+    assert(s((2L, 3L)) == "test")
+    assert(s((2L, 1L)) == "train" && s((2L, 2L)) == "train")
+  }
+
+  test("temporalHoldout: no test row precedes any train row within a " +
+    "group, and the split is partition-invariant") {
+    val rows = (1L to 500L).map(i => (i % 7, i, (i * 31) % 97))
+      .toDF("u", "eid", "ts")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.temporalHoldout(d, "u", "ts", "eid", 2000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(5))
+        .toMap
+    val a = run(rows)
+    assert(a === run(rows.repartition(13)))
+    // time-respecting: within each user, by the (ts, eid) total order,
+    // every train rank < every test rank
+    val byUser = Sampling.temporalHoldout(rows, "u", "ts", "eid", 2000L)
+      .collect().groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val trainMax = rs.filter(_.getString(5) == "train")
+        .map(_.getLong(3)).maxOption.getOrElse(0L)
+      val testMin = rs.filter(_.getString(5) == "test")
+        .map(_.getLong(3)).min
+      assert(trainMax < testMin)
+    }
+  }
+
+  test("temporalHoldout: rank and count share ONE window exchange") {
+    val plan = Sampling.temporalHoldout(events, "u", "ts", "eid", 2000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$plan")
+  }
 }

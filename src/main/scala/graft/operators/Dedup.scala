@@ -790,6 +790,41 @@ object Dedup {
             size(col("grams")).cast("double"), 4)).as("contamination"))
   }
 
+  /** Per-document n-gram NOVELTY under first-occurrence attribution:
+    * every distinct word n-gram is owned by the LOWEST doc id that
+    * contains it, and a document's novelty is the share of its distinct
+    * grams it introduced — in integer basis points, so the score is
+    * engine-exact. The data-curriculum signal (later near-copies score
+    * toward 0; fresh material toward 10000) and the corpus-internal
+    * dual of [[contaminationReport]]: contamination asks "seen in the
+    * eval set", novelty asks "seen EARLIER in this corpus".
+    *
+    * Scale shape: explode distinct grams once, attribute each gram by
+    * a min() aggregation on the gram key, join the attribution back on
+    * that same key (the aggregation's exchange is reused), then one
+    * count aggregation per doc — documents never pair up, so the cost
+    * is linear in total grams at any corpus size. Documents with fewer
+    * than n tokens have no grams and no row (the oracle drops them
+    * identically).
+    */
+  def noveltyReport(corpus: DataFrame, textCol: String, idCol: String,
+                    n: Int = 2): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val gr = corpus.select(col(idCol), explode(grams).as("gr"))
+    val first = gr.groupBy(col("gr")).agg(min(col(idCol)).as("first_id"))
+    gr.join(first, Seq("gr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_id") === col(idCol), 1)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (exact
     * verification metric for near-dup candidates). A side with fewer
     * than n tokens contributes an EMPTY gram set; if both sides are

@@ -339,4 +339,98 @@ object Graph {
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxRounds: Int = 8): DataFrame =
     kCoreM(edges, aCol, bCol, k, maxRounds).df
+
+  /** Deterministic integer HITS (Kleinberg, JACM 1999) over the
+    * DIRECTED canonical edge set — each undirected pair contributes
+    * ONE edge a→b with a < b, so on the near-dup graph the lower
+    * (earlier) id "feeds" its later near-copies. Hub score flows
+    * forward (who feeds many strong sinks), authority backward (who is
+    * fed by many strong sources): the COPY-SOURCE vs COPY-SINK
+    * separation the undirected [[pageRank]] can't make, because its
+    * one centrality conflates the two roles.
+    *
+    * Scores are integer micro-units. Each half-round is (1) one hash
+    * join of the edge list onto the opposite score, (2) one sum
+    * aggregation, (3) renormalization `s·10⁶ div max(s)` where the
+    * scalar max is a BROADCAST one-row aggregate crossed back on —
+    * never a driver collect. Truncating integer division makes every
+    * round a pure function of the previous one: bit-identical across
+    * engines and partitionings, so the SQL oracle replays the rounds
+    * exactly. Raw magnitudes stay ≤ 10⁶·10⁶·deg_max — 64-bit safe for
+    * any in-degree below a million; renormalizing every half-round
+    * (not once at the end) is what pins that bound.
+    *
+    * The edge list and node set are materialized once; each
+    * half-round's raw sums are checkpointed and the previous round's
+    * blocks released as soon as their last consumer has landed, so
+    * lineage stays flat at any `iters` (the [[pageRankM]] contract).
+    */
+  def hitsM(edges: DataFrame, aCol: String, bCol: String,
+            iters: Int = 4,
+            roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
+            mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
+      : graft.ops.Materialized = {
+    import graft.ops.Materialize
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val eM = Materialize(
+      canonicalEdges(edges, aCol, bCol)
+        .select(col("a").as("src"), col("b").as("dst")),
+      roundMat)
+    var nodesM: graft.ops.Materialized = null
+    var freeHub: () => Unit = () => ()
+    var freeAuth: () => Unit = () => ()
+    try {
+      val e = eM.df
+      nodesM = Materialize(
+        e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+          .distinct(),
+        roundMat)
+      val nodes = nodesM.df
+      def renorm(raw: DataFrame): DataFrame =
+        raw.crossJoin(broadcast(raw.agg(max(col("s")).as("mx"))))
+          .select(col("v"), expr("s * 1000000 div mx").as("s"))
+      var hub: DataFrame = nodes.withColumn("s", lit(1000000L))
+      var auth: DataFrame = nodes.withColumn("s", lit(1000000L))
+      for (_ <- 1 to iters) {
+        // hub half-round: h_raw(v) = Σ_{v→w} auth(w)
+        val hRawM = Materialize(
+          nodes.join(
+            e.join(auth.withColumnRenamed("v", "dst"), "dst")
+              .groupBy(col("src").as("v")).agg(sum(col("s")).as("hs")),
+            Seq("v"), "left")
+            .select(col("v"), coalesce(col("hs"), lit(0L)).as("s")),
+          roundMat)
+        freeAuth() // last consumer of the previous auth raw has landed
+        freeHub()  // previous hub raw died with last round's auth join
+        hub = renorm(hRawM.df)
+        freeHub = hRawM.release
+        // authority half-round: a_raw(w) = Σ_{v→w} hub(v)
+        val aRawM = Materialize(
+          nodes.join(
+            e.join(hub.withColumnRenamed("v", "src"), "src")
+              .groupBy(col("dst").as("v")).agg(sum(col("s")).as("as_")),
+            Seq("v"), "left")
+            .select(col("v"), coalesce(col("as_"), lit(0L)).as("s")),
+          roundMat)
+        auth = renorm(aRawM.df)
+        freeAuth = aRawM.release
+      }
+      val out = Materialize(
+        hub.select(col("v"), col("s").as("hub"))
+          .join(auth.select(col("v"), col("s").as("auth")), Seq("v"))
+          .select(col("v").as("node"), col("hub"), col("auth")),
+        mat)
+      out
+    } finally {
+      freeHub(); freeAuth()
+      eM.release()
+      if (nodesM != null) nodesM.release()
+    }
+  }
+
+  /** [[hitsM]] with default materialization, returning the bare frame:
+    * no RDD blocks outlive the call. */
+  def hits(edges: DataFrame, aCol: String, bCol: String,
+           iters: Int = 4): DataFrame =
+    hitsM(edges, aCol, bCol, iters).df
 }

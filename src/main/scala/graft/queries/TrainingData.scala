@@ -1218,6 +1218,55 @@ object TrainingData {
        |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM pr10""".stripMargin
   }
 
+  // ----------------------------------------------------- HITS hub/auth
+  // Graph.hits over the DIRECTED near-dup graph (lower id → later
+  // copy): separates COPY SOURCES (high hub — documents whose material
+  // many later docs reuse) from COPY SINKS (high authority — documents
+  // assembled from many earlier ones), the two roles undirected
+  // PageRank conflates. Integer micro-unit scores renormalized by a
+  // broadcast scalar max each half-round; the oracle unrolls the same
+  // 4 rounds as chained CTEs and must match exactly. Pair feed: the
+  // maintained signature table, like the rest of the graph family.
+  def hitsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.hits(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.5),
+      "doc_a", "doc_b", iters = 4)
+  val hitsSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""hr$i AS MATERIALIZED (
+         |  SELECT n.v, COALESCE(x.s, 0) AS s FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS v, sum(a.s) AS s
+         |    FROM e JOIN a${i - 1} a ON a.v = e.dst GROUP BY 1) x
+         |    ON x.v = n.v),
+         |h$i AS MATERIALIZED (
+         |  SELECT v, s * 1000000 // (SELECT max(s) FROM hr$i) AS s
+         |  FROM hr$i),
+         |ar$i AS MATERIALIZED (
+         |  SELECT n.v, COALESCE(x.s, 0) AS s FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS v, sum(h.s) AS s
+         |    FROM e JOIN h$i h ON h.v = e.src GROUP BY 1) x
+         |    ON x.v = n.v),
+         |a$i AS MATERIALIZED (
+         |  SELECT v, s * 1000000 // (SELECT max(s) FROM ar$i) AS s
+         |  FROM ar$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |ce AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.5),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |a0 AS (SELECT v, CAST(1000000 AS BIGINT) AS s FROM nodes),
+       |$rounds
+       |SELECT h.v AS node, CAST(h.s AS BIGINT) AS hub,
+       |  CAST(a.s AS BIGINT) AS auth
+       |FROM h4 h JOIN a4 a ON a.v = h.v""".stripMargin
+  }
+
   // ------------------------------------------------ k-core decomposition
   // Graph.kCore over the near-dup pair graph: the dense-template-farm
   // detector — nodes that keep >= 2 neighbors after synchronous
@@ -2344,6 +2393,52 @@ object TrainingData {
        |        greatest(len(regexp_extract_all(text, '$p')), 1), 4)
        |    AS chars_per_token
        |FROM documents""".stripMargin
+  }
+
+  // --------------------------------------------- tokenizer fertility
+  // The tokenizer-selection table: per language, corpus-exact fertility
+  // (BPE-ish tokens per whitespace word) and compression (chars per
+  // token). High fertility on a language means the tokenizer fragments
+  // it — the signal that drives vocab rebalancing before a training
+  // run. Sums are exact BIGINTs from the codegen'd counting
+  // expressions; each ratio is ONE double division of exact integers,
+  // so round(·, 4) is engine-identical. One hash aggregation on lang.
+  def tokFertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, dir).select(
+        col("lang"),
+        TextFns.bpeTokenCount(t).as("bpe"),
+        TextFns.tokenCount(t).as("ws"),
+        length(t).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe")).as("sum_bpe"),
+        sum(col("ws")).as("sum_ws"),
+        sum(col("chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("sum_bpe"),
+        round(col("sum_bpe").cast("double") /
+          greatest(col("sum_ws"), lit(1L)).cast("double"), 4)
+          .as("tokens_per_word"),
+        round(col("sum_chars").cast("double") /
+          greatest(col("sum_bpe"), lit(1L)).cast("double"), 4)
+          .as("chars_per_token"))
+  }
+  val tokFertilitySql: String = {
+    val p = TextFns.BpePattern
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS bpe,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS ws,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(bpe) AS BIGINT) AS sum_bpe,
+       |  round(sum(bpe)::DOUBLE / greatest(sum(ws), 1), 4)
+       |    AS tokens_per_word,
+       |  round(sum(chars)::DOUBLE / greatest(sum(bpe), 1), 4)
+       |    AS chars_per_token
+       |FROM t GROUP BY lang""".stripMargin
   }
 
   // ------------------------------------- per-language quality tiers
@@ -4495,6 +4590,35 @@ object TrainingData {
       |       ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4) END AS rep3
       |FROM g""".stripMargin
 
+  // -------------------------------------------------- first-seen novelty
+  // Dedup.noveltyReport gated end to end: every distinct word bigram is
+  // owned by the lowest doc id containing it; each document reports the
+  // share of its grams it introduced, in integer basis points. The
+  // curriculum/dedup signal between exact dedup (all-or-nothing) and
+  // MinHash (pairwise): a doc assembled from earlier material scores
+  // near 0 without ever naming which docs it copies. Linear in total
+  // grams — no candidate pairs.
+  def noveltyQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyReport(docs(spark, dir), "text", "doc_id", n = 2)
+  val noveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ta
+      |  FROM documents),
+      |grm AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ta) >= 2 THEN
+      |    list_distinct(list_transform(range(1, len(ta)),
+      |      i -> ta[CAST(i AS INT)] || ' ' || ta[CAST(i AS INT)+1]))
+      |    ELSE [] END) AS gr
+      |  FROM toks),
+      |fst AS (SELECT gr, min(doc_id) AS first_id FROM grm GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  count(CASE WHEN f.first_id = g.doc_id THEN 1 END) AS n_novel,
+      |  CAST(count(CASE WHEN f.first_id = g.doc_id THEN 1 END) * 10000
+      |    // count(*) AS BIGINT) AS novelty_bp
+      |FROM grm g JOIN fst f ON f.gr = g.gr
+      |GROUP BY g.doc_id""".stripMargin
+
   // ------------------------------------------------------- boilerplate strip
   // HTML-tag removal + whitespace normalization over a tag-wrapped corpus
   // (the raw documents carry no markup, so the fixture adds it on both
@@ -5258,6 +5382,7 @@ object TrainingData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_repetition" -> (repetitionQ _),
+    "x_novelty" -> (noveltyQ _),
     "x_frame_sample" -> (frameSampleQ _),
     "x_html_strip" -> (htmlStripQ _),
     "x_vocab_topk" -> (vocabTopKQ _),
@@ -5298,6 +5423,7 @@ object TrainingData {
     "x_tfidf" -> (tfidfQ _),
     "x_simhash_pairs" -> (simhashPairsQ _),
     "x_token_bpe" -> (tokenBpeQ _),
+    "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
@@ -5329,6 +5455,7 @@ object TrainingData {
     "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
+    "x_hits" -> (hitsQ _),
     "x_kcore" -> (kcoreQ _),
     "x_dsir_select" -> (dsirSelectQ _),
     "x_curriculum" -> (curriculumQ _),
@@ -5386,6 +5513,7 @@ object TrainingData {
 
   val oracles: Map[String, String] = Map(
     "x_repetition" -> repetitionSql,
+    "x_novelty" -> noveltySql,
     "x_frame_sample" -> frameSampleSql,
     "x_html_strip" -> htmlStripSql,
     "x_vocab_topk" -> vocabTopKSql,
@@ -5426,6 +5554,7 @@ object TrainingData {
     "x_tfidf" -> tfidfSql,
     "x_simhash_pairs" -> simhashPairsSql,
     "x_token_bpe" -> tokenBpeSql,
+    "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,
@@ -5461,6 +5590,7 @@ object TrainingData {
     "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
+    "x_hits" -> hitsSql,
     "x_kcore" -> kcoreSql,
     "x_dsir_select" -> dsirSelectSql,
     "x_curriculum" -> curriculumSql,

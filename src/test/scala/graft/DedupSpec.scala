@@ -180,4 +180,36 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "zh" && out(2L) == "en")
   }
+
+  test("noveltyReport: first-occurrence attribution in basis points") {
+    val corpus = Seq(
+      (1L, "a b c"),   // grams "a b","b c" — both first seen here
+      (2L, "a b d"),   // "a b" owned by doc 1, "b d" novel
+      (3L, "a b c"),   // exact later copy: nothing novel
+      (4L, "x")        // < 2 tokens: no grams, no row
+    ).toDF("doc_id", "text")
+    val r = Dedup.noveltyReport(corpus, "text", "doc_id", n = 2)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r == Map(
+      1L -> (2L, 2L, 10000L),
+      2L -> (2L, 1L, 5000L),
+      3L -> (2L, 0L, 0L)))
+  }
+
+  test("noveltyReport: repeated grams inside one doc count once, and " +
+    "the report is partition-invariant") {
+    val corpus = Seq(
+      (5L, "p q p q p q"),  // distinct grams: "p q","q p" — both novel
+      (6L, "p q r")         // "p q" seen, "q r" novel
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.noveltyReport(d, "text", "doc_id", n = 2)
+        .collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3))).toMap
+    val a = run(corpus)
+    assert(a(5L) == (2L, 10000L) && a(6L) == (2L, 5000L))
+    assert(a === run(corpus.repartition(7)))
+  }
 }

@@ -196,4 +196,60 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  // ----------------------------------------------------------- HITS
+
+  private def hitsMap(e: org.apache.spark.sql.DataFrame, iters: Int) =
+    Graph.hits(e, "a", "b", iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("hits: on an out-star the center is the only hub, leaves the " +
+    "only authorities") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val h = hitsMap(e, iters = 4)
+    assert(h(1L) == (1000000L, 0L))
+    assert(h(2L) == (0L, 1000000L))
+    assert(h(3L) == (0L, 1000000L))
+    assert(h(4L) == (0L, 1000000L))
+  }
+
+  test("hits matches a driver-side integer replay on random DAGs") {
+    val rng = new scala.util.Random(777L)
+    for (trial <- 0 until 3) {
+      val n = 14
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rng.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = hitsMap(edges.toDF("a", "b"), iters = 4)
+        // reference: the same integer half-rounds, serially
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        var hub = nodes.map(_ -> 1000000L).toMap
+        var auth = nodes.map(_ -> 1000000L).toMap
+        def renorm(m: Map[Long, Long]) = {
+          val mx = m.values.max
+          m.map { case (v, s) => v -> s * 1000000L / mx }
+        }
+        for (_ <- 1 to 4) {
+          hub = renorm(nodes.map(v =>
+            v -> edges.filter(_._1 == v).map(e => auth(e._2)).sum).toMap)
+          auth = renorm(nodes.map(v =>
+            v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+        }
+        val ref = nodes.map(v => v -> (hub(v), auth(v))).toMap
+        assert(got === ref, s"trial $trial mismatch")
+      }
+    }
+  }
+
+  test("hits is bit-identical under repartitioning and edge " +
+    "duplication (canonical directed edges)") {
+    val e = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_custkey % 53 AS a", "o_orderkey % 47 AS b")
+      .where($"a" =!= $"b")
+    val r1 = hitsMap(e, iters = 3)
+    val r2 = hitsMap(e.union(e).repartition(11), iters = 3)
+    assert(r1 == r2)
+  }
 }

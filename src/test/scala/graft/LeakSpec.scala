@@ -105,6 +105,13 @@ class LeakSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 
+  test("hits (x_hits) leaves no persistent RDD blocks") {
+    val leaked = leakedBlocks {
+      TrainingData.hitsQ(spark, sf0001).count()
+    }
+    assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
+  }
+
   test("connectedComponents over the Reliable strategy survives and cleans up") {
     val docs = TrainingData.nearDupCorpus(spark, sf0001)
     val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", 5, 0.5)

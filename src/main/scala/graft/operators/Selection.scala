@@ -168,4 +168,54 @@ object Selection {
         (struct(col("w_micro"), (-col("id")).as("nid")) >= col("kth"))
           .as("selected"))
   }
+
+  /** Capped proportional mixture allocation by integer waterfilling:
+    * a budget of `budgetMicro` micro-units splits across groups
+    * proportionally to `wCol`, but no group may take more than
+    * `capMicro` — a group pushed over the cap FREEZES at it and its
+    * excess re-flows to the unfrozen groups in the next round (the
+    * anti-dominance rule every multilingual / multi-source mixture
+    * uses so one giant slice can't starve the tail). Three synchronous
+    * rounds reach the fixed point for any one dominant group and stay
+    * idempotent after convergence; every step is integer arithmetic —
+    * weights are first rescaled to micro-shares through decimal(38,0)
+    * (so raw weights up to 10³⁸ can't overflow), after which all round
+    * state is ≤ 10¹² — making the allocation bit-identical across
+    * engines and partitionings.
+    *
+    * Scale shape: the input is ONE aggregation row per group (the
+    * caller aggregates the corpus first); rounds are broadcast
+    * one-row-aggregate cross-joins over that bounded table — never a
+    * driver collect, never a corpus-sized shuffle.
+    */
+  def quotaWaterfill(weights: DataFrame, keyCol: String, wCol: String,
+                     budgetMicro: Long = 1000000L,
+                     capMicro: Long): DataFrame = {
+    require(capMicro > 0 && capMicro <= budgetMicro,
+      s"capMicro must be in (0, $budgetMicro], got $capMicro")
+    val total = weights.agg(
+      sum(col(wCol).cast("decimal(38,0)")).as("tw"))
+    val base = weights
+      .select(col(keyCol).as("k"), col(wCol).cast("long").as("w"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("w"),
+        expr("cast(w as decimal(38,0)) * 1000000 div tw").as("s"))
+    var st = base.withColumn("frozen", lit(false))
+    var alloc: DataFrame = null
+    for (_ <- 1 to 3) {
+      val agg = st.agg(
+        count(when(col("frozen"), 1)).as("nf"),
+        coalesce(sum(when(!col("frozen"), col("s"))), lit(0L)).as("fw"))
+      alloc = st.crossJoin(broadcast(agg))
+        .withColumn("alloc",
+          when(col("frozen"), lit(capMicro))
+            .otherwise(expr(
+              s"($budgetMicro - $capMicro * nf) * s div greatest(fw, 1)")))
+      st = alloc.select(col("k"), col("w"), col("s"),
+        (col("frozen") || col("alloc") > capMicro).as("frozen"))
+    }
+    alloc.select(col("k").as(keyCol), col("w"),
+      least(col("alloc"), lit(capMicro)).as("alloc_micro"),
+      (col("frozen") || col("alloc") > capMicro).as("capped"))
+  }
 }

@@ -351,6 +351,33 @@ object Similarity {
     ivfSearch(queries, corpus, cents, idCol, vecCol, k, nprobe)
   }
 
+  /** Per-vector trained-quantizer assignment table `(idCol, c_id)`:
+    * each vector's nearest [[kmeansQuantized]] centroid by the same
+    * broadcast argmax the search path uses — one scan, no shuffle
+    * beyond the assignment window's per-row rank. This is the
+    * EVALUATION feed: join it with a ground-truth label column for
+    * cluster purity / balance audits, or with cost columns for
+    * per-cluster capacity planning. (The ingest feed for the persisted
+    * index is [[writeIvfSqIndex]], which assigns identically.)
+    */
+  def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 16, iters: Int = 2,
+                     trainSample: Int = 0): DataFrame = {
+    val cents = trainedCentroidTable(corpus, idCol, vecCol, nlist, iters,
+      trainSample)
+    val c = corpus.select(col(idCol).as("n_id"),
+        asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_norm", norm(col("n_v")))
+    val w = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    c.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("n_id").as(idCol), col("c_id"))
+  }
+
   /** Product-quantization codebooks (Jégou, Douze, Schmid 2011): the
     * embedding splits into `m` contiguous `dim/m`-wide subspaces and
     * each gets an INDEPENDENT [[kmeansQuantized]] codebook of `ksub`

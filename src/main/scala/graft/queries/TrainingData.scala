@@ -1860,6 +1860,54 @@ object TrainingData {
        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
        |SELECT n AS vec_id, min(m) AS cluster_rep FROM reach GROUP BY n""".stripMargin
 
+  // ----------------------------------------------------- cluster purity
+  // The trained quantizer EVALUATED against ground truth: every
+  // embedding assigned to its nearest k-means centroid
+  // (Similarity.ivfAssignments — the exact assignment the IVF index
+  // ingests), joined with the corpus's label column, and each cluster
+  // scored by its majority-label share in basis points. Low purity on
+  // a cluster means the quantizer splits a semantic class across
+  // lists — the capacity/recall planning table for the ANN stack. The
+  // oracle replays the deterministic sampled training bit-exact (the
+  // x_ann_ivf contract) and the same argmax/majority tie-breaks.
+  def clusterPurityQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val asg = Similarity.ivfAssignments(emb, "vec_id", "embedding",
+      nlist = 16, iters = 2)
+    val cells = asg
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy(col("c_id"), col("label")).agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("c_id"))
+      .orderBy(col("n").desc, col("label"))
+    val wTot = Window.partitionBy(col("c_id"))
+    cells
+      .withColumn("rn", row_number().over(wTop))
+      .withColumn("n_vecs", sum(col("n")).over(wTot))
+      .where(col("rn") === 1)
+      .select(col("c_id"), col("n_vecs"),
+        col("label").as("top_label"), col("n").as("top_n"),
+        expr("n * 10000 div n_vecs").as("purity_bp"))
+  }
+  val clusterPuritySql: String =
+    s"""${ivfAssignCtes(
+      """v0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |vc AS (SELECT vec_id, vec FROM v0)""".stripMargin)},
+       |cells AS (
+       |  SELECT a2.c_id, CAST(e.label AS BIGINT) AS label, count(*) AS n
+       |  FROM a2 JOIN embeddings e ON e.vec_id = a2.n_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY c_id ORDER BY n DESC, label)
+       |      AS rn,
+       |    sum(n) OVER (PARTITION BY c_id) AS tot
+       |  FROM cells)
+       |SELECT c_id, CAST(tot AS BIGINT) AS n_vecs, label AS top_label,
+       |  n AS top_n, CAST(n * 10000 // tot AS BIGINT) AS purity_bp
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   // --------------------------------------------------------- sessionize
   def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessionStats(Tables.load(spark, dir, "events"),
@@ -2755,6 +2803,49 @@ object TrainingData {
        |FROM documents d JOIN r ON d.source = r.source
        |WHERE ${duckHash32("d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
        |      % 10000 < r.bp""".stripMargin
+
+  // ------------------------------------------------ quota waterfilling
+  // Selection.quotaWaterfill gated end to end: the per-language
+  // character mass splits a 10⁶-micro-unit budget proportionally, but
+  // no language may exceed 25% — English (43% of this corpus) freezes
+  // at the cap and its excess re-flows to the other languages across
+  // three synchronous integer rounds. The anti-dominance mixture rule
+  // as one bounded-table computation; every allocation is exact
+  // integer division, replayed round for round by the oracle.
+  def quotaMixQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.quotaWaterfill(
+      docs(spark, dir).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("w")),
+      "lang", "w", budgetMicro = 1000000L, capMicro = 250000L)
+  val quotaMixSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT k, w, s, frozen,
+         |    CASE WHEN frozen THEN CAST(250000 AS BIGINT)
+         |         ELSE CAST((1000000 - 250000 *
+         |             (SELECT count(*) FROM f${i - 1} WHERE frozen)) * s
+         |           // greatest((SELECT COALESCE(sum(s), 0) FROM f${i - 1}
+         |                        WHERE NOT frozen), 1) AS BIGINT)
+         |    END AS alloc
+         |  FROM f${i - 1}),
+         |f$i AS (
+         |  SELECT k, w, s, frozen OR alloc > 250000 AS frozen FROM a$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH wt AS (
+       |  SELECT lang AS k, CAST(sum(n_chars) AS BIGINT) AS w
+       |  FROM documents GROUP BY 1),
+       |f0 AS (
+       |  SELECT k, w,
+       |    CAST(CAST(w AS HUGEINT) * 1000000
+       |      // (SELECT sum(w) FROM wt) AS BIGINT) AS s,
+       |    FALSE AS frozen
+       |  FROM wt),
+       |$rounds
+       |SELECT k AS lang, w, least(alloc, 250000) AS alloc_micro,
+       |  frozen OR alloc > 250000 AS capped
+       |FROM a3""".stripMargin
+  }
 
   // ------------------------------------------- token-budget mixture fill
   // The unit a training mix is specified in is TOKENS, not documents —
@@ -5436,6 +5527,7 @@ object TrainingData {
     "x_source_report" -> (sourceReportQ _),
     "x_source_overlap" -> (sourceOverlapQ _),
     "x_embedding_clusters" -> (embeddingClustersQ _),
+    "x_cluster_purity" -> (clusterPurityQ _),
     "x_dup_spans" -> (dupSpansQ _),
     "x_dup_longest" -> (dupLongestQ _),
     "x_split_by_source" -> (splitBySourceQ _),
@@ -5484,6 +5576,7 @@ object TrainingData {
     "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
     "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
     "x_mixture_temperature" -> (mixtureTemperatureQ _),
+    "x_quota_mix" -> (quotaMixQ _),
     "x_token_budget" -> (tokenBudgetQ _),
     "x_er_linkage" -> (erLinkageQ _),
     "x_er_golden" -> (erGoldenQ _),
@@ -5569,6 +5662,7 @@ object TrainingData {
     "x_source_report" -> sourceReportSql,
     "x_source_overlap" -> sourceOverlapSql,
     "x_embedding_clusters" -> embeddingClustersSql,
+    "x_cluster_purity" -> clusterPuritySql,
     "x_dup_spans" -> dupSpansSql,
     "x_dup_longest" -> dupLongestSql,
     "x_split_by_source" -> splitBySourceSql,
@@ -5619,6 +5713,7 @@ object TrainingData {
     "x_ann_ivf_sq8_table" -> annIvfSq8Sql,
     "x_dedup_best_keeper" -> dedupBestKeeperSql,
     "x_mixture_temperature" -> mixtureTemperatureSql,
+    "x_quota_mix" -> quotaMixSql,
     "x_token_budget" -> tokenBudgetSql,
     "x_er_linkage" -> erLinkageSql,
     "x_er_golden" -> erGoldenSql,

@@ -104,4 +104,54 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(a == b)
   }
+
+  // ------------------------------------------------- quota waterfilling
+
+  private def waterfill(ws: Seq[(String, Long)], cap: Long) =
+    Selection.quotaWaterfill(ws.toDF("g", "w"), "g", "w",
+        budgetMicro = 1000000L, capMicro = cap)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+
+  test("quotaWaterfill: no cap binding means pure proportional shares") {
+    val r = waterfill(Seq(("a", 10L), ("b", 10L), ("c", 20L)), 600000L)
+    assert(r("a") == (250000L, false))
+    assert(r("b") == (250000L, false))
+    assert(r("c") == (500000L, false))
+  }
+
+  test("quotaWaterfill: a dominant group freezes at the cap and its " +
+    "excess re-flows proportionally") {
+    // raw shares 40/30/15/15, cap 35%: only 'a' freezes; the other
+    // three split the remaining 65% in their 30:15:15 proportion
+    val r = waterfill(
+      Seq(("a", 40L), ("b", 30L), ("c", 15L), ("d", 15L)), 350000L)
+    assert(r("a") == (350000L, true))
+    assert(r("b") == (325000L, false))
+    assert(r("c") == (162500L, false) && r("d") == (162500L, false))
+    assert(r.values.map(_._1).sum == 1000000L)
+  }
+
+  test("quotaWaterfill: a CASCADE — the second group only crosses the " +
+    "cap after the first one's excess re-flows") {
+    // shares 50/24/13/13, cap 25%: round 1 freezes only 'a' (24% is
+    // under the cap); round 2's re-flow pushes 'b' to 36% → freezes;
+    // round 3 splits the final 50% across the two 13% groups
+    val r = waterfill(
+      Seq(("a", 50L), ("b", 24L), ("c", 13L), ("d", 13L)), 250000L)
+    assert(r("a") == (250000L, true))
+    assert(r("b") == (250000L, true))
+    assert(r("c") == (250000L, false) && r("d") == (250000L, false))
+    assert(r.values.map(_._1).sum == 1000000L)
+  }
+
+  test("quotaWaterfill allocations never exceed the cap and sum to at " +
+    "most the budget") {
+    val r = waterfill(
+      Seq(("a", 97L), ("b", 31L), ("c", 7L), ("d", 3L), ("e", 1L)),
+      300000L)
+    assert(r.values.forall(_._1 <= 300000L))
+    val total = r.values.map(_._1).sum
+    assert(total <= 1000000L && total > 990000L, s"total $total")
+  }
 }

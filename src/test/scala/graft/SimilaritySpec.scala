@@ -502,4 +502,30 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(run(emb) == run(emb.repartition(13)))
   }
+
+  test("ivfAssignments: every vector exactly once, c_id in range, " +
+    "co-located points share a cluster") {
+    // two tight far-apart blobs: nlist=2 must put each blob in one list
+    val vecs = ((1L to 5L).map(i =>
+      (i, Seq(10.0f + i * 0.01f, 0.0f))) ++
+      (6L to 10L).map(i => (i, Seq(0.0f, 10.0f + i * 0.01f))))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.ivfAssignments(vecs, "vec_id", "embedding",
+        nlist = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keySet == (1L to 10L).toSet)
+    assert(a.values.forall(c => c == 0L || c == 1L))
+    assert((1L to 5L).map(a).toSet.size == 1)
+    assert((6L to 10L).map(a).toSet.size == 1)
+    assert(a(1L) != a(6L))
+  }
+
+  test("ivfAssignments is bit-identical under repartitioning") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssignments(c, "vec_id", "embedding",
+          nlist = 8, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(emb) == run(emb.repartition(13)))
+  }
 }

@@ -40,6 +40,35 @@ object Corpus {
           .cast("long"))
   }
 
+  /** Term burstiness over the top-`k` collection-frequency terms
+    * (Church & Gale's "Poisson mixtures" observation: content words
+    * concentrate, function words spread): cf = total occurrences,
+    * df = documents containing, burst_bp = cf·10000 div df — the mean
+    * occurrences per containing document in basis points. Terms near
+    * 10000 appear once wherever they appear (function-word-like);
+    * high scores mark topical or templated terms — the
+    * stopword-detection / vocab-pruning complement of [[topKVocab]],
+    * with the same tokenizer and the same (cf desc, token) top-k rule.
+    *
+    * Two hash aggregations — (token, doc) then token — and a bounded
+    * top-k; no token×doc dense structure, so 100 TB corpora stay
+    * linear in total tokens.
+    */
+  def burstiness(docs: DataFrame, textCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val perDoc = toks.groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("n"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("n")).as("cf"), count(lit(1)).as("df"))
+      .orderBy(col("cf").desc, col("token")).limit(k)
+      .select(col("token"), col("cf"), col("df"),
+        expr("cf * 10000 div df").as("burst_bp"))
+  }
+
   /** Overlapping token-window chunking — the RAG / embedding-prep step
     * that splits each document into `window`-token chunks every `stride`
     * tokens (overlap = window - stride). Chunk starts are 0, stride,

@@ -4749,6 +4749,79 @@ object TrainingData {
       |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
       |FROM c ORDER BY cnt DESC, token LIMIT 100""".stripMargin
 
+  // ------------------------------------------------- term burstiness
+  // Corpus.burstiness gated end to end: for the top-100
+  // collection-frequency terms, total occurrences vs containing-doc
+  // count and their ratio in basis points — near 10000 means the term
+  // spreads one-per-doc (function-word-like), high means it
+  // concentrates (topical/templated). Same tokenizer and top-k rule
+  // as x_vocab_topk; integer ratio, no tolerance.
+  def burstinessQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.burstiness(docs(spark, dir), "text",
+      "doc_id", 100)
+  val burstinessSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |    FROM documents)
+      |  WHERE length(token) > 0),
+      |pd AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2),
+      |a AS (
+      |  SELECT token, CAST(sum(n) AS BIGINT) AS cf, count(*) AS df
+      |  FROM pd GROUP BY 1)
+      |SELECT token, cf, df, CAST(cf * 10000 // df AS BIGINT) AS burst_bp
+      |FROM a ORDER BY cf DESC, token LIMIT 100""".stripMargin
+
+  // --------------------------------------------- split balance audit
+  // The dataset-card fairness table: the hash split of x_dataset_split
+  // crossed with language, each cell carrying its observed count, the
+  // independence-expected count (split_total·lang_total div grand),
+  // and their ratio in basis points — a cell far from 10000 means the
+  // split is language-skewed and eval metrics won't transfer. All
+  // integer arithmetic over one |splits|×|langs| cell table; the
+  // grand total rides in as a broadcast one-row aggregate.
+  def evalBalanceQ(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = TextFns.hash32(col("text")) % 100
+    val s = docs(spark, dir).select(col("lang"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+    val cells = s.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("split_total",
+        sum(col("n")).over(Window.partitionBy(col("split"))))
+      .withColumn("lang_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("grand"))))
+      .select(col("split"), col("lang"), col("n"),
+        expr("split_total * lang_total div grand").as("expected"),
+        expr("n * 10000 div greatest(split_total * lang_total div grand, 1)")
+          .as("ratio_bp"))
+  }
+  val evalBalanceSql: String =
+    s"""WITH b AS (
+       |  SELECT lang, ${duckHash32("text")} % 100 AS bucket
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM b),
+       |cells AS (
+       |  SELECT split, lang, count(*) AS n FROM s GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *,
+       |    CAST(sum(n) OVER (PARTITION BY split) AS BIGINT) AS st,
+       |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lt,
+       |    (SELECT count(*) FROM s) AS grand
+       |  FROM cells)
+       |SELECT split, lang, n, CAST(st * lt // grand AS BIGINT) AS expected,
+       |  CAST(n * 10000 // greatest(st * lt // grand, 1) AS BIGINT)
+       |    AS ratio_bp
+       |FROM w""".stripMargin
+
   // --------------------------------------------------- OOV coverage
   // Per-document out-of-vocabulary rate against the corpus's own
   // top-100 vocabulary — the stratum-noise signal mixture tuning
@@ -5477,6 +5550,7 @@ object TrainingData {
     "x_frame_sample" -> (frameSampleQ _),
     "x_html_strip" -> (htmlStripQ _),
     "x_vocab_topk" -> (vocabTopKQ _),
+    "x_burstiness" -> (burstinessQ _),
     "x_sample_stratified" -> (sampleStratifiedQ _),
     "x_dedup_incremental" -> (dedupIncrementalQ _),
     "x_neardup_incremental" -> (neardupIncrementalQ _),
@@ -5510,6 +5584,7 @@ object TrainingData {
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
     "x_dataset_split" -> (datasetSplitQ _),
+    "x_eval_balance" -> (evalBalanceQ _),
     "x_split_temporal" -> (splitTemporalQ _),
     "x_tfidf" -> (tfidfQ _),
     "x_simhash_pairs" -> (simhashPairsQ _),
@@ -5610,6 +5685,7 @@ object TrainingData {
     "x_frame_sample" -> frameSampleSql,
     "x_html_strip" -> htmlStripSql,
     "x_vocab_topk" -> vocabTopKSql,
+    "x_burstiness" -> burstinessSql,
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_neardup_incremental" -> neardupIncrementalSql,
@@ -5643,6 +5719,7 @@ object TrainingData {
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
     "x_dataset_split" -> datasetSplitSql,
+    "x_eval_balance" -> evalBalanceSql,
     "x_split_temporal" -> splitTemporalSql,
     "x_tfidf" -> tfidfSql,
     "x_simhash_pairs" -> simhashPairsSql,

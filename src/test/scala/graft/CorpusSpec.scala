@@ -301,4 +301,28 @@ class CorpusSpec extends SparkSpec {
     assert(n > stream / 10 && n < stream * 6 / 10,
       s"selected $n of $stream hashes - outside the winnowing band")
   }
+
+  test("burstiness: spread terms score 10000, concentrated terms cf/df") {
+    val docs = Seq(
+      (1L, "the cat cat cat"),
+      (2L, "the dog"),
+      (3L, "the bird")
+    ).toDF("doc_id", "text")
+    val r = Corpus.burstiness(docs, "text", "doc_id", 10)
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r("the") == (3L, 3L, 10000L)) // one per doc: perfectly spread
+    assert(r("cat") == (3L, 1L, 30000L)) // all three in one doc
+    assert(r("dog") == (1L, 1L, 10000L))
+    assert(r.size == 4)
+  }
+
+  test("burstiness top-k keeps the highest-cf terms with the " +
+    "(cf desc, token) tie rule") {
+    val docs = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val top = Corpus.burstiness(docs, "text", "doc_id", 2)
+      .collect().map(_.getString(0)).toSet
+    assert(top == Set("a", "b")) // c (cf=1) falls off; a/b tie at cf=2
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -799,13 +800,14 @@ object Dedup {
     * dual of [[contaminationReport]]: contamination asks "seen in the
     * eval set", novelty asks "seen EARLIER in this corpus".
     *
-    * Scale shape: explode distinct grams once, attribute each gram by
-    * a min() aggregation on the gram key, join the attribution back on
-    * that same key (the aggregation's exchange is reused), then one
-    * count aggregation per doc — documents never pair up, so the cost
-    * is linear in total grams at any corpus size. Documents with fewer
-    * than n tokens have no grams and no row (the oracle drops them
-    * identically).
+    * Scale shape: explode distinct grams ONCE, attribute each gram
+    * occurrence by a min() window over the gram partition (one shuffle
+    * on the gram key, and the expensive tokenize/fan-out subtree is
+    * evaluated exactly once — a min-aggregate joined back would
+    * re-evaluate it per reference), then one count aggregation per
+    * doc. Documents never pair up, so the cost is linear in total
+    * grams at any corpus size. Documents with fewer than n tokens
+    * have no grams and no row (the oracle drops them identically).
     */
   def noveltyReport(corpus: DataFrame, textCol: String, idCol: String,
                     n: Int = 2): DataFrame = {
@@ -816,8 +818,8 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
     val gr = corpus.select(col(idCol), explode(grams).as("gr"))
-    val first = gr.groupBy(col("gr")).agg(min(col(idCol)).as("first_id"))
-    gr.join(first, Seq("gr"))
+    val w = Window.partitionBy(col("gr"))
+    gr.withColumn("first_id", min(col(idCol)).over(w))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("first_id") === col(idCol), 1)).as("n_novel"))

@@ -410,4 +410,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"candidate fetch is not an equi-join:\n$p")
   }
+
+  test("noveltyReport scans and tokenizes the corpus exactly ONCE " +
+    "(window attribution, not a join back onto the fan-out)") {
+    val p = plan(graft.queries.TrainingData.noveltyQ(spark, sf0001))
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans == 1, s"gram fan-out evaluated $scans times:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected gram + doc exchanges only, got $exchanges:\n$p")
+  }
 }

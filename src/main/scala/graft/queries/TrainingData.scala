@@ -4116,6 +4116,29 @@ object TrainingData {
        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
   }
 
+  // --------------------------------------------- filtered ANN search
+  // Attribute-filtered vector search — top-5 among vectors WHERE the
+  // label is even, for every query. The filter applies BEFORE the
+  // index: the quantizer trains on and the lists hold only the
+  // filtered slice, so probes never see an excluded vector and the
+  // filter costs no recall (the post-top-k-filter alternative silently
+  // returns < k). Same trained-IVF chain as x_ann_ivf; the oracle
+  // replays training over the same filtered corpus bit-exact.
+  def annFilteredQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfTopKTrained(
+      emb.filter(col("vec_id") < 20),
+      emb.filter(col("label") % 2 === 0),
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 4, iters = 2)
+  }
+  lazy val annFilteredSql: String = ivfChainSql(
+    """v0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |vc AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings e WHERE e.label % 2 = 0),
+      |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin)
+
   // ------------------------------------------------ ANN recall audit
   // Similarity.recallReport gated end to end: recall@5 of the trained
   // IVF search against the exact brute-force ranking, per query — the
@@ -4821,6 +4844,80 @@ object TrainingData {
        |  CAST(n * 10000 // greatest(st * lt // grand, 1) AS BIGINT)
        |    AS ratio_bp
        |FROM w""".stripMargin
+
+  // ---------------------------------------------- vocab coverage curve
+  // The tokenizer-sizing curve: the share of the whitespace-token
+  // stream the top-v vocabulary covers, at v = 10 / 20 / 50. The
+  // cumulative mass comes from a ≤50-row ranked vocab table (bounded
+  // after the distributed top-k, so its global rank window is cheap by
+  // construction); the stream total is a plain one-scan sum. Shares
+  // are integer basis points — no tolerance.
+  def coverageCurveQ(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.operators.Corpus.topKVocab(docs(spark, dir), "text", 50)
+    val tot = docs(spark, dir)
+      .agg(sum(TextFns.tokenCount(col("text"))).as("total_tokens"))
+    val vs = spark.createDataFrame(Seq(Tuple1(10L), Tuple1(20L),
+      Tuple1(50L))).toDF("v")
+    vs.join(top, col("rank") <= col("v"), "left")
+      .groupBy(col("v"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("covered"), col("total_tokens"),
+        expr("covered * 10000 div total_tokens").as("coverage_bp"))
+  }
+  val coverageCurveSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT token, count(*) AS cnt FROM t
+      |  WHERE length(token) > 0 GROUP BY 1),
+      |top AS (
+      |  SELECT token, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      |  FROM c ORDER BY cnt DESC, token LIMIT 50),
+      |tot AS (
+      |  SELECT CAST(sum(len(string_split_regex(trim(text), '\s+')))
+      |    AS BIGINT) AS total_tokens
+      |  FROM documents),
+      |vs AS (SELECT unnest([10, 20, 50]) AS v)
+      |SELECT CAST(vs.v AS BIGINT) AS v,
+      |  CAST(COALESCE(sum(top.cnt), 0) AS BIGINT) AS covered,
+      |  tot.total_tokens,
+      |  CAST(COALESCE(sum(top.cnt), 0) * 10000 // tot.total_tokens
+      |    AS BIGINT) AS coverage_bp
+      |FROM vs LEFT JOIN top ON top.rank <= vs.v CROSS JOIN tot
+      |GROUP BY vs.v, tot.total_tokens""".stripMargin
+
+  // ------------------------------------------- language diversity index
+  // Per-source Simpson diversity over languages, complementing
+  // x_source_report's distinct-language count with HOW EVENLY the mass
+  // spreads: D_bp = 10000 − Σᵢ nᵢ²·10000 div N² — the probability two
+  // random docs from the source differ in language, in basis points.
+  // Chosen over Shannon entropy deliberately: Simpson is a pure
+  // integer rational of exact counts (no cross-engine ln()
+  // reproducibility question). One lang-cell aggregation per source.
+  def langDiversityQ(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        expr("10000 - ss * 10000 div (n_docs * n_docs)")
+          .as("diversity_bp"))
+  }
+  val langDiversitySql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(n) AS BIGINT) AS n_docs,
+      |  count(*) AS n_langs,
+      |  CAST(10000 - sum(n * n) * 10000 // (sum(n) * sum(n)) AS BIGINT)
+      |    AS diversity_bp
+      |FROM cells GROUP BY source""".stripMargin
 
   // --------------------------------------------------- OOV coverage
   // Per-document out-of-vocabulary rate against the corpus's own
@@ -5550,11 +5647,13 @@ object TrainingData {
     "x_frame_sample" -> (frameSampleQ _),
     "x_html_strip" -> (htmlStripQ _),
     "x_vocab_topk" -> (vocabTopKQ _),
+    "x_coverage_curve" -> (coverageCurveQ _),
     "x_burstiness" -> (burstinessQ _),
     "x_sample_stratified" -> (sampleStratifiedQ _),
     "x_dedup_incremental" -> (dedupIncrementalQ _),
     "x_neardup_incremental" -> (neardupIncrementalQ _),
     "x_lang_stats" -> (langStatsQ _),
+    "x_lang_diversity" -> (langDiversityQ _),
     "x_decontaminate" -> (decontaminateQ _),
     "x_edit_distance" -> (editDistanceQ _),
     "x_dedup_exact" -> (dedupExactQ _),
@@ -5595,6 +5694,7 @@ object TrainingData {
     "x_ann_pq" -> (annPqQ _),
     "x_ann_ivf_pq" -> (annIvfPqQ _),
     "x_ann_recall" -> (annRecallQ _),
+    "x_ann_filtered" -> (annFilteredQ _),
     "x_dedup_drop" -> (dedupDropQ _),
     "x_curate_e2e" -> (curateE2eQ _),
     "x_dedup_drop_sigtable" -> (dedupDropSigQ _),
@@ -5685,11 +5785,13 @@ object TrainingData {
     "x_frame_sample" -> frameSampleSql,
     "x_html_strip" -> htmlStripSql,
     "x_vocab_topk" -> vocabTopKSql,
+    "x_coverage_curve" -> coverageCurveSql,
     "x_burstiness" -> burstinessSql,
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_neardup_incremental" -> neardupIncrementalSql,
     "x_lang_stats" -> langStatsSql,
+    "x_lang_diversity" -> langDiversitySql,
     "x_decontaminate" -> decontaminateSql,
     "x_edit_distance" -> editDistanceSql,
     "x_dedup_exact" -> dedupExactSql,
@@ -5730,6 +5832,7 @@ object TrainingData {
     "x_ann_pq" -> annPqSql,
     "x_ann_ivf_pq" -> annIvfPqSql,
     "x_ann_recall" -> annRecallSql,
+    "x_ann_filtered" -> annFilteredSql,
     "x_dedup_drop" -> dedupDropSql,
     "x_curate_e2e" -> curateE2eSql,
     // same oracle as x_dedup_drop: the sig-table composition must

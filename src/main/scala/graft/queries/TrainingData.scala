@@ -321,6 +321,35 @@ object TrainingData {
       |          4) END AS jaccard2
       |FROM grams""".stripMargin
 
+  // ------------------------------------------- screen calibration table
+  // x_neardup_verified's pair-level record rolled into the calibration
+  // curve that picks the production screen threshold: MinHash-estimate
+  // bands (0.1 wide) vs how many of their pairs the exact bigram
+  // Jaccard verifies, with per-band precision and mean exact score in
+  // basis points. The operating-point table — "screen at 0.5 → 97%
+  // precision" — from one aggregation over the verified pairs.
+  def screenCalibrationQ(spark: SparkSession, dir: String): DataFrame =
+    neardupVerifiedQ(spark, dir)
+      .groupBy(floor(col("est_jaccard") * 10).cast("long").as("est_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("verified"), 1)).as("n_verified"),
+        sum((col("jaccard2") * 10000).cast("long")).as("sum_exact_bp"))
+      .select(col("est_band"), col("n_pairs"), col("n_verified"),
+        expr("n_verified * 10000 div n_pairs").as("precision_bp"),
+        expr("sum_exact_bp div n_pairs").as("mean_exact_bp"))
+  lazy val screenCalibrationSql: String =
+    s"""WITH base AS (
+       |$neardupVerifiedSql
+       |)
+       |SELECT CAST(floor(est_jaccard * 10) AS BIGINT) AS est_band,
+       |  count(*) AS n_pairs,
+       |  count(CASE WHEN verified THEN 1 END) AS n_verified,
+       |  CAST(count(CASE WHEN verified THEN 1 END) * 10000 // count(*)
+       |    AS BIGINT) AS precision_bp,
+       |  CAST(sum(CAST(jaccard2 * 10000 AS BIGINT)) // count(*)
+       |    AS BIGINT) AS mean_exact_bp
+       |FROM base GROUP BY 1""".stripMargin
+
   // --------------------------------------------- verified near-dup pairs
   // The production two-stage judgment: the MinHash screen (maintained
   // signature table, loose 0.2 threshold) proposes candidates cheaply,
@@ -2804,6 +2833,78 @@ object TrainingData {
        |WHERE ${duckHash32("d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
        |      % 10000 < r.bp""".stripMargin
 
+  // ------------------------------------------- length histogram (log2)
+  // Per-source document-length histogram in power-of-two buckets — the
+  // dataset-card length profile and the seq-pack planner's input. The
+  // bucket is the BINARY DIGIT COUNT of n_chars (length of bin(n) =
+  // floor(log2)+1): a pure integer lane, immune to the cross-engine
+  // ulp question a floating log2 would raise at exact powers of two.
+  def lengthHistogramQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        length(bin(col("n_chars"))).cast("long").as("len_bucket"),
+        col("n_chars"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  val lengthHistogramSql: String =
+    """SELECT source,
+      |  CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
+      |  count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------- PII audit rollup
+  // The release-gate audit table over the PII-injected fixture corpus
+  // (same injection as x_pii_scrub, source column kept): per source,
+  // total URL/email/long-number detections and the share of flagged
+  // documents in basis points. One scan, one aggregation — the shape
+  // a 100 TB compliance sweep runs nightly.
+  def piiSummaryQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com see http://ex.com/p/"), col("doc_id"),
+      lit(" ref "), col("doc_id") * 1234567L + 7654321L)
+    docs(spark, dir).select(
+        col("source"),
+        TextFns.patternCount(t, TextFns.UrlPattern).as("u"),
+        TextFns.patternCount(t, TextFns.EmailPattern).as("e"),
+        TextFns.patternCount(t, TextFns.LongNumPattern).as("m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("u")).as("n_urls"),
+        sum(col("e")).as("n_emails"),
+        sum(col("m")).as("n_nums"),
+        count(when(col("u") + col("e") + col("m") > 0, 1)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_urls"),
+        col("n_emails"), col("n_nums"),
+        expr("n_flagged * 10000 div n_docs").as("flagged_bp"))
+  }
+  val piiSummarySql: String = {
+    val url = TextFns.UrlPattern
+    val email = TextFns.EmailPattern
+    val num = TextFns.LongNumPattern
+    s"""WITH c AS (
+       |  SELECT source,
+       |    text || ' contact user' || doc_id ||
+       |    '@example.com see http://ex.com/p/' || doc_id ||
+       |    ' ref ' || (doc_id * 1234567 + 7654321) AS t
+       |  FROM documents),
+       |f AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(t, '$url')) AS BIGINT) AS u,
+       |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS e,
+       |    CAST(len(regexp_extract_all(t, '$num')) AS BIGINT) AS m
+       |  FROM c)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(u) AS BIGINT) AS n_urls,
+       |  CAST(sum(e) AS BIGINT) AS n_emails,
+       |  CAST(sum(m) AS BIGINT) AS n_nums,
+       |  CAST(count(CASE WHEN u + e + m > 0 THEN 1 END) * 10000
+       |    // count(*) AS BIGINT) AS flagged_bp
+       |FROM f GROUP BY source""".stripMargin
+  }
+
   // ------------------------------------------------ quota waterfilling
   // Selection.quotaWaterfill gated end to end: the per-language
   // character mass splits a 10⁶-micro-unit budget proportionally, but
@@ -4331,7 +4432,10 @@ object TrainingData {
     Similarity.ivfSqTopK(emb.filter(col("vec_id") < 20), emb,
       "vec_id", "embedding", 5, nlist = 16, nprobe = 4, iters = 2)
   }
-  val annIvfSq8Sql: String = ivfChainSql(
+  /** SQ8-decoded corpus prelude (v0 raw, vc decoded, vq raw) — shared
+    * by the from-scratch SQ8∘IVF chain, its stored-index twin, and the
+    * index-health oracle. */
+  private val sq8DecodedPrelude: String =
     """v0 AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
       |stats8 AS (
@@ -4357,7 +4461,41 @@ object TrainingData {
       |           * (mxv[CAST(i AS INT)] - mnv[CAST(i AS INT)]) / 255.0)
       |      AS vec
       |  FROM enc8, sv8),
-      |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin)
+      |vq AS (SELECT vec_id, vec FROM v0)""".stripMargin
+
+  val annIvfSq8Sql: String = ivfChainSql(sq8DecodedPrelude)
+
+  // ------------------------------------------- index health report
+  // The index-ops monitoring table a serving deployment reads every
+  // shift: per stored inverted list, its occupancy and its load ratio
+  // against the ideal |corpus|/n_lists in basis points — a hot list
+  // (load_bp ≫ 10000) is a probe-cost hotspot and the re-train
+  // signal. The engine reads ONLY the stored codes table's partition
+  // column (column-pruned — no code decode, no centroid read); the
+  // oracle replays SQ8 quantization + k-means training + assignment
+  // from scratch and must land identical occupancies — the standing
+  // proof the stored index matches what a rebuild would produce.
+  def annIndexStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfSqIndexFor(spark, dir)
+    val occ = spark.read.parquet(s"$path/codes")
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    occ.crossJoin(broadcast(occ.agg(
+        sum(col("n_vecs")).as("total"), count(lit(1)).as("n_lists"))))
+      .select(col("list_id"), col("n_vecs"),
+        expr("n_vecs * 10000 * n_lists div total").as("load_bp"))
+  }
+  lazy val annIndexStatsSql: String =
+    s"""${ivfAssignCtes(sq8DecodedPrelude)},
+       |occ AS (
+       |  SELECT c_id AS list_id, count(*) AS n_vecs FROM a2 GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*) AS n_lists
+       |  FROM occ)
+       |SELECT CAST(occ.list_id AS BIGINT) AS list_id, occ.n_vecs,
+       |  CAST(occ.n_vecs * 10000 * tot.n_lists // tot.total AS BIGINT)
+       |    AS load_bp
+       |FROM occ CROSS JOIN tot""".stripMargin
 
   // ---------------------------------------- streaming ANN serving
   // The serving half of the index split, online: query vectors arrive
@@ -5658,6 +5796,7 @@ object TrainingData {
     "x_edit_distance" -> (editDistanceQ _),
     "x_dedup_exact" -> (dedupExactQ _),
     "x_text_stats" -> (textStatsQ _),
+    "x_length_histogram" -> (lengthHistogramQ _),
     "x_lang_id" -> (langIdQ _),
     "x_lang_confusion" -> (langConfusionQ _),
     "x_fingerprint" -> (fingerprintQ _),
@@ -5690,6 +5829,7 @@ object TrainingData {
     "x_token_bpe" -> (tokenBpeQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
+    "x_pii_summary" -> (piiSummaryQ _),
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
     "x_ann_ivf_pq" -> (annIvfPqQ _),
@@ -5719,6 +5859,7 @@ object TrainingData {
     "x_link_predict" -> (linkPredictQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
+    "x_screen_calibration" -> (screenCalibrationQ _),
     "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
@@ -5749,6 +5890,7 @@ object TrainingData {
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
     "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
+    "x_ann_index_stats" -> (annIndexStatsQ _),
     "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
     "x_mixture_temperature" -> (mixtureTemperatureQ _),
     "x_quota_mix" -> (quotaMixQ _),
@@ -5796,6 +5938,7 @@ object TrainingData {
     "x_edit_distance" -> editDistanceSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_text_stats" -> textStatsSql,
+    "x_length_histogram" -> lengthHistogramSql,
     "x_lang_id" -> langIdSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_fingerprint" -> fingerprintSql,
@@ -5828,6 +5971,7 @@ object TrainingData {
     "x_token_bpe" -> tokenBpeSql,
     "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
+    "x_pii_summary" -> piiSummarySql,
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,
     "x_ann_ivf_pq" -> annIvfPqSql,
@@ -5861,6 +6005,7 @@ object TrainingData {
     "x_link_predict" -> linkPredictSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
+    "x_screen_calibration" -> screenCalibrationSql,
     "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
@@ -5891,6 +6036,7 @@ object TrainingData {
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
     "x_ann_ivf_sq8_table" -> annIvfSq8Sql,
+    "x_ann_index_stats" -> annIndexStatsSql,
     "x_dedup_best_keeper" -> dedupBestKeeperSql,
     "x_mixture_temperature" -> mixtureTemperatureSql,
     "x_quota_mix" -> quotaMixSql,

@@ -2905,6 +2905,99 @@ object TrainingData {
        |FROM f GROUP BY source""".stripMargin
   }
 
+  // ------------------------------------------- term co-occurrence lift
+  // Lexical association over the top-50 vocabulary: for every token
+  // pair co-occurring in ≥10 documents, observed-over-expected lift in
+  // basis points — lift_bp = n_ab·N·10⁴ div (df_a·df_b), the integer
+  // PMI surrogate (monotone in PMI, no cross-engine log). The vocab is
+  // COLLECTED as a ≤50-entry literal (the documented O(KB) scalar
+  // pattern, like centroid tables), so pair generation is row-local:
+  // sort each doc's vocab hits, emit ordered pairs with an indexed
+  // transform, one hash aggregation on the pair key. No token×token
+  // shuffle join; the 38-digit decimal lane keeps n_ab·N·10⁴ exact at
+  // any corpus size.
+  def cooccurrenceQ(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.operators.Corpus
+      .topKVocab(docs(spark, dir), "text", 50)
+      .select(col("token")).collect().map(_.getString(0)).sorted
+    val vocabArr = array(top.map(lit).toSeq: _*)
+    val hits = array_sort(array_intersect(
+      array_distinct(split(lower(trim(col("text"))), "\\s+")), vocabArr))
+    val pairArr = flatten(transform(hits, (x, i) =>
+      transform(slice(hits, i + 2, size(hits)),
+        y => concat(x, lit(" "), y))))
+    val d = docs(spark, dir)
+    val pairs = d.select(explode(pairArr).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 10)
+      .select(split(col("pair"), " ").getItem(0).as("tok_a"),
+        split(col("pair"), " ").getItem(1).as("tok_b"), col("n_ab"))
+    val dfs = d.select(explode(hits).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    pairs
+      .join(broadcast(dfs.select(col("token").as("tok_a"),
+        col("df").as("df_a"))), Seq("tok_a"))
+      .join(broadcast(dfs.select(col("token").as("tok_b"),
+        col("df").as("df_b"))), Seq("tok_b"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_docs"))))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        col("df_a"), col("df_b"),
+        expr("cast(n_ab as decimal(38,0)) * n_docs * 10000" +
+          " div (df_a * df_b)").as("lift_bp"))
+  }
+  val cooccurrenceSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      string_split_regex(lower(trim(text)), '\s+'))) AS token
+      |    FROM documents)
+      |  WHERE length(token) > 0),
+      |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+      |top AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 50),
+      |vt AS (SELECT doc_id, token FROM t
+      |       WHERE token IN (SELECT token FROM top)),
+      |prs AS (
+      |  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+      |  FROM vt a JOIN vt b
+      |    ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY 1, 2),
+      |dfs AS (SELECT token, count(*) AS df FROM vt GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT tok_a, tok_b, n_ab, da.df AS df_a, db.df AS df_b,
+      |  CAST(CAST(n_ab AS HUGEINT) * tot.n_docs * 10000
+      |    // (da.df * db.df) AS BIGINT) AS lift_bp
+      |FROM prs
+      |JOIN dfs da ON da.token = prs.tok_a
+      |JOIN dfs db ON db.token = prs.tok_b
+      |CROSS JOIN tot
+      |WHERE n_ab >= 10""".stripMargin
+
+  // --------------------------------------------- class-balance plan
+  // The rare-class upsampling plan a fine-tuning mix starts from: per
+  // label, its count and the integer repeat factor that lifts it
+  // toward the majority class (max_n div n — never fractional, so the
+  // plan is directly executable as "emit each row k times"). One
+  // aggregation plus a broadcast scalar max.
+  def classBalanceQ(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(max(col("n")).as("max_n"))))
+      .select(col("label"), col("n"),
+        expr("max_n div n").as("repeat_factor"),
+        expr("n * (max_n div n)").as("upsampled_n"))
+  }
+  val classBalanceSql: String =
+    """WITH c AS (
+      |  SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+      |  FROM embeddings GROUP BY 1),
+      |m AS (SELECT max(n) AS max_n FROM c)
+      |SELECT label, n,
+      |  CAST(max_n // n AS BIGINT) AS repeat_factor,
+      |  CAST(n * (max_n // n) AS BIGINT) AS upsampled_n
+      |FROM c CROSS JOIN m""".stripMargin
+
   // ------------------------------------------------ quota waterfilling
   // Selection.quotaWaterfill gated end to end: the per-language
   // character mass splits a 10⁶-micro-unit budget proportionally, but
@@ -5787,6 +5880,7 @@ object TrainingData {
     "x_vocab_topk" -> (vocabTopKQ _),
     "x_coverage_curve" -> (coverageCurveQ _),
     "x_burstiness" -> (burstinessQ _),
+    "x_cooccurrence" -> (cooccurrenceQ _),
     "x_sample_stratified" -> (sampleStratifiedQ _),
     "x_dedup_incremental" -> (dedupIncrementalQ _),
     "x_neardup_incremental" -> (neardupIncrementalQ _),
@@ -5843,6 +5937,7 @@ object TrainingData {
     "x_source_overlap" -> (sourceOverlapQ _),
     "x_embedding_clusters" -> (embeddingClustersQ _),
     "x_cluster_purity" -> (clusterPurityQ _),
+    "x_class_balance" -> (classBalanceQ _),
     "x_dup_spans" -> (dupSpansQ _),
     "x_dup_longest" -> (dupLongestQ _),
     "x_split_by_source" -> (splitBySourceQ _),
@@ -5929,6 +6024,7 @@ object TrainingData {
     "x_vocab_topk" -> vocabTopKSql,
     "x_coverage_curve" -> coverageCurveSql,
     "x_burstiness" -> burstinessSql,
+    "x_cooccurrence" -> cooccurrenceSql,
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_neardup_incremental" -> neardupIncrementalSql,
@@ -5987,6 +6083,7 @@ object TrainingData {
     "x_source_overlap" -> sourceOverlapSql,
     "x_embedding_clusters" -> embeddingClustersSql,
     "x_cluster_purity" -> clusterPuritySql,
+    "x_class_balance" -> classBalanceSql,
     "x_dup_spans" -> dupSpansSql,
     "x_dup_longest" -> dupLongestSql,
     "x_split_by_source" -> splitBySourceSql,

@@ -817,7 +817,12 @@ object Dedup {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-    val gr = corpus.select(col(idCol), explode(grams).as("gr"))
+    // the gram fan-out is this operator's CPU and runs before any
+    // shuffle — one doc-keyed repartition at explicit width fans it
+    // past the scan's split count (the SparseSim device)
+    val fan = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val gr = corpus.repartition(fan, col(idCol))
+      .select(col(idCol), explode(grams).as("gr"))
     val w = Window.partitionBy(col("gr"))
     gr.withColumn("first_id", min(col(idCol)).over(w))
       .groupBy(col(idCol))

@@ -2926,7 +2926,11 @@ object TrainingData {
     val pairArr = flatten(transform(hits, (x, i) =>
       transform(slice(hits, i + 2, size(hits)),
         y => concat(x, lit(" "), y))))
-    val d = docs(spark, dir)
+    // the O(|vocab-hits|²) pair fan-out is the CPU here and runs
+    // before any shuffle — doc-keyed repartition at explicit width
+    // fans it past the scan's split count (the SparseSim device)
+    val fan = spark.sessionState.conf.numShufflePartitions
+    val d = docs(spark, dir).repartition(fan, col("doc_id"))
     val pairs = d.select(explode(pairArr).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 10)
@@ -2939,7 +2943,7 @@ object TrainingData {
         col("df").as("df_a"))), Seq("tok_a"))
       .join(broadcast(dfs.select(col("token").as("tok_b"),
         col("df").as("df_b"))), Seq("tok_b"))
-      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_docs"))))
+      .crossJoin(broadcast(docs(spark, dir).agg(count(lit(1)).as("n_docs"))))
       .select(col("tok_a"), col("tok_b"), col("n_ab"),
         col("df_a"), col("df_b"),
         expr("cast(n_ab as decimal(38,0)) * n_docs * 10000" +

@@ -417,7 +417,7 @@ class PlanSpec extends SparkSpec {
     val scans = "FileScan".r.findAllIn(p).length
     assert(scans == 1, s"gram fan-out evaluated $scans times:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 2,
-      s"expected gram + doc exchanges only, got $exchanges:\n$p")
+    assert(exchanges == 3,
+      s"expected fan-out + gram + doc exchanges only, got $exchanges:\n$p")
   }
 }

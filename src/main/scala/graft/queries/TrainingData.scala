@@ -4939,6 +4939,61 @@ object TrainingData {
       |       ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4) END AS rep3
       |FROM g""".stripMargin
 
+  // ----------------------------------------------- chunk-level dedup
+  // Partial-duplication coverage at CHUNK granularity — the case
+  // document-level dedup misses (a doc that embeds half of another
+  // survives both exact and MinHash screens) and span-hash counting
+  // (x_dup_spans) can't attribute to reuse units. The fixture unions
+  // each document with a HALF-COPY (first n_chars/2, ids +3e6) so the
+  // copy's aligned chunk grid matches the original's head chunks but
+  // not its tail: per doc, distinct chunk fingerprints, how many also
+  // appear in another document, and the shared share in basis points.
+  // Attribution rides a count() window over the fingerprint partition
+  // (the x_novelty device — the chunk fan-out is evaluated once).
+  def chunkDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.select(col("doc_id"), col("text"))
+      .union(d.select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("substring(text, 1, cast(n_chars div 2 as int))").as("text")))
+    val fps = graft.operators.Corpus
+      .chunkDocs(corpus, "text", "doc_id", window = 40, stride = 30)
+      .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      .distinct()
+    val w = Window.partitionBy(col("fp"))
+    fps.withColumn("n_docs_fp", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("n_docs_fp") > 1, 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        expr("n_shared * 10000 div n_chunks").as("shared_bp"))
+  }
+  val chunkDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, substr(text, 1, CAST(n_chars // 2 AS INT))
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ta
+      |  FROM corpus),
+      |s AS (
+      |  SELECT doc_id, ta,
+      |    unnest(range(0, greatest(0,
+      |      CAST(ceil((len(ta) - 40) / 30.0) AS BIGINT)) + 1)) AS i
+      |  FROM t),
+      |c AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(
+      |      ta[CAST(i*30 + 1 AS INT):CAST(i*30 + 40 AS INT)], ' ')) AS fp
+      |  FROM s),
+      |w AS (
+      |  SELECT doc_id, count(*) OVER (PARTITION BY fp) AS nd FROM c)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  count(CASE WHEN nd > 1 THEN 1 END) AS n_shared,
+      |  CAST(count(CASE WHEN nd > 1 THEN 1 END) * 10000 // count(*)
+      |    AS BIGINT) AS shared_bp
+      |FROM w GROUP BY doc_id""".stripMargin
+
   // -------------------------------------------------- first-seen novelty
   // Dedup.noveltyReport gated end to end: every distinct word bigram is
   // owned by the lowest doc id containing it; each document reports the
@@ -5950,6 +6005,7 @@ object TrainingData {
     "x_count_min_incr" -> (countMinIncrQ _),
     "x_ann_sq8" -> (annSq8Q _),
     "x_chunk" -> (chunkQ _),
+    "x_chunk_dedup" -> (chunkDedupQ _),
     "x_lm_score" -> (lmScoreQ _),
     "x_bm25" -> (bm25Q _),
     "x_shard_export" -> (shardExportQ _),
@@ -6098,6 +6154,7 @@ object TrainingData {
     "x_count_min_incr" -> countMinSql,
     "x_ann_sq8" -> annSq8Sql,
     "x_chunk" -> chunkSql,
+    "x_chunk_dedup" -> chunkDedupSql,
     "x_lm_score" -> lmScoreSql,
     "x_bm25" -> bm25Sql,
     "x_shard_export" -> shardExportSql,

@@ -4956,7 +4956,7 @@ object TrainingData {
       .union(d.select((col("doc_id") + 3000000L).as("doc_id"),
         expr("substring(text, 1, cast(n_chars div 2 as int))").as("text")))
     val fps = graft.operators.Corpus
-      .chunkDocs(corpus, "text", "doc_id", window = 40, stride = 30)
+      .chunkDocs(corpus, "text", "doc_id", window = 10, stride = 10)
       .select(col("doc_id"), md5(col("chunk")).as("fp"))
       .distinct()
     val w = Window.partitionBy(col("fp"))
@@ -4979,12 +4979,12 @@ object TrainingData {
       |s AS (
       |  SELECT doc_id, ta,
       |    unnest(range(0, greatest(0,
-      |      CAST(ceil((len(ta) - 40) / 30.0) AS BIGINT)) + 1)) AS i
+      |      CAST(ceil((len(ta) - 10) / 10.0) AS BIGINT)) + 1)) AS i
       |  FROM t),
       |c AS (
       |  SELECT DISTINCT doc_id,
       |    md5(array_to_string(
-      |      ta[CAST(i*30 + 1 AS INT):CAST(i*30 + 40 AS INT)], ' ')) AS fp
+      |      ta[CAST(i*10 + 1 AS INT):CAST(i*10 + 10 AS INT)], ' ')) AS fp
       |  FROM s),
       |w AS (
       |  SELECT doc_id, count(*) OVER (PARTITION BY fp) AS nd FROM c)

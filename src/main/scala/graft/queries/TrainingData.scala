@@ -2976,6 +2976,58 @@ object TrainingData {
       |CROSS JOIN tot
       |WHERE n_ab >= 10""".stripMargin
 
+  // --------------------------------------------- embedding ingest QA
+  // The vector-column acceptance gate an embedding pipeline runs
+  // before anything trains on it: per label, vector counts, dimension
+  // consistency (min=max width), degenerate-vector count (all-zero),
+  // and the exact median/p90 of the 2²⁰-quantized squared norm — the
+  // scale drift detector. Norm² rides the integer lane
+  // (floor(x·2²⁰)² summed exactly), so the percentiles are
+  // percentile_disc over BIGINTs: engine-identical, no float compare.
+  def embeddingAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    val qsum = aggregate(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1048576L).cast("long")),
+      lit(0L), (acc, v) => acc + v * v)
+    val e = Tables.load(spark, dir, "embeddings").select(
+      col("vec_id"),
+      col("label").cast("long").as("label"),
+      size(col("embedding")).cast("long").as("dim"),
+      qsum.as("q2"))
+    val wOrd = Window.partitionBy(col("label"))
+      .orderBy(col("q2"), col("vec_id"))
+    val wAll = Window.partitionBy(col("label"))
+    e.withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        count(when(col("q2") === 0, 1)).as("n_zero"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("q2")))
+          .as("p50_qnorm2"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("q2")))
+          .as("p90_qnorm2"))
+  }
+  val embeddingAuditSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(len(embedding) AS BIGINT) AS dim,
+      |    CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * 1048576) AS BIGINT)
+      |           * CAST(floor(x * 1048576) AS BIGINT))) AS BIGINT) AS q2
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY label ORDER BY q2, vec_id) AS rk,
+      |    count(*) OVER (PARTITION BY label) AS n
+      |  FROM q)
+      |SELECT label, count(*) AS n_vecs,
+      |  min(dim) AS min_dim, max(dim) AS max_dim,
+      |  count(CASE WHEN q2 = 0 THEN 1 END) AS n_zero,
+      |  max(CASE WHEN rk = (n + 1) // 2 THEN q2 END) AS p50_qnorm2,
+      |  max(CASE WHEN rk = (9 * n + 9) // 10 THEN q2 END) AS p90_qnorm2
+      |FROM r GROUP BY label""".stripMargin
+
   // --------------------------------------------- class-balance plan
   // The rare-class upsampling plan a fine-tuning mix starts from: per
   // label, its count and the integer repeat factor that lifts it
@@ -5997,6 +6049,7 @@ object TrainingData {
     "x_embedding_clusters" -> (embeddingClustersQ _),
     "x_cluster_purity" -> (clusterPurityQ _),
     "x_class_balance" -> (classBalanceQ _),
+    "x_embedding_audit" -> (embeddingAuditQ _),
     "x_dup_spans" -> (dupSpansQ _),
     "x_dup_longest" -> (dupLongestQ _),
     "x_split_by_source" -> (splitBySourceQ _),
@@ -6144,6 +6197,7 @@ object TrainingData {
     "x_embedding_clusters" -> embeddingClustersSql,
     "x_cluster_purity" -> clusterPuritySql,
     "x_class_balance" -> classBalanceSql,
+    "x_embedding_audit" -> embeddingAuditSql,
     "x_dup_spans" -> dupSpansSql,
     "x_dup_longest" -> dupLongestSql,
     "x_split_by_source" -> splitBySourceSql,

@@ -154,4 +154,26 @@ class SelectionSpec extends SparkSpec {
     val total = r.values.map(_._1).sum
     assert(total <= 1000000L && total > 990000L, s"total $total")
   }
+
+  test("quotaWaterfill invariants hold on random feasible weight sets") {
+    val rng = new scala.util.Random(90210L)
+    for (trial <- 0 until 5) {
+      val n = 3 + rng.nextInt(8)
+      val cap = 1000000L / 3 + 1 // n*cap >= budget for n >= 3: feasible
+      val ws = (0 until n).map(i =>
+        (s"g$i", 1L + rng.nextInt(1000000).toLong))
+      val r = waterfill(ws, cap)
+      // cap respected, budget never exceeded, nothing negative
+      assert(r.values.forall { case (a, _) => a >= 0L && a <= cap })
+      val total = r.values.map(_._1).sum
+      assert(total <= 1000000L, s"trial $trial overallocated: $total")
+      // truncation loss only: within n units per unfrozen group
+      assert(total > 1000000L - 10L * n, s"trial $trial underallocated: $total")
+      // monotone: a group with more raw weight never gets less
+      val sorted = ws.sortBy(_._2).map(_._1)
+      sorted.zip(sorted.tail).foreach { case (lo, hi) =>
+        assert(r(lo)._1 <= r(hi)._1, s"trial $trial not monotone")
+      }
+    }
+  }
 }

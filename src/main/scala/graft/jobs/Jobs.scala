@@ -532,7 +532,28 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/thumbnails")
   }
 
+  /** Governance sweep: the nightly compliance + dataset-card pass in
+    * one job — PII detection rollup, l-diversity homogeneity audit,
+    * split×language balance, the capped language mixture, and the
+    * embedding ingest QA. Five release tables from five one-scan
+    * aggregations; the job a 100 TB deployment schedules before any
+    * export leaves the boundary. */
+  private def governCorpusJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    import graft.queries.TrainingData.queries
+    Seq("x_pii_summary" -> "pii_summary",
+      "x_l_diversity" -> "l_diversity",
+      "x_eval_balance" -> "eval_balance",
+      "x_quota_mix" -> "quota_mix",
+      "x_embedding_audit" -> "embedding_audit")
+      .foreach { case (q, out) =>
+        queries(q)(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/$out")
+      }
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "govern_corpus" -> (governCorpusJob _),
     "audit_ann" -> (auditAnnJob _),
     "select_corpus" -> (selectCorpusJob _),
     "core_docs" -> (coreDocsJob _),

@@ -21,9 +21,10 @@ class JobsSpec extends SparkSpec {
     // signature table; curate_stream adds its feed + admitted tables
     // (it reuses clean_corpus's signature table, running right after
     // it); index_lineitem and bloom_orders emit three each (layout,
-    // its index table, the pruned read)
-    assert(dirs.size == Jobs.all.size + 18,
-      s"expected ${Jobs.all.size + 18} output tables, got $dirs")
+    // its index table, the pruned read); govern_corpus emits five
+    // release tables
+    assert(dirs.size == Jobs.all.size + 22,
+      s"expected ${Jobs.all.size + 22} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>
         // composite SQ8/IVF layout, not one parquet relation — validate

@@ -4015,6 +4015,54 @@ object TrainingData {
        |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
+  // ------------------------------------- incremental winnowing screen
+  // The MOSS index MAINTAINED: a batch arrives (doc_id % 10 == 0 plays
+  // the new docs), only ITS fingerprints are extracted, the stored
+  // base table is read as-is (the corpus is never re-fingerprinted),
+  // and the screen emits candidate pairs involving a batch doc. The
+  // df-cap is recomputed over base ∪ batch — the correct maintenance
+  // rule (a fingerprint the batch pushes over the cap stops pairing,
+  // exactly as a full rebuild would decide) — so the output is
+  // hash-equal to the full screen filtered to the batch, which is
+  // what the oracle computes.
+  def winnowIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 0
+    val base = spark.read.parquet(winnowBaseTableFor(spark, dir))
+    val fresh = graft.operators.Corpus.winnowingFingerprints(
+      docs(spark, dir).filter(isNew), "text", "doc_id",
+      k = 5, window = 4)
+    graft.operators.Corpus
+      .winnowingCandidatesFrom(base.unionByName(fresh),
+        maxDf = 50, minShared = 5)
+      .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+  }
+
+  /** Session-materialized winnowing fingerprints of the NON-batch docs
+    * (doc_id % 10 != 0) — the stored half of the incremental screen. */
+  private def winnowBaseTableFor(spark: SparkSession, dir: String): String =
+    Fixtures.cached("winnow-fps-base", dir) { root =>
+      val path = new java.io.File(root, "fps").toString
+      graft.operators.Corpus
+        .winnowingFingerprints(
+          docs(spark, dir).filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", k = 5, window = 4)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+  val winnowIncrementalSql: String =
+    s"""WITH $winnowCtes,
+       |ih AS (SELECT DISTINCT doc_id, h FROM fp),
+       |rare AS (SELECT h FROM ih GROUP BY h HAVING count(*) <= 50),
+       |p AS MATERIALIZED (
+       |  SELECT ih.doc_id, ih.h FROM ih JOIN rare USING (h)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    count(*) AS n_shared
+       |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT id_a, id_b, n_shared FROM pairs
+       |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin
+
   // ------------------------------------------- first BPE merge table
   // The tokenizer-training seed: frequency of every adjacent CHARACTER
   // pair inside words across the corpus, top 20 by (count DESC, pair)
@@ -6087,6 +6135,7 @@ object TrainingData {
     "x_audio_features" -> (audioFeaturesQ _),
     "x_image_features" -> (imageFeaturesQ _),
     "x_winnow_pairs" -> (winnowPairsQ _),
+    "x_winnow_incremental" -> (winnowIncrementalQ _),
     "x_bpe_apply" -> (bpeApplyQ _),
     "x_drift" -> (driftQ _),
     "x_url_canon" -> (urlCanonQ _),
@@ -6237,6 +6286,7 @@ object TrainingData {
     "x_audio_features" -> audioFeaturesSql,
     "x_image_features" -> imageFeaturesSql,
     "x_winnow_pairs" -> winnowPairsSql,
+    "x_winnow_incremental" -> winnowIncrementalSql,
     "x_bpe_apply" -> bpeApplySql,
     "x_drift" -> driftSql,
     "x_url_canon" -> urlCanonSql,

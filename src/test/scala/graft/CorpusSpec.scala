@@ -302,6 +302,26 @@ class CorpusSpec extends SparkSpec {
       s"selected $n of $stream hashes - outside the winnowing band")
   }
 
+  test("incremental winnowing equals the full screen filtered to the " +
+    "batch (stored base + fresh batch fingerprints)") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val isNew = col("doc_id") % 10 === 0
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = pairSet(
+      Corpus.winnowingCandidates(d, "text", "doc_id", minShared = 2))
+    val base = Corpus.winnowingFingerprints(d.filter(!isNew),
+      "text", "doc_id")
+    val fresh = Corpus.winnowingFingerprints(d.filter(isNew),
+      "text", "doc_id")
+    val incr = pairSet(Corpus.winnowingCandidatesFrom(
+      base.unionByName(fresh), minShared = 2))
+    assert(incr == full)
+    assert(incr.nonEmpty, "fixture produced no batch-involving pairs")
+  }
+
   test("burstiness: spread terms score 10000, concentrated terms cf/df") {
     val docs = Seq(
       (1L, "the cat cat cat"),

@@ -818,6 +818,52 @@ object Analytics {
       |FROM events CROSS JOIN s
       |GROUP BY 1""".stripMargin
 
+  // Equi-DEPTH histogram boundaries — the optimizer-statistics shape
+  // (ANALYZE builds these): per order priority, the exact quartile
+  // boundaries of the total price in cents. Boundaries use the
+  // explicit rank rule (value at position ceil(i·n/4) under a total
+  // order) so both engines pick the same element — the cents lane and
+  // integer rank arithmetic leave no float compare anywhere. One
+  // window shuffle on the priority key; at scale the partition key
+  // bounds each sort.
+  def equidepthQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderpriority").as("priority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+    val wOrd = Window.partitionBy(col("priority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("priority"))
+    o.withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(when(col("rk") === expr("(n + 3) div 4"), col("cents")))
+          .as("p25_cents"),
+        max(when(col("rk") === expr("(2 * n + 3) div 4"), col("cents")))
+          .as("p50_cents"),
+        max(when(col("rk") === expr("(3 * n + 3) div 4"), col("cents")))
+          .as("p75_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+  val equidepthSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY priority
+      |      ORDER BY cents, o_orderkey) AS rk,
+      |    count(*) OVER (PARTITION BY priority) AS n
+      |  FROM o)
+      |SELECT priority, count(*) AS n_orders,
+      |  max(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS p25_cents,
+      |  max(CASE WHEN rk = (2 * n + 3) // 4 THEN cents END) AS p50_cents,
+      |  max(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS p75_cents,
+      |  max(cents) AS max_cents
+      |FROM r GROUP BY priority""".stripMargin
+
   // Approximate-median sketch, value-checked like q_approx_distinct:
   // the sketch VALUE differs by engine (Spark GK summaries vs DuckDB
   // t-digest), but its RANK ERROR is exactly computable — the fraction
@@ -924,6 +970,7 @@ object Analytics {
     "q_iqr_outliers" -> (iqrOutliersQ _),
     "q_approx_quantile" -> (approxQuantileQ _),
     "q_histogram" -> (histogramQ _),
+    "q_equidepth" -> (equidepthQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -960,6 +1007,7 @@ object Analytics {
     "q_iqr_outliers" -> iqrOutliersSql,
     "q_approx_quantile" -> approxQuantileSql,
     "q_histogram" -> histogramSql,
+    "q_equidepth" -> equidepthSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

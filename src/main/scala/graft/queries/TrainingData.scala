@@ -1503,6 +1503,62 @@ object TrainingData {
     s"""$clustersClosureCtes
        |SELECT doc_id, cluster_rep FROM reps""".stripMargin
 
+  // ----------------------------------------------- dedup ROI table
+  // What dedup actually SAVES, by source: the twin corpus's document
+  // and token mass before vs after the near-dup drop (cluster
+  // non-representatives removed), with the token savings in basis
+  // points. The budget table that justifies the dedup stage to a
+  // training-run owner. Composes the maintained signature table's
+  // pair feed and the same survivor rule as x_dedup_drop; twins map
+  // to their source via doc_id mod 1e6.
+  def dupInflationQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val tok = corpus.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_tok"))
+    val flagged = tok.join(clusters, Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+    flagged
+      .join(docs(spark, dir).select(col("doc_id").as("orig_id"),
+        col("source")), col("doc_id") % 1000000L === col("orig_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_raw"),
+        count(when(col("kept"), 1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("tokens_raw"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs_raw"), col("n_docs_kept"),
+        col("tokens_raw"), col("tokens_kept"),
+        expr("(tokens_raw - tokens_kept) * 10000 div tokens_raw")
+          .as("savings_bp"))
+  }
+  val dupInflationSql: String =
+    s"""$clustersClosureCtes,
+       |tok AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tok
+       |  FROM corpus),
+       |k AS (
+       |  SELECT t.doc_id, t.n_tok,
+       |    (r.cluster_rep IS NULL OR r.cluster_rep = t.doc_id) AS kept
+       |  FROM tok t LEFT JOIN reps r ON r.doc_id = t.doc_id),
+       |lab AS (
+       |  SELECT d.source, k.n_tok, k.kept
+       |  FROM k JOIN documents d ON d.doc_id = k.doc_id % 1000000)
+       |SELECT source, count(*) AS n_docs_raw,
+       |  count(CASE WHEN kept THEN 1 END) AS n_docs_kept,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+       |  CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS tokens_kept,
+       |  CAST((sum(n_tok) - sum(CASE WHEN kept THEN n_tok ELSE 0 END))
+       |    * 10000 // sum(n_tok) AS BIGINT) AS savings_bp
+       |FROM lab GROUP BY source""".stripMargin
+
   // ------------------------------------------- dedup cluster-size report
   // The observability face of near-dup clustering: how many clusters of
   // each size the corpus contains (paired nodes only — singletons never
@@ -6074,6 +6130,7 @@ object TrainingData {
     "x_quality_logit" -> (qualityLogitQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
+    "x_dup_inflation" -> (dupInflationQ _),
     "x_dataset_split" -> (datasetSplitQ _),
     "x_eval_balance" -> (evalBalanceQ _),
     "x_split_temporal" -> (splitTemporalQ _),
@@ -6221,6 +6278,7 @@ object TrainingData {
     "x_quality_logit" -> qualityLogitSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
+    "x_dup_inflation" -> dupInflationSql,
     "x_dataset_split" -> datasetSplitSql,
     "x_eval_balance" -> evalBalanceSql,
     "x_split_temporal" -> splitTemporalSql,

@@ -350,6 +350,81 @@ object TrainingData {
        |    AS BIGINT) AS mean_exact_bp
        |FROM base GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- screen recall by band
+  // The recall complement of x_screen_calibration, measured against
+  // GROUND TRUTH the twin fixture plants by construction: every doc
+  // and its first-10-chars-dropped twin (ids d and d+1e6) is a true
+  // near-dup pair. Per MinHash-estimate band: how many candidate
+  // pairs land there, how many are planted twins, and each band's
+  // share of ALL planted pairs in basis points — summing share_bp
+  // over bands reads off total screen recall at any threshold. The
+  // screen runs at its loosest production setting (0.2) so the table
+  // covers the whole operating range.
+  def screenRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.2)
+    val planted = col("doc_b") - col("doc_a") === 1000000L
+    val total = docs(spark, dir).agg(count(lit(1)).as("n_planted"))
+    pairs
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("est_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(planted, 1)).as("n_planted_found"))
+      .crossJoin(broadcast(total))
+      .select(col("est_band"), col("n_pairs"), col("n_planted_found"),
+        expr("n_planted_found * 10000 div n_planted").as("share_bp"))
+  }
+  val screenRecallSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |prs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2),
+       |tot AS (SELECT count(*) AS n_planted FROM documents)
+       |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS est_band,
+       |  count(*) AS n_pairs,
+       |  count(CASE WHEN doc_b - doc_a = 1000000 THEN 1 END)
+       |    AS n_planted_found,
+       |  CAST(count(CASE WHEN doc_b - doc_a = 1000000 THEN 1 END)
+       |    * 10000 // tot.n_planted AS BIGINT) AS share_bp
+       |FROM prs CROSS JOIN tot
+       |GROUP BY 1, tot.n_planted""".stripMargin
+
+  // ---------------------------------------------- syndication matrix
+  // Near-dup pairs rolled into the source×source reuse matrix — which
+  // source's material shows up under which other source (the
+  // mirror/syndication detector a crawl pipeline watches). Pair feed:
+  // the maintained signature table at the 0.5 production threshold;
+  // twins map to their source via doc_id mod 1e6, the source pair is
+  // canonicalized (least/greatest) so each relationship is one row.
+  def syndicationQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val src = docs(spark, dir)
+      .select(col("doc_id").as("orig_id"), col("source"))
+    pairs
+      .join(src.select(col("orig_id"), col("source").as("src_a")),
+        col("doc_a") % 1000000L === col("orig_id"))
+      .drop("orig_id")
+      .join(src.select(col("orig_id"), col("source").as("src_b")),
+        col("doc_b") % 1000000L === col("orig_id"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("src_a") === col("src_b"), 1)).as("n_within"))
+  }
+  val syndicationSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |lab AS (
+       |  SELECT da.source AS src_a, db.source AS src_b
+       |  FROM prs
+       |  JOIN documents da ON da.doc_id = prs.doc_a % 1000000
+       |  JOIN documents db ON db.doc_id = prs.doc_b % 1000000)
+       |SELECT least(src_a, src_b) AS source_x,
+       |  greatest(src_a, src_b) AS source_y,
+       |  count(*) AS n_pairs,
+       |  count(CASE WHEN src_a = src_b THEN 1 END) AS n_within
+       |FROM lab GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------- verified near-dup pairs
   // The production two-stage judgment: the MinHash screen (maintained
   // signature table, loose 0.2 threshold) proposes candidates cheaply,
@@ -6173,6 +6248,8 @@ object TrainingData {
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
+    "x_screen_recall" -> (screenRecallQ _),
+    "x_syndication" -> (syndicationQ _),
     "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
@@ -6325,6 +6402,8 @@ object TrainingData {
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,
+    "x_screen_recall" -> screenRecallSql,
+    "x_syndication" -> syndicationSql,
     "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,

@@ -387,6 +387,49 @@ object TrainingData {
        |FROM prs CROSS JOIN tot
        |GROUP BY 1, tot.n_planted""".stripMargin
 
+  // ------------------------------------------- threshold what-if sweep
+  // The dedup-policy planning table: at screen thresholds 0.3 / 0.5 /
+  // 0.7, how many candidate pairs survive and how many distinct
+  // documents they touch — what a threshold change would actually do,
+  // answered from the maintained signature table with NO re-screen
+  // (one banded pass at the loosest setting, each pair then voting
+  // into every threshold row it clears). Pair counts and exact
+  // distinct-doc counts only; thresholds ride a 3-row broadcast.
+  def thresholdSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.2)
+    val ths = spark.createDataFrame(Seq(Tuple1(3L), Tuple1(5L),
+      Tuple1(7L))).toDF("th_band")
+    val hit = pairs.crossJoin(broadcast(ths))
+      .where(col("jaccard") >= col("th_band") / 10.0d)
+    val pairCounts = hit.groupBy(col("th_band"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hit
+      .select(col("th_band"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("th_band"))
+      .agg(countDistinct(col("d")).as("n_docs_affected"))
+    pairCounts.join(docCounts, Seq("th_band"))
+  }
+  val thresholdSweepSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |prs AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2),
+       |ths AS (SELECT unnest([3, 5, 7]) AS th_band),
+       |hit AS (
+       |  SELECT th_band, doc_a, doc_b FROM prs CROSS JOIN ths
+       |  WHERE jaccard >= th_band / 10.0),
+       |pc AS (SELECT th_band, count(*) AS n_pairs FROM hit GROUP BY 1),
+       |dc AS (
+       |  SELECT th_band, CAST(count(DISTINCT d) AS BIGINT)
+       |    AS n_docs_affected
+       |  FROM (SELECT th_band, doc_a AS d FROM hit
+       |        UNION ALL SELECT th_band, doc_b FROM hit)
+       |  GROUP BY 1)
+       |SELECT CAST(pc.th_band AS BIGINT) AS th_band, pc.n_pairs,
+       |  dc.n_docs_affected
+       |FROM pc JOIN dc USING (th_band)""".stripMargin
+
   // ---------------------------------------------- syndication matrix
   // Near-dup pairs rolled into the source×source reuse matrix — which
   // source's material shows up under which other source (the
@@ -6249,6 +6292,7 @@ object TrainingData {
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
     "x_screen_recall" -> (screenRecallQ _),
+    "x_threshold_sweep" -> (thresholdSweepQ _),
     "x_syndication" -> (syndicationQ _),
     "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
@@ -6403,6 +6447,7 @@ object TrainingData {
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,
     "x_screen_recall" -> screenRecallSql,
+    "x_threshold_sweep" -> thresholdSweepSql,
     "x_syndication" -> syndicationSql,
     "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,

@@ -864,6 +864,40 @@ object Analytics {
       |  max(cents) AS max_cents
       |FROM r GROUP BY priority""".stripMargin
 
+  // Market-basket co-purchase: the top-20 part pairs ordered together
+  // most often. Distinct (order, part) first, then ONE wedge self-join
+  // on the order key (the triangles shape — intermediate size is the
+  // wedge count, never |lineitem|²), canonical part_a < part_b so each
+  // pair is one row, and a total (count desc, part_a, part_b) order
+  // makes the top-20 boundary engine-deterministic.
+  def copurchaseQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b")))
+        .cast("long"))
+  }
+  val copurchaseSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, n_orders,
+      |  CAST(row_number() OVER
+      |    (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
+      |FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
+
   // Approximate-median sketch, value-checked like q_approx_distinct:
   // the sketch VALUE differs by engine (Spark GK summaries vs DuckDB
   // t-digest), but its RANK ERROR is exactly computable — the fraction
@@ -971,6 +1005,7 @@ object Analytics {
     "q_approx_quantile" -> (approxQuantileQ _),
     "q_histogram" -> (histogramQ _),
     "q_equidepth" -> (equidepthQ _),
+    "q_copurchase" -> (copurchaseQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -1008,6 +1043,7 @@ object Analytics {
     "q_approx_quantile" -> approxQuantileSql,
     "q_histogram" -> histogramSql,
     "q_equidepth" -> equidepthSql,
+    "q_copurchase" -> copurchaseSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

@@ -63,6 +63,37 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of two top-k rankings over the same id space — the
+    * hybrid-retrieval combiner (dense + sparse, exact + compressed,
+    * old index + new index) every serving stack ends up needing.
+    * Each list contributes `10⁶ div (kc + rank)` to a document's
+    * fused score — exact integers, so the fused ORDER is
+    * engine-identical with no float compare; ties break on n_id.
+    * Inputs are any two of this library's `(q_id, n_id, …, rank)`
+    * rankings. Pure relational compose: one full-outer join on
+    * (q_id, n_id) — both sides already ≤ k rows per query, so the
+    * join is bounded by the rankings, never the corpus — and one
+    * per-query rank window.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              kc: Long = 60L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kc >= 1, s"kc must be >= 1, got $kc")
+    def scored(r: DataFrame, out: String) =
+      r.select(col("q_id"), col("n_id"),
+        expr(s"1000000 div ($kc + rank)").as(out))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("fscore").desc, col("n_id"))
+    scored(a, "sa")
+      .join(scored(b, "sb"), Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"),
+        (coalesce(col("sa"), lit(0L)) + coalesce(col("sb"), lit(0L)))
+          .as("fscore"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Per-query recall of an approximate top-k ranking against the
     * exact one — the index-quality AUDIT a production ANN deployment
     * runs before trusting (and after rebuilding) an index: sample

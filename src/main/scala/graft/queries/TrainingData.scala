@@ -3784,6 +3784,62 @@ object TrainingData {
       |QUALIFY row_number() OVER
       |  (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
 
+  // ---------------------------------------- reciprocal-rank fusion
+  // Similarity.rrfFuse gated end to end: the exact cosine ranking and
+  // the SQ8-compressed ranking fused by reciprocal rank (each list
+  // contributes 10⁶ div (60+rank)) into one hybrid top-5 — the
+  // combiner pattern hybrid retrieval (dense+sparse, exact+quantized,
+  // blue/green index) runs in serving. Integer fusion scores, so the
+  // fused order carries no float compare; the oracle replays both
+  // rankings off the shared SQ8 chain and the same fusion arithmetic.
+  def rankFusionQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    Similarity.rrfFuse(
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5),
+      Similarity.sqTopK(q, emb, "vec_id", "embedding", 5),
+      k = 5)
+  }
+  val rankFusionSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))" +
+        s" * sqrt(list_dot_product($b, $b))), 4)"
+    s"""WITH $sq8DecCtes,
+       |ex AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cos("q.v", "n.v")} DESC, n.vec_id) AS rank
+       |    FROM base q JOIN base n ON q.vec_id <> n.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rank <= 5),
+       |sq AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q.vec_id AS q_id, d.n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cos("q.v", "d.dv")} DESC, d.n_id) AS rank
+       |    FROM base q JOIN dec d ON q.vec_id <> d.n_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rank <= 5),
+       |ar AS (SELECT q_id, n_id,
+       |         CAST(1000000 // (60 + rank) AS BIGINT) AS sa FROM ex),
+       |br AS (SELECT q_id, n_id,
+       |         CAST(1000000 // (60 + rank) AS BIGINT) AS sb FROM sq),
+       |f AS (
+       |  SELECT COALESCE(ar.q_id, br.q_id) AS q_id,
+       |    COALESCE(ar.n_id, br.n_id) AS n_id,
+       |    COALESCE(sa, 0) + COALESCE(sb, 0) AS fscore
+       |  FROM ar FULL JOIN br
+       |    ON ar.q_id = br.q_id AND ar.n_id = br.n_id)
+       |SELECT q_id, n_id, CAST(fscore AS BIGINT) AS fscore,
+       |  CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY fscore DESC, n_id) AS BIGINT)
+       |    AS rank
+       |FROM f
+       |QUALIFY row_number() OVER
+       |  (PARTITION BY q_id ORDER BY fscore DESC, n_id) <= 5""".stripMargin
+  }
+
   // --------------------------------- compressed-candidates exact rerank
   // Similarity.sqRerankTopK end to end: the SQ8 pass proposes 20
   // candidates per query, the exact pass re-scores ONLY those against
@@ -6302,6 +6358,7 @@ object TrainingData {
     "x_dsir_select" -> (dsirSelectQ _),
     "x_curriculum" -> (curriculumQ _),
     "x_ann_rerank" -> (annRerankQ _),
+    "x_rank_fusion" -> (rankFusionQ _),
     "x_random_projection" -> (randomProjectionQ _),
     "x_bpe_merges" -> (bpeMergesQ _),
     "x_winnowing" -> (winnowingQ _),
@@ -6457,6 +6514,7 @@ object TrainingData {
     "x_dsir_select" -> dsirSelectSql,
     "x_curriculum" -> curriculumSql,
     "x_ann_rerank" -> annRerankSql,
+    "x_rank_fusion" -> rankFusionSql,
     "x_random_projection" -> randomProjectionSql,
     "x_bpe_merges" -> bpeMergesSql,
     "x_winnowing" -> winnowingSql,

@@ -520,6 +520,21 @@ class SimilaritySpec extends SparkSpec {
     assert(a(1L) != a(6L))
   }
 
+  test("rrfFuse: overlap outranks either single list, absent side " +
+    "contributes zero") {
+    // query 1: doc 10 is rank 1 in BOTH lists; doc 20 only in a
+    // (rank 2); doc 30 only in b (rank 2)
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q_id", "n_id", "rank")
+    val b = Seq((1L, 10L, 1L), (1L, 30L, 2L)).toDF("q_id", "n_id", "rank")
+    val f = Similarity.rrfFuse(a, b, k = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val s1 = 1000000L / 61; val s2 = 1000000L / 62
+    assert(f(10L) == (2 * s1, 1L))
+    // 20 and 30 tie at s2: n_id tie-break puts 20 at rank 2
+    assert(f(20L) == (s2, 2L) && f(30L) == (s2, 3L))
+  }
+
   test("ivfAssignments is bit-identical under repartitioning") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     def run(c: org.apache.spark.sql.DataFrame) =

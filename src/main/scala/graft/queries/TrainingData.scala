@@ -1365,6 +1365,38 @@ object TrainingData {
        |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM pr10""".stripMargin
   }
 
+  // ------------------------------------------- degree distribution
+  // The similarity graph's health histogram: node degrees in
+  // power-of-two buckets (binary digit count — the x_length_histogram
+  // integer lane), with each bucket's node count and degree extremes.
+  // A crawl pathology (template blast, mirror farm) shows up as mass
+  // in high buckets before any clustering runs. Pair feed: the
+  // maintained signature table; two aggregations, no pair-pair work.
+  def degreeDistQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.groupBy(length(bin(col("degree"))).cast("long").as("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_deg"),
+        max(col("degree")).as("max_deg"))
+  }
+  val degreeDistSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |deg AS (
+       |  SELECT node, count(*) AS degree FROM (
+       |    SELECT doc_a AS node FROM prs
+       |    UNION ALL SELECT doc_b FROM prs)
+       |  GROUP BY 1)
+       |SELECT CAST(length(bin(degree)) AS BIGINT) AS deg_bucket,
+       |  count(*) AS n_nodes,
+       |  min(degree) AS min_deg, max(degree) AS max_deg
+       |FROM deg GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------- HITS hub/auth
   // Graph.hits over the DIRECTED near-dup graph (lower id → later
   // copy): separates COPY SOURCES (high hub — documents whose material
@@ -4924,6 +4956,45 @@ object TrainingData {
        |    AS load_bp
        |FROM occ CROSS JOIN tot""".stripMargin
 
+  // --------------------------------------------- index staleness check
+  // The drift monitor between an index's stored population and a
+  // fresh batch: the vec_id % 10 == 0 slice plays the arriving batch,
+  // and each list's batch share is compared against its overall
+  // occupancy share in basis points (drift_bp far from 10000 on big
+  // lists = the incoming distribution has moved off the trained
+  // centroids — the re-train trigger, read BEFORE recall degrades).
+  // Engine side reads ONLY the stored codes table (n_id + partition
+  // column); the oracle replays assignment from scratch.
+  def indexDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfSqIndexFor(spark, dir)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("list_id").cast("long").as("list_id"),
+        (col("n_id") % 10 === 0).as("in_batch"))
+    val occ = codes.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("in_batch"), 1)).as("n_batch"))
+    occ.crossJoin(broadcast(occ.agg(
+        sum(col("n_total")).as("tot"), sum(col("n_batch")).as("btot"))))
+      .select(col("list_id"), col("n_total"), col("n_batch"),
+        expr("n_batch * tot * 10000 div greatest(n_total * btot, 1)")
+          .as("drift_bp"))
+  }
+  lazy val indexDriftSql: String =
+    s"""${ivfAssignCtes(sq8DecodedPrelude)},
+       |occ AS (
+       |  SELECT c_id AS list_id, count(*) AS n_total,
+       |    count(CASE WHEN n_id % 10 = 0 THEN 1 END) AS n_batch
+       |  FROM a2 GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_total) AS BIGINT) AS tot,
+       |    CAST(sum(n_batch) AS BIGINT) AS btot
+       |  FROM occ)
+       |SELECT CAST(occ.list_id AS BIGINT) AS list_id, occ.n_total,
+       |  occ.n_batch,
+       |  CAST(occ.n_batch * tot.tot * 10000
+       |    // greatest(occ.n_total * tot.btot, 1) AS BIGINT) AS drift_bp
+       |FROM occ CROSS JOIN tot""".stripMargin
+
   // ---------------------------------------- streaming ANN serving
   // The serving half of the index split, online: query vectors arrive
   // in TWO micro-batches (vec_id 0-9, then 10-19) and each batch is
@@ -6343,6 +6414,7 @@ object TrainingData {
     "x_shard_export" -> (shardExportQ _),
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
+    "x_degree_dist" -> (degreeDistQ _),
     "x_link_predict" -> (linkPredictQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
@@ -6383,6 +6455,7 @@ object TrainingData {
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
     "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
     "x_ann_index_stats" -> (annIndexStatsQ _),
+    "x_index_drift" -> (indexDriftQ _),
     "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
     "x_mixture_temperature" -> (mixtureTemperatureQ _),
     "x_quota_mix" -> (quotaMixQ _),
@@ -6499,6 +6572,7 @@ object TrainingData {
     "x_shard_export" -> shardExportSql,
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
+    "x_degree_dist" -> degreeDistSql,
     "x_link_predict" -> linkPredictSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
@@ -6539,6 +6613,7 @@ object TrainingData {
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
     "x_ann_ivf_sq8_table" -> annIvfSq8Sql,
     "x_ann_index_stats" -> annIndexStatsSql,
+    "x_index_drift" -> indexDriftSql,
     "x_dedup_best_keeper" -> dedupBestKeeperSql,
     "x_mixture_temperature" -> mixtureTemperatureSql,
     "x_quota_mix" -> quotaMixSql,

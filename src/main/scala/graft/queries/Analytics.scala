@@ -898,6 +898,48 @@ object Analytics {
       |    (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
       |FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // Herfindahl–Hirschman concentration of supplier revenue per nation
+  // — the market-concentration dual of x_lang_diversity's Simpson
+  // index: hhi_bp = Σᵢ revᵢ²·10⁴ div total² over each nation's
+  // suppliers (10000 = monopoly, 10000/n = perfectly even). Revenue
+  // rides the cents lane and the squared sums a decimal(38,0) /
+  // HUGEINT lane, so the index is an exact integer rational in both
+  // engines. Two hash aggregations (supplier, then nation) and one
+  // broadcastable supplier-dimension join.
+  def hhiQ(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long")
+        .as("nation"))
+    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev_c")).as("total_c"),
+        sum(expr("cast(rev_c as decimal(38,0)) * rev_c")).as("ss"))
+      .select(col("nation"), col("n_suppliers"), col("total_c"),
+        expr("cast(ss * 10000 div" +
+          " (cast(total_c as decimal(38,0)) * total_c) as bigint)")
+          .as("hhi_bp"))
+  }
+  val hhiSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |n AS (
+      |  SELECT r.rev_c, CAST(s.s_nationkey AS BIGINT) AS nation
+      |  FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey)
+      |SELECT nation, count(*) AS n_suppliers,
+      |  CAST(sum(rev_c) AS BIGINT) AS total_c,
+      |  CAST(sum(CAST(rev_c AS HUGEINT) * rev_c) * 10000
+      |    // (CAST(sum(rev_c) AS HUGEINT) * sum(rev_c)) AS BIGINT)
+      |    AS hhi_bp
+      |FROM n GROUP BY nation""".stripMargin
+
   // Approximate-median sketch, value-checked like q_approx_distinct:
   // the sketch VALUE differs by engine (Spark GK summaries vs DuckDB
   // t-digest), but its RANK ERROR is exactly computable — the fraction
@@ -1006,6 +1048,7 @@ object Analytics {
     "q_histogram" -> (histogramQ _),
     "q_equidepth" -> (equidepthQ _),
     "q_copurchase" -> (copurchaseQ _),
+    "q_hhi" -> (hhiQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -1044,6 +1087,7 @@ object Analytics {
     "q_histogram" -> histogramSql,
     "q_equidepth" -> equidepthSql,
     "q_copurchase" -> copurchaseSql,
+    "q_hhi" -> hhiSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

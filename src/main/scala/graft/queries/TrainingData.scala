@@ -5655,6 +5655,48 @@ object TrainingData {
        |  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
        |            WHEN 'de' THEN 500 ELSE 1000 END""".stripMargin
 
+  // ---------------------------------------------- sampler bias audit
+  // The meta-audit OVER the stratified sampler: per language, the
+  // configured rate, the realized keep share of the deterministic
+  // hash decision, and their deviation in basis points — the check
+  // that the hash family isn't biased on this corpus's key
+  // distribution (|deviation| should stay within sampling noise of a
+  // uniform decision variable). Same decision arithmetic as
+  // x_sample_stratified; everything integer.
+  def sampleAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = when(col("lang") === "en", 5000L)
+      .when(col("lang") === "zh", 2000L)
+      .when(col("lang") === "de", 500L).otherwise(1000L)
+    val kept = graft.ops.Sampling.stratifiedSample(
+        docs(spark, dir), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.05), defaultRate = 0.1)
+      .select(col("doc_id").as("kept_id"))
+    docs(spark, dir)
+      .join(kept, col("doc_id") === col("kept_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("kept_id")).as("n_kept"),
+        max(cfg).as("rate_bp"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("rate_bp"),
+        expr("n_kept * 10000 div n_docs - rate_bp").as("deviation_bp"))
+  }
+  val sampleAuditSql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    (${duckHash32("coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)")}
+       |       % 10000 <
+       |     CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+       |               WHEN 'de' THEN 500 ELSE 1000 END) AS kept,
+       |    CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+       |              WHEN 'de' THEN 500 ELSE 1000 END AS rate_bp
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  count(CASE WHEN kept THEN 1 END) AS n_kept,
+       |  CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+       |  CAST(count(CASE WHEN kept THEN 1 END) * 10000 // count(*)
+       |    - max(rate_bp) AS BIGINT) AS deviation_bp
+       |FROM d GROUP BY lang""".stripMargin
+
   // ------------------------------------------- incremental NEAR-dup
   // The fuzzy twin of x_dedup_incremental: a new batch of near-copies
   // (first 10 chars dropped, ids +5e6) plus definitely-novel synthetic
@@ -6342,6 +6384,7 @@ object TrainingData {
     "x_burstiness" -> (burstinessQ _),
     "x_cooccurrence" -> (cooccurrenceQ _),
     "x_sample_stratified" -> (sampleStratifiedQ _),
+    "x_sample_audit" -> (sampleAuditQ _),
     "x_dedup_incremental" -> (dedupIncrementalQ _),
     "x_neardup_incremental" -> (neardupIncrementalQ _),
     "x_lang_stats" -> (langStatsQ _),
@@ -6496,6 +6539,7 @@ object TrainingData {
     "x_burstiness" -> burstinessSql,
     "x_cooccurrence" -> cooccurrenceSql,
     "x_sample_stratified" -> sampleStratifiedSql,
+    "x_sample_audit" -> sampleAuditSql,
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_neardup_incremental" -> neardupIncrementalSql,
     "x_lang_stats" -> langStatsSql,

@@ -898,6 +898,43 @@ object Analytics {
       |    (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
       |FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // Nation trade matrix (TPC-H Q7 flavor): revenue flowing from each
+  // customer nation to each supplier nation. Four-way join — the
+  // orders⋈lineitem shuffle is the heavy exchange, supplier rides in
+  // broadcast, customer joins by key (a real dimension at 100 TB, so
+  // no forced broadcast — Catalyst/AQE picks) — then one rollup on
+  // the nation pair. Revenue in exact cents.
+  def tradeMatrixQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long")
+        .as("cust_nation"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long")
+        .as("supp_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev_c")).as("revenue_c"))
+  }
+  val tradeMatrixSql: String =
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS cust_nation,
+      |  CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS revenue_c
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
   // Herfindahl–Hirschman concentration of supplier revenue per nation
   // — the market-concentration dual of x_lang_diversity's Simpson
   // index: hhi_bp = Σᵢ revᵢ²·10⁴ div total² over each nation's
@@ -1049,6 +1086,7 @@ object Analytics {
     "q_equidepth" -> (equidepthQ _),
     "q_copurchase" -> (copurchaseQ _),
     "q_hhi" -> (hhiQ _),
+    "q_trade_matrix" -> (tradeMatrixQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -1088,6 +1126,7 @@ object Analytics {
     "q_equidepth" -> equidepthSql,
     "q_copurchase" -> copurchaseSql,
     "q_hhi" -> hhiSql,
+    "q_trade_matrix" -> tradeMatrixSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

@@ -898,6 +898,41 @@ object Analytics {
       |    (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
       |FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // Growth accounting: per epoch week, active users, first-ever-seen
+  // (new) users, and users also active the previous week (retained) —
+  // the WAU decomposition every product dashboard opens with. Weeks
+  // are pure epoch-ns integer division; first-seen is one min()
+  // aggregation; retention is a self-join of the distinct
+  // (user, week) set against itself shifted one week — all exact,
+  // shuffles keyed by user then week.
+  def growthAccountingQ(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+    val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+      lit(1).as("was_prev"))
+    uw.join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "wk"), "left")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("active_users"),
+        count(when(col("first_wk") === col("wk"), 1)).as("new_users"),
+        count(col("was_prev")).as("retained_users"))
+  }
+  val growthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1),
+      |p AS (SELECT user_id, wk + 1 AS wk, 1 AS was_prev FROM uw)
+      |SELECT uw.wk, count(*) AS active_users,
+      |  count(CASE WHEN f.first_wk = uw.wk THEN 1 END) AS new_users,
+      |  count(p.was_prev) AS retained_users
+      |FROM uw
+      |JOIN f USING (user_id)
+      |LEFT JOIN p ON p.user_id = uw.user_id AND p.wk = uw.wk
+      |GROUP BY uw.wk""".stripMargin
+
   // Nation trade matrix (TPC-H Q7 flavor): revenue flowing from each
   // customer nation to each supplier nation. Four-way join — the
   // orders⋈lineitem shuffle is the heavy exchange, supplier rides in
@@ -1087,6 +1122,7 @@ object Analytics {
     "q_copurchase" -> (copurchaseQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
+    "q_growth_accounting" -> (growthAccountingQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -1127,6 +1163,7 @@ object Analytics {
     "q_copurchase" -> copurchaseSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
+    "q_growth_accounting" -> growthAccountingSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

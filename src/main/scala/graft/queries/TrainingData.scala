@@ -4325,6 +4325,67 @@ object TrainingData {
        |SELECT id_a, id_b, n_shared FROM pairs
        |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin
 
+  // ------------------------------------------- screen agreement table
+  // The two candidate screens COMPARED on the same corpus: MinHash-LSH
+  // (probabilistic, banded) vs winnowing (deterministic,
+  // coverage-guaranteed), each proposing pairs over the original
+  // documents, rolled into who-found-what counts. 'winnow_only' rows
+  // are exactly the localized-overlap pairs LSH's whole-document
+  // signatures dilute — the quantified case for running both screens.
+  // Both pair feeds come from maintained tables (signature table keyed
+  // to this corpus; the session winnowing fingerprint table).
+  def screenOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val mh = Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "origdocs",
+          docs(spark, dir).select(col("doc_id"), col("text"))),
+        threshold = 0.2)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        lit(1).as("in_mh"))
+    val wp = graft.operators.Corpus.winnowingCandidatesFrom(
+        spark.read.parquet(winnowTableFor(spark, dir)),
+        maxDf = 50, minShared = 5)
+      .select(col("id_a"), col("id_b"), lit(1).as("in_wp"))
+    mh.join(wp, Seq("id_a", "id_b"), "full_outer")
+      .select(when(col("in_mh").isNotNull && col("in_wp").isNotNull,
+          "both")
+        .when(col("in_mh").isNotNull, "minhash_only")
+        .otherwise("winnow_only").as("found_by"))
+      .groupBy(col("found_by")).agg(count(lit(1)).as("n_pairs"))
+  }
+  lazy val screenOverlapPairsSql: String = {
+    val winnowSuffixed = winnowCtes
+      .replace("sh AS (", "sh_w AS (")
+      .replace("FROM sh)", "FROM sh_w)")
+      .replace("hr AS (", "hr_w AS (")
+      .replace("FROM hr)", "FROM hr_w)")
+      .replace("win AS (", "win_w AS (")
+      .replace("FROM win WHERE", "FROM win_w WHERE")
+      .replace("fp AS MATERIALIZED (", "fp_w AS MATERIALIZED (")
+    s"""${minhashCtesOver("SELECT doc_id, text FROM documents")},
+       |mh AS (
+       |  SELECT doc_a AS id_a, doc_b AS id_b FROM j
+       |  WHERE jaccard >= 0.2),
+       |$winnowSuffixed,
+       |ih_w AS (SELECT DISTINCT doc_id, h FROM fp_w),
+       |rare_w AS (SELECT h FROM ih_w GROUP BY h HAVING count(*) <= 50),
+       |p_w AS MATERIALIZED (
+       |  SELECT ih_w.doc_id, ih_w.h FROM ih_w JOIN rare_w USING (h)),
+       |wp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM p_w a JOIN p_w b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+  }
+  lazy val screenOverlapSql: String =
+    s"""WITH $screenOverlapPairsSql
+       |SELECT CASE
+       |    WHEN mh.id_a IS NOT NULL AND wp.id_a IS NOT NULL THEN 'both'
+       |    WHEN mh.id_a IS NOT NULL THEN 'minhash_only'
+       |    ELSE 'winnow_only' END AS found_by,
+       |  count(*) AS n_pairs
+       |FROM mh FULL JOIN wp
+       |  ON mh.id_a = wp.id_a AND mh.id_b = wp.id_b
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------- first BPE merge table
   // The tokenizer-training seed: frequency of every adjacent CHARACTER
   // pair inside words across the corpus, top 20 by (count DESC, pair)
@@ -6485,6 +6546,7 @@ object TrainingData {
     "x_audio_features" -> (audioFeaturesQ _),
     "x_image_features" -> (imageFeaturesQ _),
     "x_winnow_pairs" -> (winnowPairsQ _),
+    "x_screen_overlap" -> (screenOverlapQ _),
     "x_winnow_incremental" -> (winnowIncrementalQ _),
     "x_bpe_apply" -> (bpeApplyQ _),
     "x_drift" -> (driftQ _),
@@ -6644,6 +6706,7 @@ object TrainingData {
     "x_audio_features" -> audioFeaturesSql,
     "x_image_features" -> imageFeaturesSql,
     "x_winnow_pairs" -> winnowPairsSql,
+    "x_screen_overlap" -> screenOverlapSql,
     "x_winnow_incremental" -> winnowIncrementalSql,
     "x_bpe_apply" -> bpeApplySql,
     "x_drift" -> driftSql,

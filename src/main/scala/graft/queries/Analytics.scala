@@ -898,6 +898,26 @@ object Analytics {
       |    (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
       |FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // Discount-band effect: lineitem volume and revenue by discount
+  // percentage point — the pricing-elasticity rollup. Bands are exact
+  // integer points (floor(discount·100)); revenue in cents. One hash
+  // aggregation.
+  def discountEffectQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(floor(col("l_discount") * 100).cast("long")
+        .as("discount_pp"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("revenue_c"))
+  val discountEffectSql: String =
+    """SELECT CAST(floor(l_discount * 100) AS BIGINT) AS discount_pp,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_c
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // Growth accounting: per epoch week, active users, first-ever-seen
   // (new) users, and users also active the previous week (retained) —
   // the WAU decomposition every product dashboard opens with. Weeks
@@ -1123,6 +1143,7 @@ object Analytics {
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
+    "q_discount_effect" -> (discountEffectQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -1164,6 +1185,7 @@ object Analytics {
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,
+    "q_discount_effect" -> discountEffectSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

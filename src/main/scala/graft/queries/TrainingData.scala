@@ -1709,6 +1709,57 @@ object TrainingData {
        |    * 10000 // sum(n_tok) AS BIGINT) AS savings_bp
        |FROM lab GROUP BY source""".stripMargin
 
+  // --------------------------------------------- dup × quality cross
+  // The cross-signal audit: does near-duplication correlate with low
+  // quality on this corpus? Every twin-corpus doc labeled by its
+  // cluster role (rep / dup / singleton) and scored by the stopword
+  // quality signal in basis points; per role: doc count and mean
+  // quality. A big rep-vs-dup gap justifies quality-aware keeper
+  // selection (x_dedup_best_keeper) over min-id keeps. Composes the
+  // maintained pair feed's closure with a row-local signal — one
+  // join, one aggregation.
+  def dupQualityQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val scored = corpus.select(col("doc_id"),
+      expr("""cast(
+        size(filter(split(lower(trim(text)), '\\s+'),
+          t -> t in ('the','a','of','and','in','to','is')))
+        * 10000 div greatest(size(split(lower(trim(text)), '\\s+')), 1)
+        as bigint)""").as("q_bp"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .select(col("q_bp"),
+        when(col("cluster_rep").isNull, "singleton")
+          .when(col("cluster_rep") === col("doc_id"), "rep")
+          .otherwise("dup").as("role"))
+      .groupBy(col("role"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(q_bp) div count(1)").as("mean_q_bp"))
+  }
+  val dupQualitySql: String =
+    s"""$clustersClosureCtes,
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(
+       |        string_split_regex(lower(trim(text)), '\\s+'),
+       |        t -> t IN ('the','a','of','and','in','to','is')))
+       |      * 10000 // greatest(len(
+       |        string_split_regex(lower(trim(text)), '\\s+')), 1)
+       |      AS BIGINT) AS q_bp
+       |  FROM corpus),
+       |lab AS (
+       |  SELECT s.q_bp,
+       |    CASE WHEN r.cluster_rep IS NULL THEN 'singleton'
+       |         WHEN r.cluster_rep = s.doc_id THEN 'rep'
+       |         ELSE 'dup' END AS role
+       |  FROM scored s LEFT JOIN reps r ON r.doc_id = s.doc_id)
+       |SELECT role, count(*) AS n_docs,
+       |  CAST(sum(q_bp) // count(*) AS BIGINT) AS mean_q_bp
+       |FROM lab GROUP BY role""".stripMargin
+
   // ------------------------------------------- dedup cluster-size report
   // The observability face of near-dup clustering: how many clusters of
   // each size the corpus contains (paired nodes only — singletons never
@@ -6479,6 +6530,7 @@ object TrainingData {
     "x_quality_logit" -> (qualityLogitQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
+    "x_dup_quality" -> (dupQualityQ _),
     "x_dup_inflation" -> (dupInflationQ _),
     "x_dataset_split" -> (datasetSplitQ _),
     "x_eval_balance" -> (evalBalanceQ _),
@@ -6635,6 +6687,7 @@ object TrainingData {
     "x_quality_logit" -> qualityLogitSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
+    "x_dup_quality" -> dupQualitySql,
     "x_dup_inflation" -> dupInflationSql,
     "x_dataset_split" -> datasetSplitSql,
     "x_eval_balance" -> evalBalanceSql,

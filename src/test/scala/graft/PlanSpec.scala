@@ -411,6 +411,14 @@ class PlanSpec extends SparkSpec {
       s"candidate fetch is not an equi-join:\n$p")
   }
 
+  test("trade matrix: supplier joins broadcast, no cartesian, one " +
+    "rollup exchange after the fact joins") {
+    val p = plan(graft.queries.Analytics.tradeMatrixQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier dimension not broadcast:\n$p")
+  }
+
   test("noveltyReport scans and tokenizes the corpus exactly ONCE " +
     "(window attribution, not a join back onto the fan-out)") {
     val p = plan(graft.queries.TrainingData.noveltyQ(spark, sf0001))

@@ -133,6 +133,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temporalHoldout matches a driver-side replay on random data") {
+    val rng = new scala.util.Random(1337L)
+    val rows = (1L to 300L).map(i =>
+      (rng.nextInt(9).toLong, i, rng.nextInt(1000).toLong))
+    val got = Sampling
+      .temporalHoldout(rows.toDF("u", "eid", "ts"), "u", "ts", "eid", 2500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(5))
+      .toMap
+    val ref = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      val n = ordered.size.toLong
+      ordered.zipWithIndex.map { case (e, i) =>
+        (u, e._2) -> (if ((i + 1) * 10000L > n * 7500L) "test" else "train")
+      }
+    }
+    assert(got === ref)
+  }
+
   test("temporalHoldout: rank and count share ONE window exchange") {
     val plan = Sampling.temporalHoldout(events, "u", "ts", "eid", 2000L)
       .queryExecution.executedPlan.toString

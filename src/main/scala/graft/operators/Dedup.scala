@@ -79,6 +79,27 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
 
+  /** Screen-health report over a maintained signature table: per LSH
+    * band, its bucket count, total rows, the hottest bucket's
+    * occupancy, and the candidate-pair volume the band implies
+    * (Σ n(n−1)/2 over its buckets) — the standing COST MODEL of the
+    * banded self-join, read straight from the stored table with no
+    * text and no pairing. A band whose implied_pairs explodes flags a
+    * degenerate key (the ER block-purge failure mode) before the
+    * screen pays for it; the embeddings-side twin is the IVF index's
+    * occupancy report.
+    */
+  def signatureTableStats(spark: org.apache.spark.sql.SparkSession,
+                          sigTablePath: String): DataFrame = {
+    val occ = bandsOf(spark.read.parquet(sigTablePath))
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+    occ.groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_occupancy"),
+        sum(expr("n * (n - 1) div 2")).as("implied_pairs"))
+  }
+
   /** LSH candidate pairs + exact shingle-hash-Jaccard verification.
     *
     * Banding: 4 bands × 4 rows over the 16-slot signature. Documents

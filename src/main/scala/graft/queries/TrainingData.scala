@@ -321,6 +321,26 @@ object TrainingData {
       |          4) END AS jaccard2
       |FROM grams""".stripMargin
 
+  // --------------------------------------------- signature-table health
+  // Dedup.signatureTableStats gated end to end: per LSH band of the
+  // maintained signature table — bucket count, hottest bucket, and the
+  // candidate-pair volume the band implies — the text screen's cost
+  // model, read from the stored table alone (no text, no pairing); the
+  // embeddings-side twin is x_ann_index_stats. The oracle replays
+  // signatures + banding from the corpus and must land identical
+  // occupancies.
+  def sigStatsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.signatureTableStats(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)))
+  val sigStatsSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |occ AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(max(n) AS BIGINT) AS max_occupancy,
+       |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS implied_pairs
+       |FROM occ GROUP BY band""".stripMargin
+
   // ------------------------------------------- screen calibration table
   // x_neardup_verified's pair-level record rolled into the calibration
   // curve that picks the production screen threshold: MinHash-estimate
@@ -6575,6 +6595,7 @@ object TrainingData {
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
+    "x_sig_stats" -> (sigStatsQ _),
     "x_screen_recall" -> (screenRecallQ _),
     "x_threshold_sweep" -> (thresholdSweepQ _),
     "x_syndication" -> (syndicationQ _),
@@ -6736,6 +6757,7 @@ object TrainingData {
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,
+    "x_sig_stats" -> sigStatsSql,
     "x_screen_recall" -> screenRecallSql,
     "x_threshold_sweep" -> thresholdSweepSql,
     "x_syndication" -> syndicationSql,

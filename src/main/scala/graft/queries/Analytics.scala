@@ -898,6 +898,42 @@ object Analytics {
       |    (ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
       |FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // Fulfillment latency: days from order date to the order's LAST
+  // shipment, rolled up by priority — the SLA table. Date arithmetic
+  // is integer days in both engines; the mean ships as an exact
+  // integer division plus the sum/count it derives from. One rollup
+  // per order then one per priority.
+  def fulfillmentQ(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("last_ship"))
+    Tables.load(spark, dir, "orders")
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("last_ship"), col("o_orderdate").cast("date"))
+          .cast("long").as("days"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("days")).as("sum_days"),
+        max(col("days")).as("max_days"))
+      .select(col("priority"), col("n_orders"), col("sum_days"),
+        col("max_days"), expr("sum_days div n_orders").as("mean_days"))
+  }
+  val fulfillmentSql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(ls.last_ship - CAST(o.o_orderdate AS DATE) AS BIGINT)
+      |      AS days
+      |  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey)
+      |SELECT priority, count(*) AS n_orders,
+      |  CAST(sum(days) AS BIGINT) AS sum_days,
+      |  max(days) AS max_days,
+      |  CAST(sum(days) // count(*) AS BIGINT) AS mean_days
+      |FROM d GROUP BY priority""".stripMargin
+
   // Discount-band effect: lineitem volume and revenue by discount
   // percentage point — the pricing-elasticity rollup. Bands are exact
   // integer points (floor(discount·100)); revenue in cents. One hash
@@ -1144,6 +1180,7 @@ object Analytics {
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
     "q_discount_effect" -> (discountEffectQ _),
+    "q_fulfillment" -> (fulfillmentQ _),
     "q_corr_exact" -> (corrExactQ _),
     "q1_pricing_summary" -> (pricingSummaryQ _),
     "q3_top_revenue" -> (topRevenueQ _),
@@ -1186,6 +1223,7 @@ object Analytics {
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,
     "q_discount_effect" -> discountEffectSql,
+    "q_fulfillment" -> fulfillmentSql,
     "q_corr_exact" -> corrExactSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue" -> topRevenueSql,

@@ -1169,7 +1169,297 @@ object Analytics {
       |FROM v JOIN th USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  // Customer order-count distribution (TPC-H Q13 shape): how many
+  // customers placed exactly N orders, N=0 included — the left-outer
+  // join keeps order-less customers. Both aggregations hash; the first
+  // is keyed on the join key, so at 100 TB the join's shuffle
+  // partitioning is reused by the per-customer count (one heavy
+  // exchange total, then the tiny distribution rollup).
+  def orderDistQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+  val orderDistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1) t
+      |GROUP BY 1""".stripMargin
+
+  // Promotion revenue share per ship-year (TPC-H Q14 shape). Revenue
+  // rides the discounted-cents lane (floor once per row, identical
+  // IEEE expression both engines); the share is an exact integer in
+  // basis points. `part` is the only dimension — broadcast — so the
+  // plan is one scan + one map-side-combining aggregation.
+  def promoShareQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long").as("rev_c"))
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("is_promo"), col("rev_c")).otherwise(lit(0L)))
+        .as("promo_rev_c"),
+        sum(col("rev_c")).as("total_rev_c"))
+      .select(col("yr"), col("promo_rev_c"), col("total_rev_c"),
+        expr("promo_rev_c * 10000 div total_rev_c").as("share_bp"))
+  }
+  val promoShareSql: String =
+    """WITH r AS (
+      |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |    CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS pr,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+      |SELECT yr,
+      |  CAST(sum(CASE WHEN pr = 1 THEN rev_c ELSE 0 END) AS BIGINT)
+      |    AS promo_rev_c,
+      |  CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+      |  CAST(sum(CASE WHEN pr = 1 THEN rev_c ELSE 0 END) * 10000
+      |    // sum(rev_c) AS BIGINT) AS share_bp
+      |FROM r GROUP BY 1""".stripMargin
+
+  // Top supplier by first-half-1996 revenue (TPC-H Q15 shape): the
+  // per-supplier revenue view, then the suppliers whose revenue equals
+  // the view's max — ties kept, exactly as the spec demands. The max
+  // is a one-row stat (the documented broadcast-crossJoin scalar
+  // pattern); revenue is exact cents so the equality is safe.
+  def topSupplierQ(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+        col("l_shipdate").cast("date") < lit("1996-07-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice")
+        * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+        .as("total_rev_c"))
+    val top = rev.agg(max(col("total_rev_c")).as("best_c"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    rev.crossJoin(broadcast(top))
+      .where(col("total_rev_c") === col("best_c"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+  }
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+      |      * 100) AS BIGINT)) AS BIGINT) AS total_rev_c
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev_c
+      |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_rev_c = (SELECT max(total_rev_c) FROM rev)""".stripMargin
+
+  // Small-quantity order revenue (TPC-H Q17 shape): for three brands,
+  // the revenue of lineitems whose quantity is below 20% of that
+  // part's average quantity. The per-part average joins back on the
+  // aggregation's own key (co-partitioned, no extra exchange at
+  // scale); quantities are integer-valued doubles so the average —
+  // exact-sum / count — is order-independent and the 0.2· threshold
+  // comparison is deterministic in both engines.
+  def smallQtyQ(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#4", "Brand#2", "Brand#19")
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_partkey"), col("l_quantity"),
+      floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+    val pa = li.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("aq"))
+      .withColumnRenamed("l_partkey", "pa_key")
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_brand").isin(brands: _*))
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(pa, col("l_partkey") === col("pa_key"))
+      .where(col("l_quantity") < lit(0.2) * col("aq"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), sum(col("rev_c")).as("rev_c"))
+  }
+  val smallQtySql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey, avg(l_quantity) AS aq
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p.p_brand, count(*) AS n_small,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS rev_c
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |  AND p.p_brand IN ('Brand#4', 'Brand#2', 'Brand#19')
+      |JOIN pa ON pa.l_partkey = l.l_partkey
+      |WHERE l.l_quantity < 0.2 * pa.aq
+      |GROUP BY 1""".stripMargin
+
+  // Large-volume orders (TPC-H Q18 shape): orders whose total quantity
+  // exceeds 150 units, with their customer. The HAVING prunes before
+  // any dimension join touches the survivors; total quantity is an
+  // exact integer-valued double sum, cast to BIGINT on both sides.
+  def bigOrdersQ(spark: SparkSession, dir: String): DataFrame = {
+    val tq = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .where(col("total_qty") > 150)
+    val ord = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    tq.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("total_qty"),
+        col("price_c"))
+  }
+  val bigOrdersSql: String =
+    """WITH tq AS (
+      |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING CAST(sum(l_quantity) AS BIGINT) > 150)
+      |SELECT c.c_name, o.o_orderkey, tq.total_qty,
+      |  CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_c
+      |FROM tq
+      |JOIN orders o ON o.o_orderkey = tq.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin
+
+  // Disjunctive brand/size/quantity revenue (TPC-H Q19 shape): an
+  // OR-of-ANDs predicate across dimension and fact columns. The brand
+  // membership and size bands push into the broadcast `part` scan;
+  // only the residual quantity conjunct evaluates post-join. Grouped
+  // by brand so each arm of the disjunction is a visible row.
+  def brandRevenueQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_partkey"), col("l_quantity"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long").as("rev_c"))
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val arm1 = col("p_brand") === "Brand#4" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val arm2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(16, 30) && col("l_quantity").between(10, 30)
+    val arm3 = col("p_brand") === "Brand#19" &&
+      col("p_size").between(31, 50) && col("l_quantity").between(20, 50)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(arm1 || arm2 || arm3)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("rev_c"))
+  }
+  val brandRevenueSql: String =
+    """SELECT p.p_brand, count(*) AS n_items,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+      |    * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 20)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 16 AND 30
+      |       AND l.l_quantity BETWEEN 10 AND 30)
+      |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 31 AND 50
+      |       AND l.l_quantity BETWEEN 20 AND 50)
+      |GROUP BY 1""".stripMargin
+
+  // Suppliers solely to blame on finished orders (TPC-H Q21 shape,
+  // return-flag adaptation — the testdata has no commit/receipt
+  // dates): a supplier's returned ('R') lineitem on a finished order
+  // counts against them only if ANOTHER supplier shipped on the same
+  // order (left-semi self-join) and NO other supplier's line was
+  // returned (left-anti self-join). The two correlated-EXISTS plans
+  // are hash joins on the order key; `supplier` rides in broadcast.
+  def blameSupplierQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val ordF = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2"), col("l_returnflag").as("rf2"))
+    val hasOther = l1.join(others,
+      col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+      "left_semi")
+    val soleBlame = hasOther.join(
+      others.filter(col("rf2") === "R").select(col("ok2"), col("sk2")),
+      col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+      "left_anti")
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    soleBlame.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+  val blameSupplierSql: String =
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderstatus = 'F'
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin
+
+  // Idle capital by nation (TPC-H Q22 shape): customers with
+  // above-average positive balance and no order in the trailing
+  // window (>= 2000-01-01 — every synthetic customer has SOME order,
+  // so "never ordered" is the empty set; "gone quiet" is the live
+  // variant a warehouse would run). The average threshold is computed
+  // in the integer-cents lane with integral division — exact in both
+  // engines, so the boundary can't flip on floating summation order.
+  // The date filter pushes into the orders scan BEFORE the anti-join,
+  // then a per-nation rollup.
+  def idleCapitalQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val thr = cust.where(col("bal_c") > 0)
+      .agg(expr("sum(bal_c) div count(1)").as("thr_c"))
+    val recent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thr))
+      .where(col("bal_c") > col("thr_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_c")).as("total_bal_c"))
+  }
+  val idleCapitalSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |t AS (SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS thr_c
+      |      FROM c WHERE bal_c > 0)
+      |SELECT c.nation, count(*) AS n_custs,
+      |  CAST(sum(c.bal_c) AS BIGINT) AS total_bal_c
+      |FROM c, t
+      |WHERE c.bal_c > t.thr_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND CAST(o.o_orderdate AS DATE)
+      |                      >= DATE '2000-01-01')
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_order_dist" -> (orderDistQ _),
+    "q_promo_share" -> (promoShareQ _),
+    "q_top_supplier" -> (topSupplierQ _),
+    "q_small_qty" -> (smallQtyQ _),
+    "q_big_orders" -> (bigOrdersQ _),
+    "q_brand_revenue" -> (brandRevenueQ _),
+    "q_blame_supplier" -> (blameSupplierQ _),
+    "q_idle_capital" -> (idleCapitalQ _),
     "q_winsorize" -> (winsorizeQ _),
     "q_iqr_outliers" -> (iqrOutliersQ _),
     "q_approx_quantile" -> (approxQuantileQ _),
@@ -1213,6 +1503,14 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_order_dist" -> orderDistSql,
+    "q_promo_share" -> promoShareSql,
+    "q_top_supplier" -> topSupplierSql,
+    "q_small_qty" -> smallQtySql,
+    "q_big_orders" -> bigOrdersSql,
+    "q_brand_revenue" -> brandRevenueSql,
+    "q_blame_supplier" -> blameSupplierSql,
+    "q_idle_capital" -> idleCapitalSql,
     "q_winsorize" -> winsorizeSql,
     "q_iqr_outliers" -> iqrOutliersSql,
     "q_approx_quantile" -> approxQuantileSql,

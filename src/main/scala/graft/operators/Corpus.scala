@@ -282,6 +282,104 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** C4-style rule-based line cleaning (the line-level rules of the
+    * C4 corpus pipeline, applied per document): a line survives only
+    * if it (1) ends in terminal punctuation (`. ! ?`, optionally
+    * followed by a closing quote), (2) has at least `minWords`
+    * whitespace-delimited words, and (3) contains none of the
+    * `blacklist` substrings (case-insensitive). Complements
+    * [[removeBoilerplateLines]] (frequency-based, corpus-wide): these
+    * rules are content-based and row-local, so the whole filter is
+    * embarrassingly parallel — the only exchange is the per-document
+    * rebuild aggregation.
+    *
+    * Each dropped line is charged to the FIRST rule that kills it, in
+    * the order no-terminal → too-short → blacklist, so the three
+    * counters always sum to `n_dropped`.
+    */
+  def c4LineClean(docs: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 3,
+                  blacklist: Seq[String] =
+                    Seq("lorem ipsum", "javascript", "{"),
+                  sep: String = "\n"): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    require(blacklist.nonEmpty, "blacklist must not be empty")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val endsPunct = col("line").rlike("""[.!?]["']?\s*$""")
+    val nWords = size(regexp_extract_all(col("line"), lit("""\S+"""), lit(0)))
+    val dirty = blacklist.map(b =>
+      lower(col("line")).contains(lit(b.toLowerCase))).reduce(_ || _)
+    val rule = when(!endsPunct, lit("no_terminal"))
+      .when(nWords < minWords, lit("too_short"))
+      .when(dirty, lit("blacklist"))
+    val judged = lines.withColumn("__rule", rule)
+    val agg = judged.groupBy(col(idCol)).agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(when(col("__rule").isNull,
+          struct(col("pos"), col("line"))))),
+        x => x.getField("line"))).as("clean_text"),
+      sum(when(col("__rule").isNull, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__rule") === "no_terminal", 1L).otherwise(0L))
+        .as("n_no_terminal"),
+      sum(when(col("__rule") === "too_short", 1L).otherwise(0L))
+        .as("n_too_short"),
+      sum(when(col("__rule") === "blacklist", 1L).otherwise(0L))
+        .as("n_blacklist"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_no_terminal"), lit(0L)).as("n_no_terminal"),
+        coalesce(col("n_too_short"), lit(0L)).as("n_too_short"),
+        coalesce(col("n_blacklist"), lit(0L)).as("n_blacklist"))
+  }
+
+  /** Cross-document line dedup, first occurrence wins (the CCNet /
+    * Dolma paragraph-dedup rule): every distinct non-blank line keeps
+    * exactly ONE copy corpus-wide — the one at the smallest
+    * (document, position) — and all later copies are dropped. Blank
+    * lines are structural, not content, and always survive. Contrast
+    * with [[removeBoilerplateLines]], which drops ALL copies of lines
+    * over a frequency cap: first-wins preserves every distinct
+    * sentence somewhere in the corpus, which is what you want when
+    * the duplicated text is content (syndication) rather than chrome.
+    *
+    * Scale shape: one hash exchange keyed on the line content (same
+    * cost class as the boilerplate frequency count) feeding a
+    * row_number window totally ordered by (doc, pos); then the
+    * per-document rebuild aggregation. No self-joins, no pairs.
+    */
+  def dedupLinesKeepFirst(docs: DataFrame, textCol: String,
+                          idCol: String, sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col(idCol), col("pos"))
+    val kept = lines
+      .withColumn("__rk",
+        when(length(trim(col("line"))) === 0, lit(1L))
+          .otherwise(row_number().over(w).cast("long")))
+      .where(col("__rk") === 1)
+    val agg = kept.groupBy(col(idCol)).agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol),
+            java.util.regex.Pattern.quote(sep))).cast("long"))
+          .as("__total"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   def removeBoilerplateLines(docs: DataFrame, textCol: String,
                              idCol: String, maxOccurrences: Long,
                              sep: String = "\n",

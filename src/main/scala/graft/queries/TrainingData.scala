@@ -6518,7 +6518,106 @@ object TrainingData {
       |         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
       |FROM mdoc m LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 
+  // ------------------------------------------ C4 line-rule cleaning
+  // Corpus.c4LineClean gated end to end: every doc gets a planted
+  // keepable sentence, a too-short line, a blacklisted line, and its
+  // own body (terminal-punctuated only for doc_id%3==0, so the
+  // no_terminal rule fires on the other two thirds). Per-rule drop
+  // counters and the rebuilt text are compared exactly.
+  def c4CleanQ(spark: SparkSession, dir: String): DataFrame = {
+    val m = docs(spark, dir).select(col("doc_id"),
+      concat(lit("doc "), col("doc_id").cast("string"), lit(" from "),
+        col("source"), lit(" reads fine today.\nshort one.\n"),
+        lit("buy now javascript click here.\n"), col("text"),
+        when(col("doc_id") % 3 === 0, lit(".")).otherwise(lit("")))
+        .as("text"))
+    graft.operators.Corpus.c4LineClean(m, "text", "doc_id", minWords = 4)
+  }
+  val c4CleanSql: String =
+    """WITH mdoc AS (
+      |  SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) || ' from ' ||
+      |    source || ' reads fine today.' || chr(10) ||
+      |    'short one.' || chr(10) ||
+      |    'buy now javascript click here.' || chr(10) || text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS text
+      |  FROM documents),
+      |la AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM mdoc),
+      |ln0 AS (SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS i FROM la),
+      |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |              ls[CAST(i AS INT)] AS line FROM ln0),
+      |j AS (SELECT doc_id, pos, line,
+      |  CASE
+      |    WHEN NOT regexp_matches(line, '[.!?]["'']?\s*$')
+      |      THEN 'no_terminal'
+      |    WHEN len(regexp_extract_all(line, '\S+')) < 4 THEN 'too_short'
+      |    WHEN contains(lower(line), 'lorem ipsum')
+      |      OR contains(lower(line), 'javascript')
+      |      OR contains(lower(line), '{') THEN 'blacklist'
+      |  END AS rule FROM ln),
+      |kept AS (SELECT doc_id, pos, line FROM j WHERE rule IS NULL),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+      |           AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id),
+      |cnt AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN rule = 'no_terminal' THEN 1 ELSE 0 END) AS nt,
+      |    sum(CASE WHEN rule = 'too_short' THEN 1 ELSE 0 END) AS ts,
+      |    sum(CASE WHEN rule = 'blacklist' THEN 1 ELSE 0 END) AS bl
+      |  FROM j GROUP BY doc_id)
+      |SELECT m.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(c.nt AS BIGINT) AS n_no_terminal,
+      |       CAST(c.ts AS BIGINT) AS n_too_short,
+      |       CAST(c.bl AS BIGINT) AS n_blacklist
+      |FROM mdoc m
+      |LEFT JOIN rebuilt r USING (doc_id)
+      |JOIN cnt c USING (doc_id)""".stripMargin
+
+  // ------------------------------- first-wins cross-doc line dedup
+  // Corpus.dedupLinesKeepFirst gated end to end: a corpus-wide header
+  // (survives once, in the lowest doc), five footer variants (one
+  // survivor each), and the doc bodies — the corpus's exact twins
+  // lose their body line to the earlier twin, which is precisely the
+  // CCNet paragraph-dedup decision the operator encodes.
+  def lineDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val m = docs(spark, dir).select(col("doc_id"),
+      concat(lit("shared promo header\n"), col("text"),
+        lit("\nshared footer line "), (col("doc_id") % 5).cast("string"))
+        .as("text"))
+    graft.operators.Corpus.dedupLinesKeepFirst(m, "text", "doc_id")
+  }
+  val lineDedupSql: String =
+    """WITH mdoc AS (
+      |  SELECT doc_id, 'shared promo header' || chr(10) || text ||
+      |    chr(10) || 'shared footer line ' ||
+      |    CAST(doc_id % 5 AS VARCHAR) AS text
+      |  FROM documents),
+      |la AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM mdoc),
+      |ln0 AS (SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS i FROM la),
+      |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |              ls[CAST(i AS INT)] AS line FROM ln0),
+      |j AS (SELECT doc_id, pos, line,
+      |  CASE WHEN len(trim(line)) = 0 THEN 1
+      |       ELSE row_number() OVER (PARTITION BY line
+      |                               ORDER BY doc_id, pos) END AS rk
+      |  FROM ln),
+      |kept AS (SELECT doc_id, pos, line FROM j WHERE rk = 1),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+      |           AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT m.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(string_split(m.text, chr(10))) AS BIGINT) -
+      |         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM mdoc m LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_c4_clean" -> (c4CleanQ _),
+    "x_line_dedup" -> (lineDedupQ _),
     "x_repetition" -> (repetitionQ _),
     "x_novelty" -> (noveltyQ _),
     "x_frame_sample" -> (frameSampleQ _),
@@ -6818,6 +6917,8 @@ object TrainingData {
     "x_label_vote" -> labelVoteSql,
     "x_weighted_sample" -> weightedSampleSql,
     "x_boilerplate" -> boilerplateSql,
+    "x_c4_clean" -> c4CleanSql,
+    "x_line_dedup" -> lineDedupSql,
     "x_semdedup" -> semdedupSql,
     "x_dedup_clusters_incr" -> dedupClustersIncrSql,
     "x_fuzzy_join" -> fuzzyJoinSql,

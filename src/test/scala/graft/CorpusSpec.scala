@@ -183,6 +183,70 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) === (("delta\nalpha", 2L, 2L))) // original order preserved
   }
 
+  test("c4LineClean charges each dropped line to the first killing rule") {
+    val docs = Seq(
+      (1L, "the quick brown fox runs home.\n" + // kept
+        "no terminal punctuation here\n" +      // no_terminal
+        "too short.\n" +                        // too_short (2 words)
+        "click this javascript link now.\n" +   // blacklist
+        "lorem ipsum is short"),                // no_terminal wins over both
+      (2L, "Is this kept? \"Yes it is!\"")      // quote after terminal: kept
+    ).toDF("doc_id", "text")
+    val out = Corpus.c4LineClean(docs, "text", "doc_id", minWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(1L) === (("the quick brown fox runs home.",
+      1L, 2L, 1L, 1L)))
+    assert(out(2L) === (("Is this kept? \"Yes it is!\"", 1L, 0L, 0L, 0L)))
+  }
+
+  test("c4LineClean counters always sum to the dropped-line total") {
+    val docs = Seq(
+      (1L, "a.\nb b b b b\nthis one is long enough.\n{bad} code here."),
+      (2L, ""), (3L, "single good sentence stands alone."))
+      .toDF("doc_id", "text")
+    val rows = Corpus.c4LineClean(docs, "text", "doc_id", minWords = 3)
+      .collect()
+    rows.foreach { r =>
+      val total = r.getString(1)
+        .split("\n", -1).count(_.nonEmpty) // kept lines, blank-free here
+      assert(r.getLong(2) === total.toLong)
+    }
+    val m = rows.map(r => r.getLong(0) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: 4 lines — "a." too_short, "b b b b b" no_terminal,
+    // long sentence kept, "{bad} code here." blacklisted
+    assert(m(1L) === ((1L, 1L, 1L, 1L)))
+    // empty text splits to one empty line: no_terminal
+    assert(m(2L) === ((0L, 1L, 0L, 0L)))
+    assert(m(3L) === ((1L, 0L, 0L, 0L)))
+  }
+
+  test("dedupLinesKeepFirst keeps the lowest (doc,pos) copy and blanks") {
+    val docs = Seq(
+      (1L, "header\nalpha\n\nbeta"),
+      (2L, "header\ngamma\n\nalpha"),
+      (3L, "beta\nheader\ndelta")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLinesKeepFirst(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // header survives only in doc 1; alpha in doc 1; beta in doc 1
+    // (pos 3 of doc 1 beats pos 0 of doc 3 on doc order); blank lines
+    // survive everywhere
+    assert(out(1L) === (("header\nalpha\n\nbeta", 4L, 0L)))
+    assert(out(2L) === (("gamma\n", 2L, 2L)))
+    assert(out(3L) === (("delta", 1L, 2L)))
+  }
+
+  test("dedupLinesKeepFirst prefers the earlier position within a doc") {
+    val docs = Seq((7L, "x\ny\nx")).toDF("doc_id", "text")
+    val out = Corpus.dedupLinesKeepFirst(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x\ny", 2L, 1L)))
+  }
+
   test("removeBoilerplateLines holds kept+dropped=total on null text") {
     val docs = Seq((1L, Some("a\nb")), (2L, None), (3L, Some("a")))
       .toDF("doc_id", "text")

@@ -85,4 +85,63 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("l_distinct"))
       .withColumn("at_risk", col("l_distinct") < l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the disclosure ladder: a group can be k-anonymous AND
+    * l-diverse yet still leak by SKEW (20 members, 19 sharing one
+    * sensitive value, counts as l=2-diverse). Per quasi group: the
+    * total-variation distance between the group's sensitive-value
+    * distribution and the table-wide one, as exact integer basis
+    * points — tvd_bp = 10⁴·Σ_v|n_gv·N − n_v·n_g| div (2·n_g·N) —
+    * with `at_risk` marking groups above `maxTvdBp`.
+    *
+    * Exactness: every term is integer arithmetic on counts (decimal
+    * lane for the products, so 100 TB row counts can't overflow), and
+    * the single integral division happens last — the audit is
+    * bit-identical across engines and runs. Sensitive values ABSENT
+    * from a group contribute n_v·n_g each; their total folds to
+    * n_g·(N − Σ_{v∈group} n_v), so the plan never manufactures
+    * absent (group, value) rows.
+    *
+    * Scale shape: one (quasi*, sensitive) aggregation; the global
+    * value-frequency table (|distinct sensitive| rows) broadcasts
+    * back; the per-group total rides a window over the aggregated
+    * rows (already partitioned by the quasi tuple); one final rollup.
+    * No per-group value lists, no expansion beyond the (group, value)
+    * pairs that actually occur.
+    */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, maxTvdBp: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(maxTvdBp >= 0 && maxTvdBp <= 10000,
+      s"maxTvdBp must be in [0, 10000], got $maxTvdBp")
+    val qc = quasiCols.map(col)
+    val gv = df.groupBy(qc :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("n_gv"))
+    val glob = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("n_v"))
+    val tot = df.agg(count(lit(1)).as("n_tot"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(qc: _*)
+    gv.join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_g", sum(col("n_gv")).over(wg))
+      .withColumn("term", abs(
+        col("n_gv").cast("decimal(38,0)") * col("n_tot") -
+          col("n_v").cast("decimal(38,0)") * col("n_g")))
+      .groupBy(qc: _*)
+      .agg(max(col("n_g")).as("group_n"),
+        max(col("n_tot")).as("__nt"),
+        sum(col("term")).as("__present"),
+        sum(col("n_v")).as("__nv_present"))
+      .withColumn("tvd_bp", expr(
+        """cast((__present + cast(group_n as decimal(38,0)) *
+          |  (__nt - __nv_present)) * 10000 div
+          |  (2 * cast(group_n as decimal(38,0)) * __nt)
+          |  as bigint)""".stripMargin))
+      .withColumn("at_risk", col("tvd_bp") > maxTvdBp)
+      .drop("__nt", "__present", "__nv_present")
+  }
 }

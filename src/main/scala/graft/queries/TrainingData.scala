@@ -2409,6 +2409,52 @@ object TrainingData {
       |  count(DISTINCT lang) < 3 AS at_risk
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- t-closeness audit
+  // Privacy.tClosenessReport gated end to end: the skew-attack rung
+  // above x_k_anonymity and x_l_diversity, on the same quasi tuple
+  // (source, length half-KB bucket) and sensitive attribute (lang).
+  // The total-variation distance is an exact integer in basis points
+  // — decimal-lane products, one trailing integral division — so both
+  // engines agree bit-for-bit on every group.
+  def tClosenessQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = docs(spark, dir).select(
+      col("source"),
+      expr("n_chars div 512").as("len_b"),
+      col("lang"))
+    graft.ops.Privacy.tClosenessReport(
+      q, Seq("source", "len_b"), "lang", 2000L)
+  }
+  val tClosenessSql: String =
+    """WITH q AS (
+      |  SELECT source, CAST(n_chars // 512 AS BIGINT) AS len_b, lang
+      |  FROM documents),
+      |gv AS (SELECT source, len_b, lang, count(*) AS n_gv
+      |       FROM q GROUP BY 1, 2, 3),
+      |gl AS (SELECT lang, count(*) AS n_v FROM q GROUP BY 1),
+      |nt AS (SELECT count(*) AS n_tot FROM q),
+      |ng AS (SELECT source, len_b, sum(n_gv) AS n_g
+      |       FROM gv GROUP BY 1, 2),
+      |t AS (
+      |  SELECT gv.source, gv.len_b,
+      |    abs(CAST(gv.n_gv AS HUGEINT) * nt.n_tot
+      |      - CAST(gl.n_v AS HUGEINT) * ng.n_g) AS term,
+      |    gl.n_v, ng.n_g, nt.n_tot
+      |  FROM gv
+      |  JOIN gl USING (lang)
+      |  JOIN ng ON ng.source = gv.source AND ng.len_b = gv.len_b, nt),
+      |agg AS (
+      |  SELECT source, len_b, max(n_g) AS n_g, max(n_tot) AS n_tot,
+      |    sum(term) AS s_present, sum(n_v) AS s_nv
+      |  FROM t GROUP BY 1, 2)
+      |SELECT source, len_b, CAST(n_g AS BIGINT) AS group_n,
+      |  CAST((s_present + CAST(n_g AS HUGEINT) * (n_tot - s_nv))
+      |    * 10000 // (2 * CAST(n_g AS HUGEINT) * n_tot) AS BIGINT)
+      |    AS tvd_bp,
+      |  CAST((s_present + CAST(n_g AS HUGEINT) * (n_tot - s_nv))
+      |    * 10000 // (2 * CAST(n_g AS HUGEINT) * n_tot) AS BIGINT)
+      |    > 2000 AS at_risk
+      |FROM agg""".stripMargin
+
   // --------------------------------------------------- multimodal metadata
   def multimodalMetaQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(docs(spark, dir)).toDF()
@@ -6650,6 +6696,7 @@ object TrainingData {
     "x_interval_merge" -> (intervalMergeQ _),
     "x_k_anonymity" -> (kAnonymityQ _),
     "x_l_diversity" -> (lDiversityQ _),
+    "x_t_closeness" -> (tClosenessQ _),
     "x_seasonality" -> (seasonalityQ _),
     "x_rolling_anomaly" -> (rollingAnomalyQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
@@ -6808,6 +6855,7 @@ object TrainingData {
     "x_interval_merge" -> intervalMergeSql,
     "x_k_anonymity" -> kAnonymitySql,
     "x_l_diversity" -> lDiversitySql,
+    "x_t_closeness" -> tClosenessSql,
     "x_seasonality" -> seasonalitySql,
     "x_rolling_anomaly" -> rollingAnomalySql,
     "x_multimodal_meta" -> multimodalMetaSql,

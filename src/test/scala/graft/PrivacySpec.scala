@@ -115,4 +115,66 @@ class PrivacySpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"),
       s"audit should be aggregations only:\n$plan")
   }
+
+  // ------------------------------------------------------- t-closeness
+
+  test("tClosenessReport: exact basis points against hand-computed TVD") {
+    // global: x=4, y=4 over 8 rows. g1 (2/3, 1/3) and g2 (1/3, 2/3)
+    // are both TVD=1/6 from it -> 1666 bp; g3 (1/2, 1/2) matches -> 0
+    val df = Seq(
+      (1L, "g1", "x"), (2L, "g1", "x"), (3L, "g1", "y"),
+      (4L, "g2", "x"), (5L, "g2", "y"), (6L, "g2", "y"),
+      (7L, "g3", "x"), (8L, "g3", "y")
+    ).toDF("id", "g", "sens")
+    val r = Privacy.tClosenessReport(df, Seq("g"), "sens", 1000L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      "g1" -> ((3L, 1666L, true)),
+      "g2" -> ((3L, 1666L, true)),
+      "g3" -> ((2L, 0L, false))))
+  }
+
+  test("tClosenessReport charges values absent from a group") {
+    // g1 holds only z, g2 only x: each group is TVD=1/2 from the
+    // 50/50 global -> 5000 bp, and the absent value's mass must be
+    // counted without manufacturing (group, value) rows
+    val df = Seq(
+      (1L, "g1", "z"), (2L, "g1", "z"),
+      (3L, "g2", "x"), (4L, "g2", "x")
+    ).toDF("id", "g", "sens")
+    val r = Privacy.tClosenessReport(df, Seq("g"), "sens", 4000L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      "g1" -> ((2L, 5000L, true)),
+      "g2" -> ((2L, 5000L, true))))
+  }
+
+  test("a k-anonymous l-diverse group still trips t-closeness on skew") {
+    // (us, b): 4 members, 2 distinct sens values -> k=3 and l=2 pass;
+    // but 3-of-4 share one value while the global split is even
+    val df = Seq(
+      (1L, "us", "a", "x"), (2L, "us", "a", "x"), (3L, "us", "a", "y"),
+      (4L, "us", "a", "y"), (5L, "us", "a", "y"), (6L, "us", "a", "x"),
+      (7L, "us", "b", "x"), (8L, "us", "b", "x"),
+      (9L, "us", "b", "x"), (10L, "us", "b", "y")
+    ).toDF("id", "country", "seg", "sens")
+    val k = Privacy.kAnonymityReport(df, Seq("country", "seg"), 3L)
+      .where($"at_risk").count()
+    val l = Privacy.lDiversityReport(df, Seq("country", "seg"), "sens", 2L)
+      .where($"at_risk").count()
+    val t = Privacy.tClosenessReport(df, Seq("country", "seg"), "sens", 1200L)
+      .where($"at_risk")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    assert(k == 0L && l == 0L)
+    assert(t.toSeq == Seq(("us", "b")))
+  }
+
+  test("tClosenessReport rejects a sensitive column that is also quasi") {
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessReport(sensFixture, Seq("country", "sens"),
+        "sens", 1000L)
+    }
+  }
 }

@@ -29,6 +29,58 @@ object Graph {
       .where(col("a") < col("b"))
       .distinct()
 
+  /** Per-community modularity decomposition (Newman 2006) of an
+    * undirected graph under an EXTERNAL community assignment — the
+    * partition-quality score for any labeling the graph did not
+    * itself produce (source labels over the near-dup graph, cluster
+    * ids from a different screen, …). For each community c:
+    *
+    *   contrib_num_c = 4·m·e_c − d_c²
+    *
+    * where m = total edges, e_c = intra-community edges, d_c = sum of
+    * member degrees; global modularity is Q = Σ_c contrib_num_c /
+    * (4m²). The division never happens here: contributions can be
+    * negative, and integral division of negatives floors vs truncates
+    * differently across engines, so the report stays in the exact
+    * integer numerator lane (decimal products, BIGINT out) and lets
+    * the caller divide once at the end.
+    *
+    * Scale shape: canonical edge set, one explode+count for degrees,
+    * two hash joins of the (node, community) assignment onto the edge
+    * endpoints for intra counts, one rollup per community. Nodes
+    * without an assignment drop out (inner join — they are outside
+    * every community by definition); the edge total rides in as a
+    * broadcast one-row stat.
+    */
+  def modularityReport(edges: DataFrame, aCol: String, bCol: String,
+                       assign: DataFrame, nodeCol: String,
+                       commCol: String): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    val mDf = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val asg = assign.select(col(nodeCol).as("node"),
+      col(commCol).as("community"))
+    val nodeStats = deg.join(asg, Seq("node"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val ca = asg.select(col("node").as("a"), col("community").as("ca"))
+    val cb = asg.select(col("node").as("b"), col("community").as("cb"))
+    val intra = e.join(ca, Seq("a")).join(cb, Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    nodeStats.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mDf))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4).cast("decimal(38,0)") * col("m")
+          * coalesce(col("intra_edges"), lit(0L))
+          - col("degree_sum").cast("decimal(38,0)") * col("degree_sum"))
+          .cast("long").as("contrib_num"))
+  }
+
   /** One row per triangle, as the ordered vertex triple x < y < z. */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = canonicalEdges(edges, aCol, bCol)

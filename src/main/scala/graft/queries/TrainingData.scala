@@ -1127,6 +1127,57 @@ object TrainingData {
        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
        |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ source modularity
+  // Graph.modularityReport over the same signature-table pair feed as
+  // x_triangles, under the SOURCE partition: how much of the near-dup
+  // graph's edge mass stays within a source vs crossing sources — the
+  // modularity-decomposition twin of x_syndication's raw reuse
+  // matrix. Per source: nodes, intra edges, degree mass, and the
+  // exact integer modularity numerator 4·m·e_c − d_c² (the division
+  // by 4m² is the caller's single final step; negative numerators
+  // floor/truncate differently across engines, so they never divide
+  // here).
+  def modularityQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val assign = nearDupCorpus(spark, dir).select(col("doc_id"))
+      .join(docs(spark, dir)
+        .select(col("doc_id").as("orig_id"), col("source")),
+        col("doc_id") % 1000000L === col("orig_id"))
+      .select(col("doc_id"), col("source"))
+    graft.operators.Graph.modularityReport(pairs, "doc_a", "doc_b",
+      assign, "doc_id", "source")
+  }
+  val modularitySql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.5),
+       |m AS (SELECT count(*) AS m FROM e),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+       |  GROUP BY 1),
+       |asg AS (SELECT dg.node AS node, d.source AS community
+       |  FROM (SELECT DISTINCT node FROM deg) dg
+       |  JOIN documents d ON d.doc_id = dg.node % 1000000),
+       |ns AS (SELECT community, count(*) AS n_nodes,
+       |         sum(deg) AS degree_sum
+       |       FROM deg JOIN asg USING (node) GROUP BY 1),
+       |intra AS (SELECT ca.community, count(*) AS e_c
+       |  FROM e JOIN asg ca ON ca.node = e.a
+       |         JOIN asg cb ON cb.node = e.b
+       |           AND cb.community = ca.community
+       |  GROUP BY 1)
+       |SELECT ns.community, CAST(ns.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+       |  CAST(ns.degree_sum AS BIGINT) AS degree_sum,
+       |  CAST(4 * CAST(m.m AS HUGEINT) * coalesce(i.e_c, 0)
+       |    - CAST(ns.degree_sum AS HUGEINT) * ns.degree_sum AS BIGINT)
+       |    AS contrib_num
+       |FROM ns LEFT JOIN intra i ON i.community = ns.community, m""".stripMargin
+
   // ------------------------------------------------- link prediction
   // Graph.linkPrediction over the same signature-table pair feed as
   // x_triangles: ranks the non-edges two hops apart in the near-dup
@@ -6748,6 +6799,7 @@ object TrainingData {
     "x_shard_export" -> (shardExportQ _),
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
+    "x_modularity" -> (modularityQ _),
     "x_degree_dist" -> (degreeDistQ _),
     "x_link_predict" -> (linkPredictQ _),
     "x_label_prop" -> (labelPropQ _),
@@ -6911,6 +6963,7 @@ object TrainingData {
     "x_shard_export" -> shardExportSql,
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
+    "x_modularity" -> modularitySql,
     "x_degree_dist" -> degreeDistSql,
     "x_link_predict" -> linkPredictSql,
     "x_label_prop" -> labelPropSql,

@@ -243,6 +243,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("modularityReport matches the hand-computed Newman decomposition") {
+    // triangle {1,2,3} + edge 4-5, bridged by 3-4; communities
+    // A={1,2,3}, B={4,5}. m=5, e_A=3 d_A=7, e_B=1 d_B=3:
+    // contrib = 4*5*3-49 = 11 and 4*5*1-9 = 11, Q = 22/100 = 0.22
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("a", "b")
+    val asg = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("node", "comm")
+    val r = Graph.modularityReport(e, "a", "b", asg, "node", "comm")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      "A" -> ((3L, 3L, 7L, 11L)),
+      "B" -> ((2L, 1L, 3L, 11L))))
+  }
+
+  test("modularityReport: zero-intra communities and unassigned nodes") {
+    // single edge 1-2 split across communities: both get e_c=0 and a
+    // NEGATIVE numerator (4*1*0 - 1); node 3's edge 2-3 is ignored
+    // because 3 has no assignment, but it still adds to m and degrees
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val asg = Seq((1L, "a"), (2L, "b")).toDF("node", "comm")
+    val r = Graph.modularityReport(e, "a", "b", asg, "node", "comm")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // m=2; deg(1)=1 deg(2)=2; a: 4*2*0-1 = -1; b: 4*2*0-4 = -4
+    assert(r == Map(
+      "a" -> ((1L, 0L, 1L, -1L)),
+      "b" -> ((1L, 0L, 2L, -4L))))
+  }
+
   test("hits is bit-identical under repartitioning and edge " +
     "duplication (canonical directed edges)") {
     val e = Tables.load(spark, sf0001, "orders")

@@ -1286,6 +1286,37 @@ object Similarity {
     * restricted scoring to probed lists, so pre-pruning the scan removes
     * IO, never rows.
     */
+  /** Probe selection against a STORED index's centroid table: each
+    * query's `nprobe` nearest stored centroids as (q_id, c_id) rows —
+    * the ranking is identical (same cosine, same (sim desc, c_id)
+    * tie-break) to the one [[ivfSqTopKFromIndex]] uses internally.
+    * This is the COST half of the recall/cost tradeoff: joined to the
+    * stored lists' occupancy it prices a search — candidate rows the
+    * probe join would touch — without running it, which is what an
+    * nprobe-tuning sweep wants. Queries × broadcast centroids only;
+    * the corpus is never read.
+    */
+  def ivfIndexProbeLists(queries: DataFrame, idCol: String,
+                         vecCol: String, path: String,
+                         nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = queries.sparkSession
+    ivfSqIndexNlist(spark, path) // layout guard
+    val cents = spark.read.parquet(s"$path/centroids")
+      .withColumn("c_norm", norm(col("c_v")))
+    val q = queries.select(col(idCol).as("q_id"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_norm", norm(col("q_v")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("q_v"), col("c_v")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("c_id"))
+  }
+
   def ivfSqTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
                          path: String, k: Int,
                          nprobe: Int = 4): DataFrame = {

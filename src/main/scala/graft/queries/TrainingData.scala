@@ -4803,6 +4803,88 @@ object TrainingData {
       "vec_id", "embedding", path, 5, nprobe = 4)
   }
 
+  // x_ann_pareto: the nprobe TUNING TABLE for the stored index — for
+  // each candidate nprobe, recall@5 against the exact brute-force
+  // neighbors (integer basis points) and the price paid for it
+  // (candidate rows the probe join touches, from the stored lists'
+  // occupancy — Similarity.ivfIndexProbeLists, which never reads the
+  // corpus). One row per nprobe: the table an operator reads before
+  // picking the serving configuration. Quantizer trained once (the
+  // session index fixture); the oracle replays the identical chain.
+  def annParetoQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfSqIndexFor(spark, dir)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+    val occ = spark.read.parquet(s"$path/codes")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+    Seq(1, 2, 4).map { np =>
+      val approx = Similarity.ivfSqTopKFromIndex(
+        q, "vec_id", "embedding", path, 5, nprobe = np)
+      val rec = Similarity.recallReport(exact, approx)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("sum_exact"),
+          sum(col("n_hit")).as("sum_hit"))
+      val cand = Similarity
+        .ivfIndexProbeLists(q, "vec_id", "embedding", path, np)
+        .join(occ, col("c_id") === col("list_id"))
+        .agg(sum(col("sz")).as("cand_rows"))
+      rec.crossJoin(broadcast(cand))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("sum_exact"), col("sum_hit"),
+          expr("sum_hit * 10000 div sum_exact").as("recall_bp"),
+          col("cand_rows"))
+    }.reduce(_.unionByName(_))
+  }
+  lazy val annParetoSql: String = {
+    val probeNs = Seq(1, 2, 4)
+    val blocks = probeNs.map { np =>
+      s"""p$np AS (SELECT q_id, q_v, c_id FROM probes WHERE rn <= $np),
+         |apx$np AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT p.q_id, a2.n_id,
+         |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |        round(${ivfCos("p.q_v", "a2.n_v")}, 4) DESC, a2.n_id)
+         |        AS rk
+         |    FROM p$np p JOIN a2 USING (c_id) WHERE p.q_id != a2.n_id)
+         |  WHERE rk <= 5),
+         |hit$np AS (SELECT count(*) AS sum_hit
+         |  FROM ext e JOIN apx$np a
+         |    ON a.q_id = e.q_id AND a.n_id = e.n_id),
+         |cand$np AS (SELECT sum(o.sz) AS cand_rows
+         |  FROM p$np p JOIN occ o ON o.c_id = p.c_id)""".stripMargin
+    }.mkString(",\n")
+    val rows = probeNs.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, b.n_queries,
+         |  b.sum_exact, CAST(h.sum_hit AS BIGINT) AS sum_hit,
+         |  CAST(h.sum_hit * 10000 // b.sum_exact AS BIGINT)
+         |    AS recall_bp,
+         |  CAST(c.cand_rows AS BIGINT) AS cand_rows
+         |FROM base b, hit$np h, cand$np c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${ivfAssignCtes(sq8DecodedPrelude)},
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${ivfCos("q.vec", "c.c_v")} DESC, c.c_id) AS rn
+       |  FROM vq q CROSS JOIN cents c WHERE q.vec_id < 20),
+       |occ AS (SELECT c_id, count(*) AS sz FROM a2 GROUP BY 1),
+       |ext AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(${ivfCos("q.vec", "n.vec")}, 4) DESC, n.vec_id)
+       |        AS rk
+       |    FROM v0 q JOIN v0 n ON n.vec_id != q.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE rk <= 5),
+       |base AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT)
+       |    AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS sum_exact FROM ext),
+       |$blocks
+       |$rows""".stripMargin
+  }
+
   // x_ann_ivf runs the TRAINED quantizer: 2 Lloyd iterations of the
   // exact fixed-point k-means (Similarity.kmeansQuantized). The oracle
   // REPLAYS training: because every cross-row reduction in the trainer
@@ -6842,6 +6924,7 @@ object TrainingData {
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
     "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
+    "x_ann_pareto" -> (annParetoQ _),
     "x_ann_index_stats" -> (annIndexStatsQ _),
     "x_index_drift" -> (indexDriftQ _),
     "x_dedup_best_keeper" -> (dedupBestKeeperQ _),
@@ -7006,6 +7089,7 @@ object TrainingData {
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
     "x_ann_ivf_sq8_table" -> annIvfSq8Sql,
+    "x_ann_pareto" -> annParetoSql,
     "x_ann_index_stats" -> annIndexStatsSql,
     "x_index_drift" -> indexDriftSql,
     "x_dedup_best_keeper" -> dedupBestKeeperSql,

@@ -52,6 +52,33 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("ivfIndexProbeLists prices probes consistently with the search") {
+    withIndex { path =>
+      val q = corpus.filter(col("vec_id") < 5)
+      val p1 = Similarity
+        .ivfIndexProbeLists(q, "vec_id", "embedding", path, 1)
+        .as[(Long, Long)].collect().toSet
+      val p3 = Similarity
+        .ivfIndexProbeLists(q, "vec_id", "embedding", path, 3)
+        .as[(Long, Long)].collect().toSet
+      // one row per (query, probe); widening nprobe only ADDS lists
+      assert(p1.size === 5 && p3.size === 15)
+      assert(p1.subsetOf(p3))
+      // every neighbor the search returns lives in a priced list:
+      // search hits join (q_id, list-of-n_id) ⊆ probed (q_id, c_id)
+      val asg = spark.read.parquet(s"$path/codes")
+        .select(col("n_id"), col("list_id")).as[(Long, Long)]
+        .collect().toMap
+      val hits = Similarity
+        .ivfSqTopKFromIndex(q, "vec_id", "embedding", path, 4, nprobe = 3)
+        .as[(Long, Long, Double, Long)].collect()
+      hits.foreach { case (qid, nid, _, _) =>
+        assert(p3.contains((qid, asg(nid))),
+          s"search hit ($qid, $nid) in unpriced list ${asg(nid)}")
+      }
+    }
+  }
+
   test("append grows the stored index under the frozen quantizer") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-a").toFile
     try {

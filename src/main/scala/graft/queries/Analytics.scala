@@ -1451,7 +1451,139 @@ object Analytics {
       |                      >= DATE '2000-01-01')
       |GROUP BY 1""".stripMargin
 
+  // Touch attribution (batch twin of the stream-stream attribution
+  // join): every purchase carries its user's FIRST and LAST preceding
+  // marketing touch (view/click), from ONE pass over the per-user
+  // event stream — a running conditional min/max window, never a
+  // purchases×touches join (which explodes on heavy users at scale).
+  // Total window order (tsu, event_id) makes ties deterministic.
+  def attributionQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000").as("tsu"),
+      floor(col("value") * 100).cast("long").as("value_c"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type").isin("view", "click"), col("tsu"))
+    ev.withColumn("first_touch_us", min(touch).over(w))
+      .withColumn("last_touch_us", max(touch).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("tsu").as("purchase_us"), col("first_touch_us"),
+        col("last_touch_us"), col("value_c"))
+  }
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tsu,
+      |    CAST(floor(value * 100) AS BIGINT) AS value_c
+      |  FROM events)
+      |SELECT event_id, user_id, tsu AS purchase_us,
+      |  first_touch_us, last_touch_us, value_c
+      |FROM (
+      |  SELECT *,
+      |    min(CASE WHEN event_type IN ('view', 'click') THEN tsu END)
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS first_touch_us,
+      |    max(CASE WHEN event_type IN ('view', 'click') THEN tsu END)
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_touch_us
+      |  FROM e)
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  // Behavioral transition matrix: event_type → next event_type per
+  // user with exact mean gap (integer µs, integral division). One lag
+  // window over the user-partitioned stream, one rollup — the Markov
+  // summary a product-analytics warehouse serves.
+  def transitionsQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000").as("tsu"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_tsu", lead(col("tsu"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        expr("sum(next_tsu - tsu) div count(1)").as("mean_gap_us"))
+  }
+  val transitionsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tsu
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS next_type,
+      |    lead(tsu) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) - tsu AS gap
+      |  FROM e)
+      |SELECT event_type, next_type, count(*) AS n_transitions,
+      |  CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
+  // RFM segmentation: recency (days since last order at the dataset
+  // horizon), frequency (order count), monetary (exact lifetime
+  // cents), each quintiled by ntile over a TOTAL order (metric +
+  // custkey tie-break, so the quintile boundaries are deterministic in
+  // both engines). The classic CRM rollup — three windows over one
+  // per-customer aggregate. The global ntile sorts |customers| rows on
+  // one partition; at 100 TB swap it for precomputed equi-depth
+  // boundaries (the q_equidepth device) broadcast onto the aggregate.
+  def rfmQ(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("2001-08-02").cast("date"),
+          max(col("o_orderdate").cast("date"))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("monetary_c"))
+    val rw = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fw = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val mw = Window.orderBy(col("monetary_c").desc, col("o_custkey"))
+    per.withColumn("r_q", ntile(5).over(rw).cast("long"))
+      .withColumn("f_q", ntile(5).over(fw).cast("long"))
+      .withColumn("m_q", ntile(5).over(mw).cast("long"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_c"), col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+  }
+  val rfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+      |      DATE '2001-08-02') AS BIGINT) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS monetary_c
+      |  FROM orders GROUP BY 1),
+      |q AS (
+      |  SELECT *,
+      |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+      |      AS BIGINT) AS r_q,
+      |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+      |      AS BIGINT) AS f_q,
+      |    CAST(ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey)
+      |      AS BIGINT) AS m_q
+      |  FROM per)
+      |SELECT o_custkey, recency_days, frequency, monetary_c,
+      |  r_q, f_q, m_q,
+      |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+      |    CAST(m_q AS VARCHAR) AS segment
+      |FROM q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attributionQ _),
+    "q_transitions" -> (transitionsQ _),
+    "q_rfm" -> (rfmQ _),
     "q_order_dist" -> (orderDistQ _),
     "q_promo_share" -> (promoShareQ _),
     "q_top_supplier" -> (topSupplierQ _),
@@ -1503,6 +1635,9 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> attributionSql,
+    "q_transitions" -> transitionsSql,
+    "q_rfm" -> rfmSql,
     "q_order_dist" -> orderDistSql,
     "q_promo_share" -> promoShareSql,
     "q_top_supplier" -> topSupplierSql,

@@ -419,6 +419,45 @@ class PlanSpec extends SparkSpec {
       s"supplier dimension not broadcast:\n$p")
   }
 
+  test("brand revenue: the disjunction's dimension conjuncts push " +
+    "into the broadcast part scan") {
+    val p = plan(graft.queries.Analytics.brandRevenueQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+    // the brand/size arms are scan-evaluable: the part scan must carry
+    // a pushed Or filter mentioning p_brand
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"disjunctive dimension filter not pushed into the part scan:\n$p")
+    // Catalyst also derives the quantity-band disjunction for the
+    // lineitem side — assert the derived pushdown holds too
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"derived quantity disjunction not pushed into lineitem scan:\n$p")
+  }
+
+  test("blame supplier plans the two EXISTS as semi/anti hash joins " +
+    "with no cartesian") {
+    val p = plan(graft.queries.Analytics.blameSupplierQ(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("LeftSemi"), s"has-other-supplier not a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"sole-blame not an anti join:\n$p")
+  }
+
+  test("idle capital pushes the recency date filter into the orders " +
+    "scan before the anti-join") {
+    val p = plan(graft.queries.Analytics.idleCapitalQ(spark, sf0001))
+    assert(p.contains("LeftAnti"), s"no-recent-order not an anti join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed into orders scan:\n$p")
+  }
+
+  test("attribution is one window pass - no self-join of events") {
+    val p = plan(graft.queries.Analytics.attributionQ(spark, sf0001))
+    assert(!p.contains("Join"), s"purchases x touches join crept in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected only the user-keyed window exchange, got $exchanges:\n$p")
+  }
+
   test("noveltyReport scans and tokenizes the corpus exactly ONCE " +
     "(window attribution, not a join back onto the fan-out)") {
     val p = plan(graft.queries.TrainingData.noveltyQ(spark, sf0001))

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
+
 /** Re-identification-risk auditing for release pipelines (the
   * complement of the PII SCRUB in [[graft.functions.TextFns]]: scrub
   * removes direct identifiers from text, this measures how exposed the
@@ -143,5 +145,45 @@ object Privacy {
           |  as bigint)""".stripMargin))
       .withColumn("at_risk", col("tvd_bp") > maxTvdBp)
       .drop("__nt", "__present", "__nv_present")
+  }
+
+  /** Warner's randomized response (1965) — the local-DP release
+    * mechanism that stays integer-exact end to end, unlike
+    * Laplace/Gaussian noise whose transcendental sampling cannot be
+    * made bit-identical across engines. Each row releases its TRUE
+    * binary flag with probability p = 3/4 and the opposite otherwise
+    * (ε = ln(p/(1−p)) = ln 3); the coin here is a deterministic
+    * portable hash of (seed, row id), which makes the release
+    * reproducible and oracle-auditable — substitute a physical RNG
+    * when actual plausible deniability is required, the estimator is
+    * unchanged. Per group: n, the released yes-count, the debiased
+    * estimate of the true rate — at p = 3/4 that is
+    * (4·n_yes − n)·10⁴ div (2n) basis points — and the true rate for
+    * calibration. The estimate clamps to [0, 10⁴]: sampling noise can
+    * push the raw estimator outside, and clamping also removes the
+    * one spot where engines could disagree (floor vs truncate on a
+    * negative numerator — both land at 0 after the clamp).
+    *
+    * Scale shape: one row-local hash + flip, one hash aggregation on
+    * the group key. Nothing else.
+    */
+  def randomizedResponse(df: DataFrame, groupCols: Seq[String],
+                         flagCol: String, idCol: String,
+                         seed: String = "rr"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val flip = TextFns.hash32(
+      concat(lit(seed + ":"), col(idCol).cast("string"))) % 4 === 0
+    df.withColumn("__rel",
+        when(flip, !col(flagCol)).otherwise(col(flagCol)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rel").cast("long")).as("n_yes"),
+        sum(col(flagCol).cast("long")).as("__true_yes"))
+      .withColumn("est_bp",
+        greatest(least(
+          expr("(4 * n_yes - n) * 10000 div (2 * n)"), lit(10000L)),
+          lit(0L)))
+      .withColumn("true_bp", expr("__true_yes * 10000 div n"))
+      .drop("__true_yes")
   }
 }

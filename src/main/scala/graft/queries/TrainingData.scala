@@ -2506,6 +2506,37 @@ object TrainingData {
       |    > 2000 AS at_risk
       |FROM agg""".stripMargin
 
+  // ------------------------------------------ randomized-response DP
+  // Privacy.randomizedResponse gated end to end: per source, the
+  // local-DP release of the "is English" flag (hash coin, p = 3/4)
+  // with the debiased estimate vs the true rate — the calibration
+  // table that shows the estimator recovering the signal the
+  // per-row flips destroyed. All integer basis points.
+  def dpReleaseQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.randomizedResponse(
+      docs(spark, dir).select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("is_en")),
+      Seq("source"), "is_en", "doc_id")
+  val dpReleaseSql: String =
+    s"""WITH f AS (
+       |  SELECT source, (lang = 'en') AS flag,
+       |    (${duckHash32("'rr:' || CAST(doc_id AS VARCHAR)")} % 4 = 0)
+       |      AS flip
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, count(*) AS n,
+       |    CAST(sum(CASE WHEN (flip AND NOT flag)
+       |                    OR (NOT flip AND flag)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
+       |    CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS true_yes
+       |  FROM f GROUP BY 1)
+       |SELECT source, n, n_yes,
+       |  greatest(least((4 * n_yes - n) * 10000 // (2 * n), 10000), 0)
+       |    AS est_bp,
+       |  true_yes * 10000 // n AS true_bp
+       |FROM g""".stripMargin
+
   // --------------------------------------------------- multimodal metadata
   def multimodalMetaQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(docs(spark, dir)).toDF()
@@ -6830,6 +6861,7 @@ object TrainingData {
     "x_k_anonymity" -> (kAnonymityQ _),
     "x_l_diversity" -> (lDiversityQ _),
     "x_t_closeness" -> (tClosenessQ _),
+    "x_dp_release" -> (dpReleaseQ _),
     "x_seasonality" -> (seasonalityQ _),
     "x_rolling_anomaly" -> (rollingAnomalyQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
@@ -6991,6 +7023,7 @@ object TrainingData {
     "x_k_anonymity" -> kAnonymitySql,
     "x_l_diversity" -> lDiversitySql,
     "x_t_closeness" -> tClosenessSql,
+    "x_dp_release" -> dpReleaseSql,
     "x_seasonality" -> seasonalitySql,
     "x_rolling_anomaly" -> rollingAnomalySql,
     "x_multimodal_meta" -> multimodalMetaSql,

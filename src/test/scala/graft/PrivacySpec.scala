@@ -171,6 +171,37 @@ class PrivacySpec extends SparkSpec {
     assert(t.toSeq == Seq(("us", "b")))
   }
 
+  // ------------------------------------------------ randomized response
+
+  test("randomizedResponse: hash coin flips ~1/4 and the debiased " +
+    "estimate recovers the true rate on a large group") {
+    val df = spark.range(2000).selectExpr("id", "'g' AS g",
+      "id % 10 < 3 AS flag") // true rate exactly 30%
+    val r = graft.ops.Privacy
+      .randomizedResponse(df, Seq("g"), "flag", "id")
+      .collect().head
+    val (n, nYes, estBp, trueBp) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == 2000L && trueBp == 3000L)
+    // debias identity holds exactly
+    assert(estBp == math.max(0L, math.min(10000L,
+      (4 * nYes - n) * 10000 / (2 * n))))
+    // and the estimator lands near the truth (hash coin is fair-ish)
+    assert(math.abs(estBp - 3000L) < 800L,
+      s"estimate $estBp too far from 3000")
+  }
+
+  test("randomizedResponse clamps the estimator into [0, 10000]") {
+    // an all-false tiny group: flips alone can push the raw estimator
+    // negative; the release must clamp, not go below zero
+    val df = spark.range(8).selectExpr("id", "'g' AS g", "false AS flag")
+    val r = graft.ops.Privacy
+      .randomizedResponse(df, Seq("g"), "flag", "id")
+      .collect().head
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+    assert(r.getLong(4) == 0L)
+  }
+
   test("tClosenessReport rejects a sensitive column that is also quasi") {
     intercept[IllegalArgumentException] {
       Privacy.tClosenessReport(sensFixture, Seq("country", "sens"),

@@ -122,8 +122,11 @@ object Multimodal {
     * oracle checks the decoder's output against (dimensions survive
     * every format, including palettized GIF and lossy JPEG).
     */
+  /** Deterministic synthetic raster (formula pixels so SQL oracles can
+    * replay them); `xorPixel` flips bits of pixel (0,0) — the planted
+    * near-duplicate perturbation the perceptual-hash screen detects. */
   def syntheticImage(w: Int, h: Int, seed: Long,
-                     format: String): Array[Byte] = {
+                     format: String, xorPixel: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -136,6 +139,8 @@ object Multimodal {
       }
       y += 1
     }
+    if (xorPixel != 0)
+      img.setRGB(0, 0, (img.getRGB(0, 0) ^ xorPixel) & 0xFFFFFF)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
@@ -485,6 +490,103 @@ object Multimodal {
         }
       }.toDF("doc_id", "is_image", "width", "height",
         "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Average-hash perceptual fingerprint from REAL decoded rasters —
+    * the image-side near-dup signature (aHash without the resize step:
+    * these fingerprints compare only within identical dimensions, so
+    * the canonical-size normalization is unnecessary and every bit is
+    * exact). Per decodable row: bit i (row-major, i = y·w + x) is set
+    * iff gray_i · n ≥ Σgray (gray = r+g+b — the 3× scale cancels, the
+    * cross-multiplied comparison avoids division entirely), packed
+    * into one BIGINT. Hashes are engine-replayable because every step
+    * is integer. Non-images report is_image = false with a null hash.
+    * Requires w·h ≤ 63 as written (tiny thumbnails / already-resized
+    * tiles); larger rasters would pack into multiple words.
+    */
+  def imagePerceptualHashes(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth * img.getHeight > 63)
+            (id, false, None: Option[Long], None: Option[Long],
+              None: Option[Long])
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val grays = new Array[Long](w * h)
+            var tot = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val g = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                  (rgb & 0xFF)
+                grays(y * w + x) = g
+                tot += g
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var i = 0
+            while (i < grays.length) {
+              if (grays(i) * grays.length >= tot) hash |= 1L << i
+              i += 1
+            }
+            (id, true, Some(w.toLong), Some(h.toLong), Some(hash))
+          }
+        }
+      }.toDF("doc_id", "is_image", "width", "height", "phash")
+  }
+
+  /** Near-duplicate image pairs from [[imagePerceptualHashes]] output
+    * by banded Hamming search: a hash of n = w·h bits splits into
+    * `maxHamming + 1` bands of ⌈n/(maxHamming+1)⌉ bits, and by
+    * pigeonhole any pair within the Hamming budget shares at least one
+    * band untouched — so candidates come from a hash equi-join on
+    * (band, value, w, h), never an all-pairs comparison, and the exact
+    * `bit_count(xor)` distance verifies each candidate. The image twin
+    * of the MinHash band screen, with a DETERMINISTIC recall
+    * guarantee (no probabilistic misses inside the budget).
+    */
+  def phashNearDupPairs(hashes: DataFrame,
+                        maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bands = maxHamming + 1
+    val withBw = hashes
+      .where(col("is_image"))
+      .select(col("doc_id"), col("width"), col("height"), col("phash"))
+      .withColumn("__bw",
+        expr(s"cast((width * height + ${bands - 1}) div $bands as int)"))
+    val banded = withBw.select(col("doc_id"), col("width"),
+        col("height"), col("phash"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            expr(s"shiftrightunsigned(phash, $j * __bw) & " +
+              "((cast(1 as bigint) << __bw) - 1)").as("bv"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("width"), col("height"), col("phash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val l = banded.select(col("band"), col("bv"), col("width"),
+      col("height"), col("doc_id").as("id_a"), col("phash").as("ph_a"))
+    val r = banded.select(col("band"), col("bv"), col("width"),
+      col("height"), col("doc_id").as("id_b"), col("phash").as("ph_b"))
+    l.join(r, Seq("band", "bv", "width", "height"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Audio DSP features from REAL decoded PCM — the signal-side quality

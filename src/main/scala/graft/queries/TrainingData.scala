@@ -2803,6 +2803,66 @@ object TrainingData {
       |      AS BIGINT) END AS sum_b
       |FROM documents d LEFT JOIN px p USING (doc_id)""".stripMargin
 
+  // ------------------------------------ image perceptual-hash dedup
+  // Multimodal.imagePerceptualHashes + phashNearDupPairs gated end to
+  // end: every doc carries a REAL PNG whose raster is a formula of
+  // doc_id div 2 — consecutive ids share a base image, odd ids get
+  // pixel (0,0) perturbed by one bit — so the banded Hamming screen
+  // must surface each planted twin pair (hamming 0 or 1) while
+  // formula collisions across bases stay out via the exact
+  // bit_count(xor) verify. The oracle replays pixels → grays → hash
+  // bits → banded pairs entirely in integer SQL.
+  def imagePhashQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val base = id / 2
+          (id, Multimodal.syntheticImage(
+            (base % 5).toInt + 3, (base % 3).toInt + 2, base * 7 + 3,
+            "png", if (id % 2 == 1) 1 else 0))
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.phashNearDupPairs(
+      Multimodal.imagePerceptualHashes(media), maxHamming = 2)
+  }
+  val imagePhashSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    (doc_id // 2) * 7 + 3 AS seed,
+      |    CAST(((doc_id // 2) % 5) + 3 AS BIGINT) AS w,
+      |    CAST(((doc_id // 2) % 3) + 2 AS BIGINT) AS h,
+      |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS xp
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, w, h,
+      |    flatten(list_transform(range(0, h), y ->
+      |      list_transform(range(0, w), x ->
+      |        CASE WHEN x = 0 AND y = 0 THEN
+      |          xor(((seed + x*31 + y*131) * 2654435761) & 16777215,
+      |              xp)
+      |        ELSE ((seed + x*31 + y*131) * 2654435761) & 16777215
+      |        END))) AS rgbs
+      |  FROM base),
+      |gr AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(rgbs, v ->
+      |      ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) AS grays
+      |  FROM g),
+      |hs AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(list_sum(list_transform(range(0, w*h), i ->
+      |      CASE WHEN grays[CAST(i+1 AS INT)] * (w*h) >= tot
+      |        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS phash
+      |  FROM (SELECT doc_id, w, h, grays, list_sum(grays) AS tot
+      |        FROM gr) t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b
+      |  ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin
+
   // ------------------------------------- REAL multi-frame sampling
   // Video-shaped fan-out driven by DECODED frame counts: every 2nd doc
   // is a REAL animated GIF with doc_id%6+2 frames (the JDK GIF sequence
@@ -6942,6 +7002,7 @@ object TrainingData {
     "x_bpe_train" -> (bpeTrainQ _),
     "x_audio_features" -> (audioFeaturesQ _),
     "x_image_features" -> (imageFeaturesQ _),
+    "x_image_phash" -> (imagePhashQ _),
     "x_winnow_pairs" -> (winnowPairsQ _),
     "x_screen_overlap" -> (screenOverlapQ _),
     "x_winnow_incremental" -> (winnowIncrementalQ _),
@@ -7108,6 +7169,7 @@ object TrainingData {
     "x_bpe_train" -> bpeTrainSql,
     "x_audio_features" -> audioFeaturesSql,
     "x_image_features" -> imageFeaturesSql,
+    "x_image_phash" -> imagePhashSql,
     "x_winnow_pairs" -> winnowPairsSql,
     "x_screen_overlap" -> screenOverlapSql,
     "x_winnow_incremental" -> winnowIncrementalSql,

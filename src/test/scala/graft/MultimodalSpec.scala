@@ -280,6 +280,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imagePerceptualHashes packs the exact mean-threshold bits") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticImage(4, 3, 9L, "png")),
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.imagePerceptualHashes(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(2L).getBoolean(1) && out(2L).isNullAt(4))
+    // driver replay of the bit packing
+    val grays = for (y <- 0 until 3; x <- 0 until 4) yield {
+      val rgb = ((9L + x * 31L + y * 131L) * 2654435761L) & 0xFFFFFFL
+      ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+    }
+    val tot = grays.sum
+    val expect = grays.zipWithIndex.collect {
+      case (g, i) if g * grays.length >= tot => 1L << i
+    }.sum
+    assert(out(1L).getBoolean(1) && out(1L).getLong(4) === expect)
+  }
+
+  test("phashNearDupPairs: pigeonhole recall inside the Hamming " +
+    "budget, exact distances, dimension isolation") {
+    import spark.implicits._
+    // 40 base images; twins get a one-bit pixel perturbation
+    val media = (0L until 80L).map { id =>
+      val base = id / 2
+      (id, Multimodal.syntheticImage((base % 4).toInt + 3,
+        (base % 2).toInt + 2, base * 13 + 5, "png",
+        if (id % 2 == 1) 1 else 0))
+    }.toDF("doc_id", "media")
+    val hashes = Multimodal.imagePerceptualHashes(media)
+    val pairs = Multimodal.phashNearDupPairs(hashes, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // exhaustive ground truth from the hashes themselves
+    val hs = hashes.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val truth = (for {
+      (a, wa, ha, pa) <- hs; (b, wb, hb, pb) <- hs
+      if a < b && wa == wb && ha == hb
+      d = java.lang.Long.bitCount(pa ^ pb)
+      if d <= 2
+    } yield (a, b) -> d.toLong).toMap
+    assert(pairs == truth, "banded screen must equal exhaustive search")
+    // every planted twin pair is within budget and found
+    (0L until 40L).foreach { base =>
+      assert(pairs.contains((base * 2, base * 2 + 1)),
+        s"planted twin pair of base $base missed")
+    }
+  }
+
   test("extractAudioFeatures matches a driver-side DSP replay") {
     import spark.implicits._
     val media = Seq(

@@ -552,7 +552,54 @@ object Jobs {
       }
   }
 
+  /** The disclosure-ladder sweep as one runnable: k-anonymity,
+    * l-diversity, t-closeness, and the randomized-response release —
+    * the four reports a privacy review reads together, over the same
+    * release candidate (customer quasi tuple; document sensitive
+    * attribute). */
+  private def auditPrivacyJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    import graft.queries.TrainingData.queries
+    Seq("x_k_anonymity" -> "release_k_anon",
+      "x_l_diversity" -> "audit_l_diversity",
+      "x_t_closeness" -> "audit_t_closeness",
+      "x_dp_release" -> "dp_release")
+      .foreach { case (q, out) =>
+        queries(q)(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/$out")
+      }
+  }
+
+  /** Line-level corpus hygiene: C4 content rules first (terminal
+    * punctuation / min words / blacklist, with the per-rule counter
+    * report), then corpus-wide first-wins line dedup over the
+    * SURVIVING lines. Stage 2 reads stage 1's WRITTEN table — the
+    * maintained-table lesson: the rebuilt text is scanned once from
+    * parquet, not recomputed per downstream reference. */
+  private def cleanLinesJob(spark: SparkSession, sfDir: String,
+                            outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Corpus.c4LineClean(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/c4_line_report")
+    val cleaned = spark.read.parquet(s"$outDir/c4_line_report")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    graft.operators.Corpus.dedupLinesKeepFirst(cleaned, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/line_clean_docs")
+  }
+
+  /** The serving-configuration tuner: the stored index's nprobe
+    * recall/cost pareto table, written for the operator who picks the
+    * production (nprobe, latency) point. */
+  private def tuneAnnJob(spark: SparkSession, sfDir: String,
+                         outDir: String): Unit =
+    graft.queries.TrainingData.queries("x_ann_pareto")(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/ann_pareto")
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "audit_privacy" -> (auditPrivacyJob _),
+    "clean_lines" -> (cleanLinesJob _),
+    "tune_ann" -> (tuneAnnJob _),
     "govern_corpus" -> (governCorpusJob _),
     "audit_ann" -> (auditAnnJob _),
     "select_corpus" -> (selectCorpusJob _),

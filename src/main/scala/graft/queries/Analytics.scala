@@ -1580,7 +1580,107 @@ object Analytics {
       |    CAST(m_q AS VARCHAR) AS segment
       |FROM q""".stripMargin
 
+  // Benford first-digit audit — the fraud/corruption smoke test a
+  // finance warehouse runs over every monetary column: observed
+  // first-significant-digit shares vs the Benford expectation
+  // (log10(1+1/d), fixed rounded-bp literals on BOTH sides so the
+  // comparison is pure integers). One scan, one 9-row aggregate.
+  def benfordQ(spark: SparkSession, dir: String): DataFrame = {
+    val expCase =
+      """CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+        | WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+        | WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END""".stripMargin
+    val d = Tables.load(spark, dir, "orders").select(
+      substring(floor(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+    val tot = d.agg(count(lit(1)).as("total"))
+    d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 10000 div total").as("obs_bp"),
+        expr(expCase).cast("long").as("exp_bp"),
+        abs(expr("n * 10000 div total") - expr(expCase)).cast("long")
+          .as("dev_bp"))
+  }
+  val benfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT count(*) AS total FROM d)
+      |SELECT digit, n, n * 10000 // total AS obs_bp,
+      |  CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+      |    WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+      |    WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512
+      |    ELSE 458 END AS BIGINT) AS exp_bp,
+      |  abs(n * 10000 // total - CASE digit WHEN 1 THEN 3010
+      |    WHEN 2 THEN 1761 WHEN 3 THEN 1249 WHEN 4 THEN 969
+      |    WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+      |    WHEN 8 THEN 512 ELSE 458 END) AS dev_bp
+      |FROM g, t""".stripMargin
+
+  // Revenue-concentration curve (the 80/20 readout of q_hhi): per
+  // nation, how many of its suppliers — and what share of them —
+  // cover 80% of revenue. Ranked cumulative sums in the exact cents
+  // lane with total window orderings; the 80% boundary compares
+  // cum·5 ≥ total·4, never a float share.
+  def paretoRevenueQ(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long")
+        .as("nation"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("rev_c").desc, col("l_suppkey"))
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("nation"))
+    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_c", sum(col("rev_c")).over(wcum))
+      .withColumn("total_c", sum(col("rev_c")).over(wall))
+      .withColumn("n_suppliers", count(lit(1)).over(wall))
+      .where(col("cum_c") * 5 >= col("total_c") * 4)
+      .groupBy(col("nation"))
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+        max(col("total_c")).as("total_c"),
+        min(col("rn")).as("top80_n"))
+      .withColumn("top80_bp", expr("top80_n * 10000 div n_suppliers"))
+  }
+  val paretoRevenueSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |n AS (
+      |  SELECT r.l_suppkey, r.rev_c,
+      |    CAST(s.s_nationkey AS BIGINT) AS nation
+      |  FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey),
+      |rk AS (
+      |  SELECT nation, rev_c,
+      |    CAST(row_number() OVER (PARTITION BY nation
+      |      ORDER BY rev_c DESC, l_suppkey) AS BIGINT) AS rn,
+      |    sum(rev_c) OVER (PARTITION BY nation
+      |      ORDER BY rev_c DESC, l_suppkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+      |    sum(rev_c) OVER (PARTITION BY nation) AS total_c,
+      |    count(*) OVER (PARTITION BY nation) AS n_suppliers
+      |  FROM n)
+      |SELECT nation,
+      |  CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+      |  CAST(max(total_c) AS BIGINT) AS total_c,
+      |  min(rn) AS top80_n,
+      |  min(rn) * 10000 // CAST(max(n_suppliers) AS BIGINT)
+      |    AS top80_bp
+      |FROM rk WHERE cum_c * 5 >= total_c * 4
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (benfordQ _),
+    "q_pareto_revenue" -> (paretoRevenueQ _),
     "q_attribution" -> (attributionQ _),
     "q_transitions" -> (transitionsQ _),
     "q_rfm" -> (rfmQ _),
@@ -1635,6 +1735,8 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinctQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_benford" -> benfordSql,
+    "q_pareto_revenue" -> paretoRevenueSql,
     "q_attribution" -> attributionSql,
     "q_transitions" -> transitionsSql,
     "q_rfm" -> rfmSql,

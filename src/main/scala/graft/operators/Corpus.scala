@@ -363,6 +363,20 @@ object Corpus {
         when(length(trim(col("line"))) === 0, lit(1L))
           .otherwise(row_number().over(w).cast("long")))
       .where(col("__rk") === 1)
+    rebuildCleanDocs(docs, kept, textCol, idCol, sep)
+  }
+
+  /** Shared tail of the line-level cleaners: re-assemble each document
+    * from its surviving `(pos, line)` rows and account for the drops.
+    * A document whose every line was dropped still appears (empty
+    * `clean_text`), and a null text column satisfies kept + dropped =
+    * total = 0 — `size(split(null))` is null (or -1 under legacy
+    * sizeOfNull), which would poison `n_dropped`, so the null case is
+    * pinned to 0 explicitly.
+    */
+  private def rebuildCleanDocs(docs: DataFrame, kept: DataFrame,
+                               textCol: String, idCol: String,
+                               sep: String): DataFrame = {
     val agg = kept.groupBy(col(idCol)).agg(
       concat_ws(sep, transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -380,6 +394,68 @@ object Corpus {
         (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** The maintained-state companion to [[dedupLinesKeepFirst]]: the
+    * corpus-wide set of non-blank line fingerprints already emitted,
+    * stored as `line_md5` (md5 hex of the exact line — engine-portable,
+    * 32 bytes/line, content never retained). Build once over the
+    * historical corpus, persist as a parquet table, and append
+    * [[newLineFingerprints]] per batch — history is tokenized once
+    * ever, the same amortization contract as Dedup's signature table.
+    */
+  def seenLinesTable(docs: DataFrame, textCol: String,
+                     sep: String = "\n"): DataFrame =
+    docs
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .where(length(trim(col("line"))) > 0)
+      .select(md5(col("line")).as("line_md5"))
+      .distinct()
+
+  /** Fingerprints a batch would add to the seen-lines table: its kept
+    * first-occurrence lines not already in `seenLines`. Append these
+    * after emitting the batch so the next batch screens against them. */
+  def newLineFingerprints(batch: DataFrame, seenLines: DataFrame,
+                          textCol: String,
+                          sep: String = "\n"): DataFrame =
+    seenLinesTable(batch, textCol, sep)
+      .join(seenLines.select(col("line_md5")), Seq("line_md5"), "left_anti")
+
+  /** Incremental first-wins line dedup: clean a NEW batch against the
+    * maintained [[seenLinesTable]] without re-reading historical text.
+    * A non-blank line is dropped if its fingerprint is already in
+    * `seenLines` (some earlier batch kept it) or if an earlier
+    * (doc, pos) within THIS batch kept it — exactly the order-dependent
+    * first-wins rule [[dedupLinesKeepFirst]] applies corpus-wide, paid
+    * incrementally. Blank lines are structural and always survive.
+    * Output schema matches [[dedupLinesKeepFirst]].
+    *
+    * Scale shape: O(batch) — explode, one hash anti-join against the
+    * fingerprint table (map-side combine on md5; history text never
+    * read), and the within-batch window runs over only the surviving
+    * novel lines. The 100 TB corpus appears solely as the 32-byte/line
+    * fingerprint relation.
+    */
+  def dedupLinesIncremental(batch: DataFrame, seenLines: DataFrame,
+                            textCol: String, idCol: String,
+                            sep: String = "\n"): DataFrame = {
+    val lines = batch.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val blank = length(trim(col("line"))) === 0
+    val novel = lines.where(!blank)
+      .withColumn("line_md5", md5(col("line")))
+      .join(seenLines.select(col("line_md5")), Seq("line_md5"), "left_anti")
+      .drop("line_md5")
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col(idCol), col("pos"))
+    val kept = novel
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+      .unionByName(lines.where(blank))
+    rebuildCleanDocs(batch, kept, textCol, idCol, sep)
+  }
+
   def removeBoilerplateLines(docs: DataFrame, textCol: String,
                              idCol: String, maxOccurrences: Long,
                              sep: String = "\n",
@@ -394,23 +470,6 @@ object Corpus {
     val bpSide =
       if (broadcastBoilerplate) broadcast(boilerplate) else boilerplate
     val kept = lines.join(bpSide, Seq("line"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      concat_ws(sep, transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x.getField("line"))).as("clean_text"),
-      count(lit(1)).as("n_kept"))
-    // a null text column must still satisfy kept + dropped = total
-    // (= 0): size(split(null)) is null (or -1 under legacy sizeOfNull),
-    // which would poison n_dropped — pin the null case to 0 explicitly
-    docs.select(col(idCol),
-        when(col(textCol).isNull, lit(0L))
-          .otherwise(size(split(col(textCol),
-            java.util.regex.Pattern.quote(sep))).cast("long"))
-          .as("__total"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    rebuildCleanDocs(docs, kept, textCol, idCol, sep)
   }
 }

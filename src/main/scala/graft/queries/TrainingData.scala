@@ -6885,7 +6885,66 @@ object TrainingData {
       |         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
       |FROM mdoc m LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 
+  // -------------------------------------- incremental seen-lines dedup
+  // The maintained-state twin of x_line_dedup: history (doc_id % 4 != 0)
+  // is reduced to Corpus.seenLinesTable — 32-byte md5 fingerprints, one
+  // per distinct non-blank line — and the new batch (doc_id % 4 == 0)
+  // is cleaned against it with dedupLinesIncremental, O(batch) with
+  // history text never re-read. Both slices carry a deterministic
+  // shared footer (5 distinct lines) so cross-batch drops are
+  // guaranteed; twins straddling the % 4 boundary supply natural body
+  // overlap. Same amortization contract as x_dedup_incremental /
+  // x_winnow_incremental, at line rather than document granularity.
+  def lineDedupIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val footered = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit("\nshared footer line "),
+        (col("doc_id") % 5).cast("string")).as("text"))
+    val history = footered.where(col("doc_id") % 4 =!= 0)
+    val batch = footered.where(col("doc_id") % 4 === 0)
+    graft.operators.Corpus.dedupLinesIncremental(batch,
+      graft.operators.Corpus.seenLinesTable(history, "text"),
+      "text", "doc_id")
+  }
+  val lineDedupIncrSql: String =
+    """WITH fd AS (
+      |  SELECT doc_id, text || chr(10) || 'shared footer line ' ||
+      |    CAST(doc_id % 5 AS VARCHAR) AS text
+      |  FROM documents),
+      |seen AS (
+      |  SELECT DISTINCT md5(line) AS line_md5
+      |  FROM (SELECT unnest(string_split(text, chr(10))) AS line
+      |        FROM fd WHERE doc_id % 4 != 0) t
+      |  WHERE len(trim(line)) > 0),
+      |batch AS (SELECT doc_id, text FROM fd WHERE doc_id % 4 = 0),
+      |la AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM batch),
+      |ln0 AS (SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS i FROM la),
+      |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |              ls[CAST(i AS INT)] AS line FROM ln0),
+      |novel AS (
+      |  SELECT doc_id, pos, line FROM ln
+      |  WHERE len(trim(line)) > 0
+      |    AND md5(line) NOT IN (SELECT line_md5 FROM seen)),
+      |fw AS (
+      |  SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+      |  FROM novel),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM fw WHERE rk = 1
+      |  UNION ALL
+      |  SELECT doc_id, pos, line FROM ln WHERE len(trim(line)) = 0),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+      |           AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(string_split(b.text, chr(10))) AS BIGINT) -
+      |         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM batch b LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_line_dedup_incr" -> (lineDedupIncrQ _),
     "x_c4_clean" -> (c4CleanQ _),
     "x_line_dedup" -> (lineDedupQ _),
     "x_repetition" -> (repetitionQ _),
@@ -7199,6 +7258,7 @@ object TrainingData {
     "x_boilerplate" -> boilerplateSql,
     "x_c4_clean" -> c4CleanSql,
     "x_line_dedup" -> lineDedupSql,
+    "x_line_dedup_incr" -> lineDedupIncrSql,
     "x_semdedup" -> semdedupSql,
     "x_dedup_clusters_incr" -> dedupClustersIncrSql,
     "x_fuzzy_join" -> fuzzyJoinSql,

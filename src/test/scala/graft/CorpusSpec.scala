@@ -247,6 +247,54 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x\ny", 2L, 1L)))
   }
 
+  test("dedupLinesIncremental screens seen lines, first-wins in batch") {
+    val history = Seq((1L, "header\nalpha")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "header\nfresh\n\nrepeat"),
+      (11L, "repeat\nalpha\nfresh")
+    ).toDF("doc_id", "text")
+    val seen = Corpus.seenLinesTable(history, "text")
+    val out = Corpus.dedupLinesIncremental(batch, seen, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // header/alpha already seen → dropped everywhere in the batch;
+    // fresh and repeat keep their first (doc,pos); blanks survive
+    assert(out(10L) === (("fresh\n\nrepeat", 3L, 1L)))
+    assert(out(11L) === (("", 0L, 3L)))
+  }
+
+  test("newLineFingerprints returns only the batch's novel lines") {
+    val history = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val batch = Seq((10L, "b\nc\n \nc")).toDF("doc_id", "text")
+    val seen = Corpus.seenLinesTable(history, "text")
+    val fresh = Corpus.newLineFingerprints(batch, seen, "text")
+    // only "c" is new (b seen, blank excluded, dup collapsed)
+    assert(fresh.count() === 1L)
+    val appended = seen.unionByName(fresh)
+    // re-screening the same batch against the appended table drops all
+    assert(Corpus.dedupLinesIncremental(batch, appended, "text", "doc_id")
+      .agg(sum("n_kept")).head.getLong(0) === 1L) // only the blank line
+  }
+
+  test("dedupLinesIncremental equals the batch slice of the global pass " +
+       "when history orders first") {
+    // deterministic pseudo-random corpus: 12 docs × 4 lines drawn from
+    // a 9-line pool (heavy collisions), history ids 0-5 < batch ids 6-11
+    val pool = (0 until 9).map(i => s"line$i")
+    val docsAll = (0L until 12L).map { d =>
+      val ls = (0 until 4).map(p => pool(((d * 31 + p * 7) % 9).toInt))
+      (d, ls.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val history = docsAll.where(col("doc_id") < 6)
+    val batch = docsAll.where(col("doc_id") >= 6)
+    val global = Corpus.dedupLinesKeepFirst(docsAll, "text", "doc_id")
+      .where(col("doc_id") >= 6)
+    val incr = Corpus.dedupLinesIncremental(batch,
+      Corpus.seenLinesTable(history, "text"), "text", "doc_id")
+    assert(incr.exceptAll(global).count() === 0L)
+    assert(global.exceptAll(incr).count() === 0L)
+  }
+
   test("removeBoilerplateLines holds kept+dropped=total on null text") {
     val docs = Seq((1L, Some("a\nb")), (2L, None), (3L, Some("a")))
       .toDF("doc_id", "text")

@@ -300,6 +300,58 @@ object Analytics {
       expr("min(ts) div 1000").as("min_ts_us"),
       expr("max(ts) div 1000").as("max_ts_us"))
   }
+  // OHLC downsampling: the classic event-stream → bar-chart reduction
+  // (open/high/low/close per hour bucket per event_type). Open and
+  // close are SELECTED rows, not aggregates — pinned deterministically
+  // by row_number over the total (ts, event_id) ordering in both
+  // directions, so both engines pick the identical row even under ts
+  // ties. One shuffle on (event_type, bucket) serves both window sorts
+  // and the final aggregate; high/low/open/close are raw doubles
+  // (selection, no float arithmetic), only the volume sum is rounded.
+  def ohlcQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("bucket", expr("ts_us div 3600000000"))
+    val wA = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wZ = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_z", row_number().over(wZ))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_z") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("volume"))
+  }
+  val ohlcSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, event_id, value
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, ts_us // 3600000000 AS bucket,
+      |         ts_us, event_id, value
+      |  FROM e),
+      |w AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, bucket
+      |                       ORDER BY ts_us, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, bucket
+      |                       ORDER BY ts_us DESC, event_id DESC) AS rn_z
+      |  FROM b)
+      |SELECT event_type, bucket,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  max(CASE WHEN rn_z = 1 THEN value END) AS close,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS volume
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   val eventStatsSql: String =
     """SELECT event_type, count(*) AS n,
       |       count(DISTINCT user_id) AS n_users,
@@ -1708,6 +1760,7 @@ object Analytics {
     "q3_top_revenue" -> (topRevenueQ _),
     "q_window_topk" -> (windowTopKQ _),
     "q_event_stats" -> (eventStatsQ _),
+    "q_ohlc" -> (ohlcQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_set_ops" -> (setOpsQ _),
     "q_exists" -> (existsQ _),
@@ -1764,6 +1817,7 @@ object Analytics {
     "q3_top_revenue" -> topRevenueSql,
     "q_window_topk" -> windowTopKSql,
     "q_event_stats" -> eventStatsSql,
+    "q_ohlc" -> ohlcSql,
     "q_gapfill" -> gapFillSql,
     "q_set_ops" -> setOpsSql,
     "q_exists" -> existsSql,

@@ -999,6 +999,68 @@ object TrainingData {
        |       ELSE 'test' END AS split
        |FROM b""".stripMargin
 
+  // -------------------------------------------- stratified k-fold folds
+  // Cross-validation assignment with EXACT per-stratum balance: within
+  // each language the docs are ordered by the content-hash shuffle
+  // (md5(text), doc_id tie-break — deterministic, uncorrelated with any
+  // data column) and dealt round-robin into k=5 folds, so fold sizes
+  // within a stratum differ by at most 1 — the guarantee hash-bucket
+  // splits (x_dataset_split) cannot give. One window per language
+  // partition; scale-safe.
+  def kfoldQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("fold",
+        ((row_number().over(w) - 1) % 5).cast("long"))
+      .drop("text")
+  }
+  val kfoldSql: String =
+    """SELECT doc_id, lang,
+      |  CAST((row_number() OVER (PARTITION BY lang
+      |          ORDER BY md5(text), doc_id) - 1) % 5 AS BIGINT) AS fold
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------ per-source Gini
+  // Document-length inequality per source — the corpus-curation lens on
+  // concentration (q_hhi is the revenue twin): a source whose token
+  // mass sits in a few huge documents behaves differently under
+  // packing, sampling, and dedup than one with uniform lengths. Exact
+  // integer Gini in basis points: with lengths sorted ascending and
+  // 1-based rank i, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — tie-order
+  // invariant, numerator provably ≥ 0, all-BIGINT so both engines
+  // truncate identically. One window + one aggregate per source.
+  def sourceGiniQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("rk") * col("n_chars")).as("__s1"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("(10000 * (2 * __s1 - (n_docs + 1) * total_chars)) div " +
+          "(n_docs * total_chars)").as("gini_bp"))
+  }
+  val sourceGiniSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars, doc_id) AS rk
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         sum(n_chars) AS total_chars,
+      |         sum(rk * n_chars) AS s1
+      |  FROM r GROUP BY 1)
+      |SELECT source, n_docs, CAST(total_chars AS BIGINT) AS total_chars,
+      |  CAST((10000 * (2 * s1 - (n_docs + 1) * total_chars))
+      |         // (n_docs * total_chars) AS BIGINT) AS gini_bp
+      |FROM a""".stripMargin
+
   // --------------------------------------------------------- minhash + LSH
   def minhashDedupQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(nearDupCorpus(spark, dir), "text", "doc_id",
@@ -6945,6 +7007,8 @@ object TrainingData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_line_dedup_incr" -> (lineDedupIncrQ _),
+    "x_kfold" -> (kfoldQ _),
+    "x_source_gini" -> (sourceGiniQ _),
     "x_c4_clean" -> (c4CleanQ _),
     "x_line_dedup" -> (lineDedupQ _),
     "x_repetition" -> (repetitionQ _),
@@ -7259,6 +7323,8 @@ object TrainingData {
     "x_c4_clean" -> c4CleanSql,
     "x_line_dedup" -> lineDedupSql,
     "x_line_dedup_incr" -> lineDedupIncrSql,
+    "x_kfold" -> kfoldSql,
+    "x_source_gini" -> sourceGiniSql,
     "x_semdedup" -> semdedupSql,
     "x_dedup_clusters_incr" -> dedupClustersIncrSql,
     "x_fuzzy_join" -> fuzzyJoinSql,

@@ -300,6 +300,26 @@ object Analytics {
       expr("min(ts) div 1000").as("min_ts_us"),
       expr("max(ts) div 1000").as("max_ts_us"))
   }
+  // Mergeable-HLL distinct users per event_type: day slices reduce to
+  // one DataSketches HLL row each (operators.Sketches), the per-type
+  // estimate is a union over slice rows, and the gated surface is the
+  // RELATIONAL accuracy verdict — exact distinct count plus "direct
+  // sketch within 5% of exact" and "slice-union within 5% of exact"
+  // (rated RSE at lgK=14 is ~0.8%, so the gate is ~6σ wide). The float
+  // estimates themselves never cross the engine boundary — same
+  // engine-invariant-oracle pattern as x_deflate_gate.
+  def hllMergeQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("slice"))
+    graft.operators.Sketches.mergeReport(ev, "event_type", "slice",
+      "user_id")
+  }
+  val hllMergeSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |       TRUE AS direct_ok, TRUE AS merged_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   // OHLC downsampling: the classic event-stream → bar-chart reduction
   // (open/high/low/close per hour bucket per event_type). Open and
   // close are SELECTED rows, not aggregates — pinned deterministically
@@ -1761,6 +1781,7 @@ object Analytics {
     "q_window_topk" -> (windowTopKQ _),
     "q_event_stats" -> (eventStatsQ _),
     "q_ohlc" -> (ohlcQ _),
+    "q_hll_merge" -> (hllMergeQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_set_ops" -> (setOpsQ _),
     "q_exists" -> (existsQ _),
@@ -1818,6 +1839,7 @@ object Analytics {
     "q_window_topk" -> windowTopKSql,
     "q_event_stats" -> eventStatsSql,
     "q_ohlc" -> ohlcSql,
+    "q_hll_merge" -> hllMergeSql,
     "q_gapfill" -> gapFillSql,
     "q_set_ops" -> setOpsSql,
     "q_exists" -> existsSql,

@@ -2,78 +2,61 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Sketches
+import graft.operators.Sketches
 
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
 
-  private def stream(keys: String*) = keys.toDF("k")
+  private def mk(n: Int, slices: Int) =
+    (0 until n).map(i => ("g", i.toLong % slices, i.toLong % (n / 2)))
+      .toDF("g", "slice", "v")
 
-  test("estimate is an upper bound for EVERY key in the stream") {
-    val rng = new scala.util.Random(42L)
-    val keys = Seq.fill(500)(s"k${rng.nextInt(40)}")
-    val s = stream(keys: _*)
-    val sketch = Sketches.countMinTable(s, "k", depth = 3, width = 16)
-    val exact = keys.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
-    val probes = exact.keys.toSeq.toDF("k")
-    val est = Sketches.cmEstimate(sketch, probes, "k", depth = 3, width = 16)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, c) =>
-      assert(est(k) >= c, s"CM under-counted $k: est=${est(k)} exact=$c")
-    }
+  test("hllEstimate over slice sketches is near the exact distinct") {
+    val df = mk(4000, 7)
+    val est = Sketches.hllEstimate(
+      Sketches.hllSliceSketches(df, "g", "slice", "v"), "g")
+      .head.getLong(1).toDouble
+    val exact = df.select(countDistinct($"v")).head.getLong(0).toDouble
+    assert(math.abs(est - exact) <= 0.05 * exact)
   }
 
-  test("wide sketch with few keys is exact (no collisions possible shown)") {
-    val keys = Seq("a", "a", "a", "b", "b", "c")
-    val sketch = Sketches.countMinTable(stream(keys: _*), "k",
-      depth = 4, width = 65536)
-    val est = Sketches.cmEstimate(sketch, Seq("a", "b", "c").toDF("k"),
-      "k", depth = 4, width = 65536)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // at width 65536 a 3-key collision would need an md5 accident;
-    // the fixed keys here verifiably do not collide
-    assert(est === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  test("slice granularity does not change the union's accuracy") {
+    val fine = mk(4000, 13)
+    val coarse = mk(4000, 2)
+    val eF = Sketches.hllEstimate(
+      Sketches.hllSliceSketches(fine, "g", "slice", "v"), "g")
+      .head.getLong(1).toDouble
+    val eC = Sketches.hllEstimate(
+      Sketches.hllSliceSketches(coarse, "g", "slice", "v"), "g")
+      .head.getLong(1).toDouble
+    val exact = 2000.0
+    assert(math.abs(eF - exact) <= 0.05 * exact)
+    assert(math.abs(eC - exact) <= 0.05 * exact)
   }
 
-  test("sketch is bit-identical under repartitioning (cell-wise sum merge)") {
-    val keys = Seq.tabulate(300)(i => s"key${i % 23}")
-    def build(parts: Int) =
-      Sketches.countMinTable(stream(keys: _*).repartition(parts), "k",
-        depth = 3, width = 32)
-        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
-        .toMap
-    assert(build(1) === build(8))
+  test("appending a novel slice's sketch row moves the estimate up") {
+    val base = mk(1000, 3)
+    val baseSketches = Sketches.hllSliceSketches(base, "g", "slice", "v")
+    val extra = (0 until 500).map(i => ("g", 99L, 10000L + i))
+      .toDF("g", "slice", "v")
+    val appended = baseSketches.unionByName(
+      Sketches.hllSliceSketches(extra, "g", "slice", "v"))
+    val e0 = Sketches.hllEstimate(baseSketches, "g").head.getLong(1).toDouble
+    val e1 = Sketches.hllEstimate(appended, "g").head.getLong(1).toDouble
+    assert(math.abs(e0 - 500.0) <= 25.0)
+    assert(math.abs(e1 - 1000.0) <= 50.0)
   }
 
-  test("absent key estimates only its collision mass, never negative") {
-    val sketch = Sketches.countMinTable(stream("x", "x", "y"), "k",
-      depth = 3, width = 8)
-    val est = Sketches.cmEstimate(sketch, Seq("never-seen").toDF("k"),
-      "k", depth = 3, width = 8)
-      .collect().map(r => r.getLong(1))
-    assert(est.length === 1 && est.head >= 0L)
-  }
-
-  test("mergeCm of disjoint halves equals the from-scratch sketch") {
-    val keys = Seq.tabulate(240)(i => s"m${i % 31}")
-    val (left, right) = keys.splitAt(110)
-    val whole = Sketches.countMinTable(stream(keys: _*), "k",
-      depth = 3, width = 64)
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
-    val merged = Sketches.mergeCm(
-      Sketches.countMinTable(stream(left: _*), "k", depth = 3, width = 64),
-      Sketches.countMinTable(stream(right: _*), "k", depth = 3, width = 64))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
-    assert(merged === whole)
-  }
-
-  test("cell table total mass equals depth times stream length") {
-    val keys = Seq.fill(97)("z") ++ Seq.fill(13)("w")
-    val sketch = Sketches.countMinTable(stream(keys: _*), "k",
-      depth = 3, width = 16)
-    val total = sketch.agg(sum("cnt")).as[Long].head()
-    assert(total === 3L * 110L)
+  test("mergeReport verdicts hold on a skewed multi-group frame") {
+    val df = (0 until 3000).map { i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong % 5, i.toLong % 700)
+    }.toDF("g", "slice", "v")
+    val out = Sketches.mergeReport(df, "g", "slice", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out("a")._2 && out("a")._3 && out("b")._2 && out("b")._3)
+    val exactA = df.where($"g" === "a")
+      .select(countDistinct($"v")).head.getLong(0)
+    assert(out("a")._1 === exactA)
   }
 }

@@ -300,6 +300,36 @@ object Analytics {
       expr("min(ts) div 1000").as("min_ts_us"),
       expr("max(ts) div 1000").as("max_ts_us"))
   }
+  // Wide → long reshape (melt): the inverse of q_pivot, via the typed
+  // Dataset.unpivot API — a per-flag measure matrix becomes tidy
+  // (flag, metric, val) rows. Unpivot is a zero-shuffle row-local
+  // explode of the already-aggregated (tiny) wide relation; all the
+  // heavy lifting stays in the one upstream hash aggregate.
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+    wide.unpivot(
+      ids = Array(col("l_returnflag")),
+      values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+      variableColumnName = "metric",
+      valueColumnName = "val")
+  }
+  val unpivotSql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |         round(sum(l_quantity), 2) AS sum_qty,
+      |         round(sum(l_extendedprice), 2) AS sum_price,
+      |         round(sum(l_discount), 2) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_disc', sum_disc FROM w""".stripMargin
+
   // Mergeable-HLL distinct users per event_type: day slices reduce to
   // one DataSketches HLL row each (operators.Sketches), the per-type
   // estimate is a union over slice rows, and the gated surface is the
@@ -1782,6 +1812,7 @@ object Analytics {
     "q_event_stats" -> (eventStatsQ _),
     "q_ohlc" -> (ohlcQ _),
     "q_hll_merge" -> (hllMergeQ _),
+    "q_unpivot" -> (unpivotQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_set_ops" -> (setOpsQ _),
     "q_exists" -> (existsQ _),
@@ -1840,6 +1871,7 @@ object Analytics {
     "q_event_stats" -> eventStatsSql,
     "q_ohlc" -> ohlcSql,
     "q_hll_merge" -> hllMergeSql,
+    "q_unpivot" -> unpivotSql,
     "q_gapfill" -> gapFillSql,
     "q_set_ops" -> setOpsSql,
     "q_exists" -> existsSql,

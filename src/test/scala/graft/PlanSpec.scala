@@ -458,6 +458,15 @@ class PlanSpec extends SparkSpec {
       s"expected only the user-keyed window exchange, got $exchanges:\n$p")
   }
 
+  test("OHLC: both window directions and the final rollup share ONE " +
+    "(event_type, bucket) exchange") {
+    val p = plan(graft.queries.Analytics.ohlcQ(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected one shared bucket-keyed exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"open/close selection joined back:\n$p")
+  }
+
   test("noveltyReport scans and tokenizes the corpus exactly ONCE " +
     "(window attribution, not a join back onto the fan-out)") {
     val p = plan(graft.queries.TrainingData.noveltyQ(spark, sf0001))

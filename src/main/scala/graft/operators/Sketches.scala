@@ -42,6 +42,36 @@ object Sketches {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, false))")
         .as("est_distinct"))
 
+  /** Join-key overlap profile: the pre-flight stat a pipeline consults
+    * before committing to a big join — exact distinct-key counts per
+    * side, the exact intersection and containment (how much of A's key
+    * space B covers, in basis points), plus the sketch-path audit: the
+    * HLL union estimate (what you'd use at 100 TB, where the two exact
+    * distincts come from maintained slice-sketch tables and only the
+    * union is estimated) must land within `tolerancePct` of the exact
+    * union. All three inputs to the verdict are one-row aggregates;
+    * the combine is a broadcast of sub-KB relations, never a data join.
+    * Note the intersection estimate n_a + n_b − est_union inherits
+    * EXACTLY the union's absolute error, so one verdict covers both. */
+  def keyOverlap(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                 lgK: Int = 14, tolerancePct: Int = 5): DataFrame = {
+    val sa = a.agg(expr(s"hll_sketch_agg($aKey, $lgK)").as("__sk_a"),
+      countDistinct(col(aKey)).as("n_a"))
+    val sb = b.agg(expr(s"hll_sketch_agg($bKey, $lgK)").as("__sk_b"),
+      countDistinct(col(bKey)).as("n_b"))
+    val inter = a.select(col(aKey).as("__k")).distinct()
+      .join(b.select(col(bKey).as("__k")).distinct(), Seq("__k"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(inter))
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        expr("10000 * n_inter div n_a").as("containment_bp"),
+        (abs(expr("hll_sketch_estimate(hll_union(__sk_a, __sk_b, false))")
+          - (col("n_a") + col("n_b") - col("n_inter"))) * 100
+          <= (col("n_a") + col("n_b") - col("n_inter")) * tolerancePct)
+          .as("union_ok"))
+  }
+
   /** Accuracy audit of the slice-union path against both the direct
     * single-pass sketch and the exact distinct count: per group,
     * `n_exact` plus two relational verdicts — the direct sketch and

@@ -300,6 +300,28 @@ object Analytics {
       expr("min(ts) div 1000").as("min_ts_us"),
       expr("max(ts) div 1000").as("max_ts_us"))
   }
+  // Join-key overlap pre-flight (Sketches.keyOverlap): exact distinct
+  // keys per side, exact intersection/containment, and the HLL-union
+  // sketch-path verdict — customer keys vs ordering customers, the
+  // profile that tells you an inner join keeps ~2/3 of the dimension.
+  def joinProfileQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.keyOverlap(
+      Tables.load(spark, dir, "customer"), "c_custkey",
+      Tables.load(spark, dir, "orders"), "o_custkey")
+  val joinProfileSql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_a,
+      |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_b,
+      |  (SELECT count(*) FROM (
+      |     SELECT DISTINCT c_custkey FROM customer
+      |     WHERE c_custkey IN (SELECT o_custkey FROM orders)) t) AS n_inter,
+      |  10000 * (SELECT count(*) FROM (
+      |     SELECT DISTINCT c_custkey FROM customer
+      |     WHERE c_custkey IN (SELECT o_custkey FROM orders)) t)
+      |    // (SELECT count(DISTINCT c_custkey) FROM customer)
+      |    AS containment_bp,
+      |  TRUE AS union_ok""".stripMargin
+
   // Wide → long reshape (melt): the inverse of q_pivot, via the typed
   // Dataset.unpivot API — a per-flag measure matrix becomes tidy
   // (flag, metric, val) rows. Unpivot is a zero-shuffle row-local
@@ -1813,6 +1835,7 @@ object Analytics {
     "q_ohlc" -> (ohlcQ _),
     "q_hll_merge" -> (hllMergeQ _),
     "q_unpivot" -> (unpivotQ _),
+    "q_join_profile" -> (joinProfileQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_set_ops" -> (setOpsQ _),
     "q_exists" -> (existsQ _),
@@ -1872,6 +1895,7 @@ object Analytics {
     "q_ohlc" -> ohlcSql,
     "q_hll_merge" -> hllMergeSql,
     "q_unpivot" -> unpivotSql,
+    "q_join_profile" -> joinProfileSql,
     "q_gapfill" -> gapFillSql,
     "q_set_ops" -> setOpsSql,
     "q_exists" -> existsSql,

@@ -47,6 +47,25 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(e1 - 1000.0) <= 50.0)
   }
 
+  test("keyOverlap reports exact counts, containment, and a passing " +
+       "union verdict") {
+    val a = (0L until 100L).map(i => Tuple1(i)).toDF("k")
+    val b = (60L until 300L).map(i => Tuple1(i)).toDF("k")
+    val r = Sketches.keyOverlap(a, "k", b, "k").head
+    assert(r.getLong(0) === 100L)       // n_a
+    assert(r.getLong(1) === 240L)       // n_b
+    assert(r.getLong(2) === 40L)        // n_inter = 60..99
+    assert(r.getLong(3) === 4000L)      // containment_bp
+    assert(r.getBoolean(4))             // union est within tolerance
+  }
+
+  test("keyOverlap survives zero overlap") {
+    val a = (0L until 50L).map(i => Tuple1(i)).toDF("k")
+    val b = (1000L until 1100L).map(i => Tuple1(i)).toDF("k")
+    val r = Sketches.keyOverlap(a, "k", b, "k").head
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getBoolean(4))
+  }
+
   test("mergeReport verdicts hold on a skewed multi-group frame") {
     val df = (0 until 3000).map { i =>
       (if (i % 3 == 0) "a" else "b", i.toLong % 5, i.toLong % 700)

@@ -305,7 +305,7 @@ object Analytics {
   // sketch-path verdict — customer keys vs ordering customers, the
   // profile that tells you an inner join keeps ~2/3 of the dimension.
   def joinProfileQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Sketches.keyOverlap(
+    graft.ops.Sketches.keyOverlap(
       Tables.load(spark, dir, "customer"), "c_custkey",
       Tables.load(spark, dir, "orders"), "o_custkey")
   val joinProfileSql: String =
@@ -364,7 +364,7 @@ object Analytics {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("user_id"),
         expr("(ts div 1000) div 86400000000").as("slice"))
-    graft.operators.Sketches.mergeReport(ev, "event_type", "slice",
+    graft.ops.Sketches.mergeReport(ev, "event_type", "slice",
       "user_id")
   }
   val hllMergeSql: String =

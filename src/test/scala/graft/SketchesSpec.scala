@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sketches
+import graft.ops.Sketches
 
 class SketchesSpec extends SparkSpec {
   import spark.implicits._

@@ -416,6 +416,28 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/doc_similar_pairs")
   }
 
+  /** Cardinality-sketch maintenance: day-slice HLL sketches of active
+    * users persisted as a table, a straggler slice APPENDED as new rows
+    * (history never re-read — the maintained-state contract), and the
+    * per-type distinct estimate computed from the sketch table alone. */
+  private def sketchUsersJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("slice"))
+    val p = s"$outDir/user_sketches"
+    graft.ops.Sketches
+      .hllSliceSketches(ev.where(col("slice") % 7 =!= 0),
+        "event_type", "slice", "user_id")
+      .write.mode("overwrite").parquet(p)
+    graft.ops.Sketches
+      .hllSliceSketches(ev.where(col("slice") % 7 === 0),
+        "event_type", "slice", "user_id")
+      .write.mode("append").parquet(p)
+    graft.ops.Sketches.hllEstimate(spark.read.parquet(p), "event_type")
+      .write.mode("overwrite").parquet(s"$outDir/user_distinct_est")
+  }
+
   /** Frequency-sketch maintenance: the Count-Min cell table over the
     * corpus 5-gram stream persisted as a d×w-row table (broadcastable,
     * answers any later point query without re-reading the corpus),
@@ -610,6 +632,7 @@ object Jobs {
     "bloom_orders" -> (bloomOrdersJob _),
     "similar_docs" -> (similarDocsJob _),
     "sketch_grams" -> (sketchGramsJob _),
+    "sketch_users" -> (sketchUsersJob _),
     "community_docs" -> (communityDocsJob _),
     "build_ann_index" -> (buildAnnIndexJob _),
     "release_customers" -> (releaseCustomersJob _),

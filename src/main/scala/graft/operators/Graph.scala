@@ -234,6 +234,106 @@ object Graph {
                iters: Int = 10): DataFrame =
     pageRankM(edges, aCol, bCol, iters).df
 
+  /** Personalized (topic-sensitive) PageRank — Haveliwala, WWW 2002 —
+    * in the same exact-integer lanes as [[pageRankM]]: the restart
+    * mass that the global variant spreads as 150000 micro-units per
+    * node is instead concentrated uniformly on the SEED nodes
+    * ((150000 · |V|) div |S| each, exact integer division), so rank
+    * becomes diffusion distance from the seed set through the graph:
+    *
+    *   r'(v) = base(v) + (17 · Σ_{u~v} (r(u) div deg(u))) div 20
+    *
+    * The library's use: contamination-risk diffusion — seed the
+    * benchmark/eval docs and rank every corpus doc by how reachable it
+    * is through near-dup edges, catching transitive leakage (A twins
+    * B, B twins eval) that the direct n-gram screen
+    * (x_decontaminate) cannot see. Seeds not present in the graph are
+    * ignored; the caller must leave at least one seed in the graph
+    * (with zero seeds every base is null-coalesced to 0 and all ranks
+    * collapse to 0 — deterministic, but meaningless).
+    *
+    * Scale shape: identical to [[pageRankM]] — edges/degrees/nodes
+    * materialized once, the per-node base rides with the node table
+    * (the |V|/|S| scalars join as a broadcast one-row stat, nothing
+    * collected), checkpoint-truncated rounds.
+    */
+  def personalizedPageRankM(edges: DataFrame, aCol: String, bCol: String,
+                            seeds: DataFrame, seedCol: String,
+                            iters: Int = 6,
+                            roundMat: graft.ops.MatStrategy =
+                              graft.ops.MatStrategy.Local,
+                            mat: graft.ops.MatStrategy =
+                              graft.ops.MatStrategy.Default,
+                            matEvery: Int = 2)
+      : graft.ops.Materialized = {
+    import graft.ops.Materialize
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
+    val e = canonicalEdges(edges, aCol, bCol)
+    val directedM = Materialize(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")),
+      roundMat)
+    var degM: graft.ops.Materialized = null
+    var baseM: graft.ops.Materialized = null
+    try {
+      val directed = directedM.df
+      degM = Materialize(
+        directed.groupBy("src").agg(count(lit(1)).as("d")), roundMat)
+      val deg = degM.df
+      val nodes = directed.select(col("src").as("v")).distinct()
+      val seedSet = nodes.join(
+        seeds.select(col(seedCol).as("v")).distinct(), Seq("v"),
+        "left_semi")
+      val stats = nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(seedSet.agg(count(lit(1)).as("n_seeds")))
+      baseM = Materialize(
+        nodes
+          .join(seedSet.select(col("v"), lit(1L).as("__seed")),
+            Seq("v"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("v"),
+            coalesce(when(col("__seed").isNotNull,
+              expr("(150000 * n_nodes) div n_seeds")), lit(0L))
+              .as("base")),
+        roundMat)
+      val base = baseM.df
+      var ranks = base.select(col("v"), col("base").as("r"))
+      var freeRanks: () => Unit = () => ()
+      for (i <- 1 to iters) {
+        val contrib = directed.join(deg, "src")
+          .join(ranks.select(col("v").as("src"), col("r")), "src")
+          .select(col("dst").as("v"), expr("r div d").as("c"))
+          .groupBy("v").agg(sum(col("c")).as("s"))
+        val nextDf = base.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (col("base") + expr("(17 * coalesce(s, 0L)) div 20"))
+              .as("r"))
+        if (i % matEvery == 0 || i == iters) {
+          val next = Materialize(nextDf, roundMat)
+          freeRanks()
+          ranks = next.df
+          freeRanks = next.release
+        } else ranks = nextDf
+      }
+      val out = Materialize(
+        ranks.select(col("v").as("node"), col("r").as("rank")), mat)
+      freeRanks()
+      out
+    } finally {
+      directedM.release()
+      if (degM != null) degM.release()
+      if (baseM != null) baseM.release()
+    }
+  }
+
+  /** [[personalizedPageRankM]] without the release handle. */
+  def personalizedPageRank(edges: DataFrame, aCol: String, bCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 6): DataFrame =
+    personalizedPageRankM(edges, aCol, bCol, seeds, seedCol, iters).df
+
   /** Deterministic SYNCHRONOUS label propagation (Raghavan, Albert &
     * Kumara 2007) for community detection — the mesoscale between
     * [[Dedup.connectedComponents]] (too coarse: one bridge edge merges

@@ -300,6 +300,48 @@ object Analytics {
       expr("min(ts) div 1000").as("min_ts_us"),
       expr("max(ts) div 1000").as("max_ts_us"))
   }
+  // Integer-exact EWMA: per-user activity smoothing with a halving
+  // kernel over the 8 most recent OBSERVED days (weights 2^7..2^0,
+  // normalized by the weight mass actually present, all in BIGINT with
+  // truncating division — no float accumulation, so both engines are
+  // bit-identical). The classic trend feature for engagement scoring /
+  // churn heuristics; one day-rollup exchange then one user-keyed
+  // window pass.
+  def ewmaQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val terms = (0 until 8).map { k =>
+      val wk = 1L << (7 - k)
+      (coalesce(lag(col("cnt"), k).over(w), lit(0L)) * wk,
+        when(lag(col("cnt"), k).over(w).isNotNull, lit(wk)).otherwise(lit(0L)))
+    }
+    daily
+      .withColumn("__num", terms.map(_._1).reduce(_ + _))
+      .withColumn("__den", terms.map(_._2).reduce(_ + _))
+      .select(col("user_id"), col("day"), col("cnt"),
+        expr("__num div __den").as("ewma8"))
+  }
+  val ewmaSql: String = {
+    val num = (0 until 8).map(k =>
+      s"coalesce(lag(cnt, $k) OVER w, 0) * ${1L << (7 - k)}")
+      .mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"CASE WHEN lag(cnt, $k) OVER w IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, day, cnt,
+       |  ($num) // ($den) AS ewma8
+       |FROM daily
+       |WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
   // Join-key overlap pre-flight (Sketches.keyOverlap): exact distinct
   // keys per side, exact intersection/containment, and the HLL-union
   // sketch-path verdict — customer keys vs ordering customers, the
@@ -1836,6 +1878,7 @@ object Analytics {
     "q_hll_merge" -> (hllMergeQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_join_profile" -> (joinProfileQ _),
+    "q_ewma" -> (ewmaQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_set_ops" -> (setOpsQ _),
     "q_exists" -> (existsQ _),
@@ -1896,6 +1939,7 @@ object Analytics {
     "q_hll_merge" -> hllMergeSql,
     "q_unpivot" -> unpivotSql,
     "q_join_profile" -> joinProfileSql,
+    "q_ewma" -> ewmaSql,
     "q_gapfill" -> gapFillSql,
     "q_set_ops" -> setOpsSql,
     "q_exists" -> existsSql,

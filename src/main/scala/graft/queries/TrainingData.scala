@@ -1498,6 +1498,59 @@ object TrainingData {
        |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM pr10""".stripMargin
   }
 
+  // ---------------------------------- personalized PageRank (leakage)
+  // Contamination-risk diffusion: benchmark stand-in docs (orig id
+  // < 10, same seed rule as x_decontaminate) seed a personalized
+  // PageRank over the near-dup graph, ranking every document by its
+  // REACHABILITY from the eval set through duplicate edges — the
+  // transitive leakage (A twins B, B twins eval) the direct n-gram
+  // screen can't see. Exact integer lanes as x_pagerank, so the
+  // oracle unrolls the same 6 rounds and must match bit-for-bit.
+  // Pair feed: the maintained signature table.
+  def pprLeakageQ(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = nearDupCorpus(spark, dir)
+      .select(col("doc_id")).where(col("doc_id") % 1000000L < 10)
+    graft.operators.Graph.personalizedPageRank(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.5),
+      "doc_a", "doc_b", seeds, "doc_id", iters = 6)
+  }
+  val pprLeakageSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""ppr$i AS (
+         |  SELECT b.v,
+         |    b.base + (17 * COALESCE(s.s, 0)) // 20 AS r
+         |  FROM base b LEFT JOIN (
+         |    SELECT e.dst AS v, sum(p.r // deg.d) AS s
+         |    FROM ppr${i - 1} p
+         |    JOIN deg ON deg.src = p.v
+         |    JOIN e ON e.src = p.v
+         |    GROUP BY 1) s ON s.v = b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |ce AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS src, b AS dst FROM ce
+       |      UNION ALL SELECT b, a FROM ce),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |seedset AS (
+       |  SELECT v FROM nodes WHERE v % 1000000 < 10),
+       |base AS (
+       |  SELECT n.v,
+       |    CASE WHEN s.v IS NOT NULL THEN
+       |      (150000 * (SELECT count(*) FROM nodes))
+       |        // (SELECT count(*) FROM seedset)
+       |    ELSE 0 END AS base
+       |  FROM nodes n LEFT JOIN seedset s ON s.v = n.v),
+       |ppr0 AS (SELECT v, base AS r FROM base),
+       |$rounds
+       |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM ppr6""".stripMargin
+  }
+
   // ------------------------------------------- degree distribution
   // The similarity graph's health histogram: node degrees in
   // power-of-two buckets (binary digit count — the x_length_histogram
@@ -7109,6 +7162,7 @@ object TrainingData {
     "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
+    "x_ppr_leakage" -> (pprLeakageQ _),
     "x_hits" -> (hitsQ _),
     "x_kcore" -> (kcoreQ _),
     "x_dsir_select" -> (dsirSelectQ _),
@@ -7276,6 +7330,7 @@ object TrainingData {
     "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
+    "x_ppr_leakage" -> pprLeakageSql,
     "x_hits" -> hitsSql,
     "x_kcore" -> kcoreSql,
     "x_dsir_select" -> dsirSelectSql,

@@ -35,6 +35,41 @@ class GraphSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("personalizedPageRank on a path decays with distance from the seed") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("doc_id")
+    val r = Graph.personalizedPageRank(e, "a", "b", seeds, "doc_id",
+      iters = 2).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // N=3, |S|=1: base(1)=450000. r0=base.
+    // r1 = (450000, 382500, 0); r2(1)=450000+(17*191250)div20=612562,
+    // r2(2)=382500, r2(3)=162562 — monotone in hop distance
+    assert(r == Map(1L -> 612562L, 2L -> 382500L, 3L -> 162562L))
+  }
+
+  test("personalizedPageRank ignores seeds absent from the graph") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val s1 = Seq(Tuple1(1L)).toDF("doc_id")
+    val s2 = Seq(1L, 99L, 1L).map(Tuple1(_)).toDF("doc_id")
+    val r1 = Graph.personalizedPageRank(e, "a", "b", s1, "doc_id", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r2 = Graph.personalizedPageRank(e, "a", "b", s2, "doc_id", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == r2)
+  }
+
+  test("personalizedPageRank is bit-identical under repartitioning") {
+    val e = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_custkey % 97 AS a", "o_orderkey % 89 AS b")
+      .where($"a" =!= $"b")
+    val seeds = Seq(0L, 1L, 2L).map(Tuple1(_)).toDF("doc_id")
+    val r1 = Graph.personalizedPageRank(e, "a", "b", seeds, "doc_id", 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r2 = Graph.personalizedPageRank(e.repartition(13), "a", "b",
+      seeds, "doc_id", 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("a chain has no triangles; reversed/duplicate edges canonicalize") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     assert(Graph.triangles(chain, "a", "b").count() == 0)

@@ -416,6 +416,47 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/doc_similar_pairs")
   }
 
+  /** Eval-integrity audit: the three leakage lenses over ONE signature
+    * pass — direct 8-gram contamination against the benchmark set,
+    * near-dup pairs touching a benchmark doc, and transitive seed
+    * diffusion (personalized PageRank through the duplicate graph) —
+    * joined into a single per-doc risk table a release gate reads.
+    * The corpus is shingled once (the persisted signature table);
+    * every lens composes from it or from row-local grams. */
+  private def auditLeakageJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalSet = docs.where(col("doc_id") < 10)
+    val sigPath = s"$outDir/leakage_sigs"
+    Dedup.writeSignatureTable(docs, "text", "doc_id", sigPath, k = 5)
+    val pairs = Dedup.nearDupPairsFromSigs(spark, sigPath,
+      threshold = 0.5)
+    val directHits = pairs
+      .where(col("doc_a") < 10 || col("doc_b") < 10)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .where(col("doc_id") >= 10).distinct()
+      .withColumn("near_dup_of_eval", lit(true))
+    val diffusion = graft.operators.Graph.personalizedPageRank(
+      pairs, "doc_a", "doc_b", evalSet, "doc_id", iters = 6)
+      .select(col("node").as("doc_id"),
+        col("rank").as("eval_proximity_rank"))
+    val contam = Dedup.contaminationReport(docs, evalSet, "text",
+      "doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .join(contam.select(col("doc_id"), col("contamination")),
+        Seq("doc_id"), "left")
+      .join(directHits, Seq("doc_id"), "left")
+      .join(diffusion, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("contamination"), lit(0.0d))
+          .as("contamination"),
+        coalesce(col("near_dup_of_eval"), lit(false))
+          .as("near_dup_of_eval"),
+        coalesce(col("eval_proximity_rank"), lit(0L))
+          .as("eval_proximity_rank"))
+      .write.mode("overwrite").parquet(s"$outDir/leakage_risk")
+  }
+
   /** Cardinality-sketch maintenance: day-slice HLL sketches of active
     * users persisted as a table, a straggler slice APPENDED as new rows
     * (history never re-read — the maintained-state contract), and the
@@ -633,6 +674,7 @@ object Jobs {
     "similar_docs" -> (similarDocsJob _),
     "sketch_grams" -> (sketchGramsJob _),
     "sketch_users" -> (sketchUsersJob _),
+    "audit_leakage" -> (auditLeakageJob _),
     "community_docs" -> (communityDocsJob _),
     "build_ann_index" -> (buildAnnIndexJob _),
     "release_customers" -> (releaseCustomersJob _),

@@ -1052,6 +1052,67 @@ object Analytics {
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b")))
         .cast("long"))
   }
+  // Association lift over the co-purchase pairs: raw pair counts rank
+  // popular-with-popular; lift = P(ab)/(P(a)P(b)) normalizes away item
+  // popularity and surfaces genuinely ASSOCIATED pairs. Exact integer
+  // basis points — (n_ab · n_baskets · 10000) div (n_a · n_b) — so the
+  // top-20 cut under the (lift, part_a, part_b) total order is
+  // deterministic in both engines. The basket total joins as a
+  // broadcast one-row stat; everything else is the same wedge
+  // self-join + hash aggregates as q_copurchase.
+  def basketLiftQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val baskets = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+    pairs
+      .join(cnt.select(col("pk").as("part_a"), col("n_i").as("n_a")),
+        "part_a")
+      .join(cnt.select(col("pk").as("part_b"), col("n_i").as("n_b")),
+        "part_b")
+      .crossJoin(broadcast(baskets))
+      .withColumn("lift_bp",
+        expr("(n_ab * n_baskets * 10000) div (n_a * n_b)"))
+      .orderBy(col("lift_bp").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("lift_bp").desc, col("part_a"), col("part_b")))
+        .cast("long"))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        col("lift_bp"), col("rank"))
+  }
+  val basketLiftSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM li),
+      |cnt AS (SELECT pk, count(*) AS n_i FROM li GROUP BY 1),
+      |p AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |l AS (
+      |  SELECT p.part_a, p.part_b, p.n_ab,
+      |    (p.n_ab * nb.n_baskets * 10000) // (ca.n_i * cb.n_i) AS lift_bp
+      |  FROM p, nb
+      |  JOIN cnt ca ON ca.pk = p.part_a
+      |  JOIN cnt cb ON cb.pk = p.part_b),
+      |t AS (
+      |  SELECT * FROM l
+      |  ORDER BY lift_bp DESC, part_a, part_b LIMIT 20)
+      |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(lift_bp AS BIGINT) AS lift_bp,
+      |  CAST(row_number() OVER
+      |    (ORDER BY lift_bp DESC, part_a, part_b) AS BIGINT) AS rank
+      |FROM t""".stripMargin
+
   val copurchaseSql: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -1864,6 +1925,7 @@ object Analytics {
     "q_histogram" -> (histogramQ _),
     "q_equidepth" -> (equidepthQ _),
     "q_copurchase" -> (copurchaseQ _),
+    "q_basket_lift" -> (basketLiftQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -1925,6 +1987,7 @@ object Analytics {
     "q_histogram" -> histogramSql,
     "q_equidepth" -> equidepthSql,
     "q_copurchase" -> copurchaseSql,
+    "q_basket_lift" -> basketLiftSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

@@ -22,9 +22,9 @@ class JobsSpec extends SparkSpec {
     // (it reuses clean_corpus's signature table, running right after
     // it); index_lineitem and bloom_orders emit three each (layout,
     // its index table, the pruned read); govern_corpus emits five
-    // release tables; audit_privacy emits four; clean_lines and
-    // sketch_users two each
-    assert(dirs.size == Jobs.all.size + 27,
+    // release tables; audit_privacy emits four; clean_lines,
+    // sketch_users and audit_leakage two each
+    assert(dirs.size == Jobs.all.size + 28,
       s"expected ${Jobs.all.size + 26} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>

@@ -1052,6 +1052,54 @@ object Analytics {
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b")))
         .cast("long"))
   }
+  // 2-D skyline (Pareto frontier): orders no other order strictly
+  // undercuts AND outdates — minimize price, maximize recency, strict
+  // price dominance. The textbook formulation is one GLOBAL running-max
+  // window; at scale that is a single-partition sort, so this uses the
+  // two-level prefix-max decomposition instead: a value-range bucket on
+  // price (row-local), the running max WITHIN each bucket (partitioned
+  // range-frame window), and the cross-bucket prefix max over the tiny
+  // per-bucket rollup (global window over ≤ ~60 rows — bounded by the
+  // price domain, not the data). Identical result to the global window
+  // by construction, which is exactly what the oracle runs.
+  def skylineQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        .as("date_days"))
+      .withColumn("bucket", expr("price_cents div 1000000"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val bmax = base.groupBy(col("bucket"))
+      .agg(max(col("date_days")).as("bm"))
+    val wPre = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bmax
+      .withColumn("pm", coalesce(max(col("bm")).over(wPre), lit(-1L)))
+      .select(col("bucket"), col("pm"))
+    base.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("__runmax",
+        greatest(coalesce(max(col("date_days")).over(wIn), lit(-1L)),
+          col("pm")))
+      .where(col("date_days") > col("__runmax"))
+      .select(col("o_orderkey"), col("price_cents"), col("date_days"))
+  }
+  val skylineSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS date_days
+      |  FROM orders),
+      |w AS (
+      |  SELECT o_orderkey, price_cents, date_days,
+      |    coalesce(max(date_days) OVER (ORDER BY price_cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      AS runmax
+      |  FROM o)
+      |SELECT o_orderkey, price_cents, date_days
+      |FROM w WHERE date_days > runmax""".stripMargin
+
   // Association lift over the co-purchase pairs: raw pair counts rank
   // popular-with-popular; lift = P(ab)/(P(a)P(b)) normalizes away item
   // popularity and surfaces genuinely ASSOCIATED pairs. Exact integer
@@ -1926,6 +1974,7 @@ object Analytics {
     "q_equidepth" -> (equidepthQ _),
     "q_copurchase" -> (copurchaseQ _),
     "q_basket_lift" -> (basketLiftQ _),
+    "q_skyline" -> (skylineQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -1988,6 +2037,7 @@ object Analytics {
     "q_equidepth" -> equidepthSql,
     "q_copurchase" -> copurchaseSql,
     "q_basket_lift" -> basketLiftSql,
+    "q_skyline" -> skylineSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

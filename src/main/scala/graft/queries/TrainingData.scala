@@ -123,6 +123,75 @@ object TrainingData {
        |FROM f""".stripMargin
   }
 
+  // --------------------------------------------- exact rank-sum AUC
+  // The model-eval primitive: AUC of the quality-logit score as a
+  // detector of planted twins (truncated near-copies score differently
+  // through the length/stopword features), computed EXACTLY as the
+  // tie-corrected Mann-Whitney U in doubled-integer lanes — per
+  // distinct score s: 2U += n_pos(s) · (2·cum_neg_below(s) + n_neg(s)),
+  // then auc_bp = (10000 · 2U) div (2 · n_pos · n_neg). No float
+  // rank averaging: midranks ride as 2·midrank = 2·rank + ties − 1.
+  // Scale shape: one hash aggregate to the DISTINCT-score relation
+  // (bounded by the integer score domain, not the corpus), one window
+  // over that small relation, one final rollup.
+  def aucQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val logit = lit(-900000L) +
+      lit(60000L) * TextFns.wordSetCount(t, TextFns.EnWords) +
+      lit(9000L) * TextFns.tokenCount(t) -
+      lit(150000L) * TextFns.punctCount(t) +
+      lit(500L) * length(t).cast("long")
+    val scored = nearDupCorpus(spark, dir).select(
+      logit.as("score"), (col("doc_id") >= 1000000L).as("pos"))
+    val g = scored.groupBy(col("score")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+          .as("__u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("(10000 * __u2) div (2 * n_pos * n_neg)").as("auc_bp"))
+  }
+  val aucSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 11) FROM documents),
+       |f AS (
+       |  SELECT doc_id >= 1000000 AS pos,
+       |    -900000
+       |    + 60000*CAST(len(regexp_extract_all(lower(text), '$sw')) AS BIGINT)
+       |    + 9000*CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    - 150000*CAST(length(text) -
+       |        length(regexp_replace(text, '$punct', '', 'g')) AS BIGINT)
+       |    + 500*CAST(length(text) AS BIGINT) AS score
+       |  FROM corpus),
+       |g AS (
+       |  SELECT score,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+       |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+       |  FROM f GROUP BY 1),
+       |c AS (
+       |  SELECT np, nn,
+       |    coalesce(sum(nn) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_nn
+       |  FROM g),
+       |u AS (
+       |  SELECT sum(np * (2*cum_nn + nn)) AS u2,
+       |         sum(np) AS n_pos, sum(nn) AS n_neg
+       |  FROM c)
+       |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       |  CAST(n_neg AS BIGINT) AS n_neg,
+       |  CAST((10000 * u2) // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+       |FROM u""".stripMargin
+  }
+
   // ------------------------------------------------- per-source curation
   // The per-source (≈ per-domain) corpus report every curation pipeline
   // keeps: volume, size, language spread, and exact-dup rate by source —
@@ -7107,6 +7176,7 @@ object TrainingData {
     "x_asof_join" -> (asOfJoinQ _),
     "x_quality_filter" -> (qualityFilterQ _),
     "x_quality_logit" -> (qualityLogitQ _),
+    "x_auc" -> (aucQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
     "x_dup_quality" -> (dupQualityQ _),
@@ -7271,6 +7341,7 @@ object TrainingData {
     "x_asof_join" -> asOfJoinSql,
     "x_quality_filter" -> qualityFilterSql,
     "x_quality_logit" -> qualityLogitSql,
+    "x_auc" -> aucSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
     "x_dup_quality" -> dupQualitySql,

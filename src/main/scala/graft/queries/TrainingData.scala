@@ -192,6 +192,75 @@ object TrainingData {
        |FROM u""".stripMargin
   }
 
+  // ------------------------------------- precision/recall curve
+  // x_auc's operating-point companion: the twin-detector logit swept
+  // over five literal thresholds, with exact TP/FP/FN counts and
+  // basis-point precision/recall per threshold — the table that picks
+  // a deployment cutoff. One corpus pass: the 5-row threshold relation
+  // broadcast-crosses the scored rows and map-side combine collapses
+  // each task to ≤ 5 partial rows before the shuffle.
+  def prCurveQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val logit = lit(-900000L) +
+      lit(60000L) * TextFns.wordSetCount(t, TextFns.EnWords) +
+      lit(9000L) * TextFns.tokenCount(t) -
+      lit(150000L) * TextFns.punctCount(t) +
+      lit(500L) * length(t).cast("long")
+    val scored = nearDupCorpus(spark, dir).select(
+      logit.as("score"), (col("doc_id") >= 1000000L).as("pos"))
+    val th = spark.range(1).select(explode(array(
+      Seq(-500000L, 0L, 500000L, 1000000L, 2000000L).map(lit): _*))
+      .as("thresh"))
+    scored.crossJoin(broadcast(th))
+      .groupBy(col("thresh"))
+      .agg(
+        sum(when(col("pos") && col("score") > col("thresh"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(!col("pos") && col("score") > col("thresh"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("pos") && col("score") <= col("thresh"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("thresh"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, 0L)
+          .otherwise(expr("(10000 * tp) div (tp + fp)"))
+          .as("precision_bp"),
+        when(col("tp") + col("fn") === 0L, 0L)
+          .otherwise(expr("(10000 * tp) div (tp + fn)"))
+          .as("recall_bp"))
+  }
+  val prCurveSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 11) FROM documents),
+       |f AS (
+       |  SELECT doc_id >= 1000000 AS pos,
+       |    -900000
+       |    + 60000*CAST(len(regexp_extract_all(lower(text), '$sw')) AS BIGINT)
+       |    + 9000*CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    - 150000*CAST(length(text) -
+       |        length(regexp_replace(text, '$punct', '', 'g')) AS BIGINT)
+       |    + 500*CAST(length(text) AS BIGINT) AS score
+       |  FROM corpus),
+       |th AS (SELECT * FROM (VALUES (-500000), (0), (500000),
+       |         (1000000), (2000000)) t(thresh)),
+       |c AS (
+       |  SELECT CAST(thresh AS BIGINT) AS thresh,
+       |    sum(CASE WHEN pos AND score > thresh THEN 1 ELSE 0 END) AS tp,
+       |    sum(CASE WHEN NOT pos AND score > thresh THEN 1 ELSE 0 END) AS fp,
+       |    sum(CASE WHEN pos AND score <= thresh THEN 1 ELSE 0 END) AS fn
+       |  FROM f CROSS JOIN th GROUP BY 1)
+       |SELECT thresh, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CAST(CASE WHEN tp + fp = 0 THEN 0
+       |       ELSE (10000 * tp) // (tp + fp) END AS BIGINT) AS precision_bp,
+       |  CAST(CASE WHEN tp + fn = 0 THEN 0
+       |       ELSE (10000 * tp) // (tp + fn) END AS BIGINT) AS recall_bp
+       |FROM c""".stripMargin
+  }
+
   // ------------------------------------------------- per-source curation
   // The per-source (≈ per-domain) corpus report every curation pipeline
   // keeps: volume, size, language spread, and exact-dup rate by source —
@@ -7177,6 +7246,7 @@ object TrainingData {
     "x_quality_filter" -> (qualityFilterQ _),
     "x_quality_logit" -> (qualityLogitQ _),
     "x_auc" -> (aucQ _),
+    "x_pr_curve" -> (prCurveQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
     "x_dup_quality" -> (dupQualityQ _),
@@ -7342,6 +7412,7 @@ object TrainingData {
     "x_quality_filter" -> qualityFilterSql,
     "x_quality_logit" -> qualityLogitSql,
     "x_auc" -> aucSql,
+    "x_pr_curve" -> prCurveSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
     "x_dup_quality" -> dupQualitySql,

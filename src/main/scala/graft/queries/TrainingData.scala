@@ -5977,6 +5977,65 @@ object TrainingData {
        |      c -> (strpos('0123456789abcdef', substr(md5($e), CAST(c+1 AS INT), 1))-1)::BIGINT
        |           << (4*(7-c)))) AS BIGINT)""".stripMargin
 
+  // ------------------------------------------- Poisson bootstrap CI
+  // Distributed bootstrap the way it is actually run at scale (Poisson
+  // bootstrap — Chamandy et al., Google 2012): instead of resampling n
+  // rows WITH replacement (a global operation), each (row, replica)
+  // pair independently draws a Poisson(1) weight, here a deterministic
+  // pseudo-draw from the portable md5 hash so both engines sample
+  // identically (thresholds 368/736/920/981/996 per mille ≈ the
+  // Poisson(1) pmf). 32 replicas of the mean-doc-length statistic in
+  // integer ×100 lanes; the CI is an exact order statistic (4th / 29th
+  // of 32) over the replica relation. One corpus scan, map-side
+  // combine collapses the ×32 fan-out to ≤32 rows per task.
+  def bootstrapCiQ(spark: SparkSession, dir: String): DataFrame = {
+    val reps = spark.range(32).select(col("id").as("b"))
+    val h = TextFns.hash32(concat(col("doc_id").cast("string"),
+      lit("_"), col("b").cast("string"))) % 1000
+    val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+      .when(h < 981, 3L).when(h < 996, 4L).otherwise(5L)
+    val per = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(reps))
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("sx"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        when(col("sw") === 0L, 0L)
+          .otherwise(expr("(100 * sx) div sw")).as("m100"))
+    val wnd = Window.orderBy(col("m100"), col("b"))
+    per.withColumn("rk", row_number().over(wnd))
+      .agg(count(lit(1)).as("n_replicas"),
+        min(col("m100")).as("min_x100"),
+        max(when(col("rk") === 4, col("m100"))).as("lo_x100"),
+        max(when(col("rk") === 29, col("m100"))).as("hi_x100"),
+        max(col("m100")).as("max_x100"))
+  }
+  val bootstrapCiSql: String = {
+    val h = duckHash32("CAST(doc_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)")
+    s"""WITH reps AS (SELECT unnest(range(32)) AS b),
+       |wtd AS (
+       |  SELECT b, n_chars,
+       |    CASE WHEN hm < 368 THEN 0 WHEN hm < 736 THEN 1
+       |         WHEN hm < 920 THEN 2 WHEN hm < 981 THEN 3
+       |         WHEN hm < 996 THEN 4 ELSE 5 END AS w
+       |  FROM (SELECT d.n_chars, r.b, $h % 1000 AS hm
+       |        FROM documents d CROSS JOIN reps r) t),
+       |per AS (
+       |  SELECT b,
+       |    CASE WHEN sum(w) = 0 THEN 0
+       |         ELSE (100 * sum(w * n_chars)) // sum(w) END AS m100
+       |  FROM wtd GROUP BY 1),
+       |rk AS (
+       |  SELECT m100, row_number() OVER (ORDER BY m100, b) AS rk
+       |  FROM per)
+       |SELECT count(*) AS n_replicas,
+       |  CAST(min(m100) AS BIGINT) AS min_x100,
+       |  CAST(max(CASE WHEN rk = 4 THEN m100 END) AS BIGINT) AS lo_x100,
+       |  CAST(max(CASE WHEN rk = 29 THEN m100 END) AS BIGINT) AS hi_x100,
+       |  CAST(max(m100) AS BIGINT) AS max_x100
+       |FROM rk""".stripMargin
+  }
+
   // -------------------------------------------------------- repetition ratio
   // Gopher-style repetitious-document signal: fraction of repeated word
   // bigrams/trigrams inside each document.
@@ -7247,6 +7306,7 @@ object TrainingData {
     "x_quality_logit" -> (qualityLogitQ _),
     "x_auc" -> (aucQ _),
     "x_pr_curve" -> (prCurveQ _),
+    "x_bootstrap_ci" -> (bootstrapCiQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
     "x_dup_quality" -> (dupQualityQ _),
@@ -7413,6 +7473,7 @@ object TrainingData {
     "x_quality_logit" -> qualityLogitSql,
     "x_auc" -> aucSql,
     "x_pr_curve" -> prCurveSql,
+    "x_bootstrap_ci" -> bootstrapCiSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,
     "x_dup_quality" -> dupQualitySql,

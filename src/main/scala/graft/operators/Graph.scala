@@ -99,6 +99,54 @@ object Graph {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
 
+  /** Triangles created by an edge APPEND — the incremental-maintenance
+    * companion to [[triangles]]: only triples containing at least one
+    * genuinely-new edge are enumerated, so the cost scales with the
+    * delta's wedge count, never the historical graph's. Each new edge
+    * (a, b) wedge-closes through the COMBINED adjacency (a new edge can
+    * triangulate with old edges, new edges, or both); triples found via
+    * two or three of their new edges collapse in the final distinct.
+    * Returned as ordered (x < y < z) rows, disjoint from
+    * `triangles(old)` by construction.
+    */
+  def triangleDelta(oldEdges: DataFrame, newEdges: DataFrame,
+                    aCol: String, bCol: String): DataFrame = {
+    val eOld = canonicalEdges(oldEdges, aCol, bCol)
+    val dNew = canonicalEdges(newEdges, aCol, bCol)
+      .join(eOld, Seq("a", "b"), "left_anti")
+    val all = eOld.unionByName(dNew)
+    val adj = all.select(col("a").as("v"), col("b").as("n"))
+      .union(all.select(col("b").as("v"), col("a").as("n")))
+    val x = least(col("a"), col("b"), col("w"))
+    val z = greatest(col("a"), col("b"), col("w"))
+    dNew
+      .join(adj.select(col("v").as("a"), col("n").as("w")), "a")
+      .where(col("w") =!= col("b"))
+      .join(adj.select(col("v").as("b"), col("n").as("w")),
+        Seq("b", "w"), "left_semi")
+      .select(x.as("x"), (col("a") + col("b") + col("w") - x - z).as("y"),
+        z.as("z"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts maintained under edge append: the stored
+    * counts (from the last build) folded with [[triangleDelta]]'s
+    * participation counts — O(delta wedges + |counts|), the historical
+    * edge set is touched only as the adjacency probe side. Equals
+    * `triangleCounts(old ∪ new)` exactly (spec-asserted). */
+  def triangleCountsIncremental(countsOld: DataFrame,
+                                oldEdges: DataFrame, newEdges: DataFrame,
+                                aCol: String, bCol: String): DataFrame = {
+    val delta = triangleDelta(oldEdges, newEdges, aCol, bCol)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    countsOld.select(col("node"), col("n_tri"))
+      .join(delta, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("n_tri"), lit(0L)) + coalesce(col("__d"), lit(0L)))
+          .as("n_tri"))
+  }
+
   /** Common-neighbor link prediction with an INTEGER resource-allocation
     * score — "which documents are probably near-dups even though no
     * band ever bucketed them together" over the similarity graph, and

@@ -1327,6 +1327,51 @@ object TrainingData {
        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
        |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
 
+  // ----------------------------------- incremental triangle counts
+  // The incremental-maintenance story extended to graph analytics:
+  // stored per-node triangle counts folded with ONLY the triangles the
+  // appended bridge edges create (Graph.triangleDelta — cost scales
+  // with the delta's wedges, the historical graph is probe-side only).
+  // Oracle computes from scratch over the combined edge set; the
+  // incremental path must match it exactly.
+  def trianglesIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val oldPairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    // two new edges per anchor: k—(k+1) and k—(k+1's twin); where the
+    // old twin edge (k+1)—(k+1000001) exists, the append closes a
+    // triangle with TWO new sides — exercising the delta dedup
+    val anchors = docs(spark, dir).where(col("doc_id") % 10 === 0)
+    val bridges = anchors
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+      .union(anchors.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000001L).as("doc_b")))
+    graft.operators.Graph.triangleCountsIncremental(
+      graft.operators.Graph.triangleCounts(oldPairs, "doc_a", "doc_b"),
+      oldPairs, bridges, "doc_a", "doc_b")
+  }
+  val trianglesIncrSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |mp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM mp
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1000001 FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM pairs),
+       |t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |n AS (SELECT unnest([x, y, z]) AS node FROM t)
+       |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ source modularity
   // Graph.modularityReport over the same signature-table pair feed as
   // x_triangles, under the SOURCE partition: how much of the near-dup
@@ -7349,6 +7394,7 @@ object TrainingData {
     "x_shard_export" -> (shardExportQ _),
     "x_knn_graph" -> (knnGraphQ _),
     "x_triangles" -> (trianglesQ _),
+    "x_triangles_incr" -> (trianglesIncrQ _),
     "x_modularity" -> (modularityQ _),
     "x_degree_dist" -> (degreeDistQ _),
     "x_link_predict" -> (linkPredictQ _),
@@ -7520,6 +7566,7 @@ object TrainingData {
     "x_shard_export" -> shardExportSql,
     "x_knn_graph" -> knnGraphSql,
     "x_triangles" -> trianglesSql,
+    "x_triangles_incr" -> trianglesIncrSql,
     "x_modularity" -> modularitySql,
     "x_degree_dist" -> degreeDistSql,
     "x_link_predict" -> linkPredictSql,

@@ -35,6 +35,37 @@ class GraphSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("triangleCountsIncremental equals from-scratch counts on the " +
+       "combined graph (multi-new-edge triangles deduped)") {
+    // old: square 1-2-3-4-1; new: both diagonals — every triangle of K4
+    // contains >= 1 new edge, and each contains exactly one diagonal
+    val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val nw = Seq((1L, 3L), (2L, 4L)).toDF("a", "b")
+    val incr = Graph.triangleCountsIncremental(
+      Graph.triangleCounts(old, "a", "b"), old, nw, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Graph.triangleCounts(old.unionByName(nw), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == scratch && incr == Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 3L))
+  }
+
+  test("triangleCountsIncremental on a random split matches from-scratch") {
+    val all = (for {
+      i <- 0L until 15L; j <- (i + 1) until 15L
+      if (i + j) % 4 != 0
+    } yield (i, j)).toDF("a", "b")
+    val old = all.where(($"a" * 31 + $"b") % 3 =!= 0)
+    val nw = all.where(($"a" * 31 + $"b") % 3 === 0)
+    val incr = Graph.triangleCountsIncremental(
+      Graph.triangleCounts(old, "a", "b"), old, nw, "a", "b")
+      .where($"n_tri" > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Graph.triangleCounts(all, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == scratch && scratch.nonEmpty)
+  }
+
   test("personalizedPageRank on a path decays with distance from the seed") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val seeds = Seq(Tuple1(1L)).toDF("doc_id")

@@ -467,6 +467,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"open/close selection joined back:\n$p")
   }
 
+  test("skyline: the row-level running-max window is bucket-partitioned " +
+    "and the cross-bucket prefix joins as a broadcast") {
+    val p = plan(graft.queries.Analytics.skylineQ(spark, sf0001))
+    assert(p.contains("Exchange hashpartitioning(bucket"),
+      s"row-level window not partitioned by the price bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"),
+      s"bucket prefix maxima not broadcast:\n$p")
+  }
+
   test("noveltyReport scans and tokenizes the corpus exactly ONCE " +
     "(window attribution, not a join back onto the fan-out)") {
     val p = plan(graft.queries.TrainingData.noveltyQ(spark, sf0001))

@@ -31,4 +31,27 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"),
         sums.map(c => sum(col(c)).as(c)): _*)
+
+  /** Incremental JOIN-view maintenance under append (the textbook
+    * delta-join decomposition): with the stored view V = L ⋈ R and
+    * append-only deltas ΔL, ΔR,
+    *
+    *   V' = V ∪ (ΔL ⋈ R) ∪ (L ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+    *
+    * — the refresh joins each delta against the OTHER side's history
+    * plus the cross-delta term, so per-batch cost is O(Δ ⋈ history)
+    * partitioned on the join keys, never history ⋈ history. At 100 TB
+    * the history sides are bucketed on the keys at ingest (see
+    * sources.Sinks bucketed layout), making each delta join
+    * shuffle-one-side. Returns the appended-rows delta ONLY (the
+    * caller appends it to the stored view table, mirroring how
+    * [[merge]] returns the new snapshot): deletes/updates are out of
+    * scope — pair with EtlOps.applyChangelog for CDC inputs.
+    */
+  def joinViewDelta(leftOld: DataFrame, deltaLeft: DataFrame,
+                    rightOld: DataFrame, deltaRight: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    deltaLeft.join(rightOld, keys)
+      .unionByName(leftOld.join(deltaRight, keys))
+      .unionByName(deltaLeft.join(deltaRight, keys))
 }

@@ -1128,6 +1128,33 @@ object Parity {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------- incremental join view
+  // IncrementalAgg.joinViewDelta gated end to end: the stored
+  // orders ⋈ customer view plus the delta-join decomposition
+  // V ∪ (ΔL ⋈ R) ∪ (L ⋈ ΔR) ∪ (ΔL ⋈ ΔR) under appends on BOTH sides
+  // (orders by orderkey residue, customers by custkey residue) must
+  // equal the from-scratch join over the full tables — the oracle.
+  // Per-refresh cost is Δ-proportional; history never joins history.
+  def joinViewIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_nationkey"))
+    val (oOld, oNew) = (o.where(col("o_orderkey") % 5 =!= 0),
+      o.where(col("o_orderkey") % 5 === 0))
+    val (cOld, cNew) = (c.where(col("custkey") % 7 =!= 0),
+      c.where(col("custkey") % 7 === 0))
+    val vOld = oOld.join(cOld, Seq("custkey"))
+    vOld.unionByName(graft.ops.IncrementalAgg.joinViewDelta(
+      oOld, oNew, cOld, cNew, Seq("custkey")))
+  }
+  val joinViewIncrSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |  c_nationkey
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   // ------------------------------------------------- bucketed join
   // Write-time co-location gated end to end: orders and customer are
   // written as catalog tables bucketed on the customer key, then joined
@@ -1258,6 +1285,7 @@ object Parity {
     "p_quality_checks" -> (qualityChecksQ _),
     "p_snapshot_diff" -> (snapshotDiffQ _),
     "p_incremental_agg" -> (incrementalAggQ _),
+    "p_join_view_incr" -> (joinViewIncrQ _),
     "p_bucketed_join" -> (bucketedJoinQ _),
     "p_stream_incr_agg" -> (streamIncrAggQ _))
 
@@ -1296,6 +1324,7 @@ object Parity {
     "p_quality_checks" -> qualityChecksSql,
     "p_snapshot_diff" -> snapshotDiffSql,
     "p_incremental_agg" -> incrementalAggSql,
+    "p_join_view_incr" -> joinViewIncrSql,
     "p_bucketed_join" -> bucketedJoinSql,
     "p_stream_incr_agg" -> streamIncrAggSql)
 }

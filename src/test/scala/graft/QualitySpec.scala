@@ -45,6 +45,22 @@ class QualitySpec extends SparkSpec {
       s"expected exactly one scan:\n$plan")
   }
 
+  test("IncrementalAgg.joinViewDelta: view + delta equals the " +
+       "from-scratch join under appends on both sides") {
+    import spark.implicits._
+    val l = (0L until 60L).map(i => (i % 9, i)).toDF("k", "lv")
+    val r = (0L until 25L).map(i => (i % 9, i * 100)).toDF("k", "rv")
+    val (lOld, lNew) = (l.where($"lv" % 4 =!= 0), l.where($"lv" % 4 === 0))
+    val (rOld, rNew) = (r.where($"rv" % 3 =!= 0), r.where($"rv" % 3 === 0))
+    val vOld = lOld.join(rOld, Seq("k"))
+    val maintained = vOld.unionByName(
+      IncrementalAgg.joinViewDelta(lOld, lNew, rOld, rNew, Seq("k")))
+    val scratch = l.join(r, Seq("k"))
+    assert(maintained.exceptAll(scratch).count() === 0L)
+    assert(scratch.exceptAll(maintained).count() === 0L)
+    assert(scratch.count() > vOld.count(), "deltas added no rows")
+  }
+
   test("IncrementalAgg.merge equals full re-aggregation") {
     val ev = Tables.load(spark, sf0001, "events").select(
       col("user_id"), col("ts"),

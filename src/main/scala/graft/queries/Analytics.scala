@@ -1052,6 +1052,57 @@ object Analytics {
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b")))
         .cast("long"))
   }
+  // Interval concurrency (sweep line): treat each event as a 10-minute
+  // active window and report, per event_type, the PEAK number of
+  // simultaneously-active windows and when it first occurs — the
+  // load-profile / capacity question. Classic sweep: explode each
+  // interval into a +1 start and a −1 end point, running-sum over the
+  // (time, delta, id) total order WITHIN each type partition, then one
+  // aggregate with the deterministic first-peak selection. Ends sort
+  // before starts at the same instant (delta asc) so touching
+  // intervals don't double-count. All integer micro-lanes.
+  def concurrencyQ(spark: SparkSession, dir: String): DataFrame = {
+    val win = 600000000L // 10 min in micros
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+    val pts = ev.select(col("event_type"), col("ts_us").as("t"),
+        lit(1L).as("d"), col("event_id"))
+      .unionByName(ev.select(col("event_type"),
+        (col("ts_us") + win).as("t"), lit(-1L).as("d"), col("event_id")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("d"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = pts.withColumn("c", sum(col("d")).over(w))
+    run.groupBy(col("event_type"))
+      .agg(max(col("c")).as("peak"))
+      .join(run, Seq("event_type"))
+      .where(col("c") === col("peak"))
+      .groupBy(col("event_type"), col("peak"))
+      .agg(min(col("t")).as("first_peak_us"))
+  }
+  val concurrencySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, ts_us AS t, 1 AS d, event_id FROM ev
+      |  UNION ALL
+      |  SELECT event_type, ts_us + 600000000, -1, event_id FROM ev),
+      |run AS (
+      |  SELECT event_type, t,
+      |    sum(d) OVER (PARTITION BY event_type
+      |                 ORDER BY t, d, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS c
+      |  FROM pts),
+      |pk AS (SELECT event_type, max(c) AS peak FROM run GROUP BY 1)
+      |SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
+      |  CAST(min(r.t) AS BIGINT) AS first_peak_us
+      |FROM run r JOIN pk p
+      |  ON r.event_type = p.event_type AND r.c = p.peak
+      |GROUP BY 1, 2""".stripMargin
+
   // 2-D skyline (Pareto frontier): orders no other order strictly
   // undercuts AND outdates — minimize price, maximize recency, strict
   // price dominance. The textbook formulation is one GLOBAL running-max
@@ -1975,6 +2026,7 @@ object Analytics {
     "q_copurchase" -> (copurchaseQ _),
     "q_basket_lift" -> (basketLiftQ _),
     "q_skyline" -> (skylineQ _),
+    "q_concurrency" -> (concurrencyQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -2038,6 +2090,7 @@ object Analytics {
     "q_copurchase" -> copurchaseSql,
     "q_basket_lift" -> basketLiftSql,
     "q_skyline" -> skylineSql,
+    "q_concurrency" -> concurrencySql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

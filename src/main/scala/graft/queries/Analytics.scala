@@ -1074,9 +1074,10 @@ object Analytics {
       .orderBy(col("t"), col("d"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = pts.withColumn("c", sum(col("d")).over(w))
-    run.groupBy(col("event_type"))
-      .agg(max(col("c")).as("peak"))
-      .join(run, Seq("event_type"))
+    // peak via a second window over the SAME partitioning (no re-scan,
+    // no self-join: one exchange feeds both window passes)
+    val wAll = Window.partitionBy(col("event_type"))
+    run.withColumn("peak", max(col("c")).over(wAll))
       .where(col("c") === col("peak"))
       .groupBy(col("event_type"), col("peak"))
       .agg(min(col("t")).as("first_peak_us"))

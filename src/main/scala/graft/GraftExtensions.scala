@@ -27,7 +27,8 @@ import graft.functions.native._
   * harness), and both paths install the exact same builders.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RegexPrefixPruning)
     GraftExtensions.functions.foreach { case (name, doc, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -37,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           doc, ""),
         builder))
     }
+  }
 }
 
 object GraftExtensions {

@@ -34,6 +34,13 @@ object Tables {
     // Native expressions ride along on every load so each query path
     // (driver sessions included) can resolve them. Idempotent.
     graft.functions.native.NativeFns.register(spark)
+    // Likewise the sargable-regex optimizer rule (itself idempotent,
+    // but don't stack registrations on repeated loads)
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RegexPrefixPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RegexPrefixPruning
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name != "events") raw
     else raw.schema.fields.collect {

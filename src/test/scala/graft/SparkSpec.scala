@@ -13,6 +13,8 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.functions.native.NativeFns.register(s)
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.RegexPrefixPruning
     s
   }
 

@@ -1128,6 +1128,25 @@ object Parity {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------- sargable rowkey-prefix scan
+  // The S3/P9 keyed-scan pattern on its SCALE path: an ^-anchored
+  // rowkey regex over a stored key column, which the
+  // RegexPrefixPruning optimizer rule augments with the implied
+  // [src1, src2) range — pushed to parquet min/max pruning (asserted
+  // in RegexPrefixPruningSpec) while the regex stays for exactness.
+  // Contrast p_keyed_snapshot_scan, whose deliberately unanchored
+  // `.*`-style regex the conservative rule leaves untouched.
+  def rowkeyPrefixScanQ(spark: SparkSession, dir: String): DataFrame =
+    EtlOps.keyedSnapshotScan(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars")),
+      "source", "^src1[0-9]$")
+  val rowkeyPrefixScanSql: String =
+    """SELECT doc_id, source, lang, n_chars
+      |FROM documents
+      |WHERE regexp_matches(source, '^src1[0-9]$')""".stripMargin
+
   // ------------------------------------------- incremental join view
   // IncrementalAgg.joinViewDelta gated end to end: the stored
   // orders ⋈ customer view plus the delta-join decomposition
@@ -1286,6 +1305,7 @@ object Parity {
     "p_snapshot_diff" -> (snapshotDiffQ _),
     "p_incremental_agg" -> (incrementalAggQ _),
     "p_join_view_incr" -> (joinViewIncrQ _),
+    "p_rowkey_prefix_scan" -> (rowkeyPrefixScanQ _),
     "p_bucketed_join" -> (bucketedJoinQ _),
     "p_stream_incr_agg" -> (streamIncrAggQ _))
 
@@ -1325,6 +1345,7 @@ object Parity {
     "p_snapshot_diff" -> snapshotDiffSql,
     "p_incremental_agg" -> incrementalAggSql,
     "p_join_view_incr" -> joinViewIncrSql,
+    "p_rowkey_prefix_scan" -> rowkeyPrefixScanSql,
     "p_bucketed_join" -> bucketedJoinSql,
     "p_stream_incr_agg" -> streamIncrAggSql)
 }

@@ -76,6 +76,14 @@ class RegexPrefixPruningSpec extends SparkSpec {
     assert(once.toString.contains(">= a"), s"range missing:\n$once")
   }
 
+  test("the gated prefix-scan query pushes its range to the scan") {
+    val scan = graft.queries.Parity.queries("p_rowkey_prefix_scan")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(source,src1)") &&
+      scan.contains("LessThan(source,src2)"),
+      s"range not pushed for the gated query:\n$scan")
+  }
+
   test("unanchored or computed-column regexes are left untouched " +
        "(the reference's .*-style rowkey scan keeps its exact plan)") {
     val p = graft.queries.Parity.queries("p_keyed_snapshot_scan")(

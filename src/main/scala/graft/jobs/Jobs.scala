@@ -416,6 +416,21 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/doc_similar_pairs")
   }
 
+  /** Keyed-scan scale path composed end to end: documents land
+    * range-clustered on the key column (tight per-file min/max), then
+    * the ^-anchored rowkey-regex read — which RegexPrefixPruning makes
+    * sargable — scans back ONLY the matching key range's files. The
+    * 100 TB shape of the reference's S3/P9 HBase snapshot filter. */
+  private def scanRowkeysJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val p = s"$outDir/docs_by_source"
+    graft.sources.ClusteredWrite.writeClustered(
+      Tables.load(spark, sfDir, "documents"), p, Seq("source"), 8)
+    EtlOps.keyedSnapshotScan(spark.read.parquet(p), "source",
+        "^src1[0-9]$")
+      .write.mode("overwrite").parquet(s"$outDir/docs_src1x")
+  }
+
   /** Eval-integrity audit: the three leakage lenses over ONE signature
     * pass — direct 8-gram contamination against the benchmark set,
     * near-dup pairs touching a benchmark doc, and transitive seed
@@ -675,6 +690,7 @@ object Jobs {
     "sketch_grams" -> (sketchGramsJob _),
     "sketch_users" -> (sketchUsersJob _),
     "audit_leakage" -> (auditLeakageJob _),
+    "scan_rowkeys" -> (scanRowkeysJob _),
     "community_docs" -> (communityDocsJob _),
     "build_ann_index" -> (buildAnnIndexJob _),
     "release_customers" -> (releaseCustomersJob _),

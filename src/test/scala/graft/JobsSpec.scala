@@ -23,8 +23,8 @@ class JobsSpec extends SparkSpec {
     // it); index_lineitem and bloom_orders emit three each (layout,
     // its index table, the pruned read); govern_corpus emits five
     // release tables; audit_privacy emits four; clean_lines,
-    // sketch_users and audit_leakage two each
-    assert(dirs.size == Jobs.all.size + 28,
+    // sketch_users, audit_leakage and scan_rowkeys two each
+    assert(dirs.size == Jobs.all.size + 29,
       s"expected ${Jobs.all.size + 26} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>

@@ -84,6 +84,36 @@ class RegexPrefixPruningSpec extends SparkSpec {
       s"range not pushed for the gated query:\n$scan")
   }
 
+  test("property: the implied range NEVER excludes a regex match " +
+       "(random anchored patterns x random subjects, fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alpha = Gen.alphaNumChar
+    val patGen = for {
+      pre <- Gen.nonEmptyListOf(alpha).map(_.take(6).mkString)
+      tail <- Gen.oneOf("", ".*", "[0-9]+", "\\d*", "x?y", "a+",
+        "b{2,3}", ".*z$")
+    } yield (pre, s"^$pre$tail")
+    val subjGen = Gen.listOfN(12, alpha).map(_.mkString)
+    (0 until 200).foreach { i =>
+      val (pre, pat) = patGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val subjects = (0 until 30).map(j =>
+        subjGen.pureApply(Gen.Parameters.default, Seed(900L + i * 31 + j))) ++
+        Seq(pre, pre + "0", pre + "zzz") // guaranteed prefix hits
+      RegexPrefixPruning.literalPrefix(pat).foreach { p =>
+        val ub = RegexPrefixPruning.upperBound(p)
+        subjects.foreach { s =>
+          if (java.util.regex.Pattern.compile(pat).matcher(s).find()) {
+            // UTF8 byte order == String order for these ASCII subjects
+            assert(s >= p, s"pattern $pat prefix $p excluded match $s (lo)")
+            ub.foreach(u =>
+              assert(s < u, s"pattern $pat bound $u excluded match $s (hi)"))
+          }
+        }
+      }
+    }
+  }
+
   test("unanchored or computed-column regexes are left untouched " +
        "(the reference's .*-style rowkey scan keeps its exact plan)") {
     val p = graft.queries.Parity.queries("p_keyed_snapshot_scan")(

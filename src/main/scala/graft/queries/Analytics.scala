@@ -1052,6 +1052,49 @@ object Analytics {
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b")))
         .cast("long"))
   }
+  // Exact weighted median: the quantity-weighted median extended price
+  // per return flag — the robust "typical shipment price" where each
+  // row counts with its quantity, computed as an exact cumulative-
+  // weight selection (lowest price whose running weight reaches half
+  // the total — the standard lower weighted median), not an
+  // interpolation. All lanes integer: prices in cents, quantities and
+  // cumulative weights in BIGINT, the half-total comparison doubled to
+  // avoid division. One partitioned window + one aggregate.
+  def weightedMedianQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    li.withColumn("cum", sum(col("qty")).over(w))
+      .withColumn("tw", sum(col("qty")).over(tot))
+      .where(col("cum") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("tw")).as("total_qty"))
+  }
+  val weightedMedianSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(round(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT l_returnflag, cents,
+      |    sum(qty) OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents, qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(qty) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM li)
+      |SELECT l_returnflag,
+      |  CAST(min(cents) AS BIGINT) AS wmedian_cents,
+      |  CAST(max(tw) AS BIGINT) AS total_qty
+      |FROM c WHERE cum * 2 >= tw
+      |GROUP BY 1""".stripMargin
+
   // Interval concurrency (sweep line): treat each event as a 10-minute
   // active window and report, per event_type, the PEAK number of
   // simultaneously-active windows and when it first occurs — the
@@ -2028,6 +2071,7 @@ object Analytics {
     "q_basket_lift" -> (basketLiftQ _),
     "q_skyline" -> (skylineQ _),
     "q_concurrency" -> (concurrencyQ _),
+    "q_weighted_median" -> (weightedMedianQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -2092,6 +2136,7 @@ object Analytics {
     "q_basket_lift" -> basketLiftSql,
     "q_skyline" -> skylineSql,
     "q_concurrency" -> concurrencySql,
+    "q_weighted_median" -> weightedMedianSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

@@ -261,6 +261,83 @@ object TrainingData {
        |FROM c""".stripMargin
   }
 
+  // ------------------------------------------- cumulative gains table
+  // The third eval-metric surface (with x_auc and x_pr_curve): rank by
+  // the detector score descending, cut the corpus into ten
+  // cumulative-fraction buckets, and report how much of the positive
+  // class each prefix captures — the gains/lift table that tells you
+  // "screening the top 20% catches X% of twins". Same scale shape as
+  // x_auc: one hash aggregate to the DISTINCT-score relation, windows
+  // over that bounded relation only, exact integer basis points.
+  // A score group lands wholly in the bucket of its LAST row, so both
+  // engines bucket ties identically; buckets a giant group skips are
+  // simply absent.
+  def gainsCurveQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val logit = lit(-900000L) +
+      lit(60000L) * TextFns.wordSetCount(t, TextFns.EnWords) +
+      lit(9000L) * TextFns.tokenCount(t) -
+      lit(150000L) * TextFns.punctCount(t) +
+      lit(500L) * length(t).cast("long")
+    val scored = nearDupCorpus(spark, dir).select(
+      logit.as("score"), (col("doc_id") >= 1000000L).as("pos"))
+    val g = scored.groupBy(col("score")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("nr"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    g.withColumn("cum_rows", sum(col("nr")).over(w))
+      .withColumn("cum_pos", sum(col("np")).over(w))
+      .withColumn("tot_rows", sum(col("nr")).over(wAll))
+      .withColumn("tot_pos", sum(col("np")).over(wAll))
+      .withColumn("bucket",
+        expr("((cum_rows - 1) * 10) div tot_rows") + 1L)
+      .groupBy(col("bucket"))
+      .agg(sum(col("nr")).as("n_rows"),
+        max(col("cum_pos")).as("cum_pos"),
+        expr("(10000 * max(cum_pos)) div max(tot_pos)")
+          .as("capture_bp"))
+  }
+  val gainsCurveSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 11) FROM documents),
+       |f AS (
+       |  SELECT doc_id >= 1000000 AS pos,
+       |    -900000
+       |    + 60000*CAST(len(regexp_extract_all(lower(text), '$sw')) AS BIGINT)
+       |    + 9000*CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    - 150000*CAST(length(text) -
+       |        length(regexp_replace(text, '$punct', '', 'g')) AS BIGINT)
+       |    + 500*CAST(length(text) AS BIGINT) AS score
+       |  FROM corpus),
+       |g AS (
+       |  SELECT score,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+       |    count(*) AS nr
+       |  FROM f GROUP BY 1),
+       |c AS (
+       |  SELECT np, nr,
+       |    sum(nr) OVER wd AS cum_rows,
+       |    sum(np) OVER wd AS cum_pos,
+       |    sum(nr) OVER () AS tot_rows,
+       |    sum(np) OVER () AS tot_pos
+       |  FROM g
+       |  WINDOW wd AS (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT CAST(((cum_rows - 1) * 10) // tot_rows + 1 AS BIGINT)
+       |    AS bucket,
+       |  CAST(sum(nr) AS BIGINT) AS n_rows,
+       |  CAST(max(cum_pos) AS BIGINT) AS cum_pos,
+       |  CAST((10000 * max(cum_pos)) // max(tot_pos) AS BIGINT)
+       |    AS capture_bp
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------- per-source curation
   // The per-source (≈ per-domain) corpus report every curation pipeline
   // keeps: volume, size, language spread, and exact-dup rate by source —
@@ -7351,6 +7428,7 @@ object TrainingData {
     "x_quality_logit" -> (qualityLogitQ _),
     "x_auc" -> (aucQ _),
     "x_pr_curve" -> (prCurveQ _),
+    "x_gains_curve" -> (gainsCurveQ _),
     "x_bootstrap_ci" -> (bootstrapCiQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
@@ -7519,6 +7597,7 @@ object TrainingData {
     "x_quality_logit" -> qualityLogitSql,
     "x_auc" -> aucSql,
     "x_pr_curve" -> prCurveSql,
+    "x_gains_curve" -> gainsCurveSql,
     "x_bootstrap_ci" -> bootstrapCiSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,

@@ -7377,7 +7377,33 @@ object TrainingData {
       |         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
       |FROM batch b LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 
+  // ----------------------------------------- line-dedup ROI by source
+  // The budget case for running first-wins line dedup at all: per
+  // source, how many lines survive vs drop corpus-wide (chrome-heavy
+  // sources drop more), in exact integer basis points. Pure
+  // composition — the x_line_dedup result rolled up against the
+  // source dimension; the oracle wraps the same CTE chain.
+  def lineDedupRoiQ(spark: SparkSession, dir: String): DataFrame =
+    lineDedupQ(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_kept")).as("kept_lines"),
+        sum(col("n_dropped")).as("dropped_lines"),
+        expr("(10000 * sum(n_dropped)) div " +
+          "(sum(n_kept) + sum(n_dropped))").as("drop_bp"))
+  val lineDedupRoiSql: String =
+    s"""SELECT d.source,
+       |  CAST(sum(t.n_kept) AS BIGINT) AS kept_lines,
+       |  CAST(sum(t.n_dropped) AS BIGINT) AS dropped_lines,
+       |  CAST((10000 * sum(t.n_dropped))
+       |       // (sum(t.n_kept) + sum(t.n_dropped)) AS BIGINT) AS drop_bp
+       |FROM ($lineDedupSql) t
+       |JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_line_dedup_roi" -> (lineDedupRoiQ _),
     "x_line_dedup_incr" -> (lineDedupIncrQ _),
     "x_kfold" -> (kfoldQ _),
     "x_source_gini" -> (sourceGiniQ _),
@@ -7707,6 +7733,7 @@ object TrainingData {
     "x_c4_clean" -> c4CleanSql,
     "x_line_dedup" -> lineDedupSql,
     "x_line_dedup_incr" -> lineDedupIncrSql,
+    "x_line_dedup_roi" -> lineDedupRoiSql,
     "x_kfold" -> kfoldSql,
     "x_source_gini" -> sourceGiniSql,
     "x_semdedup" -> semdedupSql,

@@ -261,6 +261,54 @@ object TrainingData {
        |FROM c""".stripMargin
   }
 
+  // ------------------------------------------- calibration/reliability
+  // The fourth eval surface: does a HIGHER detector score actually mean
+  // a HIGHER twin probability? Scores bucket into fixed-width
+  // micro-logit bins (score div 2e5 — value-domain bins, row-local, no
+  // ranking pass at all) and each bin reports its observed positive
+  // rate in exact basis points. Monotone-increasing rates = a
+  // calibratable score; one hash aggregate, the cheapest plan in the
+  // eval family.
+  def calibrationBinsQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val logit = lit(-900000L) +
+      lit(60000L) * TextFns.wordSetCount(t, TextFns.EnWords) +
+      lit(9000L) * TextFns.tokenCount(t) -
+      lit(150000L) * TextFns.punctCount(t) +
+      lit(500L) * length(t).cast("long")
+    nearDupCorpus(spark, dir)
+      .select(logit.as("score"), (col("doc_id") >= 1000000L).as("pos"))
+      // +1e9 shift keeps the dividend positive: truncating (Spark div)
+      // and flooring (DuckDB //) division only agree on non-negatives
+      .groupBy(expr("(score + 1000000000) div 200000").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_bp", expr("(10000 * n_pos) div n"))
+  }
+  val calibrationBinsSql: String = {
+    val punct = TextFns.PunctClass.replace("'", "''")
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 11) FROM documents),
+       |f AS (
+       |  SELECT doc_id >= 1000000 AS pos,
+       |    -900000
+       |    + 60000*CAST(len(regexp_extract_all(lower(text), '$sw')) AS BIGINT)
+       |    + 9000*CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    - 150000*CAST(length(text) -
+       |        length(regexp_replace(text, '$punct', '', 'g')) AS BIGINT)
+       |    + 500*CAST(length(text) AS BIGINT) AS score
+       |  FROM corpus)
+       |SELECT (score + 1000000000) // 200000 AS bin,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST((10000 * sum(CASE WHEN pos THEN 1 ELSE 0 END)) // count(*)
+       |       AS BIGINT) AS pos_rate_bp
+       |FROM f GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------- cumulative gains table
   // The third eval-metric surface (with x_auc and x_pr_curve): rank by
   // the detector score descending, cut the corpus into ten
@@ -7455,6 +7503,7 @@ object TrainingData {
     "x_auc" -> (aucQ _),
     "x_pr_curve" -> (prCurveQ _),
     "x_gains_curve" -> (gainsCurveQ _),
+    "x_calibration_bins" -> (calibrationBinsQ _),
     "x_bootstrap_ci" -> (bootstrapCiQ _),
     "x_dedup_clusters" -> (dedupClustersQ _),
     "x_dedup_report" -> (dedupReportQ _),
@@ -7624,6 +7673,7 @@ object TrainingData {
     "x_auc" -> aucSql,
     "x_pr_curve" -> prCurveSql,
     "x_gains_curve" -> gainsCurveSql,
+    "x_calibration_bins" -> calibrationBinsSql,
     "x_bootstrap_ci" -> bootstrapCiSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_report" -> dedupReportSql,

@@ -25,6 +25,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+    // C2-compile the heavy shared expression machinery BEFORE timing.
+    // The recorded bimodality (x_dedup_drop 2.75-10.4 s, x_semdedup
+    // 1.1-17.5 s, x_novelty ~8 s first-run — BASELINE.md) is JIT, not
+    // plan: the first query to touch a family pays interpreter-mode
+    // loops while C2 compiles in the background. One ~0.5 s pass per
+    // family (shingle/minhash HOF kernels, dot-product/zip_with HOFs,
+    // zlib deflate via the native expression, regex tokenization)
+    // front-loads that cost into the untimed prefix. Families, not
+    // query plans: whole-stage codegen emits fresh classes per plan,
+    // but the hot inner machinery (UTF8String ops, ArrayData access,
+    // HOF lambda eval, Deflater JNI) is shared and compiles once.
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.functions.native.NativeFns.register(spark)
+      val warm = spark.range(4000).selectExpr(
+        "id",
+        "repeat(concat('warm token ', cast(id as string), ' '), 24) AS text",
+        "transform(sequence(0, 63), i -> cast(pmod(id * (i + 1), 997) AS double) / 997.0) AS emb")
+      import graft.functions.native.NativeFns
+      warm.select(
+          // shingle → minhash → simhash family (native expressions)
+          size(NativeFns.minhashSig(
+            NativeFns.shingleHashes(col("text"), 5))).as("sig"),
+          NativeFns.simhashNative(col("text")).as("sh"),
+          // dot-product family: native codegen'd + HOF form
+          NativeFns.dotNative(col("emb"), col("emb")).as("d1"),
+          aggregate(zip_with(col("emb"), col("emb"), (x, y) => x * y),
+            lit(0.0d), (acc, x) => acc + x).as("d2"),
+          // zlib deflate family (thread-local Deflater init per core)
+          NativeFns.deflateRatio(col("text")).as("z"),
+          // regex tokenization / text-stats family
+          size(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("t"))
+        .agg(count(lit(1))).collect()
+      ()
+    }
     // process-CPU clock: lets a reader separate "query got slower"
     // (cpu grows with wall) from "machine was contended" (wall grows,
     // cpu doesn't — the round-2 bench artifact, see BASELINE.md)
@@ -98,6 +133,19 @@ object Bench {
          |"queries":${jmap(_._2)},
          |"queries_cpu_sec":${jmap(_._3)}}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
+    // Append the same artifact as one line of run HISTORY: BANDS.json
+    // (tools/make_bands.py) is computed over the last N same-code runs,
+    // and the driver/judge adjudicate contention-vs-regression against
+    // those bands instead of prose precedents. Only full (unfiltered)
+    // runs are comparable across invocations, so filtered local runs
+    // stay out of the history.
+    if (only.isEmpty) {
+      val line = full.replace("\n", "") + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_RUNS.jsonl"), line.getBytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     println(s"""{"metric":"total","value":$totalR,"unit":"sec",""" +
       s""""n_queries":${results.size},"sf":"$sfDir",""" +
       s""""detail_file":"$fullPath"}""")

@@ -264,6 +264,78 @@ object Multimodal {
         "frames")
   }
 
+  /** Pluggable compressed-codec seam — the extension point the codec
+    * trichotomy documents: formats the JDK ships no decoder for
+    * (MP3/AAC/H.264/WebP/HEIC) plug in HERE as a per-partition-
+    * initialized decoder, and nothing else about the pipeline changes
+    * (schema, no-shuffle mapPartitions shape, quarantine contract).
+    * [[open]] runs ONCE PER PARTITION — the place a real codec creates
+    * its heavy native state (JNI handles, an ffmpeg AVCodecContext,
+    * dictionary tables), exactly where `MessageDigest.getInstance`
+    * sits in the built-in path — and the function it returns is
+    * row-local. The library deliberately ships NO implementation of
+    * this trait for a compressed format (the honesty contract: stubs
+    * are labeled stubs, never fake "real" decoders); MultimodalSpec
+    * drives the seam with a test double and asserts init-per-partition
+    * and trichotomy preservation.
+    */
+  trait CompressedDecoder extends Serializable {
+    /** Container sniff: does this payload claim the plugged format?
+      * Must be cheap and header-structural (the [[looksLikeImage]]
+      * contract) — claiming is what routes a failed decode to
+      * QUARANTINE instead of the stub fallback. */
+    def claims(bytes: Array[Byte]): Boolean
+
+    /** Per-partition init; returns the row-local decode. A decode
+      * returning None QUARANTINES the row (claimed but undecodable) —
+      * the same never-silently-stubbed rule as the built-in image
+      * path. */
+    def open(): (Long, Array[Byte], Long) => Option[MediaMeta]
+  }
+
+  /** [[extractMetaDecoded]] with a plugged compressed-format decoder:
+    * rows the codec claims decode through it (or quarantine on decode
+    * failure); every other row keeps the built-in real / stub /
+    * quarantine trichotomy bit-exactly. The plugged format reports
+    * under its own `is_plugged` flag so the built-in `is_image`
+    * verdict stays comparable across runs with and without the plug.
+    */
+  def extractMetaPlugged(rows: DataFrame,
+                         codec: CompressedDecoder): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"), col("n_chars"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val decode = codec.open() // ONCE per partition: the codec seam
+        it.map { case (id, bytes, nChars) =>
+          if (codec.claims(bytes))
+            decode(id, bytes, nChars) match {
+              case Some(m) =>
+                (id, false, true, false,
+                  Some(m.width), Some(m.height), Some(m.frames))
+              case None =>
+                (id, false, false, true,
+                  None: Option[Long], None: Option[Long],
+                  None: Option[Long])
+            }
+          else {
+            val (m, isImg) = decodeImage(id, bytes, nChars, digest)
+            if (!isImg && looksLikeImage(bytes))
+              (id, false, false, true,
+                None: Option[Long], None: Option[Long],
+                None: Option[Long])
+            else
+              (m.doc_id, isImg, false, false,
+                Some(m.width), Some(m.height), Some(m.frames))
+          }
+        }
+      }.toDF("doc_id", "is_image", "is_plugged", "quarantined", "width",
+        "height", "frames")
+  }
+
   /** Decoded WAV header facts — what a real audio pipeline keys on
     * before any sample-level work. */
   case class WavMeta(channels: Long, sampleRate: Long, bits: Long,

@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   * and co-occurrence graphs.
   *
   * Scale shape: edges are canonicalized (a < b, distinct) so each
-  * undirected edge exists once and every triangle x<y<z is counted
-  * exactly once by the two-join wedge plan: e1(x,y) ⋈ e2(y,z) on the
-  * middle vertex, then a semi-check against e3(x,z). Both are hash
-  * equi-joins on edge keys; intermediate size is the wedge count
-  * Σ_v in(v)·out(v) of the id-acyclic orientation — bounded for the
-  * near-dup and co-occurrence graphs this library builds (hub-heavy
-  * graphs would orient by (degree, id) instead, which provably
-  * minimizes wedges; AQE's skew split covers the residual hot keys).
-  * Nothing is collected; per-node counts are one explode + aggregate.
+  * undirected edge exists once, then ORIENTED by (degree, id) — the
+  * provably wedge-minimizing acyclic orientation — and every triangle
+  * is counted exactly once by the two-join wedge plan: a self-join of
+  * the oriented list on the wedge center plus a semi-join closure
+  * check. Both are hash equi-joins on edge keys; the intermediate
+  * wedge count is bounded by arboricity² per center instead of raw
+  * degree², so a planted hub cannot go quadratic (AQE's skew split
+  * covers residual hot keys). Nothing is collected; per-node counts
+  * are one explode + aggregate.
   */
 object Graph {
 
@@ -81,14 +81,63 @@ object Graph {
           .cast("long").as("contrib_num"))
   }
 
-  /** One row per triangle, as the ordered vertex triple x < y < z. */
+  /** DEGREE-ordered orientation of the canonical edge set: each edge
+    * points from its (degree, id)-lexicographically smaller endpoint,
+    * carrying the head's degree so wedge leaves can be ordered by the
+    * same total key without a second degree join. This is the
+    * skew-optimal standard for triangle enumeration (Chiba–Nishizeki /
+    * compact-forward): every wedge center is the LOWEST-degree vertex
+    * of its triangle, so per-node wedge work is bounded by arboricity²
+    * instead of raw degree² — a planted hub of degree d centers ZERO
+    * wedges (its star edges all point INTO it), where an id-ordered
+    * orientation could center d²/2. Exposed package-private so the
+    * skew spec can assert the bound directly.
+    */
+  private[graft] def orientedEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("s"),
+        when(fwd, col("b")).otherwise(col("a")).as("t"),
+        when(fwd, col("db")).otherwise(col("da")).as("dt"))
+  }
+
+  /** The wedge stream of the degree-ordered orientation: for every
+    * center `c`, its out-neighbor pairs (p, q) with p before q in the
+    * (degree, id) order. A triangle closes iff the oriented edge p→q
+    * exists; each triangle is produced by exactly ONE wedge (its
+    * unique (degree, id)-minimal vertex is the center), so no distinct
+    * is ever needed downstream. */
+  private[graft] def orientedWedges(o: DataFrame): DataFrame =
+    o.alias("x")
+      .join(o.alias("y"),
+        col("x.s") === col("y.s") &&
+          struct(col("x.dt"), col("x.t")) < struct(col("y.dt"), col("y.t")))
+      .select(col("x.s").as("c"), col("x.t").as("p"), col("y.t").as("q"))
+
+  /** One row per triangle, as the ordered vertex triple x < y < z.
+    *
+    * Enumeration is wedge-check over the DEGREE-ordered orientation
+    * (see [[orientedEdges]]): one self-join of the oriented edge list
+    * on the wedge center plus one semi-join closure check — the same
+    * two hash equi-joins as the naive id-ordered plan, but the
+    * intermediate wedge count is minimized under skew (per-center work
+    * bounded by the graph's arboricity, not its max degree), which is
+    * exactly the 100 TB hub-heavy case. Output triple is re-sorted to
+    * id order, so results are bit-identical to the id-ordered plan. */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = canonicalEdges(edges, aCol, bCol)
-    val e1 = e.select(col("a").as("x"), col("b").as("y"))
-    val e2 = e.select(col("a").as("y"), col("b").as("z"))
-    val e3 = e.select(col("a").as("x"), col("b").as("z"))
-    e1.join(e2, "y").join(e3, Seq("x", "z"), "left_semi")
-      .select(col("x"), col("y"), col("z"))
+    val o = orientedEdges(e)
+    val tri = orientedWedges(o)
+      .join(o.select(col("s").as("p"), col("t").as("q")),
+        Seq("p", "q"), "left_semi")
+    val sorted = array_sort(array(col("c"), col("p"), col("q")))
+    tri.select(element_at(sorted, 1).as("x"),
+      element_at(sorted, 2).as("y"),
+      element_at(sorted, 3).as("z"))
   }
 
   /** Per-node triangle participation: (node, n_tri) for every node in
@@ -98,6 +147,33 @@ object Graph {
     triangles(edges, aCol, bCol)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** Per-node LOCAL clustering coefficient in exact integer basis
+    * points: cc_bp(v) = (n_tri(v)·2·10⁴) div (deg(v)·(deg(v)−1)) for
+    * deg ≥ 2, else 0 — how connected each node's neighborhood is, the
+    * density signal that separates organic duplicate communities
+    * (high cc) from hub-and-spoke template farms (hub cc ≈ 0) on the
+    * near-dup graph. Truncating integer division keeps it bit-stable
+    * across engines (all terms non-negative, so Spark `div` and
+    * floor-division oracles agree). One degree-oriented triangle pass
+    * ([[triangles]] — arboricity-bounded under skew) plus one degree
+    * count, left-joined so triangle-free nodes still report.
+    */
+  def clusteringCoefficients(edges: DataFrame, aCol: String,
+                             bCol: String): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tc = triangles(e, "a", "b")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(tc, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          expr("(coalesce(n_tri, 0L) * 20000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_bp"))
+  }
 
   /** Triangles created by an edge APPEND — the incremental-maintenance
     * companion to [[triangles]]: only triples containing at least one
@@ -167,16 +243,63 @@ object Graph {
     * of the directed adjacency on the center vertex (hash equi-join,
     * intermediate size = the wedge count), the degree join is another
     * hash join on the center, and known edges leave via a left-anti
-    * join on the canonical edge set. Nothing is collected; hub vertices
-    * are AQE-skew-split like every other hot key in this library.
+    * join on the canonical edge set. Nothing is collected.
+    *
+    * Skew/scale controls (both sound or audited, never silent
+    * answer-changers):
+    *
+    *  - The adjacency is explicitly fanned out on the center vertex
+    *    (`repartition(numShufflePartitions, v)`) before the self-join.
+    *    Without it the wedge EXPLOSION — this operator's CPU — runs at
+    *    the width of the upstream exchange, which AQE coalesces to 1-2
+    *    partitions for an MB-scale edge list (the x_sparse_sim /
+    *    x_winnowing few-splits blowup; observed here as 17 s wall at
+    *    1.4× parallelism). The shuffle moves edge keys once — orders of
+    *    magnitude less data than the wedge stream it parallelizes — and
+    *    both join inputs are the SAME exchange, so the join itself adds
+    *    no second shuffle.
+    *  - `maxDegree` bounds the per-center wedge count: a single hub of
+    *    degree d contributes d·(d-1)/2 wedges, so one template-farm
+    *    vertex at 100 TB scale can go quadratic while every other key
+    *    stays linear. Centers above the cap are DROPPED (their common-
+    *    neighbor evidence vanishes), which is deliberately lossy exactly
+    *    like [[EntityResolution]]'s block purge: callers that cannot
+    *    tolerate loss run [[linkPredictionDroppedHubs]] first and alert
+    *    on a non-empty result, or raise the cap. The default keeps every
+    *    hub (bit-identical legacy behavior).
+    *  - When `minCommon` > 1, wedge LEAVES with degree < minCommon are
+    *    filtered below the self-join: n_common(a,b) ≤ min(deg(a),
+    *    deg(b)), so no surviving pair can contain such a node — the
+    *    final filter is pushed into the join's inputs without changing
+    *    a single output row.
     */
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
-                     minCommon: Long = 1L): DataFrame = {
+                     minCommon: Long = 1L,
+                     maxDegree: Long = Long.MaxValue): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     val e = canonicalEdges(edges, aCol, bCol)
-    val adj = e.select(col("a").as("v"), col("b").as("n"))
+    val fan = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val adjAll = e.select(col("a").as("v"), col("b").as("n"))
       .union(e.select(col("b").as("v"), col("a").as("n")))
-    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+    val deg = adjAll.groupBy("v").agg(count(lit(1)).as("d"))
+    // minCommon pushdown: drop leaves that cannot reach the final
+    // n_common filter (sound — see scaladoc), only when it can help
+    val leafScreened =
+      if (minCommon > 1L)
+        adjAll.join(
+            deg.where(col("d") >= minCommon).select(col("v").as("n")),
+            Seq("n"), "left_semi")
+      else adjAll
+    // maxDegree hub guard: purge oversized wedge CENTERS (audited via
+    // linkPredictionDroppedHubs); key-only anti side, hot rows touched
+    // linearly exactly like EntityResolution.purgeOversized
+    val guarded =
+      if (maxDegree < Long.MaxValue)
+        leafScreened.join(
+          deg.where(col("d") > maxDegree).select("v"), Seq("v"), "left_anti")
+      else leafScreened
+    val adj = guarded.repartition(fan, col("v"))
     val wedges = adj.alias("x")
       .join(adj.alias("y"),
         col("x.v") === col("y.v") && col("x.n") < col("y.n"))
@@ -188,6 +311,23 @@ object Graph {
         sum(expr("1000000L div d")).as("ra_u"))
       .join(e, Seq("a", "b"), "left_anti")
       .where(col("n_common") >= minCommon)
+  }
+
+  /** The (node, degree) rows a [[linkPrediction]] run at `maxDegree`
+    * will PURGE as wedge centers — the audit twin of the in-plan guard
+    * ([[EntityResolution.purgedBlocks]]'s contract): purging is
+    * deliberately lossy for genuinely dense hubs, so a pipeline that
+    * cannot tolerate loss runs this first and alerts on a non-empty
+    * result, or raises the cap for hubs it trusts. One map-side-
+    * combining degree count; key-only rows, no payload.
+    */
+  def linkPredictionDroppedHubs(edges: DataFrame, aCol: String,
+                                bCol: String, maxDegree: Long): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e = canonicalEdges(edges, aCol, bCol)
+    e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .where(col("d") > maxDegree)
   }
 
   /** Deterministic FIXED-POINT PageRank over the undirected graph —
@@ -551,20 +691,50 @@ object Graph {
     *
     * Scores are integer micro-units. Each half-round is (1) one hash
     * join of the edge list onto the opposite score, (2) one sum
-    * aggregation, (3) renormalization `s·10⁶ div max(s)` where the
-    * scalar max is a BROADCAST one-row aggregate crossed back on —
-    * never a driver collect. Truncating integer division makes every
-    * round a pure function of the previous one: bit-identical across
-    * engines and partitionings, so the SQL oracle replays the rounds
-    * exactly. Raw magnitudes stay ≤ 10⁶·10⁶·deg_max — 64-bit safe for
-    * any in-degree below a million; renormalizing every half-round
-    * (not once at the end) is what pins that bound.
+    * aggregation, (3) renormalization `s·10⁶ div max(s)`. Truncating
+    * integer division makes every round a pure function of the previous
+    * one: bit-identical across engines and partitionings, so the SQL
+    * oracle replays the rounds exactly. Raw magnitudes stay ≤
+    * 10⁶·10⁶·deg_max — 64-bit safe for any in-degree below a million;
+    * renormalizing every half-round (not once at the end) is what pins
+    * that bound.
     *
     * The edge list and node set are materialized once; each
     * half-round's raw sums are checkpointed and the previous round's
     * blocks released as soon as their last consumer has landed, so
     * lineage stays flat at any `iters` (the [[pageRankM]] contract).
+    * The renorm max is fetched IN THE SAME JOB that materializes the
+    * raw sums ([[graft.ops.Materialize.localWithScalar]]) and spliced
+    * back as a literal — the K5 collect→literal pattern, one bounded
+    * row — so each half-round costs ONE barrier, not the two (checkpoint
+    * job + broadcast-max job) of the crossJoin formulation this
+    * replaced. Values are identical; only the stage count halves.
     */
+  /** [[hitsM]]'s half-round core, exposed for the plan spec:
+    * materialize the raw `(v, s)` scores AND fetch their max in ONE
+    * job ([[graft.ops.Materialize.localWithScalar]]), then splice the
+    * max back as a literal — so the renormalized frame is a bare
+    * shuffle-free PROJECTION over the checkpointed blocks, where the
+    * crossJoin(broadcast(agg(max))) formulation cost a second barrier
+    * aggregation plus a broadcast exchange per half-round. An empty
+    * node set yields a null max; the frame is empty then, so the
+    * divisor value is irrelevant — 1 keeps the expression total.
+    */
+  private[graft] def renormFused(raw: DataFrame,
+                                 roundMat: graft.ops.MatStrategy)
+      : (graft.ops.Materialized, DataFrame) = {
+    import graft.ops.Materialize
+    val (m, row) = roundMat match {
+      case graft.ops.MatStrategy.Local =>
+        Materialize.localWithScalar(raw, Seq(max(col("s"))))
+      case other =>
+        val mm = Materialize(raw, other)
+        (mm, mm.df.agg(max(col("s"))).head())
+    }
+    val mx = if (row.isNullAt(0)) 1L else row.getLong(0)
+    (m, m.df.select(col("v"), expr(s"s * 1000000 div ${mx}L").as("s")))
+  }
+
   def hitsM(edges: DataFrame, aCol: String, bCol: String,
             iters: Int = 4,
             roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
@@ -586,33 +756,29 @@ object Graph {
           .distinct(),
         roundMat)
       val nodes = nodesM.df
-      def renorm(raw: DataFrame): DataFrame =
-        raw.crossJoin(broadcast(raw.agg(max(col("s")).as("mx"))))
-          .select(col("v"), expr("s * 1000000 div mx").as("s"))
+      def matRenorm(raw: DataFrame) = renormFused(raw, roundMat)
       var hub: DataFrame = nodes.withColumn("s", lit(1000000L))
       var auth: DataFrame = nodes.withColumn("s", lit(1000000L))
       for (_ <- 1 to iters) {
         // hub half-round: h_raw(v) = Σ_{v→w} auth(w)
-        val hRawM = Materialize(
+        val (hRawM, hubN) = matRenorm(
           nodes.join(
             e.join(auth.withColumnRenamed("v", "dst"), "dst")
               .groupBy(col("src").as("v")).agg(sum(col("s")).as("hs")),
             Seq("v"), "left")
-            .select(col("v"), coalesce(col("hs"), lit(0L)).as("s")),
-          roundMat)
+            .select(col("v"), coalesce(col("hs"), lit(0L)).as("s")))
         freeAuth() // last consumer of the previous auth raw has landed
         freeHub()  // previous hub raw died with last round's auth join
-        hub = renorm(hRawM.df)
+        hub = hubN
         freeHub = hRawM.release
         // authority half-round: a_raw(w) = Σ_{v→w} hub(v)
-        val aRawM = Materialize(
+        val (aRawM, authN) = matRenorm(
           nodes.join(
             e.join(hub.withColumnRenamed("v", "src"), "src")
               .groupBy(col("dst").as("v")).agg(sum(col("s")).as("as_")),
             Seq("v"), "left")
-            .select(col("v"), coalesce(col("as_"), lit(0L)).as("s")),
-          roundMat)
-        auth = renorm(aRawM.df)
+            .select(col("v"), coalesce(col("as_"), lit(0L)).as("s")))
+        auth = authN
         freeAuth = aRawM.release
       }
       val out = Materialize(

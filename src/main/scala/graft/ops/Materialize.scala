@@ -166,6 +166,44 @@ object Materialize {
     n
   }
 
+  /** `localCheckpoint` with release tracking. `eager = false` defers
+    * materialization to the FIRST ACTION the caller runs on the returned
+    * frame (the blocks persist and the lineage truncates when that job
+    * lands) — the fusion seam [[localWithScalar]] builds on.
+    */
+  private def local(df: DataFrame, eager: Boolean): (Materialized, DataFrame) =
+    trackingLock.synchronized {
+      val sc = df.sparkSession.sparkContext
+      // localCheckpoint registers new persistent RDDs; diffing the
+      // registry before/after (under the lock) yields exactly the
+      // blocks this call created.
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager)
+      val ids = sc.getPersistentRDDs.keySet.diff(before)
+      (Materialized(out, () => ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))), out)
+    }
+
+  /** Local materialization FUSED with a bounded one-row aggregate fetch:
+    * the lazy localCheckpoint is materialized by the aggregate's own
+    * job, so a caller that needs both the pinned frame and a scalar
+    * statistic of it (an iterative renormalization constant, a
+    * convergence count) pays ONE barrier instead of two — the extra
+    * aggregation runs map-side over the blocks the same job is writing.
+    * The scalar comes back as a driver value to splice in as a literal:
+    * the K5 collect→literal pattern, bounded to a single row by
+    * construction. Values are bit-identical to the two-job formulation
+    * (materialize, then aggregate) for any deterministic `aggs`.
+    */
+  def localWithScalar(df: DataFrame,
+                      aggs: Seq[org.apache.spark.sql.Column])
+      : (Materialized, org.apache.spark.sql.Row) = {
+    require(aggs.nonEmpty, "at least one aggregate")
+    val (m, out) = local(df, eager = false)
+    val row = out.agg(aggs.head, aggs.tail: _*).head()
+    (m, row)
+  }
+
   def apply(df: DataFrame, mat: MatStrategy): Materialized = mat match {
 
     case MatStrategy.PassThrough => Materialized(df, () => ())
@@ -175,17 +213,7 @@ object Materialize {
       defaultSpills.add(path)
       Materialized(m.df, () => { defaultSpills.remove(path); m.release() })
 
-    case MatStrategy.Local => trackingLock.synchronized {
-      val sc = df.sparkSession.sparkContext
-      // localCheckpoint registers new persistent RDDs; diffing the
-      // registry before/after (under the lock) yields exactly the
-      // blocks this call created.
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val ids = sc.getPersistentRDDs.keySet.diff(before)
-      Materialized(out, () => ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
-    }
+    case MatStrategy.Local => local(df, eager = true)._1
 
     case MatStrategy.Reliable => trackingLock.synchronized {
       val spark = df.sparkSession

@@ -1587,6 +1587,106 @@ object TrainingData {
        |WHERE NOT EXISTS (SELECT 1 FROM e
        |                  WHERE e.a = s.a AND e.b = s.b)""".stripMargin
 
+  // -------------------------------- link prediction, hub-guarded form
+  // The same ranker under the maxDegree wedge-center guard — the shape
+  // that SURVIVES a 100 TB skewed graph: a template-farm hub of degree
+  // d contributes d²/2 wedges, so production runs cap the center degree
+  // (here 6, chosen to actually purge the sf graph's hubs) and audit
+  // the loss via x_link_hubs. The oracle replays the purge exactly:
+  // adjacency rows whose center exceeds the cap never enter the wedge
+  // self-join, but degrees (and RA scores) stay TRUE degrees.
+  def linkPredictGuardedQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.linkPrediction(
+        Dedup.nearDupPairsFromSigs(spark,
+          sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+          threshold = 0.2),
+        "doc_a", "doc_b", maxDegree = 6L)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_common"), col("ra_u"))
+  val linkPredictGuardedSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.2),
+       |adj AS (SELECT a AS v, b AS n FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+       |adjg AS (
+       |  SELECT adj.v, adj.n FROM adj
+       |  JOIN deg ON deg.v = adj.v WHERE deg.d <= 6),
+       |w AS (
+       |  SELECT x.n AS a, y.n AS b, x.v AS via
+       |  FROM adjg x JOIN adjg y ON x.v = y.v AND x.n < y.n),
+       |s AS (
+       |  SELECT w.a, w.b, count(*) AS n_common,
+       |         CAST(sum(1000000 // d.d) AS BIGINT) AS ra_u
+       |  FROM w JOIN deg d ON w.via = d.v GROUP BY 1, 2)
+       |SELECT s.a AS doc_a, s.b AS doc_b, s.n_common, s.ra_u
+       |FROM s
+       |WHERE NOT EXISTS (SELECT 1 FROM e
+       |                  WHERE e.a = s.a AND e.b = s.b)""".stripMargin
+
+  // The guard's audit twin: the (node, degree) rows the cap purges —
+  // run FIRST by any pipeline that cannot tolerate evidence loss
+  // (EntityResolution.purgedBlocks contract).
+  def linkHubsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.linkPredictionDroppedHubs(
+        Dedup.nearDupPairsFromSigs(spark,
+          sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+          threshold = 0.2),
+        "doc_a", "doc_b", maxDegree = 6L)
+      .select(col("v").as("node"), col("d").as("degree"))
+  val linkHubsSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.2),
+       |adj AS (SELECT a AS v, b AS n FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v)
+       |SELECT v AS node, CAST(d AS BIGINT) AS degree
+       |FROM deg WHERE d > 6""".stripMargin
+
+  // ------------------------------------ local clustering coefficients
+  // Graph.clusteringCoefficients over the loose-threshold (0.2) pair
+  // graph: the neighborhood-density score that separates organic
+  // duplicate communities (high cc) from hub-and-spoke template farms
+  // (hub cc ≈ 0) — the ranking signal a curation pass uses to decide
+  // which near-dup clusters are template noise vs genuine re-posts.
+  // Exact basis-point integer lane; the oracle replays the degree-
+  // oriented triangle count as the naive id-ordered enumeration (same
+  // set, engine-independent) and the identical floor division.
+  def clusteringCoefQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficients(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.2),
+      "doc_a", "doc_b")
+  val clusteringCoefSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.2),
+       |t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |tn AS (SELECT unnest([x, y, z]) AS node FROM t),
+       |tc AS (SELECT node, count(*) AS n_tri FROM tn GROUP BY 1),
+       |adj AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+       |deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY 1)
+       |SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+       |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CAST(CASE WHEN deg.degree >= 2
+       |    THEN (coalesce(tc.n_tri, 0) * 20000)
+       |         // (deg.degree * (deg.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS cc_bp
+       |FROM deg LEFT JOIN tc ON tc.node = deg.node""".stripMargin
+
   // --------------------------------------- label-propagation communities
   // Graph.labelPropagation over the same loose-threshold (0.2)
   // signature-table pair graph as x_link_predict: the mesoscale
@@ -7551,6 +7651,9 @@ object TrainingData {
     "x_modularity" -> (modularityQ _),
     "x_degree_dist" -> (degreeDistQ _),
     "x_link_predict" -> (linkPredictQ _),
+    "x_link_predict_guarded" -> (linkPredictGuardedQ _),
+    "x_link_hubs" -> (linkHubsQ _),
+    "x_clustering_coef" -> (clusteringCoefQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
@@ -7725,6 +7828,9 @@ object TrainingData {
     "x_modularity" -> modularitySql,
     "x_degree_dist" -> degreeDistSql,
     "x_link_predict" -> linkPredictSql,
+    "x_link_predict_guarded" -> linkPredictGuardedSql,
+    "x_link_hubs" -> linkHubsSql,
+    "x_clustering_coef" -> clusteringCoefSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,

@@ -349,4 +349,86 @@ class GraphSpec extends SparkSpec {
     val r2 = hitsMap(e.union(e).repartition(11), iters = 3)
     assert(r1 == r2)
   }
+
+  test("degree-ordered orientation: a planted hub centers ZERO wedges " +
+    "(id-ordered would center C(d,2)); triangles still exact") {
+    // star K1,50 with the hub at the SMALLEST id — the worst case for
+    // id-ordered orientation, which would enumerate 50*49/2 = 1225
+    // wedges at the hub; (degree, id) orientation points every star
+    // edge leaf→hub, so the hub centers nothing and the graph has no
+    // wedges at all
+    val star = (2L to 51L).map(i => (1L, i)).toDF("a", "b")
+    val eStar = Graph.canonicalEdges(star, "a", "b")
+    assert(Graph.orientedWedges(Graph.orientedEdges(eStar)).count() == 0)
+    assert(Graph.triangles(star, "a", "b").count() == 0)
+    // plant one triangle through the hub: exactly ONE wedge survives
+    // (centered at the lowest-degree triangle vertex), and the triple
+    // comes back id-sorted
+    val withTri = star.union(Seq((2L, 3L)).toDF("a", "b"))
+    val eTri = Graph.canonicalEdges(withTri, "a", "b")
+    assert(Graph.orientedWedges(Graph.orientedEdges(eTri)).count() == 1)
+    val t = Graph.triangles(withTri, "a", "b").collect()
+    assert(t.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 2L, 3L)))
+  }
+
+  test("linkPrediction maxDegree purges hub-centered evidence and the " +
+    "dropped-hubs audit reports exactly the purged hub") {
+    // hub 1 (deg 3) over leaves 2,3,4 plus path 2-5-3 (deg(5)=2).
+    // maxDegree=2 drops hub 1 as a wedge CENTER: (2,4)/(3,4) vanish,
+    // (2,3) keeps only its via-5 evidence, and (1,5) — centered at the
+    // degree-2 leaves — is untouched.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (5L, 3L))
+      .toDF("a", "b")
+    val guarded = Graph.linkPrediction(e, "a", "b", maxDegree = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(guarded == Map(
+      (1L, 5L) -> ((2L, 1000000L)),   // via 2 and 3, deg 2 each
+      (2L, 3L) -> ((1L, 500000L))))   // via 5 only; hub evidence purged
+    val dropped = Graph.linkPredictionDroppedHubs(e, "a", "b", 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dropped == Map(1L -> 3L))
+    // default cap keeps every hub: the unguarded result still has the
+    // hub-backed pairs
+    val full = lpMap(e)
+    assert(full((2L, 4L)) == ((1L, 333333L)) &&
+      full((2L, 3L)) == ((2L, 833333L)))
+  }
+
+  test("clusteringCoefficients: exact basis points on the square+diagonal; " +
+    "star hub and leaves report zero") {
+    // square 1-2-3-4-1 + diagonal 1-3: triangles (1,2,3) and (1,3,4);
+    // deg 1,3 = 3 and 2,4 = 2; cc_bp = 2*20000 div 6 = 6666 for the
+    // diagonal endpoints, 1*20000 div 2 = 10000 for the corners
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val r = Graph.clusteringCoefficients(e, "a", "b").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      1L -> ((3L, 2L, 6666L)), 2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 2L, 6666L)), 4L -> ((2L, 1L, 10000L))))
+    // star: the hub's neighborhood has no internal edge (cc 0), leaves
+    // have degree 1 (cc 0 by convention)
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val s = Graph.clusteringCoefficients(star, "a", "b").collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(s.size == 6 && s.values.forall(_ == 0L))
+  }
+
+  test("linkPrediction minCommon pushdown returns exactly the " +
+    "post-filtered unpushed result on a random graph") {
+    val e = (for {
+      i <- 0L until 20L; j <- (i + 1) until 20L
+      if (i + j) % 3 == 0
+    } yield (i, j)).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val pushed = asMap(Graph.linkPrediction(e, "a", "b", minCommon = 3L))
+    val post = asMap(Graph.linkPrediction(e, "a", "b")
+      .where($"n_common" >= 3))
+    assert(pushed == post && pushed.nonEmpty)
+  }
 }

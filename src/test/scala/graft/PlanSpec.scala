@@ -486,4 +486,55 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 3,
       s"expected fan-out + gram + doc exchanges only, got $exchanges:\n$p")
   }
+
+  test("linkPrediction: the wedge self-join runs at an EXPLICIT fan-out " +
+    "width (AQE cannot coalesce it under the explosion) and minCommon " +
+    "filters degrees BELOW the join") {
+    import spark.implicits._
+    val e = (for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      if (i * 3 + j) % 7 == 0
+    } yield (i, j)).toDF("a", "b")
+    val p = plan(graft.operators.Graph.linkPrediction(e, "a", "b"))
+    // the adjacency must reach the self-join through a fixed-width
+    // repartition — REPARTITION_BY_NUM is immune to AQE coalescing,
+    // which is what collapsed the wedge explosion to 1-2 partitions
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"no explicit fan-out exchange under the wedge join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge join must stay hash-shaped:\n$p")
+    // minCommon > 1: the leaf-degree screen is a filter on the degree
+    // relation feeding a LeftSemi join — i.e. it sits BELOW the wedge
+    // self-join, not above the final aggregate
+    val p2 = plan(graft.operators.Graph.linkPrediction(e, "a", "b",
+      minCommon = 3L))
+    assert(p2.contains("LeftSemi"),
+      s"no leaf-degree semi-screen in the plan:\n$p2")
+    assert("\\(d#\\d+L? >= 3\\)".r.findFirstIn(p2).isDefined,
+      s"degree >= minCommon filter not below the join:\n$p2")
+  }
+
+  test("hitsM renorm is a shuffle-free projection over the checkpoint " +
+    "(max fused into the materializing job, values identical)") {
+    import spark.implicits._
+    val raw = Seq((1L, 250000L), (2L, 1000000L), (3L, 499999L))
+      .toDF("v", "s")
+    val (m, norm) = graft.operators.Graph.renormFused(
+      raw, graft.ops.MatStrategy.Local)
+    try {
+      // structural claim: renorm costs NO second aggregation barrier —
+      // no crossJoin, no broadcast, no exchange; just a projection
+      // over the checkpointed blocks with the max spliced as a literal
+      val p = plan(norm)
+      assert(!p.contains("BroadcastExchange") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("Exchange"),
+        s"renorm must be a bare projection, got:\n$p")
+      assert(p.contains("div 1000000"),
+        s"max not spliced as a literal divisor:\n$p")
+      // value claim: identical to the two-job crossJoin formulation
+      val got = norm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 250000L, 2L -> 1000000L, 3L -> 499999L))
+    } finally m.release()
+  }
 }

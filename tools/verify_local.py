@@ -73,5 +73,39 @@ def main(sf_dir: str, out_dir: str) -> int:
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
+def check_bands(bench_path: str, bands_path: str = "BANDS.json",
+                tol: float = 2.0) -> int:
+    """Adjudicate a bench reading against the committed per-query bands
+    (BANDS.json, built by tools/make_bands.py from same-code runs): a
+    wall time above tol*hi is flagged as a REGRESSION candidate, inside
+    [lo, tol*hi] is within band (contention/JIT envelope), below lo is
+    just faster. Converts BASELINE.md's prose precedents into an
+    automatic check the driver/judge can run on any BENCH artifact."""
+    bench = json.load(open(bench_path))
+    bands = json.load(open(bands_path))["queries"]
+    flagged, unknown, n_ok = [], [], 0
+    for name, wall in sorted(bench.get("queries", {}).items()):
+        if wall < 0:
+            flagged.append((name, wall, None, "errored"))
+            continue
+        b = bands.get(name)
+        if b is None:
+            unknown.append(name)
+            continue
+        if wall > tol * b["hi"]:
+            flagged.append((name, wall, b, f"above {tol}x band hi"))
+        else:
+            n_ok += 1
+    for name, wall, b, why in flagged:
+        hint = f" band [{b['lo']}, {b['hi']}] (n={b['n']})" if b else ""
+        print(f"OUT-OF-BAND {name}: {wall}s {why}{hint}")
+    if unknown:
+        print(f"NO-BAND ({len(unknown)}): {', '.join(unknown)}")
+    print(f"== bands: {n_ok} in-band / {len(flagged)} flagged / "
+          f"{len(unknown)} unbanded (tol {tol}x) ==")
+    return 1 if flagged else 0
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--bands":
+        sys.exit(check_bands(*sys.argv[2:]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -412,6 +412,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_bands"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT screen over a maintained signature table:
+    * for every banded candidate pair, the exact containment of the
+    * SMALLER shingle set in the larger —
+    *
+    *   containment_bp = |S_small ∩ S_large| · 10⁴ div |S_small|
+    *
+    * in exact integer basis points, keeping pairs at `minContainmentBp`
+    * and above. This catches what symmetric Jaccard dedup structurally
+    * misses: a quote, excerpt, or boilerplate-wrapped copy is almost
+    * fully contained in its source (c ≈ 10⁴) while the pair's Jaccard
+    * can sit far below any dedup threshold because the size ratio
+    * drags the union up. Candidates still come from the LSH bands, so
+    * RECALL is bounded by the banding S-curve at the pair's JACCARD,
+    * not its containment — the documented screen limit (a tiny quote
+    * inside a huge page has near-zero Jaccard and will not band-
+    * collide); the wide-recall path for that regime is the winnowing
+    * fingerprint screen (Corpus.winnowingFingerprints), whose grammar
+    * is positional, not set-shaped. Plan shape is
+    * [[nearDupPairsFromSigsM]]'s: band keys read (doc_id, m0..m15),
+    * verification reads (doc_id, __sh), text never touched; ties in
+    * set size resolve to the lower id as "small" so the output is
+    * deterministic. Output: (doc_small, doc_large, n_small, n_large,
+    * containment_bp).
+    */
+  def containmentPairsFromSigs(spark: org.apache.spark.sql.SparkSession,
+                               sigTablePath: String,
+                               minContainmentBp: Long = 7000L): DataFrame = {
+    require(minContainmentBp >= 0 && minContainmentBp <= 10000,
+      s"containment is in basis points 0..10000, got $minContainmentBp")
+    val sig = spark.read.parquet(sigTablePath)
+    val bands = bandsOf(sig)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shSets = sig.select(col("doc_id"), col("__sh"))
+    cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")),
+        "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"))
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_small"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_large"),
+        least(col("n_a"), col("n_b")).as("n_small"),
+        greatest(col("n_a"), col("n_b")).as("n_large"),
+        expr("(inter * 10000) div least(n_a, n_b)").as("containment_bp"))
+      // an empty shingle set (degenerate empty doc) has no containment
+      // statement to make; the null from its zero division must not
+      // survive into the report
+      .where(col("n_small") > 0 &&
+        col("containment_bp") >= minContainmentBp)
+  }
+
   /** 48-bit SimHash per document — one-pass native expression
     * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);
     * bit-identical to the HOF pipeline tokenHashes48→simhash48. */

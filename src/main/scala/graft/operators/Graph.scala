@@ -193,13 +193,28 @@ object Graph {
     val all = eOld.unionByName(dNew)
     val adj = all.select(col("a").as("v"), col("b").as("n"))
       .union(all.select(col("b").as("v"), col("a").as("n")))
+    // Degree-aware probe orientation (the [[orientedEdges]] idea at the
+    // delta): each new edge enumerates candidate third vertices from
+    // its LOWER-degree endpoint, so per-edge fan-out is min(deg a,
+    // deg b) instead of whichever endpoint happens to hold the lower
+    // id — a new edge that touches a degree-d hub costs its other
+    // endpoint's degree, never d. The higher-degree side is only the
+    // semi-join probe target (touched linearly).
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("d"))
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = dNew
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        when(fwd, col("a")).otherwise(col("b")).as("p"),
+        when(fwd, col("b")).otherwise(col("a")).as("q"))
     val x = least(col("a"), col("b"), col("w"))
     val z = greatest(col("a"), col("b"), col("w"))
-    dNew
-      .join(adj.select(col("v").as("a"), col("n").as("w")), "a")
-      .where(col("w") =!= col("b"))
-      .join(adj.select(col("v").as("b"), col("n").as("w")),
-        Seq("b", "w"), "left_semi")
+    oriented
+      .join(adj.select(col("v").as("p"), col("n").as("w")), "p")
+      .where(col("w") =!= col("q"))
+      .join(adj.select(col("v").as("q"), col("n").as("w")),
+        Seq("q", "w"), "left_semi")
       .select(x.as("x"), (col("a") + col("b") + col("w") - x - z).as("y"),
         z.as("z"))
       .distinct()

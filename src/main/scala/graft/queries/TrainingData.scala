@@ -1381,6 +1381,42 @@ object TrainingData {
     s"""WITH ${minhashCtesOver(nearDupCorpusSql)}
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
+  // ------------------------------------------- asymmetric containment
+  // Dedup.containmentPairsFromSigs over the maintained signature table:
+  // |S_small ∩ S_large| · 10⁴ div |S_small| in exact integer basis
+  // points — the quote/excerpt/boilerplate-wrap detector symmetric
+  // Jaccard structurally misses (the union denominator punishes size
+  // gaps; the containment denominator doesn't). Same banded candidate
+  // generation as the dedup family, so the screen's recall is bounded
+  // by the banding curve at the pair's JACCARD — documented limit,
+  // spec-pinned in SigTableSpec; the wide-recall excerpt path is the
+  // winnowing screen. All-integer lane: bit-identical across engines.
+  def containmentPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      minContainmentBp = 7000L)
+  val containmentPairsSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |ct AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(sa.hashes) AS n_a, len(sb.hashes) AS n_b,
+       |    len(list_filter(sa.hashes,
+       |      x -> list_contains(sb.hashes, x))) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT * FROM (
+       |  SELECT
+       |    CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS doc_small,
+       |    CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS doc_large,
+       |    CAST(least(n_a, n_b) AS BIGINT) AS n_small,
+       |    CAST(greatest(n_a, n_b) AS BIGINT) AS n_large,
+       |    CAST(CASE WHEN least(n_a, n_b) = 0 THEN -1
+       |      ELSE (inter * 10000) // least(n_a, n_b) END AS BIGINT)
+       |      AS containment_bp
+       |  FROM ct) t
+       |WHERE n_small > 0 AND containment_bp >= 7000""".stripMargin
+
   // ---------------------------------------------- cross-split leakage
   // The eval-integrity gate a split pipeline must run BEFORE training:
   // near-duplicate pairs that STRADDLE a train/valid/test boundary are
@@ -7654,6 +7690,7 @@ object TrainingData {
     "x_link_predict_guarded" -> (linkPredictGuardedQ _),
     "x_link_hubs" -> (linkHubsQ _),
     "x_clustering_coef" -> (clusteringCoefQ _),
+    "x_containment_pairs" -> (containmentPairsQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
@@ -7831,6 +7868,7 @@ object TrainingData {
     "x_link_predict_guarded" -> linkPredictGuardedSql,
     "x_link_hubs" -> linkHubsSql,
     "x_clustering_coef" -> clusteringCoefSql,
+    "x_containment_pairs" -> containmentPairsSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,

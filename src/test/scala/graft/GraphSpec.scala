@@ -396,6 +396,22 @@ class GraphSpec extends SparkSpec {
       full((2L, 3L)) == ((2L, 833333L)))
   }
 
+  test("triangleDelta hub-append: low-degree-endpoint probe keeps exact " +
+    "equality when new edges touch a planted hub") {
+    // old = star K1,40; appended edges close triangles THROUGH the hub
+    // (2-3 with hub edges), attach a new spoke, and bridge it back —
+    // the delta must probe each new edge from its low-degree side and
+    // still enumerate exactly the new triangles
+    val old = (2L to 41L).map(i => (1L, i)).toDF("a", "b")
+    val nw = Seq((2L, 3L), (1L, 42L), (42L, 2L), (3L, 4L)).toDF("a", "b")
+    val incr = Graph.triangleCountsIncremental(
+      Graph.triangleCounts(old, "a", "b"), old, nw, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Graph.triangleCounts(old.unionByName(nw), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == scratch && incr.nonEmpty)
+  }
+
   test("clusteringCoefficients: exact basis points on the square+diagonal; " +
     "star hub and leaves report zero") {
     // square 1-2-3-4-1 + diagonal 1-3: triangles (1,2,3) and (1,3,4);

@@ -100,4 +100,42 @@ class SigTableSpec extends SparkSpec {
       assert(j === pairs(k), s"$k jaccard drifted: $j vs ${pairs(k)}")
     }
   }
+
+  test("containment screen: a verbatim excerpt scores 10000 bp against " +
+    "its source while the pair's Jaccard sits below the dedup bar") {
+    import spark.implicits._
+    val source = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen curious pelicans watch from the harbor wall at dawn " +
+      "and the tide carries old newspaper pages past the mooring posts"
+    // doc 2 CONTAINS doc 1 verbatim: every 5-shingle of doc 1 appears
+    // in doc 2, so containment(small→large) is exactly 10⁴ while the
+    // size gap pins the pair's Jaccard at 0.7976 — under a 0.85 twin-
+    // dedup bar, the regime the asymmetric screen exists for. (140
+    // chars is the shortest prefix whose ~0.8 Jaccard still collides
+    // in one of the 4 fixed-seed LSH bands: banding recall is bounded
+    // by JACCARD, not containment — the operator's documented limit;
+    // lower-overlap excerpts are the winnowing screen's territory.)
+    val excerpt = source.substring(0, 140)
+    val d = Seq((1L, excerpt), (2L, source),
+      (3L, "completely unrelated prose about glacier moraines and " +
+        "the slow census of alpine lichen colonies")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigs_ct").toString + "/sigs"
+    Dedup.writeSignatureTable(d, "text", "doc_id", path)
+    val rows = Dedup.containmentPairsFromSigs(spark, path,
+        minContainmentBp = 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set((1L, 2L)),
+      s"expected exactly the excerpt pair, got ${rows.keySet}")
+    val (nS, nL, bp) = rows((1L, 2L))
+    assert(bp == 10000L, s"verbatim excerpt must be fully contained: $bp")
+    assert(nS < nL)
+    // the symmetric screen at 0.85 must MISS this pair — that miss is
+    // the operator's reason to exist
+    val jac = Dedup.nearDupPairsFromSigs(spark, path, threshold = 0.85)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "pair unexpectedly above the symmetric dedup bar — fixture drifted")
+  }
 }

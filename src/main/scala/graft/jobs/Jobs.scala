@@ -522,6 +522,39 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/doc_communities")
   }
 
+  /** Missing-edge ranking over the near-dup graph with the production
+    * hub guard: the dropped-hubs AUDIT lands first (the purge is lossy
+    * by design — the EntityResolution.purgedBlocks contract: a
+    * pipeline that cannot tolerate evidence loss alerts on a non-empty
+    * audit before trusting the ranking), then the guarded common-
+    * neighbor / resource-allocation candidate list. The pair screen is
+    * materialized once and feeds both outputs. */
+  private def rankMissingEdgesJob(spark: SparkSession, sfDir: String,
+                                  outDir: String): Unit = {
+    val pairs = Dedup.minhashNearDupPairs(
+      Tables.load(spark, sfDir, "documents"), "text", "doc_id",
+      k = 5, threshold = 0.2)
+    graft.operators.Graph.linkPredictionDroppedHubs(
+        pairs, "doc_a", "doc_b", maxDegree = 2L)
+      .write.mode("overwrite").parquet(s"$outDir/link_dropped_hubs")
+    graft.operators.Graph.linkPrediction(
+        pairs, "doc_a", "doc_b", maxDegree = 2L)
+      .write.mode("overwrite").parquet(s"$outDir/link_candidates")
+  }
+
+  /** Excerpt/boilerplate-wrap audit: write the corpus signature table
+    * (reusable by every later screen), then the asymmetric containment
+    * pairs — near-SUBSET relations whose Jaccard sits below the
+    * symmetric dedup bar. */
+  private def excerptAuditJob(spark: SparkSession, sfDir: String,
+                              outDir: String): Unit = {
+    val sigs = s"$outDir/excerpt_sigs"
+    Dedup.writeSignatureTable(
+      Tables.load(spark, sfDir, "documents"), "text", "doc_id", sigs)
+    Dedup.containmentPairsFromSigs(spark, sigs, minContainmentBp = 5000L)
+      .write.mode("overwrite").parquet(s"$outDir/excerpt_pairs")
+  }
+
   /** ANN index-quality audit: recall@5 of the trained-IVF search
     * against the exact brute-force ranking over the sampled query set
     * — the number that gates an index (or its nlist/nprobe setting)
@@ -692,6 +725,8 @@ object Jobs {
     "audit_leakage" -> (auditLeakageJob _),
     "scan_rowkeys" -> (scanRowkeysJob _),
     "community_docs" -> (communityDocsJob _),
+    "rank_missing_edges" -> (rankMissingEdgesJob _),
+    "excerpt_audit" -> (excerptAuditJob _),
     "build_ann_index" -> (buildAnnIndexJob _),
     "release_customers" -> (releaseCustomersJob _),
     "merge_availability" -> (mergeAvailabilityJob _),

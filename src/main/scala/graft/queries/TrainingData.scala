@@ -896,6 +896,47 @@ object TrainingData {
        |FROM j JOIN bc ON bc.doc_a = j.doc_a AND bc.doc_b = j.doc_b
        |WHERE j.jaccard >= 0.5""".stripMargin
 
+  // ------------------------------------------- dedup threshold sweep
+  // The tuning table behind the dedup bar: for each candidate Jaccard
+  // threshold, how many verified pairs survive and how many documents
+  // they touch — the cost/aggressiveness curve a production corpus
+  // owner reads BEFORE picking the bar (0.5 keeps twins only; 0.2
+  // sweeps in the weak tail). One banded screen at the loosest
+  // threshold feeds every row: the sweep is an 8-row broadcast join
+  // over the verified pair list, never 8 screens.
+  def dedupSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.2)
+    val th = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+    val pt = pairs.crossJoin(broadcast(th))
+      .where(col("jaccard") >= col("threshold"))
+    val np = pt.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = pt.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs_touched"))
+    np.join(nd, Seq("threshold"))
+      .select(round(col("threshold") * 10000).cast("long")
+          .as("threshold_bp"),
+        col("n_pairs"), col("n_docs_touched"))
+  }
+  val dedupSweepSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |p AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2),
+       |th AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+       |       AS threshold),
+       |pt AS (SELECT th.threshold, p.doc_a, p.doc_b
+       |       FROM p JOIN th ON p.jaccard >= th.threshold),
+       |np AS (SELECT threshold, count(*) AS n_pairs FROM pt GROUP BY 1),
+       |nd AS (SELECT threshold, count(DISTINCT doc) AS n_docs_touched
+       |       FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc
+       |             FROM pt) GROUP BY 1)
+       |SELECT CAST(round(np.threshold * 10000) AS BIGINT) AS threshold_bp,
+       |       np.n_pairs, nd.n_docs_touched
+       |FROM np JOIN nd ON nd.threshold = np.threshold""".stripMargin
+
   // ------------------------------------------------ shingle containment
   // Containment C(A,B) = |A∩B| / |A| over distinct 5-shingle hash sets —
   // the ASYMMETRIC near-dup measure (quote/subset detection): a short
@@ -2605,6 +2646,78 @@ object TrainingData {
       |       AS BIGINT) AS rank
       |FROM s
       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+
+  // ------------------------------------------- ANN dimension tradeoff
+  // Matryoshka-style truncation audit: recall@5 of the exact search
+  // run on only the FIRST d dimensions against the full-width exact
+  // ranking — the table that answers "how many dims can the store
+  // drop before recall pays". Width is the cheapest lever in a 100 TB
+  // embedding estate (memory, IO and dot-product CPU all scale
+  // linearly in it), and unlike PQ/SQ the truncation needs no
+  // training — but only a measured recall curve makes the call. One
+  // full ranking + one ranking per probe width over the same bounded
+  // query set; integer recall in basis points.
+  def annDimSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val full = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("n_id"))
+    val perDim = Seq(8, 16, 32).map { d =>
+      val te = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      Similarity.bruteForceTopK(te.filter(col("vec_id") < 20), te,
+          "vec_id", "embedding", 5)
+        .select(lit(d.toLong).as("dims"), col("q_id"), col("n_id"))
+    }.reduce(_.unionByName(_))
+    val tot = perDim.groupBy("dims").agg(count(lit(1)).as("n_results"))
+    val hit = perDim.join(full, Seq("q_id", "n_id"))
+      .groupBy("dims").agg(count(lit(1)).as("n_hits"))
+    tot.join(hit, Seq("dims"), "left")
+      .select(col("dims"), col("n_results"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0L) * 10000) div n_results")
+          .as("recall_bp"))
+  }
+  val annDimSweepSql: String = {
+    def sliced(e: String) = s"list_slice($e, 1, CAST(d.dims AS INT))"
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, vec AS q_v FROM v WHERE vec_id < 20),
+       |fs AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |    round(list_dot_product(q.q_v, c.vec) /
+       |          (sqrt(list_dot_product(q.q_v, q.q_v)) *
+       |           sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim
+       |  FROM q JOIN v c ON c.vec_id != q.q_id),
+       |fk AS (
+       |  SELECT q_id, n_id FROM fs
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, n_id) <= 5),
+       |d AS (SELECT unnest([8, 16, 32]) AS dims),
+       |ts AS (
+       |  SELECT d.dims, q.q_id, c.vec_id AS n_id,
+       |    round(list_dot_product(${sliced("q.q_v")}, ${sliced("c.vec")}) /
+       |          (sqrt(list_dot_product(${sliced("q.q_v")},
+       |                                 ${sliced("q.q_v")})) *
+       |           sqrt(list_dot_product(${sliced("c.vec")},
+       |                                 ${sliced("c.vec")}))), 4) AS sim
+       |  FROM d CROSS JOIN q JOIN v c ON c.vec_id != q.q_id),
+       |tk AS (
+       |  SELECT dims, q_id, n_id FROM ts
+       |  QUALIFY row_number() OVER (PARTITION BY dims, q_id
+       |    ORDER BY sim DESC, n_id) <= 5),
+       |tot AS (SELECT dims, count(*) AS n_results FROM tk GROUP BY 1),
+       |hit AS (
+       |  SELECT tk.dims, count(*) AS n_hits
+       |  FROM tk JOIN fk ON fk.q_id = tk.q_id AND fk.n_id = tk.n_id
+       |  GROUP BY 1)
+       |SELECT CAST(tot.dims AS BIGINT) AS dims, tot.n_results,
+       |  CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST((coalesce(hit.n_hits, 0) * 10000) // tot.n_results
+       |    AS BIGINT) AS recall_bp
+       |FROM tot LEFT JOIN hit ON hit.dims = tot.dims""".stripMargin
+  }
 
   /** embeddings ∪ perturbed twins (+0.05 on dim 0, ids +1e5) — the
     * shared fixture of the embedding near-dup family; the oracle twin
@@ -7691,6 +7804,8 @@ object TrainingData {
     "x_link_hubs" -> (linkHubsQ _),
     "x_clustering_coef" -> (clusteringCoefQ _),
     "x_containment_pairs" -> (containmentPairsQ _),
+    "x_dedup_sweep" -> (dedupSweepQ _),
+    "x_ann_dim_sweep" -> (annDimSweepQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
@@ -7869,6 +7984,8 @@ object TrainingData {
     "x_link_hubs" -> linkHubsSql,
     "x_clustering_coef" -> clusteringCoefSql,
     "x_containment_pairs" -> containmentPairsSql,
+    "x_dedup_sweep" -> dedupSweepSql,
+    "x_ann_dim_sweep" -> annDimSweepSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,

@@ -175,6 +175,45 @@ object Graph {
           .otherwise(lit(0L)).as("cc_bp"))
   }
 
+  /** [[clusteringCoefficients]] maintained under edge APPEND: the
+    * stored per-node triangle counts fold with [[triangleDelta]]'s
+    * participation counts and the stored degrees fold with the
+    * genuinely-new edges' endpoint counts — O(delta wedges + |state|),
+    * the historical edge set is touched only as the delta's adjacency
+    * probe side, never re-enumerated. Equals
+    * `clusteringCoefficients(old ∪ new)` exactly (spec-asserted): both
+    * folds are exact integers, so the cc_bp division reproduces
+    * bit-identically. `countsOld`/`degOld` are
+    * [[triangleCounts]]/degree relations from the last build — the
+    * same stored-state contract as [[triangleCountsIncremental]].
+    */
+  def clusteringCoefficientsIncremental(countsOld: DataFrame,
+                                        degOld: DataFrame,
+                                        oldEdges: DataFrame,
+                                        newEdges: DataFrame,
+                                        aCol: String,
+                                        bCol: String): DataFrame = {
+    val counts = triangleCountsIncremental(countsOld, oldEdges, newEdges,
+      aCol, bCol)
+    val dNew = canonicalEdges(newEdges, aCol, bCol)
+      .join(canonicalEdges(oldEdges, aCol, bCol), Seq("a", "b"),
+        "left_anti")
+    val degDelta = dNew
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__dd"))
+    val deg = degOld.select(col("node"), col("degree"))
+      .join(degDelta, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("__dd"), lit(0L)))
+          .as("degree"))
+    deg.join(counts, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          expr("(coalesce(n_tri, 0L) * 20000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_bp"))
+  }
+
   /** Triangles created by an edge APPEND — the incremental-maintenance
     * companion to [[triangles]]: only triples containing at least one
     * genuinely-new edge are enumerated, so the cost scales with the

@@ -1574,6 +1574,63 @@ object TrainingData {
        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
        |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
 
+  // ----------------------------- incremental clustering coefficients
+  // Graph.clusteringCoefficientsIncremental on the x_triangles_incr
+  // fixture: stored triangle counts AND stored degrees fold with only
+  // the appended bridges' delta (O(delta wedges + |state|)) — the
+  // density score stays queryable after every append without ever
+  // re-enumerating history. Oracle computes from scratch over the
+  // combined edge set; the incremental path must match bit-exactly
+  // (integer folds feeding an integer division).
+  def clusteringIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val oldPairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val anchors = docs(spark, dir).where(col("doc_id") % 10 === 0)
+    val bridges = anchors
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+      .union(anchors.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000001L).as("doc_b")))
+    val countsOld =
+      graft.operators.Graph.triangleCounts(oldPairs, "doc_a", "doc_b")
+    val degOld = graft.operators.Graph
+      .canonicalEdges(oldPairs, "doc_a", "doc_b")
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    graft.operators.Graph.clusteringCoefficientsIncremental(
+      countsOld, degOld, oldPairs, bridges, "doc_a", "doc_b")
+  }
+  val clusteringIncrSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |mp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM mp
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1000001 FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM pairs),
+       |t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |tn AS (SELECT unnest([x, y, z]) AS node FROM t),
+       |tc AS (SELECT node, count(*) AS n_tri FROM tn GROUP BY 1),
+       |adj AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+       |deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY 1)
+       |SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+       |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CAST(CASE WHEN deg.degree >= 2
+       |    THEN (coalesce(tc.n_tri, 0) * 20000)
+       |         // (deg.degree * (deg.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS cc_bp
+       |FROM deg LEFT JOIN tc ON tc.node = deg.node""".stripMargin
+
   // ------------------------------------------------ source modularity
   // Graph.modularityReport over the same signature-table pair feed as
   // x_triangles, under the SOURCE partition: how much of the near-dup
@@ -7806,6 +7863,7 @@ object TrainingData {
     "x_containment_pairs" -> (containmentPairsQ _),
     "x_dedup_sweep" -> (dedupSweepQ _),
     "x_ann_dim_sweep" -> (annDimSweepQ _),
+    "x_clustering_incr" -> (clusteringIncrQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
@@ -7986,6 +8044,7 @@ object TrainingData {
     "x_containment_pairs" -> containmentPairsSql,
     "x_dedup_sweep" -> dedupSweepSql,
     "x_ann_dim_sweep" -> annDimSweepSql,
+    "x_clustering_incr" -> clusteringIncrSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,

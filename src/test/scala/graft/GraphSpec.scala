@@ -433,6 +433,25 @@ class GraphSpec extends SparkSpec {
     assert(s.size == 6 && s.values.forall(_ == 0L))
   }
 
+  test("clusteringCoefficientsIncremental equals from-scratch on the " +
+    "combined graph (counts and degrees both folded)") {
+    val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val nw = Seq((1L, 3L), (2L, 4L), (4L, 5L)).toDF("a", "b")
+    val degOld = Graph.canonicalEdges(old, "a", "b")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array($"a", $"b")).as("node"))
+      .groupBy("node").count().withColumnRenamed("count", "degree")
+    val incr = Graph.clusteringCoefficientsIncremental(
+      Graph.triangleCounts(old, "a", "b"), degOld, old, nw, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val scratch = Graph.clusteringCoefficients(
+      old.unionByName(nw), "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(incr == scratch && incr(5L) == ((1L, 0L, 0L)))
+  }
+
   test("linkPrediction minCommon pushdown returns exactly the " +
     "post-filtered unpushed result on a random graph") {
     val e = (for {

@@ -474,6 +474,60 @@ object Dedup {
         col("containment_bp") >= minContainmentBp)
   }
 
+  /** Cross-table CONTAINMENT screen: an incoming batch against a
+    * MAINTAINED signature table — the incremental form of
+    * [[containmentPairsFromSigs]], and the shape a live ingest runs to
+    * ask "is this new document an excerpt (or an expansion) of
+    * something already in the corpus?" before admitting it. Banded
+    * candidates exactly like [[incrementalNearDupAgainstSigsM]]
+    * (corpus text never touched; band keys read m0..m15, verification
+    * reads __sh), then the exact asymmetric score in integer basis
+    * points, reported in BOTH directions so the caller can tell
+    * excerpt-of-corpus (batch small) from expansion-of-corpus (batch
+    * large): batch_in_corpus_bp = |∩|·10⁴ div |S_batch|,
+    * corpus_in_batch_bp = |∩|·10⁴ div |S_corpus|. Keeps rows where
+    * EITHER direction clears `minContainmentBp`. Recall is bounded by
+    * the banding curve at the pair's Jaccard — the same documented
+    * limit as the self-join screen.
+    */
+  def containmentAgainstSigs(batch: DataFrame, sigTablePath: String,
+                             textCol: String, idCol: String,
+                             k: Int = 5,
+                             minContainmentBp: Long = 7000L): DataFrame = {
+    require(minContainmentBp >= 0 && minContainmentBp <= 10000,
+      s"containment is in basis points 0..10000, got $minContainmentBp")
+    val spark = batch.sparkSession
+    val storedK = signatureTableK(spark, sigTablePath)
+    require(storedK == k,
+      s"signature table at $sigTablePath was written with k=$storedK " +
+        s"but the screen hashes the batch with k=$k — shingle sets " +
+        "would never intersect and every excerpt would be admitted")
+    val sigB = sigOf(batch, textCol, idCol, k)
+    val sigC = spark.read.parquet(sigTablePath)
+    val cand = bandsOf(sigB).withColumnRenamed("doc_id", "batch_id")
+      .join(bandsOf(sigC).withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band", "bkey"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(sigB.select(col("doc_id").as("batch_id"), col("__sh").as("sh_b")),
+        "batch_id")
+      .join(sigC.select(col("doc_id").as("corpus_id"), col("__sh").as("sh_c")),
+        "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        size(col("sh_b")).cast("long").as("n_batch"),
+        size(col("sh_c")).cast("long").as("n_corpus"),
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("long")
+          .as("inter"))
+      .select(col("batch_id"), col("corpus_id"), col("n_batch"),
+        col("n_corpus"),
+        expr("(inter * 10000) div n_batch").as("batch_in_corpus_bp"),
+        expr("(inter * 10000) div n_corpus").as("corpus_in_batch_bp"))
+      .where(col("n_batch") > 0 && col("n_corpus") > 0 &&
+        (col("batch_in_corpus_bp") >= minContainmentBp ||
+          col("corpus_in_batch_bp") >= minContainmentBp))
+  }
+
   /** 48-bit SimHash per document — one-pass native expression
     * (SimhashExpr: tokenize, md5-prefix token hash, ±1 bit votes);
     * bit-identical to the HOF pipeline tokenHashes48→simhash48. */

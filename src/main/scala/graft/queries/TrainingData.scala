@@ -896,6 +896,58 @@ object TrainingData {
        |FROM j JOIN bc ON bc.doc_a = j.doc_a AND bc.doc_b = j.doc_b
        |WHERE j.jaccard >= 0.5""".stripMargin
 
+  // ------------------------------------ incremental containment screen
+  // Dedup.containmentAgainstSigs: a batch of 60%-prefix EXCERPTS (ids
+  // +7e6) screened against the maintained signature table before
+  // admission — "is this new doc a quote of something we already
+  // hold?", the ingest-time form of x_containment_pairs. Every
+  // verbatim prefix is fully contained in its source
+  // (batch_in_corpus_bp = 10⁴) while the reverse direction reports the
+  // size ratio. The oracle reuses the self-join CTEs over the tagged
+  // union and keeps cross-side pairs — band collision is formulation-
+  // independent, the established incremental-oracle device.
+  def containmentIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val batch = docs(spark, dir).where(col("doc_id") % 9 === 0).select(
+      (col("doc_id") + 7000000L).as("doc_id"),
+      expr("substring(text, 1, greatest((length(text) * 6) div 10, 60))")
+        .as("text"))
+    Dedup.containmentAgainstSigs(batch,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      "text", "doc_id", k = 5, minContainmentBp = 7000L)
+  }
+  val containmentIncrSql: String = {
+    val tagged = nearDupCorpusSql +
+      """
+        |  UNION ALL
+        |  SELECT doc_id + 7000000,
+        |         substr(text, 1, greatest((length(text) * 6) // 10, 60))
+        |  FROM documents WHERE doc_id % 9 = 0""".stripMargin
+    s"""WITH ${minhashCtesOver(tagged)},
+       |ct AS (
+       |  SELECT c.doc_b AS batch_id, c.doc_a AS corpus_id,
+       |    len(hb.hashes) AS n_batch, len(hc.hashes) AS n_corpus,
+       |    len(list_filter(hb.hashes,
+       |      x -> list_contains(hc.hashes, x))) AS inter
+       |  FROM cand c
+       |  JOIN sh hb ON hb.doc_id = c.doc_b
+       |  JOIN sh hc ON hc.doc_id = c.doc_a
+       |  WHERE c.doc_b >= 7000000 AND c.doc_a < 7000000)
+       |SELECT * FROM (
+       |  SELECT batch_id, corpus_id,
+       |    CAST(n_batch AS BIGINT) AS n_batch,
+       |    CAST(n_corpus AS BIGINT) AS n_corpus,
+       |    CAST(CASE WHEN n_batch = 0 THEN -1
+       |      ELSE (inter * 10000) // n_batch END AS BIGINT)
+       |      AS batch_in_corpus_bp,
+       |    CAST(CASE WHEN n_corpus = 0 THEN -1
+       |      ELSE (inter * 10000) // n_corpus END AS BIGINT)
+       |      AS corpus_in_batch_bp
+       |  FROM ct) t
+       |WHERE n_batch > 0 AND n_corpus > 0
+       |  AND (batch_in_corpus_bp >= 7000 OR corpus_in_batch_bp >= 7000)
+       |""".stripMargin
+  }
+
   // ------------------------------------------- dedup threshold sweep
   // The tuning table behind the dedup bar: for each candidate Jaccard
   // threshold, how many verified pairs survive and how many documents
@@ -7861,6 +7913,7 @@ object TrainingData {
     "x_link_hubs" -> (linkHubsQ _),
     "x_clustering_coef" -> (clusteringCoefQ _),
     "x_containment_pairs" -> (containmentPairsQ _),
+    "x_containment_incr" -> (containmentIncrQ _),
     "x_dedup_sweep" -> (dedupSweepQ _),
     "x_ann_dim_sweep" -> (annDimSweepQ _),
     "x_clustering_incr" -> (clusteringIncrQ _),
@@ -8042,6 +8095,7 @@ object TrainingData {
     "x_link_hubs" -> linkHubsSql,
     "x_clustering_coef" -> clusteringCoefSql,
     "x_containment_pairs" -> containmentPairsSql,
+    "x_containment_incr" -> containmentIncrSql,
     "x_dedup_sweep" -> dedupSweepSql,
     "x_ann_dim_sweep" -> annDimSweepSql,
     "x_clustering_incr" -> clusteringIncrSql,

@@ -206,6 +206,16 @@ class PlanSpec extends SparkSpec {
     // band scans prune away the wide shingle-set column
     assert(p.contains("ReadSchema: struct<doc_id:bigint,m0:bigint"),
       s"band scan not pruned to (doc_id, m0..m15):\n$p")
+    // the containment screen shares the stored-table contract: band
+    // scans pruned, corpus text never rescanned, join stays hash-shaped
+    val pc = plan(graft.operators.Dedup.containmentPairsFromSigs(
+      spark, dir, 7000L))
+    assert(!pc.contains("text:string"),
+      s"containment screen rescanned corpus text:\n$pc")
+    assert(pc.contains("ReadSchema: struct<doc_id:bigint,m0:bigint"),
+      s"containment band scan not pruned:\n$pc")
+    assert(!pc.contains("CartesianProduct"),
+      s"containment candidates must come from a hash join:\n$pc")
   }
 
   test("applyChangelog rank=1 survives the tombstone conjunct " +

@@ -137,5 +137,22 @@ class SigTableSpec extends SparkSpec {
       .collect()
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
       "pair unexpectedly above the symmetric dedup bar — fixture drifted")
+    // the INGEST-time form: the same excerpt arriving as a new batch
+    // doc screens against the stored table, reports full containment
+    // in the batch→corpus direction, and identifies its source
+    import org.apache.spark.sql.functions.col
+    val incoming = Seq((99L, excerpt)).toDF("doc_id", "text")
+    val screened = Dedup.containmentAgainstSigs(incoming, path,
+        "text", "doc_id", k = 5, minContainmentBp = 9000L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Long]("batch_in_corpus_bp"),
+          r.getAs[Long]("corpus_in_batch_bp")))).toMap
+    // matches BOTH its identical twin (doc 1) and its superset source
+    // (doc 2); the unrelated doc 3 never collides
+    assert(screened.keySet == Set(1L, 2L),
+      s"excerpt batch must match twin and source: $screened")
+    assert(screened(1L) == ((10000L, 10000L)))
+    assert(screened(2L)._1 == 10000L && screened(2L)._2 < 10000L,
+      "source direction must report the size ratio, not full containment")
   }
 }

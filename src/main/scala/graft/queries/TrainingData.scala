@@ -2828,6 +2828,94 @@ object TrainingData {
        |FROM tot LEFT JOIN hit ON hit.dims = tot.dims""".stripMargin
   }
 
+  // --------------------------------------- truncated-search + rerank
+  // The production pattern x_ann_dim_sweep motivates: generate
+  // candidates CHEAPLY at 16 of 64 dims (4× less IO/CPU on the scan
+  // that touches every vector), then rerank only the top-20 survivors
+  // at full width — the reranked top-5 carries a per-row `in_exact`
+  // flag against the exact full-width ranking, so the result is both
+  // the served answer and its own recall audit. Candidate and final
+  // ranks are totally ordered (sim DESC, n_id) in both engines.
+  def annDimRerankQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val t16 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val cand = Similarity.bruteForceTopK(t16.filter(col("vec_id") < 20),
+        t16, "vec_id", "embedding", 20)
+      .select(col("q_id"), col("n_id"))
+    // full-width rerank of ONLY the candidates (id equi-join fetch —
+    // no second corpus-wide scan of full vectors per query)
+    val qv = q.select(col("vec_id").as("q_id"),
+      Similarity.asDouble(col("embedding")).as("q_v"))
+    val cv = emb.select(col("vec_id").as("n_id"),
+      Similarity.asDouble(col("embedding")).as("n_v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val rer = cand.join(broadcast(qv), "q_id").join(cv, "n_id")
+      .withColumn("sim", round(
+        Similarity.dot(col("q_v"), col("n_v")) /
+          (Similarity.norm(col("q_v")) * Similarity.norm(col("n_v"))), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
+        "embedding", 5)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    rer.join(exact, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+  val annDimRerankSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, vec AS q_v FROM v WHERE vec_id < 20),
+      |ts AS (
+      |  SELECT q.q_id, c.vec_id AS n_id,
+      |    round(list_dot_product(list_slice(q.q_v, 1, 16),
+      |                           list_slice(c.vec, 1, 16)) /
+      |          (sqrt(list_dot_product(list_slice(q.q_v, 1, 16),
+      |                                 list_slice(q.q_v, 1, 16))) *
+      |           sqrt(list_dot_product(list_slice(c.vec, 1, 16),
+      |                                 list_slice(c.vec, 1, 16)))), 4)
+      |      AS sim
+      |  FROM q JOIN v c ON c.vec_id != q.q_id),
+      |ck AS (
+      |  SELECT q_id, n_id FROM ts
+      |  QUALIFY row_number() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, n_id) <= 20),
+      |rr AS (
+      |  SELECT ck.q_id, ck.n_id,
+      |    round(list_dot_product(q.q_v, c.vec) /
+      |          (sqrt(list_dot_product(q.q_v, q.q_v)) *
+      |           sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim
+      |  FROM ck
+      |  JOIN q ON q.q_id = ck.q_id
+      |  JOIN v c ON c.vec_id = ck.n_id),
+      |rk AS (
+      |  SELECT q_id, n_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, n_id) AS BIGINT) AS rank
+      |  FROM rr
+      |  QUALIFY row_number() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, n_id) <= 5),
+      |fs AS (
+      |  SELECT q.q_id, c.vec_id AS n_id,
+      |    round(list_dot_product(q.q_v, c.vec) /
+      |          (sqrt(list_dot_product(q.q_v, q.q_v)) *
+      |           sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim
+      |  FROM q JOIN v c ON c.vec_id != q.q_id),
+      |fk AS (
+      |  SELECT q_id, n_id FROM fs
+      |  QUALIFY row_number() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, n_id) <= 5)
+      |SELECT rk.q_id, rk.n_id, rk.sim, rk.rank,
+      |  (fk.n_id IS NOT NULL) AS in_exact
+      |FROM rk LEFT JOIN fk
+      |  ON fk.q_id = rk.q_id AND fk.n_id = rk.n_id""".stripMargin
+
   /** embeddings ∪ perturbed twins (+0.05 on dim 0, ids +1e5) — the
     * shared fixture of the embedding near-dup family; the oracle twin
     * is neardupLshCtes' `corpus` CTE (same offset, same perturbation).
@@ -7916,6 +8004,7 @@ object TrainingData {
     "x_containment_incr" -> (containmentIncrQ _),
     "x_dedup_sweep" -> (dedupSweepQ _),
     "x_ann_dim_sweep" -> (annDimSweepQ _),
+    "x_ann_dim_rerank" -> (annDimRerankQ _),
     "x_clustering_incr" -> (clusteringIncrQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
@@ -8098,6 +8187,7 @@ object TrainingData {
     "x_containment_incr" -> containmentIncrSql,
     "x_dedup_sweep" -> dedupSweepSql,
     "x_ann_dim_sweep" -> annDimSweepSql,
+    "x_ann_dim_rerank" -> annDimRerankSql,
     "x_clustering_incr" -> clusteringIncrSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,

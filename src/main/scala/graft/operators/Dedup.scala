@@ -412,6 +412,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_bands"), col("jaccard"))
   }
 
+  /** Near-dup drop that keeps the BEST member of each cluster instead
+    * of the lowest id: production dedup keeps the CANONICAL copy —
+    * longest, highest-quality, most recent — not an accident of id
+    * assignment (the min-id rule silently prefers whichever copy was
+    * crawled first, which for excerpt/truncation clusters is often the
+    * WORST member). `priority` is any deterministic expression over
+    * the corpus row (bigger = better); ties break on the lower id, so
+    * the keeper is total-order unique and engine-reproducible.
+    * Clusters come from the exact MinHash screen + connected
+    * components; singletons keep themselves. Output is one row per
+    * corpus doc — (doc_id, cluster_rep, keeper_id, kept) — the keep
+    * list and the drop list in one relation (filter on `kept`), with
+    * the cluster lineage preserved for audit.
+    *
+    * Scale shape: the screen and CC are the dominant cost (both
+    * banded/bounded as documented on their operators); the keeper
+    * election is ONE WindowGroupLimit-eligible window over the
+    * assignment keyed by cluster_rep, and the keeper join ships
+    * key-only rows.
+    */
+  def dedupKeepBest(corpus: DataFrame, textCol: String, idCol: String,
+                    priority: Column, k: Int = 5,
+                    threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupPairs(corpus, textCol, idCol, k, threshold)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    val asg = corpus
+      .select(col(idCol).as("doc_id"), priority.cast("long").as("__p"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        col("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("__p").desc, col("doc_id").asc)
+    val keepers = asg.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keeper_id"))
+    asg.join(keepers, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("kept"))
+  }
+
   /** Asymmetric CONTAINMENT screen over a maintained signature table:
     * for every banded candidate pair, the exact containment of the
     * SMALLER shingle set in the larger —

@@ -896,6 +896,43 @@ object TrainingData {
        |FROM j JOIN bc ON bc.doc_a = j.doc_a AND bc.doc_b = j.doc_b
        |WHERE j.jaccard >= 0.5""".stripMargin
 
+  // --------------------------------------------- keep-best dedup drop
+  // Dedup.dedupKeepBest with priority = character length: each near-dup
+  // cluster keeps its LONGEST member (ties → lower id) instead of the
+  // min id — on the twin corpus the truncated copies (substr(text,11))
+  // lose to their full-length originals by construction, the exact
+  // canonical-copy behavior a production drop wants. Output keeps the
+  // full lineage (doc, cluster, keeper, kept), so the drop list is the
+  // same relation filtered. Oracle replays the MinHash screen, the
+  // recursive min-label reachability, and the same (length DESC, id)
+  // election.
+  def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupKeepBest(nearDupCorpus(spark, dir), "text", "doc_id",
+      length(col("text")), k = 5, threshold = 0.5)
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE ${minhashCtesOver(nearDupCorpusSql)},
+       |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |cnodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM cnodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |reps AS (SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY n),
+       |asg AS (
+       |  SELECT c.doc_id, coalesce(r.rep, c.doc_id) AS cluster_rep,
+       |         length(c.text) AS p
+       |  FROM corpus c LEFT JOIN reps r USING (doc_id)),
+       |keepers AS (
+       |  SELECT cluster_rep, doc_id AS keeper_id FROM asg
+       |  QUALIFY row_number() OVER (PARTITION BY cluster_rep
+       |    ORDER BY p DESC, doc_id) = 1)
+       |SELECT a.doc_id, a.cluster_rep, k.keeper_id,
+       |       (a.doc_id = k.keeper_id) AS kept
+       |FROM asg a JOIN keepers k USING (cluster_rep)""".stripMargin
+
   // ------------------------------------ incremental containment screen
   // Dedup.containmentAgainstSigs: a batch of 60%-prefix EXCERPTS (ids
   // +7e6) screened against the maintained signature table before
@@ -8002,6 +8039,7 @@ object TrainingData {
     "x_clustering_coef" -> (clusteringCoefQ _),
     "x_containment_pairs" -> (containmentPairsQ _),
     "x_containment_incr" -> (containmentIncrQ _),
+    "x_dedup_keep_best" -> (dedupKeepBestQ _),
     "x_dedup_sweep" -> (dedupSweepQ _),
     "x_ann_dim_sweep" -> (annDimSweepQ _),
     "x_ann_dim_rerank" -> (annDimRerankQ _),
@@ -8185,6 +8223,7 @@ object TrainingData {
     "x_clustering_coef" -> clusteringCoefSql,
     "x_containment_pairs" -> containmentPairsSql,
     "x_containment_incr" -> containmentIncrSql,
+    "x_dedup_keep_best" -> dedupKeepBestSql,
     "x_dedup_sweep" -> dedupSweepSql,
     "x_ann_dim_sweep" -> annDimSweepSql,
     "x_ann_dim_rerank" -> annDimRerankSql,

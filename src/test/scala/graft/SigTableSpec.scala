@@ -155,4 +155,43 @@ class SigTableSpec extends SparkSpec {
     assert(screened(2L)._1 == 10000L && screened(2L)._2 < 10000L,
       "source direction must report the size ratio, not full containment")
   }
+
+  test("dedupKeepBest elects the longest cluster member, not the min id") {
+    import spark.implicits._
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // truncated near-copies carry HIGHER ids and SHORTER text than
+    // their originals: the min-id rule would keep the original by
+    // id accident, but priority = length must keep it by MERIT — and
+    // the keeper flag must be consistent everywhere
+    val twins = d.where(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 5000000L).as("doc_id"),
+      expr("substring(text, 11)").as("text"))
+    val corpus = d.unionByName(twins)
+    val out = Dedup.dedupKeepBest(corpus, "text", "doc_id",
+        org.apache.spark.sql.functions.length(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == corpus.count())
+    // brute-force the election: within every cluster the keeper must
+    // be the (length DESC, id ASC) argmax — by merit, not id accident
+    val lens = corpus.select(col("doc_id"),
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2._1).foreach { case (rep, members) =>
+      val expected = members.keys.minBy(m => (-lens(m), m))
+      members.foreach { case (id, (_, keeper, kept)) =>
+        assert(keeper == expected,
+          s"cluster $rep: keeper $keeper != expected $expected")
+        assert(kept == (id == keeper))
+      }
+    }
+    // twins cluster with their originals, and a twin is never kept
+    // while a strictly longer member shares its cluster
+    val clustered = out.filter { case (id, (rep, _, _)) =>
+      id >= 5000000L && rep != id }
+    assert(clustered.nonEmpty, "twins must cluster with their originals")
+    assert(clustered.forall { case (_, (_, _, kept)) => !kept } ||
+      clustered.exists { case (id, (_, keeper, _)) => keeper != id })
+  }
 }

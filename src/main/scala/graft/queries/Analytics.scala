@@ -1095,6 +1095,71 @@ object Analytics {
       |FROM c WHERE cum * 2 >= tw
       |GROUP BY 1""".stripMargin
 
+  // Exact median absolute deviation per return flag, in integer cents:
+  // the robust dispersion statistic (outlier-insensitive, unlike
+  // stddev) computed with TWO passes of the same cumulative-rank
+  // selection device as q_weighted_median — lower median of the
+  // prices, then lower median of |price − median|. Selection by
+  // rank-threshold + min(value) is tie-stable: with equal values the
+  // threshold lands inside the run, and min over the selected rows is
+  // that value regardless of their arbitrary relative order, so no
+  // float percentile and no engine disagreement. The 4-row median
+  // relation broadcasts back onto the fact scan for the deviation
+  // pass.
+  def madQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    def lowerMedian(df: DataFrame, valueCol: String,
+                    outCol: String): DataFrame = {
+      val wo = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col(valueCol))
+      val wp = Window.partitionBy(col("l_returnflag"))
+      df.withColumn("__rn", row_number().over(wo))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .where(col("__rn") * 2 >= col("__n"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col(valueCol)).as(outCol), max(col("__n")).as("n_rows"))
+    }
+    val med = lowerMedian(li, "cents", "median_cents")
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("median_cents"),
+        abs(col("cents") - col("median_cents")).as("d"))
+    lowerMedian(dev, "d", "mad_cents")
+      .join(broadcast(med.select(col("l_returnflag"),
+        col("median_cents"))), "l_returnflag")
+      .select(col("l_returnflag"), col("median_cents"),
+        col("mad_cents"), col("n_rows"))
+  }
+  val madSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r1 AS (
+      |  SELECT l_returnflag, cents,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM li),
+      |med AS (
+      |  SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS median_cents,
+      |    CAST(max(n) AS BIGINT) AS n_rows
+      |  FROM r1 WHERE rn * 2 >= n GROUP BY 1),
+      |dev AS (
+      |  SELECT li.l_returnflag, abs(li.cents - m.median_cents) AS d
+      |  FROM li JOIN med m USING (l_returnflag)),
+      |r2 AS (
+      |  SELECT l_returnflag, d,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY d) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM dev)
+      |SELECT r2.l_returnflag, m.median_cents,
+      |  CAST(min(r2.d) AS BIGINT) AS mad_cents, m.n_rows
+      |FROM r2 JOIN med m USING (l_returnflag)
+      |WHERE r2.rn * 2 >= r2.n
+      |GROUP BY 1, 2, 4""".stripMargin
+
   // Interval concurrency (sweep line): treat each event as a 10-minute
   // active window and report, per event_type, the PEAK number of
   // simultaneously-active windows and when it first occurs — the
@@ -2072,6 +2137,7 @@ object Analytics {
     "q_skyline" -> (skylineQ _),
     "q_concurrency" -> (concurrencyQ _),
     "q_weighted_median" -> (weightedMedianQ _),
+    "q_mad" -> (madQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -2137,6 +2203,7 @@ object Analytics {
     "q_skyline" -> skylineSql,
     "q_concurrency" -> concurrencySql,
     "q_weighted_median" -> weightedMedianSql,
+    "q_mad" -> madSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

@@ -1160,6 +1160,46 @@ object Analytics {
       |WHERE r2.rn * 2 >= r2.n
       |GROUP BY 1, 2, 4""".stripMargin
 
+  // 10% two-sided trimmed mean per return flag — the robust-location
+  // companion of q_mad: drop the lowest and highest n div 10 ranks,
+  // integer-average the interior (sum div count). Tie-stable for the
+  // same reason as the median device: swapping equal values across the
+  // trim boundary swaps identical cents in and out of the kept SET, so
+  // the sum never moves. Exact integer lane end to end.
+  def trimmedMeanQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val wo = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val wp = Window.partitionBy(col("l_returnflag"))
+    li.withColumn("rn", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(wp))
+      .where(col("rn") > expr("n div 10") &&
+        col("rn") <= col("n") - expr("n div 10"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("sum(cents) div count(*)").as("trimmed_mean_cents"),
+        count(lit(1)).as("n_kept"),
+        max(col("n")).as("n_rows"))
+  }
+  val trimmedMeanSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, cents,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM li)
+      |SELECT l_returnflag,
+      |  CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents,
+      |  count(*) AS n_kept,
+      |  CAST(max(n) AS BIGINT) AS n_rows
+      |FROM r
+      |WHERE rn > n // 10 AND rn <= n - n // 10
+      |GROUP BY 1""".stripMargin
+
   // Interval concurrency (sweep line): treat each event as a 10-minute
   // active window and report, per event_type, the PEAK number of
   // simultaneously-active windows and when it first occurs — the
@@ -2138,6 +2178,7 @@ object Analytics {
     "q_concurrency" -> (concurrencyQ _),
     "q_weighted_median" -> (weightedMedianQ _),
     "q_mad" -> (madQ _),
+    "q_trimmed_mean" -> (trimmedMeanQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -2204,6 +2245,7 @@ object Analytics {
     "q_concurrency" -> concurrencySql,
     "q_weighted_median" -> weightedMedianSql,
     "q_mad" -> madSql,
+    "q_trimmed_mean" -> trimmedMeanSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

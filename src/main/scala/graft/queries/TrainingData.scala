@@ -2470,6 +2470,62 @@ object TrainingData {
     s"""$clustersClosureCtes
        |SELECT doc_id, cluster_rep FROM reps""".stripMargin
 
+  // ------------------------------------- quality × dedup interaction
+  // WHICH quality strata lose mass to the near-dup drop: per fixed
+  // 0.1-wide quality-score band (the x_quality_quantile scoring rule —
+  // stopword ratio + capped length; row-local, so no global sort is
+  // ever needed for the banding), the corpus count, survivors of the
+  // min-rep drop, and the keep rate in basis points. The curation
+  // diagnostic that catches a dedup stage silently eating one end of
+  // the quality spectrum (template farms are usually BOTH low-quality
+  // and heavily duplicated — this table shows it). Shares the
+  // maintained-signature clustering with the dedup family.
+  def qualityDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val corpus = nearDupCorpus(spark, dir)
+    val scored = corpus.select(col("doc_id"),
+      round(
+        (TextFns.wordSetCount(t, TextFns.EnWords).cast("double") /
+          greatest(TextFns.tokenCount(t), lit(1L)).cast("double")) +
+          (least(TextFns.tokenCount(t), lit(200L)).cast("double") / 200.0d),
+        4).as("score"))
+    val clusters = Dedup.connectedComponents(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", corpus), threshold = 0.5),
+      "doc_a", "doc_b")
+    scored.join(clusters, Seq("doc_id"), "left")
+      .select(
+        least(floor(col("score") * 10), lit(19L)).cast("long").as("band"),
+        (col("cluster_rep").isNull ||
+          col("cluster_rep") === col("doc_id")).cast("long").as("k"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_kept"))
+      .select(col("band"), col("n_docs"), col("n_kept"),
+        expr("n_kept * 10000 div n_docs").as("keep_rate_bp"))
+  }
+  val qualityDedupSql: String = {
+    val sw = "\\b(" + TextFns.EnWords.mkString("|") + ")\\b"
+    s"""$clustersClosureCtes,
+       |scored AS (
+       |  SELECT c.doc_id,
+       |    round(
+       |      len(regexp_extract_all(lower(c.text), '$sw'))::DOUBLE /
+       |        greatest(len(string_split_regex(trim(c.text), '\\s+')), 1) +
+       |      least(len(string_split_regex(trim(c.text), '\\s+')),
+       |            200)::DOUBLE / 200.0, 4) AS score
+       |  FROM corpus c),
+       |k AS (
+       |  SELECT s.doc_id,
+       |    CAST(least(floor(s.score * 10), 19) AS BIGINT) AS band,
+       |    CASE WHEN r.cluster_rep IS NULL OR r.cluster_rep = s.doc_id
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM scored s LEFT JOIN reps r USING (doc_id))
+       |SELECT band, count(*) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  CAST(sum(kept) * 10000 // count(*) AS BIGINT) AS keep_rate_bp
+       |FROM k GROUP BY 1""".stripMargin
+  }
+
   // ----------------------------------------------- dedup ROI table
   // What dedup actually SAVES, by source: the twin corpus's document
   // and token mass before vs after the near-dup drop (cluster
@@ -8040,6 +8096,7 @@ object TrainingData {
     "x_containment_pairs" -> (containmentPairsQ _),
     "x_containment_incr" -> (containmentIncrQ _),
     "x_dedup_keep_best" -> (dedupKeepBestQ _),
+    "x_quality_dedup" -> (qualityDedupQ _),
     "x_dedup_sweep" -> (dedupSweepQ _),
     "x_ann_dim_sweep" -> (annDimSweepQ _),
     "x_ann_dim_rerank" -> (annDimRerankQ _),
@@ -8224,6 +8281,7 @@ object TrainingData {
     "x_containment_pairs" -> containmentPairsSql,
     "x_containment_incr" -> containmentIncrSql,
     "x_dedup_keep_best" -> dedupKeepBestSql,
+    "x_quality_dedup" -> qualityDedupSql,
     "x_dedup_sweep" -> dedupSweepSql,
     "x_ann_dim_sweep" -> annDimSweepSql,
     "x_ann_dim_rerank" -> annDimRerankSql,

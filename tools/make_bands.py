@@ -43,20 +43,19 @@ def main(argv):
     if len(runs) < 2:
         print(f"need >= 2 runs for a band, got {len(runs)}", file=sys.stderr)
         return 1
-    # same-code bands need the same query set; keep the majority set
-    sets = {}
-    for r in runs:
-        sets.setdefault(frozenset(r["queries"]), []).append(r)
-    keep = max(sets.values(), key=len)
-    if len(keep) < len(runs):
-        print(f"note: dropped {len(runs) - len(keep)} run(s) with a "
-              f"different query set", file=sys.stderr)
-    runs = keep
-    names = sorted(runs[0]["queries"])
+    # per-QUERY union: a query's band comes from every selected run
+    # that ran it (n records how many), so a run set that spans a
+    # query-surface change still bands the newest queries instead of
+    # dropping whole runs. Note drift so the reader knows.
+    sets = {frozenset(r["queries"]) for r in runs}
+    if len(sets) > 1:
+        print(f"note: {len(sets)} distinct query sets across the "
+              f"selected runs; bands are per-query unions", file=sys.stderr)
+    names = sorted(set().union(*sets))
     queries = {}
     for name in names:
         walls = [r["queries"][name] for r in runs
-                 if r["queries"][name] >= 0]
+                 if name in r["queries"] and r["queries"][name] >= 0]
         cpus = [r.get("queries_cpu_sec", {}).get(name, -1) for r in runs]
         cpus = [c for c in cpus if c >= 0]
         if not walls:

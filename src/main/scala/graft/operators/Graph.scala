@@ -175,6 +175,29 @@ object Graph {
           .otherwise(lit(0L)).as("cc_bp"))
   }
 
+  /** Per-edge triangle SUPPORT — how many triangles each canonical
+    * edge participates in, the k-truss building block and the
+    * bridge-vs-community signal at edge granularity: a near-dup edge
+    * with support 0 is an unsupported link (candidate false positive /
+    * bridge between unrelated clusters), while high support certifies
+    * the neighborhood agrees. One degree-oriented triangle pass plus a
+    * three-way explode and a hash aggregation on the edge key;
+    * triangle-free edges report 0 via the left join.
+    */
+  def edgeSupport(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    val sup = triangles(e, "a", "b")
+      .select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("x").as("a"), col("z").as("b")),
+        struct(col("y").as("a"), col("z").as("b")))).as("t"))
+      .select(col("t.a"), col("t.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    e.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** [[clusteringCoefficients]] maintained under edge APPEND: the
     * stored per-node triangle counts fold with [[triangleDelta]]'s
     * participation counts and the stored degrees fold with the

@@ -1200,6 +1200,35 @@ object Analytics {
       |WHERE rn > n // 10 AND rn <= n - n // 10
       |GROUP BY 1""".stripMargin
 
+  // Exact per-group MODE with a deterministic tie-break: the most
+  // frequent quantity per return flag, ties resolved to the SMALLEST
+  // value — a total order both engines replay exactly, where a bare
+  // mode() aggregate ties arbitrarily. One count aggregation + one
+  // WindowGroupLimit-eligible rank-1 window over the (count DESC,
+  // value ASC) order.
+  def modeQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+    val counts = li.groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("qty").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"),
+        col("n").as("mode_count"))
+  }
+  val modeSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+      |         count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, qty AS mode_qty, n AS mode_count
+      |FROM c
+      |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+      |  ORDER BY n DESC, qty ASC) = 1""".stripMargin
+
   // Interval concurrency (sweep line): treat each event as a 10-minute
   // active window and report, per event_type, the PEAK number of
   // simultaneously-active windows and when it first occurs — the
@@ -2179,6 +2208,7 @@ object Analytics {
     "q_weighted_median" -> (weightedMedianQ _),
     "q_mad" -> (madQ _),
     "q_trimmed_mean" -> (trimmedMeanQ _),
+    "q_mode" -> (modeQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -2246,6 +2276,7 @@ object Analytics {
     "q_weighted_median" -> weightedMedianSql,
     "q_mad" -> madSql,
     "q_trimmed_mean" -> trimmedMeanSql,
+    "q_mode" -> modeSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

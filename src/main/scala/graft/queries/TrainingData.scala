@@ -1910,6 +1910,40 @@ object TrainingData {
        |    ELSE 0 END AS BIGINT) AS cc_bp
        |FROM deg LEFT JOIN tc ON tc.node = deg.node""".stripMargin
 
+  // -------------------------------------------------- edge support
+  // Graph.edgeSupport over the loose-threshold (0.2) pair graph: the
+  // triangle count of every near-dup EDGE — support 0 flags the
+  // unsupported links (candidate screen false positives / bridges
+  // between unrelated duplicate communities; exactly the edges a
+  // conservative pipeline re-verifies before letting connected
+  // components merge through them), high support certifies the
+  // neighborhood agrees. The k-truss building block.
+  def edgeSupportQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.edgeSupport(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.2),
+      "doc_a", "doc_b")
+  val edgeSupportSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.2),
+       |t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |te AS (
+       |  SELECT x AS a, y AS b FROM t
+       |  UNION ALL SELECT x, z FROM t
+       |  UNION ALL SELECT y, z FROM t),
+       |sup AS (SELECT a, b, count(*) AS support FROM te GROUP BY 1, 2)
+       |SELECT e.a, e.b,
+       |  CAST(coalesce(sup.support, 0) AS BIGINT) AS support
+       |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin
+
   // --------------------------------------- label-propagation communities
   // Graph.labelPropagation over the same loose-threshold (0.2)
   // signature-table pair graph as x_link_predict: the mesoscale
@@ -8101,6 +8135,7 @@ object TrainingData {
     "x_ann_dim_sweep" -> (annDimSweepQ _),
     "x_ann_dim_rerank" -> (annDimRerankQ _),
     "x_clustering_incr" -> (clusteringIncrQ _),
+    "x_edge_support" -> (edgeSupportQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
@@ -8286,6 +8321,7 @@ object TrainingData {
     "x_ann_dim_sweep" -> annDimSweepSql,
     "x_ann_dim_rerank" -> annDimRerankSql,
     "x_clustering_incr" -> clusteringIncrSql,
+    "x_edge_support" -> edgeSupportSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,

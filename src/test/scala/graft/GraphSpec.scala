@@ -433,6 +433,26 @@ class GraphSpec extends SparkSpec {
     assert(s.size == 6 && s.values.forall(_ == 0L))
   }
 
+  test("edgeSupport: K4 edges support 2, chain edges support 0, " +
+    "square+diagonal splits 1/2") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val s4 = Graph.edgeSupport(k4, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s4.size == 6 && s4.values.forall(_ == 2L))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.edgeSupport(chain, "a", "b").collect()
+      .forall(_.getLong(2) == 0L))
+    // square 1-2-3-4-1 + diagonal 1-3: the diagonal sits in BOTH
+    // triangles, every side in exactly one
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val s5 = Graph.edgeSupport(sq, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s5 == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (3L, 4L) -> 1L,
+      (1L, 4L) -> 1L, (1L, 3L) -> 2L))
+  }
+
   test("clusteringCoefficientsIncremental equals from-scratch on the " +
     "combined graph (counts and degrees both folded)") {
     val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")

@@ -198,6 +198,61 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** k-TRUSS decomposition (Cohen 2008) by iterative support peel:
+    * drop every edge whose triangle support falls below k−2, recompute
+    * support on the survivors, repeat to the fixed point — the
+    * edge-granularity cohesion core that is strictly stronger than
+    * k-core (every k-truss edge sits in k−2 triangles OF the truss
+    * itself). On the near-dup graph the 3-truss is "links certified by
+    * at least one surviving triangle": the screen's high-precision
+    * backbone, with bridges and one-off collisions peeled away.
+    *
+    * Same loop contract as [[kCoreM]]: each round is one
+    * degree-oriented triangle pass + one hash aggregation + two
+    * key-only joins, rounds are materialized with lineage truncation,
+    * convergence is an O(1) count witness, and `maxRounds` bounds the
+    * peel depth (the oracle unrolls the same rounds — extra rounds
+    * past the fixed point are no-ops on both sides, so results agree
+    * at any maxRounds). Output: the surviving edges with their support
+    * RECOMPUTED on the final edge set.
+    */
+  def kTrussM(edges: DataFrame, aCol: String, bCol: String, k: Int,
+              maxRounds: Int = 5,
+              roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
+              mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
+      : graft.ops.Materialized = {
+    import graft.ops.Materialize
+    require(k >= 3, s"k must be >= 3 for a truss, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var eM = Materialize(canonicalEdges(edges, aCol, bCol), roundMat)
+    try {
+      var nEdges = eM.df.count()
+      var round = 0
+      var converged = nEdges == 0L
+      while (round < maxRounds && !converged) {
+        val e = eM.df
+        val nextM = Materialize(
+          edgeSupport(e, "a", "b")
+            .where(col("support") >= k - 2)
+            .select(col("a"), col("b")),
+          roundMat)
+        val nNext = nextM.df.count() // O(1) convergence witness
+        converged = nNext == nEdges
+        nEdges = nNext
+        eM.release()
+        eM = nextM
+        round += 1
+      }
+      Materialize(edgeSupport(eM.df, "a", "b"), mat)
+    } finally eM.release()
+  }
+
+  /** [[kTrussM]] with default materialization, returning the bare
+    * frame: no RDD blocks outlive the call. */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             maxRounds: Int = 5): DataFrame =
+    kTrussM(edges, aCol, bCol, k, maxRounds).df
+
   /** [[clusteringCoefficients]] maintained under edge APPEND: the
     * stored per-node triangle counts fold with [[triangleDelta]]'s
     * participation counts and the stored degrees fold with the

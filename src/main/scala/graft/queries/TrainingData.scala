@@ -1944,6 +1944,52 @@ object TrainingData {
        |  CAST(coalesce(sup.support, 0) AS BIGINT) AS support
        |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin
 
+  // ------------------------------------------------------ 3-truss core
+  // Graph.kTruss(k=3) over the loose (0.2) pair graph: iteratively
+  // peel edges with no surviving triangle until the fixed point — the
+  // high-precision backbone of the near-dup screen (strictly stronger
+  // than k-core: every kept edge is certified by a triangle OF the
+  // kept set, so bridges and one-off band collisions are gone). The
+  // oracle unrolls the same peel rounds as MATERIALIZED CTEs (the
+  // x_kcore device); rounds past the fixed point are no-ops on both
+  // engines, so any sufficient round count agrees.
+  def ktrussQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kTruss(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.2),
+      "doc_a", "doc_b", k = 3, maxRounds = 5)
+  val ktrussSql: String = {
+    def tri(i: Int, src: String) =
+      s"""t$i AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $src e1 JOIN $src e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM $src e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |sup$i AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS s FROM (
+         |    SELECT x AS a, y AS b FROM t$i
+         |    UNION ALL SELECT x, z FROM t$i
+         |    UNION ALL SELECT y, z FROM t$i) u$i
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s"""${tri(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.s >= 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.2),
+       |$rounds,
+       |${tri(6, "e5")}
+       |SELECT e.a, e.b, CAST(coalesce(s.s, 0) AS BIGINT) AS support
+       |FROM e5 e LEFT JOIN sup6 s ON s.a = e.a AND s.b = e.b""".stripMargin
+  }
+
   // --------------------------------------- label-propagation communities
   // Graph.labelPropagation over the same loose-threshold (0.2)
   // signature-table pair graph as x_link_predict: the mesoscale
@@ -8136,6 +8182,7 @@ object TrainingData {
     "x_ann_dim_rerank" -> (annDimRerankQ _),
     "x_clustering_incr" -> (clusteringIncrQ _),
     "x_edge_support" -> (edgeSupportQ _),
+    "x_ktruss" -> (ktrussQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
@@ -8322,6 +8369,7 @@ object TrainingData {
     "x_ann_dim_rerank" -> annDimRerankSql,
     "x_clustering_incr" -> clusteringIncrSql,
     "x_edge_support" -> edgeSupportSql,
+    "x_ktruss" -> ktrussSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,

@@ -453,6 +453,41 @@ class GraphSpec extends SparkSpec {
       (1L, 4L) -> 1L, (1L, 3L) -> 2L))
   }
 
+  test("kTruss keeps triangle-certified edges, peels cascade across " +
+    "rounds, and reports fixed-point support") {
+    // K4 + pendant path 4-5-6: K4 survives the 3-truss with support 2
+    // per edge; the path edges sit in no triangle and peel in round 1
+    val g1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val t1 = Graph.kTruss(g1, "a", "b", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t1.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(t1.values.forall(_ == 2L))
+    // bowtie (two triangles sharing only node 3): 3-truss keeps both
+    // triangles; 4-truss (support >= 2) peels everything
+    val g2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L)).toDF("a", "b")
+    val t2 = Graph.kTruss(g2, "a", "b", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t2.size == 6 && t2.values.forall(_ == 1L))
+    assert(Graph.kTruss(g2, "a", "b", k = 4).count() == 0)
+    // CASCADE: triangle strip T{1,2,3}, T{2,3,4}, T{3,4,5} — at k=4
+    // only the shared edges (2,3) and (3,4) have support 2 in round 1,
+    // but once the rim peels they lose their triangles and die in
+    // round 2. One round is NOT enough; the fixed point is empty.
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("a", "b")
+    assert(Graph.kTruss(strip, "a", "b", k = 4, maxRounds = 1)
+      .count() == 2, "round 1 must keep the two spine edges")
+    assert(Graph.kTruss(strip, "a", "b", k = 4).count() == 0,
+      "the peel must cascade to empty at the fixed point")
+    // k=4 on K4 itself: survives whole
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    assert(Graph.kTruss(k4, "a", "b", k = 4).count() == 6)
+  }
+
   test("clusteringCoefficientsIncremental equals from-scratch on the " +
     "combined graph (counts and degrees both folded)") {
     val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")

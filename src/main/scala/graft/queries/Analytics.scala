@@ -1200,6 +1200,69 @@ object Analytics {
       |WHERE rn > n // 10 AND rn <= n - n // 10
       |GROUP BY 1""".stripMargin
 
+  // Robust outlier rate: rows beyond 3×MAD of the median, per return
+  // flag — the outlier DETECTOR q_mad's statistic exists to feed
+  // (stddev-based z-scores move with the very outliers they hunt;
+  // median/MAD don't). Reuses the two-pass rank-selection device and
+  // broadcasts the 4-row (median, mad) relation onto one counting
+  // scan. Pure integers: the cutoff compare is |cents−med| > 3·mad
+  // with exact BIGINTs on both engines.
+  def madOutliersQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val stats = madQ(spark, dir)
+      .select(col("l_returnflag"), col("median_cents"), col("mad_cents"))
+    li.join(broadcast(stats), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("cents") - col("median_cents")) >
+          lit(3L) * col("mad_cents"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("mad_cents")).as("mad_cents"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_outliers"),
+        col("median_cents"), col("mad_cents"),
+        expr("n_outliers * 10000 div n_rows").as("outlier_rate_bp"))
+  }
+  val madOutliersSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r1 AS (
+      |  SELECT l_returnflag, cents,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM li),
+      |med AS (
+      |  SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS median_cents
+      |  FROM r1 WHERE rn * 2 >= n GROUP BY 1),
+      |dev AS (
+      |  SELECT li.l_returnflag, abs(li.cents - m.median_cents) AS d
+      |  FROM li JOIN med m USING (l_returnflag)),
+      |r2 AS (
+      |  SELECT l_returnflag, d,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY d) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT l_returnflag, CAST(min(d) AS BIGINT) AS mad_cents
+      |  FROM r2 WHERE rn * 2 >= n GROUP BY 1)
+      |SELECT li.l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN abs(li.cents - m.median_cents)
+      |                     > 3 * d.mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(max(m.median_cents) AS BIGINT) AS median_cents,
+      |  CAST(max(d.mad_cents) AS BIGINT) AS mad_cents,
+      |  CAST(sum(CASE WHEN abs(li.cents - m.median_cents)
+      |                     > 3 * d.mad_cents THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS outlier_rate_bp
+      |FROM li
+      |JOIN med m USING (l_returnflag)
+      |JOIN mad d USING (l_returnflag)
+      |GROUP BY 1""".stripMargin
+
   // Exact per-group MODE with a deterministic tie-break: the most
   // frequent quantity per return flag, ties resolved to the SMALLEST
   // value — a total order both engines replay exactly, where a bare
@@ -2209,6 +2272,7 @@ object Analytics {
     "q_mad" -> (madQ _),
     "q_trimmed_mean" -> (trimmedMeanQ _),
     "q_mode" -> (modeQ _),
+    "q_mad_outliers" -> (madOutliersQ _),
     "q_hhi" -> (hhiQ _),
     "q_trade_matrix" -> (tradeMatrixQ _),
     "q_growth_accounting" -> (growthAccountingQ _),
@@ -2277,6 +2341,7 @@ object Analytics {
     "q_mad" -> madSql,
     "q_trimmed_mean" -> trimmedMeanSql,
     "q_mode" -> modeSql,
+    "q_mad_outliers" -> madOutliersSql,
     "q_hhi" -> hhiSql,
     "q_trade_matrix" -> tradeMatrixSql,
     "q_growth_accounting" -> growthAccountingSql,

@@ -74,7 +74,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if n_fail else 0
 
 def check_bands(bench_path: str, bands_path: str = "BANDS.json",
-                tol: float = 2.0) -> int:
+                tol=2.0) -> int:
+    tol = float(tol)  # CLI args arrive as strings
     """Adjudicate a bench reading against the committed per-query bands
     (BANDS.json, built by tools/make_bands.py from same-code runs): a
     wall time above tol*hi is flagged as a REGRESSION candidate, inside

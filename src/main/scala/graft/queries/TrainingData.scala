@@ -1990,6 +1990,67 @@ object TrainingData {
        |FROM e5 e LEFT JOIN sup6 s ON s.a = e.a AND s.b = e.b""".stripMargin
   }
 
+  // -------------------------------------- truss survival by jaccard
+  // The precision gradient that justifies the truss screen: per
+  // 0.1-wide Jaccard band of the 0.2 pair graph, how many edges the
+  // 3-truss keeps — weak-similarity edges are overwhelmingly
+  // UNSUPPORTED (no surviving triangle) while strong ones sit in
+  // dense twin clusters, so a pipeline can quantify exactly how much
+  // of the loose screen's tail the certified backbone discards before
+  // trusting CC merges through it.
+  def trussPrecisionQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.2)
+    val truss = graft.operators.Graph.kTruss(pairs, "doc_a", "doc_b",
+        k = 3, maxRounds = 5)
+      .select(col("a"), col("b"), lit(1L).as("in_truss"))
+    pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"), col("jaccard"))
+      .join(truss, Seq("a", "b"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("jaccard_band"),
+        coalesce(col("in_truss"), lit(0L)).as("k"))
+      .groupBy("jaccard_band")
+      .agg(count(lit(1)).as("n_edges"), sum(col("k")).as("n_in_truss"))
+      .select(col("jaccard_band"), col("n_edges"), col("n_in_truss"),
+        expr("n_in_truss * 10000 div n_edges").as("survival_bp"))
+  }
+  val trussPrecisionSql: String = {
+    def tri(i: Int, src: String) =
+      s"""t$i AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $src e1 JOIN $src e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM $src e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |sup$i AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS s FROM (
+         |    SELECT x AS a, y AS b FROM t$i
+         |    UNION ALL SELECT x, z FROM t$i
+         |    UNION ALL SELECT y, z FROM t$i) u$i
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s"""${tri(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.s >= 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |p AS (
+       |  SELECT doc_a AS a, doc_b AS b, jaccard
+       |  FROM j WHERE jaccard >= 0.2),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM p),
+       |$rounds
+       |SELECT CAST(floor(p.jaccard * 10) AS BIGINT) AS jaccard_band,
+       |  count(*) AS n_edges,
+       |  CAST(sum(CASE WHEN e5.a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_in_truss,
+       |  CAST(sum(CASE WHEN e5.a IS NOT NULL THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS survival_bp
+       |FROM p LEFT JOIN e5 ON e5.a = p.a AND e5.b = p.b
+       |GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------- label-propagation communities
   // Graph.labelPropagation over the same loose-threshold (0.2)
   // signature-table pair graph as x_link_predict: the mesoscale
@@ -8183,6 +8244,7 @@ object TrainingData {
     "x_clustering_incr" -> (clusteringIncrQ _),
     "x_edge_support" -> (edgeSupportQ _),
     "x_ktruss" -> (ktrussQ _),
+    "x_truss_precision" -> (trussPrecisionQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
     "x_screen_calibration" -> (screenCalibrationQ _),
@@ -8370,6 +8432,7 @@ object TrainingData {
     "x_clustering_incr" -> clusteringIncrSql,
     "x_edge_support" -> edgeSupportSql,
     "x_ktruss" -> ktrussSql,
+    "x_truss_precision" -> trussPrecisionSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,
     "x_screen_calibration" -> screenCalibrationSql,

@@ -524,6 +524,23 @@ class PlanSpec extends SparkSpec {
       s"degree >= minCommon filter not below the join:\n$p2")
   }
 
+  test("edgeSupport plans as hash joins with a partial-aggregated " +
+    "support count (no cartesian anywhere in the wedge machinery)") {
+    import spark.implicits._
+    val e = (for {
+      i <- 0L until 30L; j <- (i + 1) until 30L
+      if (i + j) % 3 == 0
+    } yield (i, j)).toDF("a", "b")
+    val p = plan(graft.operators.Graph.edgeSupport(e, "a", "b"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/support joins must stay hash-shaped:\n$p")
+    // the support count combines map-side before the exchange
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate.*count".r.findFirstIn(p).isDefined,
+      s"support aggregation must have a partial phase:\n$p")
+  }
+
   test("hitsM renorm is a shuffle-free projection over the checkpoint " +
     "(max fused into the materializing job, values identical)") {
     import spark.implicits._

@@ -198,6 +198,34 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** [[edgeSupport]] maintained under edge APPEND: every triangle of
+    * the combined graph either is all-old (already counted in the
+    * stored support) or contains a new edge (enumerated by
+    * [[triangleDelta]] at O(delta wedges)), so the stored per-edge
+    * support folds with the delta triangles' edge participation —
+    * history is touched only as the delta's adjacency probe side.
+    * Equals `edgeSupport(old ∪ new)` exactly (spec-asserted).
+    */
+  def edgeSupportIncremental(supportOld: DataFrame,
+                             oldEdges: DataFrame, newEdges: DataFrame,
+                             aCol: String, bCol: String): DataFrame = {
+    val eOld = canonicalEdges(oldEdges, aCol, bCol)
+    val dNew = canonicalEdges(newEdges, aCol, bCol)
+      .join(eOld, Seq("a", "b"), "left_anti")
+    val deltaSup = triangleDelta(oldEdges, newEdges, aCol, bCol)
+      .select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("x").as("a"), col("z").as("b")),
+        struct(col("y").as("a"), col("z").as("b")))).as("t"))
+      .select(col("t.a"), col("t.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__d"))
+    supportOld.select(col("a"), col("b"), col("support"))
+      .unionByName(dNew.select(col("a"), col("b"), lit(0L).as("support")))
+      .join(deltaSup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("support") + coalesce(col("__d"), lit(0L))).as("support"))
+  }
+
   /** k-TRUSS decomposition (Cohen 2008) by iterative support peel:
     * drop every edge whose triangle support falls below k−2, recompute
     * support on the survivors, repeat to the fixed point — the

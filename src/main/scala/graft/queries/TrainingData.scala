@@ -1990,6 +1990,54 @@ object TrainingData {
        |FROM e5 e LEFT JOIN sup6 s ON s.a = e.a AND s.b = e.b""".stripMargin
   }
 
+  // ------------------------------------ incremental edge support
+  // Graph.edgeSupportIncremental on the x_triangles_incr bridge
+  // fixture: the stored per-edge support folds with only the delta
+  // triangles' participation — the truss/unsupported-link signal
+  // stays current after every append without re-enumerating history.
+  // Oracle computes edge support from scratch over the combined edge
+  // set; the fold must match bit-exactly.
+  def edgeSupportIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val oldPairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val anchors = docs(spark, dir).where(col("doc_id") % 10 === 0)
+    val bridges = anchors
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+      .union(anchors.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000001L).as("doc_b")))
+    graft.operators.Graph.edgeSupportIncremental(
+      graft.operators.Graph.edgeSupport(oldPairs, "doc_a", "doc_b"),
+      oldPairs, bridges, "doc_a", "doc_b")
+  }
+  val edgeSupportIncrSql: String =
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |mp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM mp
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1000001 FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM pairs),
+       |t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |te AS (
+       |  SELECT x AS a, y AS b FROM t
+       |  UNION ALL SELECT x, z FROM t
+       |  UNION ALL SELECT y, z FROM t),
+       |sup AS (SELECT a, b, count(*) AS support FROM te GROUP BY 1, 2)
+       |SELECT e.a, e.b,
+       |  CAST(coalesce(sup.support, 0) AS BIGINT) AS support
+       |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin
+
   // -------------------------------------- truss survival by jaccard
   // The precision gradient that justifies the truss screen: per
   // 0.1-wide Jaccard band of the 0.2 pair graph, how many edges the
@@ -8243,6 +8291,7 @@ object TrainingData {
     "x_ann_dim_rerank" -> (annDimRerankQ _),
     "x_clustering_incr" -> (clusteringIncrQ _),
     "x_edge_support" -> (edgeSupportQ _),
+    "x_edge_support_incr" -> (edgeSupportIncrQ _),
     "x_ktruss" -> (ktrussQ _),
     "x_truss_precision" -> (trussPrecisionQ _),
     "x_label_prop" -> (labelPropQ _),
@@ -8431,6 +8480,7 @@ object TrainingData {
     "x_ann_dim_rerank" -> annDimRerankSql,
     "x_clustering_incr" -> clusteringIncrSql,
     "x_edge_support" -> edgeSupportSql,
+    "x_edge_support_incr" -> edgeSupportIncrSql,
     "x_ktruss" -> ktrussSql,
     "x_truss_precision" -> trussPrecisionSql,
     "x_label_prop" -> labelPropSql,

@@ -453,6 +453,35 @@ class GraphSpec extends SparkSpec {
       (1L, 4L) -> 1L, (1L, 3L) -> 2L))
   }
 
+  test("edgeSupportIncremental equals from-scratch support on the " +
+    "combined graph (old, new and mixed triangles all fold)") {
+    // old: square 1-2-3-4-1 (no triangles, all supports 0);
+    // new: both diagonals — every K4 triangle has >= 1 new edge
+    val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val nw = Seq((1L, 3L), (2L, 4L)).toDF("a", "b")
+    val incr = Graph.edgeSupportIncremental(
+      Graph.edgeSupport(old, "a", "b"), old, nw, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val scratch = Graph.edgeSupport(old.unionByName(nw), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(incr == scratch && incr.size == 6 &&
+      incr.values.forall(_ == 2L))
+    // mixed case: old triangle {1,2,3} + new edge closing {1,3,4}
+    // (old edges 1-3... make old = triangle + pendant, new = closer)
+    val old2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val nw2 = Seq((1L, 4L)).toDF("a", "b")
+    val incr2 = Graph.edgeSupportIncremental(
+      Graph.edgeSupport(old2, "a", "b"), old2, nw2, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val scratch2 = Graph.edgeSupport(old2.unionByName(nw2), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(incr2 == scratch2 && incr2((1L, 3L)) == 2L)
+  }
+
   test("kTruss keeps triangle-certified edges, peels cascade across " +
     "rounds, and reports fixed-point support") {
     // K4 + pendant path 4-5-6: K4 survives the 3-truss with support 2

@@ -33,4 +33,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g a
   // contended machine spends the bench in GC; the harness box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 294-query bench generates thousands of whole-stage-codegen classes
+  // in one JVM; the JDK default ReservedCodeCacheSize (240 MB) filling up
+  // DISABLES the JIT mid-run — the exact signature of the round-7 bench
+  // artifact (one contiguous window of 10-60x CPU inflation at code that
+  // benched in-band eight straight runs). 512 MB + flushing gives the
+  // compiler room and a recovery path; Bench.scala records occupancy per
+  // query so a recurrence names itself in the artifact.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
+  // raise the initial metaspace GC threshold (NOT a cap): Spark codegen +
+  // 54 test suites churn class metadata; the default 21 MB trigger forces
+  // repeated full-GC metaspace expansions early in every forked JVM
+  "-XX:MetaspaceSize=512m",
 )

@@ -9,8 +9,78 @@ import org.apache.spark.sql.SparkSession
   * warmup) and then once timed, so reported numbers are steady-state
   * throughput rather than first-run JIT noise; queries run in sorted
   * name order for stable attribution.
+  *
+  * The harness explains itself (the round-7 lesson: a 294-query
+  * single-JVM codegen-heavy bench produced one 3x artifact that needed
+  * judge-side forensics to diagnose as a JVM pathology):
+  *   - per-query TELEMETRY deltas — JIT total compile time
+  *     (CompilationMXBean), GC time/count (GarbageCollectorMXBeans),
+  *     and code-cache occupancy (the CodeHeap MemoryPoolMXBeans) — go
+  *     into BENCH_FULL.json next to wall and process-CPU, so a window
+  *     of interpreter-speed execution names its own cause;
+  *   - the artifact SELF-ADJUDICATES against BANDS.json (same logic as
+  *     tools/verify_local.py --bands): an embedded
+  *     {in_band, flagged, unbanded, missing} summary, and every flagged
+  *     row is re-run once at the end of the same invocation with both
+  *     readings reported — a transient pathology self-heals in the
+  *     artifact instead of requiring a second bench invocation;
+  *   - artifacts (BENCH_FULL.json, BENCH_RUNS.jsonl, BANDS.json) are
+  *     anchored at the repo root (nearest ancestor with build.sbt), not
+  *     the CWD, so run history never silently forks.
   */
 object Bench {
+
+  /** Nearest ancestor directory containing build.sbt (the repo root),
+    * falling back to the CWD: BENCH_RUNS.jsonl is append-only HISTORY
+    * and a CWD-relative path would silently start a new one per
+    * working directory. */
+  private def repoRoot(): java.nio.file.Path = {
+    var d = java.nio.file.Paths.get("").toAbsolutePath
+    var probe = d
+    while (probe != null) {
+      if (java.nio.file.Files.exists(probe.resolve("build.sbt"))) return probe
+      probe = probe.getParent
+    }
+    d
+  }
+
+  // --- JVM self-observation (all standard java.lang.management) -----
+  import java.lang.management.{ManagementFactory => mf}
+  private def jitMs(): Long = {
+    val c = mf.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime else -1L
+  }
+  private def gcStats(): (Long, Long) = {
+    var ms = 0L; var n = 0L
+    mf.getGarbageCollectorMXBeans.forEach { b =>
+      if (b.getCollectionTime >= 0) ms += b.getCollectionTime
+      if (b.getCollectionCount >= 0) n += b.getCollectionCount
+    }
+    (ms, n)
+  }
+  /** (used, max) bytes summed over the code-cache pools ("CodeHeap
+    * 'non-profiled nmethods'" etc. under SegmentedCodeCache, or the
+    * single "Code Cache" pool without it). A full code cache disables
+    * further JIT compilation — the prime suspect for the r7 artifact's
+    * contiguous interpreter-speed window. */
+  private def codeCache(): (Long, Long) = {
+    var used = 0L; var max = 0L
+    mf.getMemoryPoolMXBeans.forEach { p =>
+      val n = p.getName
+      if (n.contains("CodeHeap") || n.contains("Code Cache")) {
+        val u = p.getUsage
+        if (u != null) { used += u.getUsed; if (u.getMax > 0) max += u.getMax }
+      }
+    }
+    (used, max)
+  }
+  private def loadAvg(): Double =
+    mf.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private case class Reading(wall: Double, cpu: Double, jitMsD: Long,
+                             gcMsD: Long, gcCountD: Long, ccUsedMb: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every available core (capped at 32 — the harness's
@@ -18,6 +88,8 @@ object Bench {
     // driver-run bench measure a quarter-width machine.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val root = repoRoot()
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,14 +141,14 @@ object Bench {
           () => b.getProcessCpuTime
         case _ => () => 0L // JVM without the com.sun extension
       }
-    // Optional first arg (local iteration only; the driver passes none):
-    // comma-separated query names to bench instead of the full set.
-    val only: Option[Set[String]] =
-      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val (t, cpu) = try {
+    // tracks whether the code cache ever crossed 95% of its reserve —
+    // at that point the JVM may stop compiling (with flushing: churn)
+    var ccEverFull = false
+    var ccPeakUsed = 0L
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) =>
+                    org.apache.spark.sql.DataFrame): Reading = {
+      try {
         val w0 = System.nanoTime()
         fn(spark, sfDir).count() // plan + codegen + IO warmup (untimed)
         // C2 compilation is asynchronous: a query whose first run was
@@ -89,65 +161,185 @@ object Bench {
         // internally, e.g. the MinHash signature stage) so the timed run
         // measures the real pipeline cost, not a cache read
         spark.catalog.clearCache()
+        val j0 = jitMs(); val (g0, n0) = gcStats()
         val c0 = procCpuNs()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val c1 = procCpuNs()
+        val j1 = jitMs(); val (g1, n1) = gcStats()
+        val (ccU, ccM) = codeCache()
+        ccPeakUsed = math.max(ccPeakUsed, ccU)
+        if (ccM > 0 && ccU.toDouble / ccM > 0.95) ccEverFull = true
         // getProcessCpuTime's documented "unsupported" sentinel is -1;
         // report -1 (unknown) rather than a garbage delta
-        ((System.nanoTime() - t0) / 1e9,
-          if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9)
+        Reading((System.nanoTime() - t0) / 1e9,
+          if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9,
+          if (j0 < 0 || j1 < 0) -1L else j1 - j0,
+          g1 - g0, n1 - n0, ccU >> 20)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (-1.0, -1.0)
+        Reading(-1.0, -1.0, -1L, -1L, -1L, -1L)
       }
-      (name, t, cpu)
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + (math.rint(f(r) * 1000) / 1000))
+    // Optional first arg (local iteration only; the driver passes none):
+    // comma-separated query names to bench instead of the full set.
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = queryFns.map { case (name, fn) => (name, timeQuery(name, fn)) }
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    def jmapD(f: Reading => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + r3(f(r._2)))
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val totalR = math.rint(total * 1000) / 1000
+    def jmapL(f: Reading => Long): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r._2))
+        .mkString("{", ",", "}")
+    val total = results.map(_._2.wall).filter(_ >= 0).sum
+    val totalR = r3(total)
     // Streaming queries pay a per-query harness floor (checkpoint dirs,
     // micro-batch trigger machinery, processAllAvailable drains) that
     // batch plans don't; reporting their subtotal separately lets a
     // round-over-round comparison tell plan cost from harness cost.
-    def r3(d: Double) = math.rint(d * 1000) / 1000
     val isStreaming: String => Boolean =
       n => n.startsWith("p_stream_") || n.startsWith("x_stream_")
     val streamRes = results.filter(r => isStreaming(r._1))
-    val streamSub = r3(streamRes.map(_._2).filter(_ >= 0).sum)
-    val streamCpu = r3(streamRes.map(_._3).filter(_ >= 0).sum)
+    val streamSub = r3(streamRes.map(_._2.wall).filter(_ >= 0).sum)
+    val streamCpu = r3(streamRes.map(_._2.cpu).filter(_ >= 0).sum)
+
+    // --- self-adjudication against the committed bands ---------------
+    // Same rule as tools/verify_local.py --bands: wall > tol*hi is a
+    // REGRESSION candidate. Flagged rows are re-run once, HERE, in the
+    // same JVM — if the first reading was a transient (GC spiral, JIT
+    // stall, host contention) the second reading shows it in the same
+    // artifact; if both readings are out of band it is a real change.
+    val tol = 2.0
+    val bandsPath = root.resolve("BANDS.json")
+    case class Band(lo: Double, hi: Double, n: Int)
+    val bands: Map[String, Band] =
+      if (!java.nio.file.Files.exists(bandsPath)) Map.empty
+      else if (!{ // bands are an SF-specific statement: never adjudicate
+                  // an sf0.01 local run against the committed sf0.1 bands
+        val sfRe = """"sf":\s*"([^"]*)"""".r
+        sfRe.findFirstMatchIn(
+            java.nio.file.Files.readString(bandsPath))
+          .forall(_.group(1) == sfDir)
+      }) {
+        System.err.println(s"[bench] BANDS.json is for a different sf " +
+          s"dir; skipping adjudication")
+        Map.empty
+      } else {
+        // dependency-free parse: bands entries are flat numeric objects
+        //   "name": {"cpu_hi": x, "cpu_lo": x, "hi": x, "lo": x, "n": k}
+        val txt = java.nio.file.Files.readString(bandsPath)
+        // [^{}] keeps the match to LEAF objects: the top-level
+        // "queries" wrapper (whose body opens another brace) must not
+        // match, or it would swallow the first real entry.
+        val entry =
+          """"([A-Za-z0-9_]+)":\s*\{([^{}]*)\}""".r
+        val num = """"(lo|hi|n)":\s*(-?[0-9.Ee+]+)""".r
+        entry.findAllMatchIn(txt).flatMap { m =>
+          val fields = num.findAllMatchIn(m.group(2))
+            .map(f => f.group(1) -> f.group(2).toDouble).toMap
+          if (fields.contains("lo") && fields.contains("hi"))
+            Some(m.group(1) -> Band(fields("lo"), fields("hi"),
+              fields.getOrElse("n", 0.0).toInt))
+          else None
+        }.toMap
+      }
+    val flagged = results.collect {
+      case (name, r) if r.wall < 0 => (name, r.wall, "errored")
+      case (name, r) if bands.get(name).exists(b => r.wall > tol * b.hi) =>
+        (name, r.wall, s"above ${tol}x band hi ${bands(name).hi}")
+    }
+    val unbanded = results.collect {
+      case (name, r) if r.wall >= 0 && !bands.contains(name) => name }
+    val inBand = results.size - flagged.size - unbanded.size
+    // full runs only: a filtered local run legitimately "misses" queries
+    val missing =
+      if (only.isEmpty) (bands.keySet -- results.map(_._1)).toSeq.sorted
+      else Seq.empty
+    val second: Seq[(String, Reading)] = flagged.flatMap { case (name, _, _) =>
+      queryFns.find(_._1 == name).map { case (_, fn) =>
+        name -> timeQuery(name, fn) }
+    }
+    val stillOut = second.collect { case (name, r)
+      if r.wall < 0 || bands.get(name).exists(b => r.wall > tol * b.hi) =>
+      name }
+    def jstr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flaggedJson = flagged.map { case (name, wall, why) =>
+      val b = bands.get(name)
+        .map(b => s""","band_lo":${b.lo},"band_hi":${b.hi},"band_n":${b.n}""")
+        .getOrElse("")
+      s"""{"name":"$name","wall":${r3(wall)},"why":"$why"$b}"""
+    }.mkString("[", ",", "]")
+    val secondJson = second.map { case (name, r) =>
+      s""""$name":{"wall":${r3(r.wall)},"cpu":${r3(r.cpu)},""" +
+        s""""jit_ms":${r.jitMsD},"gc_ms":${r.gcMsD}}"""
+    }.mkString("{", ",", "}")
+    val adjudication =
+      s"""{"tol":$tol,"in_band":$inBand,"n_flagged":${flagged.size},
+         |"flagged":$flaggedJson,
+         |"unbanded":${jstr(unbanded)},
+         |"missing_from_run":${jstr(missing)},
+         |"second_readings":$secondJson,
+         |"flagged_after_rerun":${jstr(stillOut)}}""".stripMargin
+
+    // --- JVM health summary -------------------------------------------
+    val (ccUsedEnd, ccMax) = codeCache()
+    val (gcMsT, gcNT) = gcStats()
+    val loadEnd = loadAvg()
+    val jvmJson =
+      s"""{"jit_total_ms":${jitMs()},"gc_total_ms":$gcMsT,
+         |"gc_total_count":$gcNT,
+         |"code_cache_used_mb":${ccUsedEnd >> 20},
+         |"code_cache_peak_mb":${ccPeakUsed >> 20},
+         |"code_cache_max_mb":${ccMax >> 20},
+         |"code_cache_ever_full":$ccEverFull,
+         |"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)},
+         |"context":"${sys.env.getOrElse("SPARK_GRAFT_CONTEXT", "")}"}"""
+        .stripMargin
+
     // The per-query maps for 140+ queries overflow a tail-truncated
     // stdout capture (BENCH_r04 lost its wall-time map that way), so the
     // COMPLETE artifact — totals first, then both per-query maps — goes
     // to a known file, and stdout carries one short parseable line
     // pointing at it.
-    val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
+    val fullPath = root.resolve("BENCH_FULL.json").toAbsolutePath.toString
     val full =
       s"""{"metric":"total","value":$totalR,"unit":"sec",
          |"n_queries":${results.size},"sf":"$sfDir",
          |"streaming_subtotal_sec":$streamSub,
          |"streaming_subtotal_cpu_sec":$streamCpu,
          |"n_streaming_queries":${streamRes.size},
-         |"queries":${jmap(_._2)},
-         |"queries_cpu_sec":${jmap(_._3)}}""".stripMargin
+         |"jvm":$jvmJson,
+         |"bands_adjudication":$adjudication,
+         |"queries":${jmapD(_.wall)},
+         |"queries_cpu_sec":${jmapD(_.cpu)},
+         |"queries_jit_ms":${jmapL(_.jitMsD)},
+         |"queries_gc_ms":${jmapL(_.gcMsD)},
+         |"queries_gc_count":${jmapL(_.gcCountD)},
+         |"queries_codecache_mb":${jmapL(_.ccUsedMb)}}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
     // Append the same artifact as one line of run HISTORY: BANDS.json
     // (tools/make_bands.py) is computed over the last N same-code runs,
     // and the driver/judge adjudicate contention-vs-regression against
     // those bands instead of prose precedents. Only full (unfiltered)
     // runs are comparable across invocations, so filtered local runs
-    // stay out of the history.
+    // stay out of the history. Anchored at the repo root so history
+    // never forks on working directory.
     if (only.isEmpty) {
       val line = full.replace("\n", "") + "\n"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_RUNS.jsonl"), line.getBytes,
+        root.resolve("BENCH_RUNS.jsonl"), line.getBytes,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
     println(s"""{"metric":"total","value":$totalR,"unit":"sec",""" +
       s""""n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""bands_flagged":${flagged.size},""" +
+      s""""bands_flagged_after_rerun":${stillOut.size},""" +
+      s""""code_cache_ever_full":$ccEverFull,""" +
       s""""detail_file":"$fullPath"}""")
     spark.stop()
   }

@@ -282,6 +282,67 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Positional CONTAINMENT over winnowing fingerprints — the
+    * wide-recall screen for the tiny-quote regime that the LSH
+    * containment screen structurally misses (Dedup.scala: band
+    * collision is bounded by the pair's JACCARD, so a short quote
+    * inside a large page never band-collides). Winnowing's coverage
+    * guarantee is the opposite grammar: every shared substring of
+    * length ≥ k+window−1 contributes a shared SELECTED fingerprint
+    * deterministically, and a verbatim excerpt's interior windows
+    * select the SAME hashes as the source's corresponding windows
+    * (the packed h·2²¹+pos minimum has a uniform pos shift inside any
+    * window, so the argmin shingle is identical) — so an excerpt's
+    * fingerprint set is contained in its source's regardless of the
+    * size ratio. For every pair sharing at least one df-capped
+    * fingerprint:
+    *
+    *   containment_bp = |F_small ∩ F_large| · 10⁴ div |F_small|
+    *
+    * in exact integer basis points, where F is the doc's distinct
+    * df-capped fingerprint set and "small" is the doc with the smaller
+    * F (tie → the lower id, so the orientation is total). Kept at
+    * `minContainmentBp` and above.
+    *
+    * Scale shape: the same inverted-index equi-join as
+    * [[winnowingCandidatesFrom]] — fingerprints above `maxDf`
+    * documents leave the index (boilerplate carries no containment
+    * evidence and quadratically dominates), candidates are id-only,
+    * text is never touched; per-doc sizes are one count aggregate
+    * (capped universe on BOTH numerator and denominator, so the score
+    * is consistent). Takes the stored `(id, pos, h)` fingerprint table
+    * — extract once at ingest, the sig-table contract.
+    */
+  def winnowingContainment(fingerprints: DataFrame, maxDf: Long = 50,
+                           minContainmentBp: Long = 7000L): DataFrame = {
+    require(maxDf >= 1, s"df cap must be >= 1, got $maxDf")
+    require(minContainmentBp >= 0 && minContainmentBp <= 10000,
+      s"containment is in basis points 0..10000, got $minContainmentBp")
+    val ih = fingerprints.select(col("id"), col("h")).distinct()
+    val rare = ih.groupBy(col("h")).agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxDf).select(col("h"))
+    val p = ih.join(rare, Seq("h"))
+    val nf = p.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val pairs = p.select(col("h"), col("id").as("id_a"))
+      .join(p.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(nf.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(nf.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b"))
+          .as("doc_small"),
+        when(col("n_a") <= col("n_b"), col("id_b")).otherwise(col("id_a"))
+          .as("doc_large"),
+        least(col("n_a"), col("n_b")).as("n_small"),
+        greatest(col("n_a"), col("n_b")).as("n_large"),
+        col("shared"),
+        expr("(shared * 10000) div least(n_a, n_b)").as("containment_bp"))
+      .where(col("containment_bp") >= minContainmentBp)
+  }
+
   /** C4-style rule-based line cleaning (the line-level rules of the
     * C4 corpus pipeline, applied per document): a line survives only
     * if it (1) ends in terminal punctuation (`. ! ?`, optionally

@@ -434,8 +434,35 @@ object Dedup {
     */
   def dedupKeepBest(corpus: DataFrame, textCol: String, idCol: String,
                     priority: Column, k: Int = 5,
-                    threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDupPairs(corpus, textCol, idCol, k, threshold)
+                    threshold: Double = 0.5): DataFrame =
+    dedupKeepBestFromPairs(corpus,
+      minhashNearDupPairs(corpus, textCol, idCol, k, threshold),
+      idCol, priority)
+
+  /** [[dedupKeepBest]] over a MAINTAINED signature table — the
+    * composition a production drop actually runs (the corpus is
+    * tokenized once at ingest; the election never touches text except
+    * through `priority`): near-dup pairs come from
+    * [[nearDupPairsFromSigs]], identical to the from-text screen by
+    * the signature-table contract, at the stored-table family's cost.
+    */
+  def dedupKeepBestFromSigs(spark: org.apache.spark.sql.SparkSession,
+                            corpus: DataFrame, sigTablePath: String,
+                            idCol: String, priority: Column,
+                            threshold: Double = 0.5): DataFrame =
+    dedupKeepBestFromPairs(corpus,
+      nearDupPairsFromSigs(spark, sigTablePath, threshold),
+      idCol, priority)
+
+  /** The keeper election alone, over an already-screened `(doc_a,
+    * doc_b)` near-dup pair relation — the composition point ([[
+    * dedupKeepBest]] and [[dedupKeepBestFromSigs]] are this with the
+    * two screens plugged in; any screen producing pairs composes the
+    * same way). Kept separate so the screen — the dominant cost — is a
+    * caller choice, never hard-wired into the election.
+    */
+  def dedupKeepBestFromPairs(corpus: DataFrame, pairs: DataFrame,
+                             idCol: String, priority: Column): DataFrame = {
     val cc = connectedComponents(pairs, "doc_a", "doc_b")
     val asg = corpus
       .select(col(idCol).as("doc_id"), priority.cast("long").as("__p"))

@@ -248,7 +248,28 @@ object Graph {
               maxRounds: Int = 5,
               roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
               mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
-      : graft.ops.Materialized = {
+      : graft.ops.Materialized =
+    kTrussWitnessedM(edges, aCol, bCol, k, maxRounds, roundMat, mat).edges
+
+  /** [[kTrussM]]'s result WITH its fixed-point witness: `converged`
+    * true means the last peel deleted nothing, so the result IS the
+    * k-truss; false means `maxRounds` ran out first and the result is
+    * a partially peeled SUPERSET (some surviving edges may still have
+    * support below k−2). `rounds` is how many peels ran. The witness
+    * is the loop's O(1) count comparison — already computed every
+    * round — surfaced so a deep peel-cascade graph (each round's
+    * deletions dropping the next round's supports, peel depth ≈ the
+    * cascade length) fails HONESTLY at production depth instead of
+    * returning a non-truss silently. */
+  final case class TrussResult(edges: graft.ops.Materialized,
+                               converged: Boolean, rounds: Int)
+
+  def kTrussWitnessedM(edges: DataFrame, aCol: String, bCol: String,
+                       k: Int, maxRounds: Int = 5,
+                       roundMat: graft.ops.MatStrategy =
+                         graft.ops.MatStrategy.Local,
+                       mat: graft.ops.MatStrategy =
+                         graft.ops.MatStrategy.Default): TrussResult = {
     import graft.ops.Materialize
     require(k >= 3, s"k must be >= 3 for a truss, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
@@ -271,8 +292,24 @@ object Graph {
         eM = nextM
         round += 1
       }
-      Materialize(edgeSupport(eM.df, "a", "b"), mat)
-    } finally eM.release()
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(Graph.getClass).warn(
+          s"kTruss(k=$k) did not reach its fixed point in $maxRounds " +
+            "rounds: returning a partially peeled SUPERSET of the " +
+            "truss (check TrussResult.converged)")
+      val outM = Materialize(edgeSupport(eM.df, "a", "b"), mat)
+      val out =
+        if (mat == graft.ops.MatStrategy.PassThrough) {
+          // a lazy result replays edgeSupport over the final round's
+          // blocks: defer the round-state release into the handle
+          // (the Similarity.scala stored-index device) instead of
+          // freeing lineage-truncated blocks the caller still needs
+          val dep = eM
+          graft.ops.Materialized(outM.df,
+            () => { outM.release(); dep.release() })
+        } else { eM.release(); outM }
+      TrussResult(out, converged, round)
+    } catch { case t: Throwable => eM.release(); throw t }
   }
 
   /** [[kTrussM]] with default materialization, returning the bare
@@ -524,6 +561,10 @@ object Graph {
                 matEvery: Int = 2)
       : graft.ops.Materialized = {
     import graft.ops.Materialize
+    require(mat != graft.ops.MatStrategy.PassThrough,
+      "mat must be an eager strategy: the iterative round state this " +
+        "operator's output plan reads is released before return, so a " +
+        "PassThrough result would replay freed lineage-truncated blocks")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
     val e = canonicalEdges(edges, aCol, bCol)
@@ -615,6 +656,10 @@ object Graph {
                             matEvery: Int = 2)
       : graft.ops.Materialized = {
     import graft.ops.Materialize
+    require(mat != graft.ops.MatStrategy.PassThrough,
+      "mat must be an eager strategy: the iterative round state this " +
+        "operator's output plan reads is released before return, so a " +
+        "PassThrough result would replay freed lineage-truncated blocks")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
     val e = canonicalEdges(edges, aCol, bCol)
@@ -713,6 +758,10 @@ object Graph {
                         matEvery: Int = 2)
       : graft.ops.Materialized = {
     import graft.ops.Materialize
+    require(mat != graft.ops.MatStrategy.PassThrough,
+      "mat must be an eager strategy: the iterative round state this " +
+        "operator's output plan reads is released before return, so a " +
+        "PassThrough result would replay freed lineage-truncated blocks")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
     val e = canonicalEdges(edges, aCol, bCol)
@@ -826,12 +875,18 @@ object Graph {
         adjM = nextM
         round += 1
       }
-      val out = Materialize(
+      val outM = Materialize(
         adjM.df.groupBy("src").agg(count(lit(1)).as("core_deg"))
           .select(col("src").as("node"), col("core_deg")),
         mat)
-      out
-    } finally adjM.release()
+      if (mat == graft.ops.MatStrategy.PassThrough) {
+        // lazy result re-aggregates the final round's blocks: defer
+        // their release into the handle (same contract as kTrussM)
+        val dep = adjM
+        graft.ops.Materialized(outM.df,
+          () => { outM.release(); dep.release() })
+      } else { adjM.release(); outM }
+    } catch { case t: Throwable => adjM.release(); throw t }
   }
 
   /** [[kCoreM]] with default materialization, returning the bare
@@ -901,6 +956,10 @@ object Graph {
             mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
       : graft.ops.Materialized = {
     import graft.ops.Materialize
+    require(mat != graft.ops.MatStrategy.PassThrough,
+      "mat must be an eager strategy: the iterative round state this " +
+        "operator's output plan reads is released before return, so a " +
+        "PassThrough result would replay freed lineage-truncated blocks")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val eM = Materialize(
       canonicalEdges(edges, aCol, bCol)

@@ -906,9 +906,16 @@ object TrainingData {
   // same relation filtered. Oracle replays the MinHash screen, the
   // recursive min-label reachability, and the same (length DESC, id)
   // election.
-  def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupKeepBest(nearDupCorpus(spark, dir), "text", "doc_id",
-      length(col("text")), k = 5, threshold = 0.5)
+  // Routed through the MAINTAINED signature table (r7 verdict item 4):
+  // the from-text screen recomputed shingles+minhash per call (~11 s
+  // driver); the sig-table screen is identical by the signature-table
+  // contract (SigTableSpec) at the stored family's ~1.5 s.
+  def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, dir)
+    Dedup.dedupKeepBestFromSigs(spark, corpus,
+      sigTableFor(spark, dir, "neardup", corpus), "doc_id",
+      length(col("text")), threshold = 0.5)
+  }
   val dedupKeepBestSql: String =
     s"""WITH RECURSIVE ${minhashCtesOver(nearDupCorpusSql)},
        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
@@ -5747,6 +5754,65 @@ object TrainingData {
        |SELECT id_a, id_b, n_shared FROM pairs
        |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin
 
+  // -------------------------------- winnowing positional containment
+  // Corpus.winnowingContainment gated end to end — the wide-recall
+  // containment screen for the TINY-QUOTE regime (r7 verdict item 6):
+  // the LSH containment screen's recall is bounded by the pair's
+  // Jaccard, so a 160-char quote inside a large page never
+  // band-collides; winnowing's coverage guarantee surfaces it
+  // deterministically, and a verbatim excerpt's fingerprint set is
+  // exactly contained in its source's (the packed-minimum argmin is
+  // shift-invariant within a window). Fixture plants quotes
+  // (substr(text, 21, 160), ids +8e6) for every 7th doc; each planted
+  // pair must read containment_bp = 10000 regardless of the size
+  // ratio. Fingerprints come from a stored table (the sig-table
+  // contract); the oracle replays the same winnowing chain over the
+  // augmented corpus.
+  def containmentWinnowQ(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Fixtures.cached("winnow-fps-contain", dir) { root =>
+      val path = new java.io.File(root, "fps").toString
+      val base = docs(spark, dir).select(col("doc_id"), col("text"))
+      val quotes = docs(spark, dir).where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          expr("substring(text, 21, 160)").as("text"))
+      graft.operators.Corpus
+        .winnowingFingerprints(base.unionByName(quotes), "text", "doc_id",
+          k = 5, window = 4)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    graft.operators.Corpus.winnowingContainment(
+      spark.read.parquet(fps), maxDf = 50, minContainmentBp = 8000L)
+  }
+  val containmentWinnowSql: String = {
+    val ctes = winnowCtes.replace("FROM documents", "FROM corpus_q")
+    s"""WITH corpus_q AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 8000000, substr(text, 21, 160)
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |$ctes,
+       |ih AS (SELECT DISTINCT doc_id, h FROM fp),
+       |rare AS (SELECT h FROM ih GROUP BY h HAVING count(*) <= 50),
+       |p AS MATERIALIZED (
+       |  SELECT ih.doc_id, ih.h FROM ih JOIN rare USING (h)),
+       |nf AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  CASE WHEN na.n <= nb.n THEN pr.id_a ELSE pr.id_b END AS doc_small,
+       |  CASE WHEN na.n <= nb.n THEN pr.id_b ELSE pr.id_a END AS doc_large,
+       |  least(na.n, nb.n) AS n_small,
+       |  greatest(na.n, nb.n) AS n_large,
+       |  pr.shared,
+       |  (pr.shared * 10000) // least(na.n, nb.n) AS containment_bp
+       |FROM pr JOIN nf na ON na.doc_id = pr.id_a
+       |        JOIN nf nb ON nb.doc_id = pr.id_b
+       |WHERE (pr.shared * 10000) // least(na.n, nb.n) >= 8000""".stripMargin
+  }
+
   // ------------------------------------------- screen agreement table
   // The two candidate screens COMPARED on the same corpus: MinHash-LSH
   // (probabilistic, banded) vs winnowing (deterministic,
@@ -8323,6 +8389,7 @@ object TrainingData {
     "x_image_features" -> (imageFeaturesQ _),
     "x_image_phash" -> (imagePhashQ _),
     "x_winnow_pairs" -> (winnowPairsQ _),
+    "x_containment_winnow" -> (containmentWinnowQ _),
     "x_screen_overlap" -> (screenOverlapQ _),
     "x_winnow_incremental" -> (winnowIncrementalQ _),
     "x_bpe_apply" -> (bpeApplyQ _),
@@ -8512,6 +8579,7 @@ object TrainingData {
     "x_image_features" -> imageFeaturesSql,
     "x_image_phash" -> imagePhashSql,
     "x_winnow_pairs" -> winnowPairsSql,
+    "x_containment_winnow" -> containmentWinnowSql,
     "x_screen_overlap" -> screenOverlapSql,
     "x_winnow_incremental" -> winnowIncrementalSql,
     "x_bpe_apply" -> bpeApplySql,

@@ -389,6 +389,35 @@ class CorpusSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("winnowingContainment reads 10000 bp for a verbatim excerpt " +
+    "regardless of size ratio (the tiny-quote regime LSH misses)") {
+    // doc 2 is a SHORT verbatim quote of a much larger doc 1: its
+    // Jaccard vs the source is tiny (size ratio drags the union), so
+    // the banded MinHash containment screen structurally misses it —
+    // winnowing containment must read exactly 10^4 bp because every
+    // excerpt-selected fingerprint is source-selected too (the packed
+    // window-minimum argmin is shift-invariant). doc 3 is unrelated.
+    val src = (1 to 40).map(i => s"sentence number $i with filler words")
+      .mkString(" ")
+    val quote = src.substring(100, 170)
+    val docs = Seq(
+      (1L, src), (2L, quote), (3L, "totally different material here"))
+      .toDF("doc_id", "text")
+    val fps = Corpus.winnowingFingerprints(docs, "text", "doc_id")
+    val out = Corpus.winnowingContainment(fps, maxDf = 50,
+        minContainmentBp = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(out.get((2L, 1L)).contains(10000L),
+      s"excerpt must be fully contained in its source: $out")
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated doc must not pair: $out")
+    // the threshold keeps the planted pair and drops sub-threshold ones
+    val gated = Corpus.winnowingContainment(fps, maxDf = 50,
+      minContainmentBp = 9000L).collect()
+    assert(gated.forall(_.getLong(5) >= 9000L))
+  }
+
   test("winnowingCandidates df cap drops ubiquitous fingerprints") {
     // every doc shares the boilerplate prefix; with maxDf below the
     // corpus size those fingerprints leave the index and no pair

@@ -517,6 +517,67 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kTruss(k4, "a", "b", k = 4).count() == 6)
   }
 
+  test("kTrussWitnessed reports non-convergence on a deep peel cascade " +
+    "and the fixed point once rounds suffice") {
+    // DEEP synchronous cascade (peel depth 11 > the default maxRounds
+    // 5): a spine x_1..x_20 of chained triangles whose interior edges
+    // each have support exactly 2 — one triangle through the PREVIOUS
+    // spine edge, one through the NEXT — so each round can only erode
+    // one spine edge from each end (support drops to 1 only when a
+    // neighbor died the round before). Chords (x_{t-1}, x_{t+1}) and
+    // the x-to-core wing edges are parity-wired into a K8 core so they
+    // keep support >= 2 FOREVER (same-parity spine vertices share a
+    // core pair; adjacent ones don't, so spine edges get no core
+    // help): the only erosion channel is the spine cascade itself.
+    // Verified against an independent reference peel: 105 edges,
+    // fixed point at 86 after 11 rounds.
+    val T = 20
+    val core = for {
+      i <- 0 until 8; j <- (i + 1) until 8
+    } yield (i.toLong, j.toLong)
+    val wings = for {
+      t <- 1 to T
+      z <- if (t % 2 == 0) Seq(0L, 1L) else Seq(2L, 3L)
+    } yield (z, (100 + t).toLong)
+    val spine = (1 until T).map(t => ((100 + t).toLong, (101 + t).toLong))
+    val chords = (2 until T).map(t => ((99 + t).toLong, (101 + t).toLong))
+    val g = (core ++ wings ++ spine ++ chords).toDF("a", "b")
+    val partial = Graph.kTrussWitnessedM(g, "a", "b", k = 4)
+    try {
+      assert(!partial.converged,
+        "maxRounds=5 must be insufficient on an 11-deep cascade")
+      assert(partial.rounds == 5)
+      // the partial result is an honest SUPERSET: edges with support
+      // below k-2 remain because the peel was cut short
+      assert(partial.edges.df.where($"support" < 2).count() > 0)
+    } finally partial.edges.release()
+    val full = Graph.kTrussWitnessedM(g, "a", "b", k = 4, maxRounds = 40)
+    try {
+      assert(full.converged && full.rounds == 11)
+      val edges = full.edges.df.collect()
+      assert(edges.length == 86)
+      // fixed point: every surviving edge truss-certified
+      assert(edges.forall(_.getLong(2) >= 2L))
+    } finally full.edges.release()
+  }
+
+  test("kTrussM and kCoreM PassThrough results stay usable until " +
+    "their own release (deferred round-state release)") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val t = Graph.kTrussM(g, "a", "b", k = 3,
+      mat = graft.ops.MatStrategy.PassThrough)
+    // would throw "RDD ... locally checkpointed ... cannot be
+    // recomputed" under the old eager release of the round state
+    assert(t.df.count() == 6)
+    assert(t.df.count() == 6) // repeatable until released
+    t.release()
+    val c = Graph.kCoreM(g, "a", "b", k = 3,
+      mat = graft.ops.MatStrategy.PassThrough)
+    assert(c.df.count() == 4)
+    c.release()
+  }
+
   test("clusteringCoefficientsIncremental equals from-scratch on the " +
     "combined graph (counts and degrees both folded)") {
     val old = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")

@@ -193,5 +193,19 @@ class SigTableSpec extends SparkSpec {
     assert(clustered.nonEmpty, "twins must cluster with their originals")
     assert(clustered.forall { case (_, (_, _, kept)) => !kept } ||
       clustered.exists { case (id, (_, keeper, _)) => keeper != id })
+
+    // the sig-table composition (the production path: pairs from the
+    // maintained signature table, election unchanged) must elect
+    // byte-identically to the from-text form
+    val sigPath = java.nio.file.Files
+      .createTempDirectory("graft_keepbest_sigs").toString + "/sigs"
+    Dedup.writeSignatureTable(corpus, "text", "doc_id", sigPath)
+    val viaSigs = Dedup.dedupKeepBestFromSigs(spark, corpus,
+        sigPath, "doc_id",
+        org.apache.spark.sql.functions.length(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(viaSigs == out,
+      "sig-table keep-best must equal the from-text form exactly")
   }
 }

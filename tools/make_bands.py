@@ -5,13 +5,17 @@ object per line, appended by graft.Bench) or from explicit BENCH_FULL
 -style files passed as arguments.
 
 Usage:
-  python3 tools/make_bands.py [--last N] [run.json ...]
+  python3 tools/make_bands.py [--last N] [--max-load L] [run.json ...]
 
 With no file arguments, reads BENCH_RUNS.jsonl in the CWD and uses the
-last N (default 4) runs. Only runs with identical query SETS are merged
-(the band is a same-code statement); if the latest runs disagree on the
-query set, the majority set among the selected runs wins and mismatched
-runs are dropped with a note.
+last N (default 4) runs. Each query's band is the per-query UNION over
+every selected run that ran it (its "n" records how many), so a run set
+spanning a query-surface change still bands the newest queries; a note
+is printed when the selected runs disagree on the query set. Unparseable
+history lines (e.g. a torn line from a crashed run) are skipped with a
+warning, never fatal. --max-load L drops runs whose recorded
+jvm.load_avg_start exceeds L (contaminated-by-contention runs out of the
+band; runs predating the telemetry field always pass the filter).
 
 Output: BANDS.json =
   {"n_runs": k, "sf": "...", "queries": {name: {"lo": s, "hi": s,
@@ -24,18 +28,35 @@ import sys
 
 
 def load_runs(args):
-    files, last = [], 4
+    files, last, max_load = [], 4, None
     it = iter(args)
     for a in it:
         if a == "--last":
             last = int(next(it))
+        elif a == "--max-load":
+            max_load = float(next(it))
         else:
             files.append(a)
     if files:
-        return [json.load(open(f)) for f in files]
-    runs = [json.loads(line)
-            for line in open("BENCH_RUNS.jsonl") if line.strip()]
-    return runs[-last:]
+        runs = [json.load(open(f)) for f in files]
+    else:
+        runs = []
+        for i, line in enumerate(open("BENCH_RUNS.jsonl"), 1):
+            if not line.strip():
+                continue
+            try:
+                runs.append(json.loads(line))
+            except json.JSONDecodeError as ex:
+                print(f"warning: skipping unparseable BENCH_RUNS.jsonl "
+                      f"line {i}: {ex}", file=sys.stderr)
+    if max_load is not None:
+        kept = [r for r in runs
+                if r.get("jvm", {}).get("load_avg_start", 0) <= max_load]
+        if len(kept) < len(runs):
+            print(f"note: --max-load {max_load} dropped "
+                  f"{len(runs) - len(kept)} run(s)", file=sys.stderr)
+        runs = kept
+    return runs if files else runs[-last:]
 
 
 def main(argv):

@@ -75,17 +75,20 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 def check_bands(bench_path: str, bands_path: str = "BANDS.json",
                 tol=2.0) -> int:
-    tol = float(tol)  # CLI args arrive as strings
     """Adjudicate a bench reading against the committed per-query bands
     (BANDS.json, built by tools/make_bands.py from same-code runs): a
     wall time above tol*hi is flagged as a REGRESSION candidate, inside
     [lo, tol*hi] is within band (contention/JIT envelope), below lo is
-    just faster. Converts BASELINE.md's prose precedents into an
+    just faster. A query present in BANDS.json but MISSING from the
+    bench artifact is also flagged — a vanished query must not
+    adjudicate as clean. Converts BASELINE.md's prose precedents into an
     automatic check the driver/judge can run on any BENCH artifact."""
+    tol = float(tol)  # CLI args arrive as strings
     bench = json.load(open(bench_path))
     bands = json.load(open(bands_path))["queries"]
     flagged, unknown, n_ok = [], [], 0
-    for name, wall in sorted(bench.get("queries", {}).items()):
+    ran = bench.get("queries", {})
+    for name, wall in sorted(ran.items()):
         if wall < 0:
             flagged.append((name, wall, None, "errored"))
             continue
@@ -97,6 +100,9 @@ def check_bands(bench_path: str, bands_path: str = "BANDS.json",
             flagged.append((name, wall, b, f"above {tol}x band hi"))
         else:
             n_ok += 1
+    for name in sorted(set(bands) - set(ran)):
+        flagged.append((name, float("nan"), bands[name],
+                        "missing from bench artifact"))
     for name, wall, b, why in flagged:
         hint = f" band [{b['lo']}, {b['hi']}] (n={b['n']})" if b else ""
         print(f"OUT-OF-BAND {name}: {wall}s {why}{hint}")

@@ -88,7 +88,7 @@ object Multimodal {
   }
 
   /** Does the payload CLAIM to be an image (container magic bytes:
-    * PNG/JPEG/GIF/BMP)? Claim + failed decode = a CORRUPT image row —
+    * PNG/JPEG/GIF/BMP/TIFF)? Claim + failed decode = a CORRUPT image row —
     * the quarantine signal: it must not silently take the text-stub
     * path and pollute downstream media stats (the Ingest quarantine
     * pattern applied to a binary column).
@@ -111,6 +111,12 @@ object Multimodal {
       ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) ||
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
         bytes(3) == '8') ||
+      // TIFF, both byte orders (II*\0 / MM\0*): the 4-byte magic
+      // cannot occur in text (embedded NUL), so no stub row is claimed
+      (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2A &&
+        bytes(3) == 0) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+        bytes(3) == 0x2A) ||
       bmpClaim)
   }
 

@@ -1966,36 +1966,67 @@ object TrainingData {
         sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
         threshold = 0.2),
       "doc_a", "doc_b", k = 3, maxRounds = 5)
-  val ktrussSql: String = {
-    def tri(i: Int, src: String) =
-      s"""t$i AS MATERIALIZED (
-         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         |  FROM $src e1 JOIN $src e2 ON e1.b = e2.a
-         |  WHERE EXISTS (SELECT 1 FROM $src e3
-         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
-         |sup$i AS MATERIALIZED (
-         |  SELECT a, b, count(*) AS s FROM (
-         |    SELECT x AS a, y AS b FROM t$i
-         |    UNION ALL SELECT x, z FROM t$i
-         |    UNION ALL SELECT y, z FROM t$i) u$i
-         |  GROUP BY 1, 2)""".stripMargin
+  /** One unrolled triangle-support round (tri + sup CTEs) over `src`
+    * — shared by the truss oracle family. */
+  private def trussTri(i: Int, src: String): String =
+    s"""t$i AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM $src e1 JOIN $src e2 ON e1.b = e2.a
+       |  WHERE EXISTS (SELECT 1 FROM $src e3
+       |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |sup$i AS MATERIALIZED (
+       |  SELECT a, b, count(*) AS s FROM (
+       |    SELECT x AS a, y AS b FROM t$i
+       |    UNION ALL SELECT x, z FROM t$i
+       |    UNION ALL SELECT y, z FROM t$i) u$i
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The unrolled 5-round 3-truss peel over the loose (0.2) pair
+    * graph, ending in `e5` (the x_kcore unrolling device: rounds past
+    * the fixed point are no-ops on both engines). */
+  private lazy val ktrussPeelCtes: String = {
     val rounds = (1 to 5).map { i =>
-      s"""${tri(i, s"e${i - 1}")},
+      s"""${trussTri(i, s"e${i - 1}")},
          |e$i AS MATERIALIZED (
          |  SELECT e.a, e.b FROM e${i - 1} e
          |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
          |  WHERE s.s >= 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+    s"""${minhashCtesOver(nearDupCorpusSql)},
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT least(doc_a, doc_b) AS a,
        |         greatest(doc_a, doc_b) AS b
        |  FROM j WHERE jaccard >= 0.2),
-       |$rounds,
-       |${tri(6, "e5")}
+       |$rounds""".stripMargin
+  }
+  val ktrussSql: String =
+    s"""WITH $ktrussPeelCtes,
+       |${trussTri(6, "e5")}
        |SELECT e.a, e.b, CAST(coalesce(s.s, 0) AS BIGINT) AS support
        |FROM e5 e LEFT JOIN sup6 s ON s.a = e.a AND s.b = e.b""".stripMargin
+
+  // ------------------------------------- truss convergence witness
+  // Graph.kTrussWitnessedM's fixed-point flag gated end to end (r7
+  // verdict item 5): the loop's surviving-edge count plus whether the
+  // peel actually CONVERGED inside maxRounds — the honesty bit a
+  // production caller needs before trusting a bounded-depth truss.
+  // The witness is oracle-expressible because the peel is strictly
+  // decreasing until its fixed point: converged within 5 rounds
+  // ⟺ |e5| = |e4| on the same unrolled CTEs.
+  def ktrussWitnessQ(spark: SparkSession, dir: String): DataFrame = {
+    val res = graft.operators.Graph.kTrussWitnessedM(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.2),
+      "doc_a", "doc_b", k = 3, maxRounds = 5)
+    res.edges.df.agg(count(lit(1)).as("n_edges"))
+      .select(col("n_edges"), lit(res.converged).as("converged"))
   }
+  val ktrussWitnessSql: String =
+    s"""WITH $ktrussPeelCtes
+       |SELECT (SELECT count(*) FROM e5) AS n_edges,
+       |       (SELECT count(*) FROM e5) = (SELECT count(*) FROM e4)
+       |         AS converged""".stripMargin
 
   // ------------------------------------ incremental edge support
   // Graph.edgeSupportIncremental on the x_triangles_incr bridge
@@ -3751,6 +3782,50 @@ object TrainingData {
       |       ELSE (CAST(strlen(text) AS BIGINT) * 7) % 480 END AS height,
       |  CASE WHEN doc_id % 4 IN (0, 1) THEN 1
       |       WHEN doc_id % 4 = 2 THEN NULL
+      |       ELSE CAST(n_chars % 30 AS BIGINT) END AS frames
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------- multimodal TIFF lane
+  // The JDK's ImageIO also ships a TIFF plugin (JDK 9+): the third
+  // REAL still-image codec wired through the same decode/quarantine
+  // trichotomy — every 3rd doc carries a real TIFF (planted dims
+  // id%9+1 × id%6+1), every 3rd+1 a TRUNCATED TIFF (valid II*\0 magic,
+  // body cut at 10 bytes — claims, fails, QUARANTINED), the rest text
+  // (stub lane). Compressed codecs (MP3/AAC/H.264/WebP/HEIC) remain
+  // honest stubs behind the CompressedDecoder seam: the container
+  // ships no decoder for them (probed: javax.sound = WAVE/AU/AIFF
+  // only; no codec jars on the classpath).
+  def multimodalTiffQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text, nChars) =>
+          val payload = (id % 3) match {
+            case 0 => Multimodal.syntheticImage(
+              (id % 9).toInt + 1, (id % 6).toInt + 1, id, "tiff")
+            case 1 => Multimodal.syntheticImage(4, 4, id, "tiff").take(10)
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload, nChars)
+        }
+      }.toDF("doc_id", "media", "n_chars")
+    Multimodal.extractMetaDecoded(media)
+  }
+  val multimodalTiffSql: String =
+    """SELECT doc_id,
+      |  doc_id % 3 = 0 AS is_image,
+      |  doc_id % 3 = 1 AS quarantined,
+      |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 9 + 1
+      |       WHEN doc_id % 3 = 1 THEN NULL
+      |       ELSE CAST(strlen(text) AS BIGINT) % 640 END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 6 + 1
+      |       WHEN doc_id % 3 = 1 THEN NULL
+      |       ELSE (CAST(strlen(text) AS BIGINT) * 7) % 480 END AS height,
+      |  CASE WHEN doc_id % 3 = 0 THEN 1
+      |       WHEN doc_id % 3 = 1 THEN NULL
       |       ELSE CAST(n_chars % 30 AS BIGINT) END AS frames
       |FROM documents""".stripMargin
 
@@ -8289,6 +8364,7 @@ object TrainingData {
     "x_rolling_anomaly" -> (rollingAnomalyQ _),
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_multimodal_decode" -> (multimodalDecodeQ _),
+    "x_multimodal_tiff" -> (multimodalTiffQ _),
     "x_resize_real" -> (resizeRealQ _),
     "x_ann_lsh" -> (annLshQ _),
     "x_asof_join" -> (asOfJoinQ _),
@@ -8359,6 +8435,7 @@ object TrainingData {
     "x_edge_support" -> (edgeSupportQ _),
     "x_edge_support_incr" -> (edgeSupportIncrQ _),
     "x_ktruss" -> (ktrussQ _),
+    "x_ktruss_witness" -> (ktrussWitnessQ _),
     "x_truss_precision" -> (trussPrecisionQ _),
     "x_label_prop" -> (labelPropQ _),
     "x_neardup_verified" -> (neardupVerifiedQ _),
@@ -8475,6 +8552,7 @@ object TrainingData {
     "x_rolling_anomaly" -> rollingAnomalySql,
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_multimodal_decode" -> multimodalDecodeSql,
+    "x_multimodal_tiff" -> multimodalTiffSql,
     "x_resize_real" -> resizeRealSql,
     "x_ann_lsh" -> annLshSql,
     "x_asof_join" -> asOfJoinSql,
@@ -8549,6 +8627,7 @@ object TrainingData {
     "x_edge_support" -> edgeSupportSql,
     "x_edge_support_incr" -> edgeSupportIncrSql,
     "x_ktruss" -> ktrussSql,
+    "x_ktruss_witness" -> ktrussWitnessSql,
     "x_truss_precision" -> trussPrecisionSql,
     "x_label_prop" -> labelPropSql,
     "x_neardup_verified" -> neardupVerifiedSql,

@@ -57,6 +57,33 @@ class MultimodalSpec extends SparkSpec {
       "image magic + failed decode must quarantine with nulled meta")
   }
 
+  test("TIFF: real decode, truncated-payload quarantine, both byte " +
+    "orders claimed") {
+    import spark.implicits._
+    val tiff = Multimodal.syntheticImage(8, 5, 21L, "tiff")
+    assert(tiff(0) == 'I'.toByte || tiff(0) == 'M'.toByte,
+      "JDK TIFF writer must emit a II/MM header")
+    assert(Multimodal.looksLikeImage(tiff))
+    // big-endian header variant is a claim too
+    assert(Multimodal.looksLikeImage(
+      Array[Byte]('M', 'M', 0, 0x2A, 1, 2, 3, 4)))
+    val rows = Seq(
+      (1L, tiff, 10L),
+      (2L, tiff.take(10), 11L), // truncated: claims, cannot decode
+      (3L, "ordinary text row".getBytes("UTF-8"), 12L))
+      .toDF("doc_id", "media", "n_chars")
+    val out = Multimodal.extractMetaDecoded(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(1L) == ((true, false, 8L, 5L)), "real TIFF dims")
+    assert(out(2L) == ((false, true, -1L, -1L)),
+      "truncated TIFF must quarantine, never stub")
+    assert(out(3L)._1 == false && out(3L)._2 == false,
+      "text must stay on the stub lane")
+  }
+
   test("sniffs never claim on printable-ASCII text (property over " +
     "seeded random prose, including 'BM'/'RIFF'/'GIF8' prefixes)") {
     val rnd = new scala.util.Random(42)

@@ -843,7 +843,23 @@ object Graph {
              maxRounds: Int = 8,
              roundMat: graft.ops.MatStrategy = graft.ops.MatStrategy.Local,
              mat: graft.ops.MatStrategy = graft.ops.MatStrategy.Default)
-      : graft.ops.Materialized = {
+      : graft.ops.Materialized =
+    kCoreWitnessedM(edges, aCol, bCol, k, maxRounds, roundMat, mat).nodes
+
+  /** [[kCoreM]]'s result WITH its fixed-point witness — same honesty
+    * contract as [[kTrussWitnessedM]]: `converged` false means
+    * `maxRounds` ran out mid-cascade and the survivors are a SUPERSET
+    * of the k-core (some may still have degree < k); `rounds` is how
+    * many peels ran. */
+  final case class CoreResult(nodes: graft.ops.Materialized,
+                              converged: Boolean, rounds: Int)
+
+  def kCoreWitnessedM(edges: DataFrame, aCol: String, bCol: String,
+                      k: Int, maxRounds: Int = 8,
+                      roundMat: graft.ops.MatStrategy =
+                        graft.ops.MatStrategy.Local,
+                      mat: graft.ops.MatStrategy =
+                        graft.ops.MatStrategy.Default): CoreResult = {
     import graft.ops.Materialize
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
@@ -875,17 +891,24 @@ object Graph {
         adjM = nextM
         round += 1
       }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(Graph.getClass).warn(
+          s"kCore(k=$k) did not reach its fixed point in $maxRounds " +
+            "rounds: returning a partially peeled SUPERSET of the " +
+            "core (check CoreResult.converged)")
       val outM = Materialize(
         adjM.df.groupBy("src").agg(count(lit(1)).as("core_deg"))
           .select(col("src").as("node"), col("core_deg")),
         mat)
-      if (mat == graft.ops.MatStrategy.PassThrough) {
-        // lazy result re-aggregates the final round's blocks: defer
-        // their release into the handle (same contract as kTrussM)
-        val dep = adjM
-        graft.ops.Materialized(outM.df,
-          () => { outM.release(); dep.release() })
-      } else { adjM.release(); outM }
+      val out =
+        if (mat == graft.ops.MatStrategy.PassThrough) {
+          // lazy result re-aggregates the final round's blocks: defer
+          // their release into the handle (same contract as kTrussM)
+          val dep = adjM
+          graft.ops.Materialized(outM.df,
+            () => { outM.release(); dep.release() })
+        } else { adjM.release(); outM }
+      CoreResult(out, converged, round)
     } catch { case t: Throwable => adjM.release(); throw t }
   }
 

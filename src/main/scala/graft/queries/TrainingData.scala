@@ -2504,11 +2504,15 @@ object TrainingData {
         sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
         threshold = 0.5),
       "doc_a", "doc_b", k = 2, maxRounds = 8)
-  val kcoreSql: String = {
-    // every e_i is referenced three times by round i+1 (directly and
-    // through kp twice); left inlinable the unrolled chain expands
-    // 3^8 replays of the whole minhash pipeline — AS MATERIALIZED pins
-    // each round to one evaluation, which is also what the engine does
+  /** The unrolled 8-round k=2 core peel over the tight (0.5) pair
+    * graph, ending in the directed adjacency `e8` — shared by the
+    * core oracle family.
+    * Every e_i is referenced three times by round i+1 (directly and
+    * through kp twice); left inlinable the unrolled chain expands
+    * 3^8 replays of the whole minhash pipeline — AS MATERIALIZED pins
+    * each round to one evaluation, which is also what the engine does.
+    */
+  private lazy val kcorePeelCtes: String = {
     val rounds = (1 to 8).map { i =>
       s"""kp$i AS MATERIALIZED (
          |  SELECT src AS v FROM e${i - 1}
@@ -2518,7 +2522,7 @@ object TrainingData {
          |  JOIN kp$i a ON e.src = a.v
          |  JOIN kp$i b ON e.dst = b.v)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+    s"""${minhashCtesOver(nearDupCorpusSql)},
        |ce AS (
        |  SELECT DISTINCT least(doc_a, doc_b) AS a,
        |         greatest(doc_a, doc_b) AS b
@@ -2526,9 +2530,39 @@ object TrainingData {
        |e0 AS MATERIALIZED (
        |       SELECT a AS src, b AS dst FROM ce
        |       UNION ALL SELECT b, a FROM ce),
-       |$rounds
-       |SELECT src AS node, count(*) AS core_deg FROM e8 GROUP BY 1""".stripMargin
+       |$rounds""".stripMargin
   }
+  val kcoreSql: String =
+    s"""WITH $kcorePeelCtes
+       |SELECT src AS node, count(*) AS core_deg FROM e8 GROUP BY 1""".stripMargin
+
+  // -------------------------------------- core convergence witness
+  // Graph.kCoreWitnessedM's fixed-point flag gated end to end — the
+  // k-core twin of x_ktruss_witness, on the same oracle device: the
+  // synchronous peel is strictly decreasing until its fixed point, so
+  // converged within 8 rounds ⟺ |e8| = |e7| directed adjacency rows.
+  // deg_sum doubles as the surviving-adjacency row count, checking
+  // the witness is computed over the SAME subgraph the core reports.
+  def kcoreWitnessQ(spark: SparkSession, dir: String): DataFrame = {
+    val res = graft.operators.Graph.kCoreWitnessedM(
+      Dedup.nearDupPairsFromSigs(spark,
+        sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+        threshold = 0.5),
+      "doc_a", "doc_b", k = 2, maxRounds = 8)
+    res.nodes.df
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("core_deg")), lit(0L)).as("deg_sum"))
+      .select(col("n_nodes"), col("deg_sum"),
+        lit(res.converged).as("converged"))
+  }
+  val kcoreWitnessSql: String =
+    s"""WITH $kcorePeelCtes
+       |SELECT
+       |  (SELECT count(*) FROM (SELECT src FROM e8 GROUP BY src) t)
+       |    AS n_nodes,
+       |  (SELECT count(*) FROM e8) AS deg_sum,
+       |  (SELECT count(*) FROM e8) = (SELECT count(*) FROM e7)
+       |    AS converged""".stripMargin
 
   // --------------------------------- DSIR distribution-matched selection
   // Selection.dsirSelect end to end: hashed-bigram importance weights
@@ -8450,6 +8484,7 @@ object TrainingData {
     "x_ppr_leakage" -> (pprLeakageQ _),
     "x_hits" -> (hitsQ _),
     "x_kcore" -> (kcoreQ _),
+    "x_kcore_witness" -> (kcoreWitnessQ _),
     "x_dsir_select" -> (dsirSelectQ _),
     "x_curriculum" -> (curriculumQ _),
     "x_ann_rerank" -> (annRerankQ _),
@@ -8642,6 +8677,7 @@ object TrainingData {
     "x_ppr_leakage" -> pprLeakageSql,
     "x_hits" -> hitsSql,
     "x_kcore" -> kcoreSql,
+    "x_kcore_witness" -> kcoreWitnessSql,
     "x_dsir_select" -> dsirSelectSql,
     "x_curriculum" -> curriculumSql,
     "x_ann_rerank" -> annRerankSql,

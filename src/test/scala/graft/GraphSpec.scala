@@ -561,6 +561,27 @@ class GraphSpec extends SparkSpec {
     } finally full.edges.release()
   }
 
+  test("kCoreWitnessed reports non-convergence on a long-path cascade") {
+    // k=2 core of a 14-node path: each synchronous round peels only
+    // the two current endpoints, so the peel empties in 7 rounds and
+    // the no-op confirming round makes 8 — maxRounds=3 must return a
+    // SUPERSET with converged=false
+    val path = (1L until 14L).map(i => (i, i + 1)).toDF("a", "b")
+    val partial = Graph.kCoreWitnessedM(path, "a", "b", k = 2,
+      maxRounds = 3)
+    try {
+      assert(!partial.converged && partial.rounds == 3)
+      assert(partial.nodes.df.count() > 0,
+        "cut-short peel must keep interior nodes")
+    } finally partial.nodes.release()
+    val full = Graph.kCoreWitnessedM(path, "a", "b", k = 2,
+      maxRounds = 20)
+    try {
+      assert(full.converged && full.rounds == 8)
+      assert(full.nodes.df.count() == 0, "a path has no 2-core")
+    } finally full.nodes.release()
+  }
+
   test("kTrussM and kCoreM PassThrough results stay usable until " +
     "their own release (deferred round-state release)") {
     val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),

@@ -5922,6 +5922,68 @@ object TrainingData {
        |WHERE (pr.shared * 10000) // least(na.n, nb.n) >= 8000""".stripMargin
   }
 
+  // -------------------------- incremental winnowing containment screen
+  // The winnowing containment screen MAINTAINED: a batch of planted
+  // tiny quotes (substr(text, 21, 160), ids +8e6, every 7th doc)
+  // arrives at ingest; only ITS fingerprints are extracted (written as
+  // appended files beside the stored corpus fingerprint table — the
+  // x_winnow_incremental device), the screen reads base ∪ batch as one
+  // scan, and reports only pairs touching the batch: "is this new doc
+  // a verbatim quote of something we already hold?" at winnowing's
+  // deterministic recall, where the LSH ingest screen
+  // (x_containment_incr) is Jaccard-blind to the size ratio. The
+  // df-cap recomputes over base ∪ batch — the correct maintenance rule
+  // — so the output equals the full screen filtered to batch pairs,
+  // which is what the oracle computes.
+  def containmentWinnowIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val batchFps = Fixtures.cached("winnow-fps-contain-batch", dir) { root =>
+      val path = new java.io.File(root, "fps").toString
+      val quotes = docs(spark, dir).where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          expr("substring(text, 21, 160)").as("text"))
+      graft.operators.Corpus
+        .winnowingFingerprints(quotes, "text", "doc_id", k = 5, window = 4)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    graft.operators.Corpus.winnowingContainment(
+        spark.read.parquet(winnowTableFor(spark, dir), batchFps),
+        maxDf = 50, minContainmentBp = 8000L)
+      .where(col("doc_small") >= 8000000L || col("doc_large") >= 8000000L)
+  }
+  val containmentWinnowIncrSql: String = {
+    val ctes = winnowCtes.replace("FROM documents", "FROM corpus_q")
+    s"""WITH corpus_q AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 8000000, substr(text, 21, 160)
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |$ctes,
+       |ih AS (SELECT DISTINCT doc_id, h FROM fp),
+       |rare AS (SELECT h FROM ih GROUP BY h HAVING count(*) <= 50),
+       |p AS MATERIALIZED (
+       |  SELECT ih.doc_id, ih.h FROM ih JOIN rare USING (h)),
+       |nf AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT
+       |    CASE WHEN na.n <= nb.n THEN pr.id_a ELSE pr.id_b END
+       |      AS doc_small,
+       |    CASE WHEN na.n <= nb.n THEN pr.id_b ELSE pr.id_a END
+       |      AS doc_large,
+       |    least(na.n, nb.n) AS n_small,
+       |    greatest(na.n, nb.n) AS n_large,
+       |    pr.shared,
+       |    (pr.shared * 10000) // least(na.n, nb.n) AS containment_bp
+       |  FROM pr JOIN nf na ON na.doc_id = pr.id_a
+       |          JOIN nf nb ON nb.doc_id = pr.id_b) s
+       |WHERE containment_bp >= 8000
+       |  AND (doc_small >= 8000000 OR doc_large >= 8000000)""".stripMargin
+  }
+
   // ------------------------------------------- screen agreement table
   // The two candidate screens COMPARED on the same corpus: MinHash-LSH
   // (probabilistic, banded) vs winnowing (deterministic,
@@ -8502,6 +8564,7 @@ object TrainingData {
     "x_image_phash" -> (imagePhashQ _),
     "x_winnow_pairs" -> (winnowPairsQ _),
     "x_containment_winnow" -> (containmentWinnowQ _),
+    "x_containment_winnow_incr" -> (containmentWinnowIncrQ _),
     "x_screen_overlap" -> (screenOverlapQ _),
     "x_winnow_incremental" -> (winnowIncrementalQ _),
     "x_bpe_apply" -> (bpeApplyQ _),
@@ -8695,6 +8758,7 @@ object TrainingData {
     "x_image_phash" -> imagePhashSql,
     "x_winnow_pairs" -> winnowPairsSql,
     "x_containment_winnow" -> containmentWinnowSql,
+    "x_containment_winnow_incr" -> containmentWinnowIncrSql,
     "x_screen_overlap" -> screenOverlapSql,
     "x_winnow_incremental" -> winnowIncrementalSql,
     "x_bpe_apply" -> bpeApplySql,

@@ -218,6 +218,27 @@ class PlanSpec extends SparkSpec {
       s"containment candidates must come from a hash join:\n$pc")
   }
 
+  test("winnowingContainment over a stored fingerprint table: scans " +
+    "prune to (id, h), joins are hash-shaped, text never read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winplan").toString + "/fps"
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    graft.operators.Corpus
+      .winnowingFingerprints(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val p = plan(graft.operators.Corpus.winnowingContainment(
+      spark.read.parquet(dir), maxDf = 50, minContainmentBp = 8000L))
+    // containment needs only the (id, h) projection — the positional
+    // column must prune away at every scan of the stored table
+    assert(!p.contains("pos:bigint"),
+      s"fingerprint positions rescanned (pruning failed):\n$p")
+    assert(p.contains("ReadSchema: struct<id:bigint,h:bigint>"),
+      s"scan not pruned to (id, h):\n$p")
+    assert(!p.contains("text:string"), s"corpus text read:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pair candidates must come from the fingerprint hash join:\n$p")
+  }
+
   test("applyChangelog rank=1 survives the tombstone conjunct " +
     "(WindowGroupLimit still fires)") {
     val ord = Tables.load(spark, sf0001, "orders")

@@ -555,6 +555,24 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/excerpt_pairs")
   }
 
+  /** Quote audit — the tiny-excerpt twin of [[excerptAuditJob]]: the
+    * LSH containment screen's recall is bounded by the pair's Jaccard,
+    * so a short verbatim quote inside a large page never band-collides;
+    * this job extracts the winnowing fingerprint table ONCE (the
+    * maintained ingest artifact) and writes the positional containment
+    * report over it — deterministic recall for any shared run of
+    * k+window−1 characters, at any size ratio. */
+  private def quoteAuditJob(spark: SparkSession, sfDir: String,
+                            outDir: String): Unit = {
+    val fps = s"$outDir/winnow_fps"
+    graft.operators.Corpus.winnowingFingerprints(
+        Tables.load(spark, sfDir, "documents"), "text", "doc_id")
+      .write.mode("overwrite").parquet(fps)
+    graft.operators.Corpus.winnowingContainment(
+        spark.read.parquet(fps), maxDf = 50, minContainmentBp = 8000L)
+      .write.mode("overwrite").parquet(s"$outDir/quote_pairs")
+  }
+
   /** ANN index-quality audit: recall@5 of the trained-IVF search
     * against the exact brute-force ranking over the sampled query set
     * — the number that gates an index (or its nlist/nprobe setting)
@@ -727,6 +745,7 @@ object Jobs {
     "community_docs" -> (communityDocsJob _),
     "rank_missing_edges" -> (rankMissingEdgesJob _),
     "excerpt_audit" -> (excerptAuditJob _),
+    "quote_audit" -> (quoteAuditJob _),
     "build_ann_index" -> (buildAnnIndexJob _),
     "release_customers" -> (releaseCustomersJob _),
     "merge_availability" -> (mergeAvailabilityJob _),

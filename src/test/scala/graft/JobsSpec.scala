@@ -24,9 +24,10 @@ class JobsSpec extends SparkSpec {
     // its index table, the pruned read); govern_corpus emits five
     // release tables; audit_privacy emits four; clean_lines,
     // sketch_users, audit_leakage and scan_rowkeys two each
-    // rank_missing_edges and excerpt_audit also emit two tables each
-    assert(dirs.size == Jobs.all.size + 31,
-      s"expected ${Jobs.all.size + 31} output tables, got $dirs")
+    // rank_missing_edges, excerpt_audit and quote_audit also emit two
+    // tables each
+    assert(dirs.size == Jobs.all.size + 32,
+      s"expected ${Jobs.all.size + 32} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>
         // composite SQ8/IVF layout, not one parquet relation — validate

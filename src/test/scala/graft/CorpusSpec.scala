@@ -418,6 +418,34 @@ class CorpusSpec extends SparkSpec {
     assert(gated.forall(_.getLong(5) >= 9000L))
   }
 
+  test("winnowingContainment invariants: bp bounded by 10^4, shared " +
+    "bounded by the smaller set, orientation total") {
+    // a mixed corpus: self-similar repeats, partial overlaps, and
+    // unrelated docs — every output row must satisfy the score's
+    // arithmetic invariants regardless of pairing
+    val docs = (1L to 12L).map { i =>
+      val core = s"shared core segment number ${i % 4} with padding"
+      (i, s"doc $i prefix $core suffix ${"filler " * (i % 5).toInt}$i")
+    }.toDF("doc_id", "text")
+    val fps = Corpus.winnowingFingerprints(docs, "text", "doc_id")
+    val rows = Corpus.winnowingContainment(fps, maxDf = 50,
+      minContainmentBp = 0L).collect()
+    assert(rows.nonEmpty, "overlapping fixture must produce pairs")
+    rows.foreach { r =>
+      val (small, large) = (r.getLong(0), r.getLong(1))
+      val (nS, nL, shared, bp) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(small != large)
+      assert(nS <= nL, s"orientation broken: $r")
+      assert(shared >= 1 && shared <= nS,
+        s"shared must be within the smaller set: $r")
+      assert(bp >= 0 && bp <= 10000, s"bp out of range: $r")
+      assert(bp == shared * 10000 / nS, s"bp arithmetic: $r")
+      // tie on set size must orient to the LOWER id as small
+      if (nS == nL) assert(small < large, s"tie orientation: $r")
+    }
+  }
+
   test("winnowingCandidates df cap drops ubiquitous fingerprints") {
     // every doc shares the boilerplate prefix; with maxDf below the
     // corpus size those fingerprints leave the index and no pair

@@ -26,7 +26,16 @@ import org.apache.spark.sql.SparkSession
   *     artifact instead of requiring a second bench invocation;
   *   - artifacts (BENCH_FULL.json, BENCH_RUNS.jsonl, BANDS.json) are
   *     anchored at the repo root (nearest ancestor with build.sbt), not
-  *     the CWD, so run history never silently forks.
+  *     the CWD, so run history never silently forks; filtered local
+  *     runs write BENCH_PARTIAL.json so they never clobber the last
+  *     full artifact;
+  *   - `value_clean` is the headline total with every flagged row
+  *     replaced by its in-run second reading — the gate-ready number
+  *     on a loaded host (verify_local --bands adjudicates it against
+  *     BANDS.json total_lo/total_hi);
+  *   - `queries_t_start_sec` stamps each timed run's offset from bench
+  *     start, so a flagged window correlates with the run's load
+  *     trajectory instead of alphabetical adjacency.
   */
 object Bench {
 
@@ -78,8 +87,24 @@ object Bench {
   private def loadAvg(): Double =
     mf.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** tStart is the timed run's start offset in seconds since bench
+    * start: a flagged WINDOW (contiguous slow rows) can be correlated
+    * with the host's load trajectory over the run instead of being
+    * localized by alphabetical adjacency (the r8 run-13 forensics). */
   private case class Reading(wall: Double, cpu: Double, jitMsD: Long,
-                             gcMsD: Long, gcCountD: Long, ccUsedMb: Long)
+                             gcMsD: Long, gcCountD: Long, ccUsedMb: Long,
+                             tStart: Double)
+
+  /** JSON string escaping for env-derived values (context tag, sf dir):
+    * an embedded quote or backslash must not corrupt the artifact or a
+    * BENCH_RUNS.jsonl history line. */
+  private def jesc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,6 +170,7 @@ object Bench {
     // at that point the JVM may stop compiling (with flushing: churn)
     var ccEverFull = false
     var ccPeakUsed = 0L
+    val benchT0 = System.nanoTime()
     def timeQuery(name: String,
                   fn: (SparkSession, String) =>
                     org.apache.spark.sql.DataFrame): Reading = {
@@ -175,10 +201,12 @@ object Bench {
         Reading((System.nanoTime() - t0) / 1e9,
           if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9,
           if (j0 < 0 || j1 < 0) -1L else j1 - j0,
-          g1 - g0, n1 - n0, ccU >> 20)
+          g1 - g0, n1 - n0, ccU >> 20,
+          (t0 - benchT0) / 1e9)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        Reading(-1.0, -1.0, -1L, -1L, -1L, -1L)
+        Reading(-1.0, -1.0, -1L, -1L, -1L, -1L,
+          (System.nanoTime() - benchT0) / 1e9)
       }
     }
     // Optional first arg (local iteration only; the driver passes none):
@@ -228,9 +256,13 @@ object Bench {
         System.err.println(s"[bench] BANDS.json is for a different sf " +
           s"dir; skipping adjudication")
         Map.empty
-      } else {
+      } else scala.util.Try {
         // dependency-free parse: bands entries are flat numeric objects
         //   "name": {"cpu_hi": x, "cpu_lo": x, "hi": x, "lo": x, "n": k}
+        // Wrapped in Try because this runs BEFORE the artifact is
+        // written: a torn or hand-edited BANDS.json (e.g. a crashed
+        // make_bands truncating a number to '.') must degrade to
+        // "no adjudication", never discard the whole run's readings.
         val txt = java.nio.file.Files.readString(bandsPath)
         // [^{}] keeps the match to LEAF objects: the top-level
         // "queries" wrapper (whose body opens another brace) must not
@@ -246,7 +278,11 @@ object Bench {
               fields.getOrElse("n", 0.0).toInt))
           else None
         }.toMap
-      }
+      }.recover { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BANDS.json unparseable " +
+          s"(${e.getMessage}); skipping adjudication")
+        Map.empty[String, Band]
+      }.get
     val flagged = results.collect {
       case (name, r) if r.wall < 0 => (name, r.wall, "errored")
       case (name, r) if bands.get(name).exists(b => r.wall > tol * b.hi) =>
@@ -277,6 +313,16 @@ object Bench {
       s""""$name":{"wall":${r3(r.wall)},"cpu":${r3(r.cpu)},""" +
         s""""jit_ms":${r.jitMsD},"gc_ms":${r.gcMsD}}"""
     }.mkString("{", ",", "}")
+    // CLEAN headline total: the per-query rows self-heal via the
+    // in-run second readings, but a gate or dashboard reads ONE number
+    // first — so emit the total with every flagged row's reading
+    // replaced by its second (re-run) reading alongside the raw sum.
+    // verify_local.py --bands adjudicates THIS against BANDS.json's
+    // total_lo/total_hi.
+    val secondWall = second.toMap
+    val totalClean = r3(results.map { case (name, r) =>
+      secondWall.get(name).map(_.wall).getOrElse(r.wall)
+    }.filter(_ >= 0).sum)
     val adjudication =
       s"""{"tol":$tol,"in_band":$inBand,"n_flagged":${flagged.size},
          |"flagged":$flaggedJson,
@@ -297,7 +343,7 @@ object Bench {
          |"code_cache_max_mb":${ccMax >> 20},
          |"code_cache_ever_full":$ccEverFull,
          |"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)},
-         |"context":"${sys.env.getOrElse("SPARK_GRAFT_CONTEXT", "")}"}"""
+         |"context":"${jesc(sys.env.getOrElse("SPARK_GRAFT_CONTEXT", ""))}"}"""
         .stripMargin
 
     // The per-query maps for 140+ queries overflow a tail-truncated
@@ -305,10 +351,17 @@ object Bench {
     // COMPLETE artifact — totals first, then both per-query maps — goes
     // to a known file, and stdout carries one short parseable line
     // pointing at it.
-    val fullPath = root.resolve("BENCH_FULL.json").toAbsolutePath.toString
+    // Filtered local runs write BENCH_PARTIAL.json so a single-query
+    // iteration never clobbers the last full run's canonical artifact
+    // (which verify_local --bands would then flag wholesale as
+    // "missing from bench artifact").
+    val fullPath = root.resolve(
+      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
+      .toAbsolutePath.toString
     val full =
       s"""{"metric":"total","value":$totalR,"unit":"sec",
-         |"n_queries":${results.size},"sf":"$sfDir",
+         |"value_clean":$totalClean,
+         |"n_queries":${results.size},"sf":"${jesc(sfDir)}",
          |"streaming_subtotal_sec":$streamSub,
          |"streaming_subtotal_cpu_sec":$streamCpu,
          |"n_streaming_queries":${streamRes.size},
@@ -316,6 +369,7 @@ object Bench {
          |"bands_adjudication":$adjudication,
          |"queries":${jmapD(_.wall)},
          |"queries_cpu_sec":${jmapD(_.cpu)},
+         |"queries_t_start_sec":${jmapD(_.tStart)},
          |"queries_jit_ms":${jmapL(_.jitMsD)},
          |"queries_gc_ms":${jmapL(_.gcMsD)},
          |"queries_gc_count":${jmapL(_.gcCountD)},
@@ -335,12 +389,18 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+    // bands_adjudicated distinguishes "0 flagged because everything was
+    // checked and passed" from "0 flagged because adjudication was
+    // skipped" (BANDS.json absent / different sf / unparseable)
     println(s"""{"metric":"total","value":$totalR,"unit":"sec",""" +
-      s""""n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""value_clean":$totalClean,""" +
+      s""""n_queries":${results.size},"sf":"${jesc(sfDir)}",""" +
+      s""""bands_adjudicated":${if (bands.isEmpty) 0 else inBand + flagged.size},""" +
+      s""""bands_skipped":${bands.isEmpty},""" +
       s""""bands_flagged":${flagged.size},""" +
       s""""bands_flagged_after_rerun":${stillOut.size},""" +
       s""""code_cache_ever_full":$ccEverFull,""" +
-      s""""detail_file":"$fullPath"}""")
+      s""""detail_file":"${jesc(fullPath)}"}""")
     spark.stop()
   }
 }

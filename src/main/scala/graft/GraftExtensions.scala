@@ -63,6 +63,9 @@ object GraftExtensions {
     (NativeFns.ShingleHashesName,
       "graft_shingle_hashes(text, k) - distinct poly-hashes of k-shingles",
       es => ShingleHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    (NativeFns.PosShingleHashesName,
+      "graft_pos_shingle_hashes(text, k) - positional poly-hashes, one pass",
+      es => PositionalShingleHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
     (NativeFns.JaccardName,
       "graft_jaccard(a, b) - Jaccard similarity of two long arrays",
       es => JaccardExpr(es(0), es(1))),

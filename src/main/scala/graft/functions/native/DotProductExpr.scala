@@ -84,6 +84,7 @@ object NativeFns {
   val LshName = "graft_lsh_buckets"
   val ShinglesName = "graft_shingles"
   val ShingleHashesName = "graft_shingle_hashes"
+  val PosShingleHashesName = "graft_pos_shingle_hashes"
   val JaccardName = "graft_jaccard"
   val SimhashName = "graft_simhash"
   val BloomAggName = "graft_bloom_agg"
@@ -125,6 +126,11 @@ object NativeFns {
   def shingleHashes(text: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(ShingleHashesName, text, lit(k))
+  }
+
+  def positionalShingleHashes(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(PosShingleHashesName, text, lit(k))
   }
 
   def jaccardNative(a: Column, b: Column): Column =

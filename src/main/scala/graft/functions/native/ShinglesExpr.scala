@@ -133,6 +133,69 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL polynomial hashes of the character k-shingles, one pass:
+  * array<long> whose element i is the poly-hash of the window starting
+  * at codepoint i (every position, in order, NOT distinct) — the
+  * winnowing feed, where [[ShingleHashesExpr]] is the MinHash feed.
+  * A string shorter than k yields its single whole-string hash (the
+  * empty string hashes to 0), matching the short-text rule of the
+  * sibling expressions and of the HOF form
+  * `transform(sequence(1, greatest(len-k+1, 1)), i ->
+  * polyHash(substring(text, i, k)))`.
+  *
+  * The HOF form is O(n²) on large documents: each lambda-evaluated
+  * `substring` re-scans the source string (UTF8String's ascii check +
+  * offset walk), which at multi-megabyte documents — exactly the
+  * long-tail pages the winnowing screen must fingerprint — turns a
+  * linear extraction into hours. This decodes the codepoints once and
+  * hashes every window in a single sweep: O(n·k).
+  */
+case class PositionalShingleHashesExpr(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_pos_shingle_hashes"
+
+  private val P = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
+    def windowHash(from: Int, until: Int): Long = {
+      var h = 0L
+      var i = from
+      while (i < until) { h = (h * 31 + cps(i)) % P; i += 1 }
+      h
+    }
+    if (n <= k) {
+      new GenericArrayData(Array[Any](windowHash(0, n)))
+    } else {
+      val out = new Array[Any](n - k + 1)
+      var i = 0
+      while (i <= n - k) { out(i) = windowHash(i, i + k); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity of two already-distinct arrays (string or long
   * elements): |A∩B| / |A∪B| in one hash-set pass instead of
   * size(array_intersect)/size(array_union) (two interpreted passes plus

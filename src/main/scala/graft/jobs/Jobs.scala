@@ -558,17 +558,34 @@ object Jobs {
   /** Quote audit — the tiny-excerpt twin of [[excerptAuditJob]]: the
     * LSH containment screen's recall is bounded by the pair's Jaccard,
     * so a short verbatim quote inside a large page never band-collides;
-    * this job extracts the winnowing fingerprint table ONCE (the
-    * maintained ingest artifact) and writes the positional containment
-    * report over it — deterministic recall for any shared run of
-    * k+window−1 characters, at any size ratio. */
+    * this job maintains the winnowing fingerprint table with the
+    * sig-table LIFECYCLE (read-or-create, then append only documents
+    * the table hasn't fingerprinted yet — corpus text is shingled once
+    * in its life, and a re-run after new documents land pays O(new))
+    * and writes the positional containment report over it —
+    * deterministic recall for any shared run of k+window−1 characters,
+    * at any size ratio. */
   private def quoteAuditJob(spark: SparkSession, sfDir: String,
                             outDir: String): Unit = {
+    import graft.operators.Corpus
     val fps = s"$outDir/winnow_fps"
-    graft.operators.Corpus.winnowingFingerprints(
-        Tables.load(spark, sfDir, "documents"), "text", "doc_id")
-      .write.mode("overwrite").parquet(fps)
-    graft.operators.Corpus.winnowingContainment(
+    val d = Tables.load(spark, sfDir, "documents")
+    val marker = new org.apache.hadoop.fs.Path(fps, "_graft_winnow_kw")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Corpus.writeWinnowTable(d, "text", "doc_id", fps, k = 5, window = 4)
+    } else {
+      val (k, w) = Corpus.winnowTableParams(spark, fps)
+      val known = spark.read.parquet(fps)
+        .select(col("id").as("doc_id")).distinct()
+      val fresh = d.join(known, Seq("doc_id"), "left_anti")
+      // a doc whose text is too short to fingerprint never enters the
+      // table, so it would re-qualify as "fresh" each run — the isEmpty
+      // guard keeps a converged table from accreting empty appends
+      if (!fresh.isEmpty)
+        Corpus.appendToWinnowTable(fresh, "text", "doc_id", fps, k, w)
+    }
+    Corpus.winnowingContainment(
         spark.read.parquet(fps), maxDf = 50, minContainmentBp = 8000L)
       .write.mode("overwrite").parquet(s"$outDir/quote_pairs")
   }

@@ -195,45 +195,63 @@ object Corpus {
     * Ties select the LEFTMOST minimal hash (deterministic; the paper's
     * robust variant picks rightmost — leftmost is equally covered and
     * lets both engines select on one packed integer min). The packed
-    * key `h * 2^21 + pos` is exact: h < 1e9+7 < 2^30, pos < 2^21
-    * guarded, so the minimum orders by (h, pos) lexicographically.
+    * key `h * 2^31 + pos` is exact for ANY Java-representable string:
+    * h < 1e9+7 < 2^30 so h * 2^31 < 2^61, and pos < 2^31 (JVM string
+    * length bound) can never bleed into the hash field — the minimum
+    * orders by (h, pos) lexicographically at every document size.
     *
     * Scale shape: one positional shingle explode (row-local), one
     * sliding window partitioned BY DOCUMENT (never global), one
     * distinct — all parallel over doc_id. Output is (id, pos, h) per
     * SELECTED fingerprint.
+    *
+    * RECALL CONTRACT (spec-pinned in CorpusSpec "winnowing recall
+    * contract"): the minimum reliably-detectable shared run is
+    * k + window − 1 characters — guaranteed at that length, carrying
+    * NO guarantee one character shorter; the df cap in the matching
+    * step only ever removes evidence (a smaller cap never creates a
+    * candidate). At the defaults and the screens' caps:
+    *
+    * | k | window | guarantee threshold | maxDf effect               |
+    * |---|--------|---------------------|-----------------------------|
+    * | 5 | 4      | 8 chars             | monotone: pairs(m) ⊆ pairs(m') for m ≤ m' |
+    * | 5 | 8      | 12 chars            | same                        |
+    * | 3 | 4      | 6 chars             | same                        |
+    * | 8 | 4      | 11 chars            | same                        |
     */
   def winnowingFingerprints(docs: DataFrame, textCol: String,
                             idCol: String, k: Int = 5,
                             window: Int = 4): DataFrame = {
     require(k >= 1, s"shingle size must be >= 1, got $k")
     require(window >= 1, s"window must be >= 1, got $window")
-    val t = lower(trim(col(textCol)))
-    val sh = transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => t.substr(i, lit(k)))
+    import graft.functions.native.NativeFns
+    NativeFns.register(docs.sparkSession)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
-    // The positional shingle explosion (this operator's CPU) runs
-    // BEFORE any shuffle, so its parallelism would be the scan's split
-    // count; one doc-keyed repartition fans it out (the SparseSim
-    // device) AND pre-partitions for the per-document window, so the
-    // window's own exchange disappears — the sort runs on the already
-    // doc-hashed exploded stream.
+    // Hash extraction is the native one-pass positional expression:
+    // the HOF form (per-position substring + fold) re-scans the source
+    // string per shingle — O(n²), hours on the multi-megabyte long-tail
+    // documents this screen exists for. The positional explosion (this
+    // operator's CPU) runs BEFORE any shuffle, so its parallelism would
+    // be the scan's split count; one doc-keyed repartition fans it out
+    // (the SparseSim device) AND pre-partitions for the per-document
+    // window, so the window's own exchange disappears — the sort runs
+    // on the already doc-hashed exploded stream.
     val fan = docs.sparkSession.sessionState.conf.numShufflePartitions
     val hashed = docs
       .repartition(fan, col(idCol))
-      .select(col(idCol).as("id"), posexplode(sh).as(Seq("pos", "s")))
-      .select(col("id"), col("pos"),
-        TextFns.polyHash(col("s")).as("h"),
-        count(lit(1)).over(Window.partitionBy(col("id"))).as("n"))
+      .select(col(idCol).as("id"),
+        posexplode(NativeFns.positionalShingleHashes(
+          lower(trim(col(textCol))), k)).as(Seq("pos", "h")))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("id"))))
     hashed
       .withColumn("sel",
-        min(col("h") * lit(2097152L) + col("pos")).over(w))
+        min(col("h") * lit(2147483648L) + col("pos")).over(w))
       .where(col("pos") <= col("n") - window) // full windows only
       .select(col("id"),
-        (col("sel") % lit(2097152L)).as("pos"),
-        expr("sel div 2097152L").as("h"))
+        (col("sel") % lit(2147483648L)).as("pos"),
+        expr("sel div 2147483648L").as("h"))
       .distinct()
   }
 
@@ -291,7 +309,7 @@ object Corpus {
     * length ≥ k+window−1 contributes a shared SELECTED fingerprint
     * deterministically, and a verbatim excerpt's interior windows
     * select the SAME hashes as the source's corresponding windows
-    * (the packed h·2²¹+pos minimum has a uniform pos shift inside any
+    * (the packed h·2³¹+pos minimum has a uniform pos shift inside any
     * window, so the argmin shingle is identical) — so an excerpt's
     * fingerprint set is contained in its source's regardless of the
     * size ratio. For every pair sharing at least one df-capped
@@ -340,6 +358,109 @@ object Corpus {
         greatest(col("n_a"), col("n_b")).as("n_large"),
         col("shared"),
         expr("(shared * 10000) div least(n_a, n_b)").as("containment_bp"))
+      .where(col("containment_bp") >= minContainmentBp)
+  }
+
+  /** Persist the corpus's winnowing fingerprint table `(id, pos, h)` as
+    * a parquet table — the maintained ingest artifact of the positional
+    * containment screen, with the same lifecycle contract as the
+    * MinHash signature table ([[graft.operators.Dedup.writeSignatureTable]]):
+    * written once at ingest, appended per admitted batch, so corpus
+    * text is shingled exactly once in its life. Records (k, window)
+    * next to the data — fingerprints selected with one geometry never
+    * intersect those of another, and a mismatched screen would
+    * silently admit every quote.
+    */
+  def writeWinnowTable(corpus: DataFrame, textCol: String, idCol: String,
+                       path: String, k: Int = 5, window: Int = 4): Unit = {
+    winnowingFingerprints(corpus, textCol, idCol, k, window)
+      .write.mode("overwrite").parquet(path)
+    val meta = new org.apache.hadoop.fs.Path(path, "_graft_winnow_kw")
+    val fs = meta.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(s"$k,$window".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (k, window) a winnowing fingerprint table was written with. */
+  def winnowTableParams(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (Int, Int) = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_graft_winnow_kw")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta))
+      throw new IllegalArgumentException(
+        s"no _graft_winnow_kw marker at $path — not a graft winnowing " +
+          "fingerprint table (or written by another tool / path typo); " +
+          "write it with Corpus.writeWinnowTable, which records the " +
+          "(k, window) geometry")
+    val buf = new Array[Byte](fs.getFileStatus(meta).getLen.toInt)
+    val in = fs.open(meta)
+    try in.readFully(buf) finally in.close()
+    val parts = new String(buf, "UTF-8").trim.split(",")
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  /** Append an ADMITTED batch's winnowing fingerprints to a maintained
+    * table — the live-table half of the quote-screen ingest loop.
+    * Refuses a table whose recorded (k, window) differs. */
+  def appendToWinnowTable(batch: DataFrame, textCol: String,
+                          idCol: String, path: String,
+                          k: Int = 5, window: Int = 4): Unit = {
+    val (sk, sw) = winnowTableParams(batch.sparkSession, path)
+    require(sk == k && sw == window,
+      s"winnow table at $path was written with (k=$sk, window=$sw) but " +
+        s"the batch is fingerprinted with (k=$k, window=$window) — " +
+        "refusing to mix geometries")
+    winnowingFingerprints(batch, textCol, idCol, k, window)
+      .write.mode("append").parquet(path)
+  }
+
+  /** The INGEST-TIME quote screen: positional containment of an
+    * arriving batch against an already-held corpus, from their
+    * fingerprint relations — batch×corpus pairs ONLY (never
+    * corpus×corpus: a 100 TB corpus's internal pairs are not this
+    * screen's question, and forming them per batch would be
+    * quadratic where this is linear in the batch). The df cap is
+    * computed over corpus ∪ batch — the maintenance rule that makes
+    * the screen equal the full [[winnowingContainment]] filtered to
+    * batch-touching pairs. Either orientation rejects: a tiny quote
+    * OF held content and a superset CONTAINING a held document both
+    * read high containment, and both mean the batch row duplicates
+    * held material.
+    *
+    * Returns (batch_id, corpus_id, n_batch, n_corpus, shared,
+    * containment_bp) at `minContainmentBp` and above, where
+    * containment_bp = shared·10⁴ div min(n_batch, n_corpus) in exact
+    * integer basis points over the df-capped fingerprint sets.
+    */
+  def winnowingContainmentScreen(batchFps: DataFrame,
+                                 corpusFps: DataFrame,
+                                 maxDf: Long = 50,
+                                 minContainmentBp: Long = 8000L): DataFrame = {
+    require(maxDf >= 1, s"df cap must be >= 1, got $maxDf")
+    require(minContainmentBp >= 0 && minContainmentBp <= 10000,
+      s"containment is in basis points 0..10000, got $minContainmentBp")
+    val ihB = batchFps.select(col("id"), col("h")).distinct()
+    val ihC = corpusFps.select(col("id"), col("h")).distinct()
+    val rare = ihB.unionByName(ihC)
+      .groupBy(col("h")).agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxDf).select(col("h"))
+    val pB = ihB.join(rare, Seq("h"))
+    val pC = ihC.join(rare, Seq("h"))
+    val nB = pB.groupBy(col("id")).agg(count(lit(1)).as("n_batch"))
+      .withColumnRenamed("id", "batch_id")
+    val nC = pC.groupBy(col("id")).agg(count(lit(1)).as("n_corpus"))
+      .withColumnRenamed("id", "corpus_id")
+    pB.select(col("h"), col("id").as("batch_id"))
+      .join(pC.select(col("h"), col("id").as("corpus_id")), Seq("h"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nB, Seq("batch_id"))
+      .join(nC, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        col("n_batch"), col("n_corpus"), col("shared"),
+        expr("(shared * 10000) div least(n_batch, n_corpus)")
+          .as("containment_bp"))
       .where(col("containment_bp") >= minContainmentBp)
   }
 
@@ -407,23 +528,31 @@ object Corpus {
     * sentence somewhere in the corpus, which is what you want when
     * the duplicated text is content (syndication) rather than chrome.
     *
-    * Scale shape: one hash exchange keyed on the line content (same
-    * cost class as the boilerplate frequency count) feeding a
-    * row_number window totally ordered by (doc, pos); then the
-    * per-document rebuild aggregation. No self-joins, no pairs.
+    * Scale shape: electing the winner is a `groupBy(line).agg(min(
+    * struct(doc, pos)))` — NOT a content-keyed window. The difference
+    * is the whole ballgame at 100 TB: a window partitioned by raw line
+    * content routes every copy of a corpus-wide boilerplate line to
+    * ONE reducer (billions of rows on a single task), where the
+    * aggregate's partial (map-side) combine collapses each hot line to
+    * one row per input task before the exchange — the hot key costs
+    * O(tasks), not O(copies). The winning struct carries (doc, pos)
+    * out of the aggregate, so no join-back is needed. Blank lines are
+    * structural survivors and are short-circuited AROUND the exchange
+    * entirely (filtered before the groupBy, unioned after), so the
+    * billions of blank lines in a real corpus never shuffle at all.
     */
   def dedupLinesKeepFirst(docs: DataFrame, textCol: String,
                           idCol: String, sep: String = "\n"): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-    val w = Window.partitionBy(col("line"))
-      .orderBy(col(idCol), col("pos"))
-    val kept = lines
-      .withColumn("__rk",
-        when(length(trim(col("line"))) === 0, lit(1L))
-          .otherwise(row_number().over(w).cast("long")))
-      .where(col("__rk") === 1)
+    val blank = length(trim(col("line"))) === 0
+    val kept = lines.where(!blank)
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("pos").as("pos"), col("line"))
+      .unionByName(lines.where(blank))
     rebuildCleanDocs(docs, kept, textCol, idCol, sep)
   }
 
@@ -492,8 +621,11 @@ object Corpus {
     *
     * Scale shape: O(batch) — explode, one hash anti-join against the
     * fingerprint table (map-side combine on md5; history text never
-    * read), and the within-batch window runs over only the surviving
-    * novel lines. The 100 TB corpus appears solely as the 32-byte/line
+    * read), and the within-batch winner election is the same
+    * partial-aggregated `min(struct(doc, pos))` as
+    * [[dedupLinesKeepFirst]] (a batch-wide hot line combines map-side
+    * instead of landing on one reducer), over only the surviving novel
+    * lines. The 100 TB corpus appears solely as the 32-byte/line
     * fingerprint relation.
     */
   def dedupLinesIncremental(batch: DataFrame, seenLines: DataFrame,
@@ -507,12 +639,11 @@ object Corpus {
       .withColumn("line_md5", md5(col("line")))
       .join(seenLines.select(col("line_md5")), Seq("line_md5"), "left_anti")
       .drop("line_md5")
-    val w = Window.partitionBy(col("line"))
-      .orderBy(col(idCol), col("pos"))
     val kept = novel
-      .withColumn("__rk", row_number().over(w).cast("long"))
-      .where(col("__rk") === 1)
-      .drop("__rk")
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("pos").as("pos"), col("line"))
       .unionByName(lines.where(blank))
     rebuildCleanDocs(batch, kept, textCol, idCol, sep)
   }

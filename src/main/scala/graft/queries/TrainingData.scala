@@ -5076,6 +5076,193 @@ object TrainingData {
        |SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1""".stripMargin
   }
 
+  // ------------------------ curate loop with the winnowing quote screen
+  // StreamingOps.continuousCurate with BOTH screens live: each batch is
+  // screened by MinHash-LSH (near-dups) AND by positional winnowing
+  // containment against a maintained fingerprint table (tiny verbatim
+  // quotes — the regime LSH is Jaccard-blind to). Survivors' signatures
+  // AND fingerprints append, so batch 1's quote of a document admitted
+  // only in batch 0 (+7e6: 40-char excerpts of batch 0's novel md5
+  // chains, J≈0.25 — invisible to the LSH screen) is rejected purely
+  // because the fingerprint table is live. Batch composition: +5e6 =
+  // 160-char quotes of corpus docs (quote-screen reject), +6e6 = novel
+  // chains (admit), +7e6 = quotes of those (live-table reject), +8e6 =
+  // LSH near-dups of corpus (LSH reject), +9e6 = novel (admit). The
+  // oracle replays the sequential admit decisions with both screens:
+  // the winnow df-cap recomputes over held ∪ batch per screen — the
+  // maintenance rule the loop applies.
+  def streamCurateQuotesQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Dedup}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-curateq").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }))
+    val sigPath = new java.io.File(root, "sigs").toString
+    val fpPath = new java.io.File(root, "fps").toString
+    val outPath = new java.io.File(root, "admitted").toString
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    // both maintained tables are deterministic functions of the corpus
+    // — built once per (session, sf-dir), file-copied per run because
+    // the stream APPENDS to them (the streamCurateQ contract)
+    val baseSigs = Fixtures.cached("sigs-curate-base", dir) { base =>
+      val p = new java.io.File(base, "sigs").toString
+      Dedup.writeSignatureTable(d, "text", "doc_id", p, k = 5)
+      p
+    }
+    val baseFps = Fixtures.cached("winnow-table-base", dir) { base =>
+      val p = new java.io.File(base, "fps").toString
+      Corpus.writeWinnowTable(d, "text", "doc_id", p, k = 5, window = 4)
+      p
+    }
+    Seq((baseSigs, sigPath), (baseFps, fpPath)).foreach { case (b, t) =>
+      val from = java.nio.file.Paths.get(b)
+      val to = java.nio.file.Paths.get(t)
+      java.nio.file.Files.createDirectories(to)
+      java.nio.file.Files.list(from).forEach { f =>
+        java.nio.file.Files.copy(f, to.resolve(f.getFileName.toString))
+        ()
+      }
+    }
+    // 160-char chain: long enough that a 40-char excerpt sits below the
+    // LSH threshold (J ≈ 36/156) while winnowing reads containment 10^4
+    val chain5 = concat(md5(col("text")),
+      md5(concat(col("text"), lit("a"))),
+      md5(concat(col("text"), lit("b"))),
+      md5(concat(col("text"), lit("c"))),
+      md5(concat(col("text"), lit("d"))))
+    val b0 = d.where(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        expr("substring(text, 21, 160)").as("text"))
+      .union(d.where(col("doc_id") % 7 === 1).select(
+        (col("doc_id") + 6000000L).as("doc_id"), chain5.as("text")))
+    val b1 = d.where(col("doc_id") % 7 === 1).select(
+        (col("doc_id") + 7000000L).as("doc_id"),
+        substring(chain5, 21, 40).as("text"))
+      .union(d.where(col("doc_id") % 7 === 2).select(
+        (col("doc_id") + 8000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text")))
+      .union(d.where(col("doc_id") % 7 === 3).select(
+        (col("doc_id") + 9000000L).as("doc_id"),
+        concat(md5(concat(col("text"), lit("x"))),
+          md5(concat(col("text"), lit("y"))),
+          md5(concat(col("text"), lit("z")))).as("text")))
+    val feedDir = Fixtures.cached("curateq-src", dir) { base =>
+      val sd = new java.io.File(base, "src")
+      sd.mkdirs()
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        val tmp = new java.io.File(base, s"tmp$i").toString
+        b.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(sd, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000000L + i * 60000L)
+        ()
+      }
+      sd.toString
+    }
+    val src = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    graft.streaming.StreamingOps.continuousCurate(
+      src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5,
+      shufflePartitions = Some(8),
+      winnowTablePath = fpPath, minContainmentBp = 8000L,
+      winnowMaxDf = 50L)
+    spark.read.parquet(outPath).select(col("doc_id"))
+  }
+  lazy val streamCurateQuotesSql: String = {
+    val chain5 = "md5(text) || md5(text || 'a') || md5(text || 'b') || " +
+      "md5(text || 'c') || md5(text || 'd')"
+    val tagged =
+      s"""SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, substr(text, 21, 160) FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, $chain5 FROM documents
+         |  WHERE doc_id % 7 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, substr($chain5, 21, 40) FROM documents
+         |  WHERE doc_id % 7 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, substr(text, 11) FROM documents
+         |  WHERE doc_id % 7 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 9000000,
+         |         md5(text || 'x') || md5(text || 'y') || md5(text || 'z')
+         |  FROM documents WHERE doc_id % 7 = 3""".stripMargin
+    // the winnowing fp chain shares CTE names with the minhash chain —
+    // suffix it (the x_screen_overlap device)
+    val winnowSuffixed = winnowCtes
+      .replace("FROM documents", "FROM corpus")
+      .replace("sh AS (", "sh_w AS (")
+      .replace("FROM sh)", "FROM sh_w)")
+      .replace("hr AS (", "hr_w AS (")
+      .replace("FROM hr)", "FROM hr_w)")
+      .replace("win AS (", "win_w AS (")
+      .replace("FROM win WHERE", "FROM win_w WHERE")
+      .replace("fp AS MATERIALIZED (", "fp_w AS MATERIALIZED (")
+    // one quote-screen replay: held ids vs batch ids, df cap over both.
+    // Conditions use the %ID% placeholder (a blind textual doc_id
+    // replace would also rewrite subquery columns).
+    def quoteScreen(sfx: String, heldCond: String, batchCond: String) =
+      s"""u$sfx AS (
+         |  SELECT doc_id, h FROM ih
+         |  WHERE (${heldCond.replace("%ID%", "doc_id")})
+         |     OR (${batchCond.replace("%ID%", "doc_id")})),
+         |rare$sfx AS (
+         |  SELECT h FROM u$sfx GROUP BY h HAVING count(*) <= 50),
+         |p$sfx AS MATERIALIZED (
+         |  SELECT u$sfx.doc_id, u$sfx.h FROM u$sfx JOIN rare$sfx USING (h)),
+         |n$sfx AS (SELECT doc_id, count(*) AS n FROM p$sfx GROUP BY doc_id),
+         |qp$sfx AS (
+         |  SELECT a.doc_id AS cid, b.doc_id AS bid, count(*) AS shared
+         |  FROM p$sfx a JOIN p$sfx b ON a.h = b.h
+         |  WHERE (${heldCond.replace("%ID%", "a.doc_id")})
+         |    AND (${batchCond.replace("%ID%", "b.doc_id")})
+         |  GROUP BY 1, 2),
+         |qdup$sfx AS (
+         |  SELECT DISTINCT bid AS doc_id FROM qp$sfx
+         |  JOIN n$sfx na ON na.doc_id = qp$sfx.cid
+         |  JOIN n$sfx nb ON nb.doc_id = qp$sfx.bid
+         |  WHERE (shared * 10000) // least(na.n, nb.n) >= 8000)""".stripMargin
+    s"""WITH ${minhashCtesOver(tagged)},
+       |$winnowSuffixed,
+       |ih AS (SELECT DISTINCT doc_id, h FROM fp_w),
+       |mh AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |b0 AS (SELECT doc_id FROM corpus
+       |       WHERE doc_id >= 5000000 AND doc_id < 7000000),
+       |b1 AS (SELECT doc_id FROM corpus WHERE doc_id >= 7000000),
+       |lsh0 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM mh
+       |  WHERE doc_a < 5000000 AND doc_b >= 5000000 AND doc_b < 7000000),
+       |${quoteScreen("0", "%ID% < 5000000",
+      "%ID% >= 5000000 AND %ID% < 7000000")},
+       |adm0 AS (
+       |  SELECT doc_id FROM b0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM lsh0)
+       |    AND doc_id NOT IN (SELECT doc_id FROM qdup0)),
+       |lsh1 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM mh
+       |  WHERE doc_b >= 7000000
+       |    AND (doc_a < 5000000
+       |         OR doc_a IN (SELECT doc_id FROM adm0))),
+       |${quoteScreen("1",
+      "%ID% < 5000000 OR %ID% IN (SELECT doc_id FROM adm0)",
+      "%ID% >= 7000000")},
+       |adm1 AS (
+       |  SELECT doc_id FROM b1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM lsh1)
+       |    AND doc_id NOT IN (SELECT doc_id FROM qdup1))
+       |SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1""".stripMargin
+  }
+
   // ------------------------------------------------- document chunking
   // Overlapping token-window chunking (Corpus.chunkDocs): 40-token
   // chunks every 30 tokens — the RAG / embedding-prep explode. All
@@ -5756,13 +5943,13 @@ object TrainingData {
       |win AS (
       |  SELECT doc_id, pos,
       |    count(*) OVER (PARTITION BY doc_id) AS n,
-      |    min(h * 2097152 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |    min(h * 2147483648 + pos) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
       |  FROM hr),
       |fp AS MATERIALIZED (
       |  SELECT DISTINCT doc_id,
-      |    CAST(sel % 2097152 AS BIGINT) AS pos,
-      |    CAST(sel // 2097152 AS BIGINT) AS h
+      |    CAST(sel % 2147483648 AS BIGINT) AS pos,
+      |    CAST(sel // 2147483648 AS BIGINT) AS h
       |  FROM win WHERE pos <= n - 4)""".stripMargin
   val winnowingSql: String =
     s"""WITH $winnowCtes
@@ -6448,6 +6635,65 @@ object TrainingData {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
        |vc AS (SELECT vec_id, vec FROM v0),
        |${ivfAssignBody("", "vc", 16)},
+       |$preludes,
+       |$bodies,
+       |rec AS (
+       |  SELECT a0.n_id,
+       |    c0.c_v || c1.c_v || c2.c_v || c3.c_v AS r_v
+       |  FROM a2_s0 a0 JOIN cents_s0 c0 ON a0.c_id = c0.c_id
+       |  JOIN a2_s1 x1 ON x1.n_id = a0.n_id
+       |  JOIN cents_s1 c1 ON x1.c_id = c1.c_id
+       |  JOIN a2_s2 x2 ON x2.n_id = a0.n_id
+       |  JOIN cents_s2 c2 ON x2.c_id = c2.c_id
+       |  JOIN a2_s3 x3 ON x3.n_id = a0.n_id
+       |  JOIN cents_s3 c3 ON x3.c_id = c3.c_id),
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, q.vec AS q_v, c.c_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${ivfCos("q.vec", "c.c_v")} DESC, c.c_id) AS rn
+       |  FROM v0 q CROSS JOIN cents c WHERE q.vec_id < 20),
+       |p2 AS (SELECT q_id, q_v, c_id FROM probes WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p2.q_id, a2.n_id,
+       |    round(${ivfCos("p2.q_v", "r.r_v")}, 4) AS sim
+       |  FROM p2 JOIN a2 USING (c_id) JOIN rec r ON r.n_id = a2.n_id
+       |  WHERE p2.q_id != a2.n_id)
+       |SELECT q_id, n_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+       |       AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin
+  }
+
+  // ------------------------------------- IVF∘PQ with sampled training
+  // The actual 100 TB configuration of x_ann_ivf_pq: ALL FIVE
+  // quantizers (coarse + 4 PQ subspace codebooks) train on the
+  // deterministic 64-row hash-ordered sample (smallest
+  // (hash32("smp:"+id), id) — the FAISS practice of Lloyd on a bounded
+  // sample followed by one full assignment pass), so training cost
+  // decouples from corpus size while assignment/search stay exact over
+  // everything. The sample is an ID selection, so every subspace
+  // trains on the same rows; the oracle replays the top-N sample
+  // selection and all 5 trainings bit-exact (the trn CTE's
+  // hash-ordered LIMIT).
+  def annIvfPqSampledQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 4,
+      m = 4, ksub = 16, iters = 2, trainSample = 64)
+  }
+  lazy val annIvfPqSampledSql: String = {
+    val m = 4; val sub = 16; val smp = 64
+    val preludes = (0 until m).map(s =>
+      s"vc_s$s AS (SELECT vec_id, " +
+        s"vec[${s * sub + 1}:${(s + 1) * sub}] AS vec FROM v0)")
+      .mkString(",\n")
+    val bodies = (0 until m).map(s =>
+      ivfAssignBody(s"_s$s", s"vc_s$s", 16, smp)).mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |vc AS (SELECT vec_id, vec FROM v0),
+       |${ivfAssignBody("", "vc", 16, smp)},
        |$preludes,
        |$bodies,
        |rec AS (
@@ -8487,6 +8733,7 @@ object TrainingData {
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
     "x_ann_ivf_pq" -> (annIvfPqQ _),
+    "x_ann_ivf_pq_sampled" -> (annIvfPqSampledQ _),
     "x_ann_recall" -> (annRecallQ _),
     "x_ann_filtered" -> (annFilteredQ _),
     "x_dedup_drop" -> (dedupDropQ _),
@@ -8575,6 +8822,7 @@ object TrainingData {
     "x_seq_pack" -> (seqPackQ _),
     "x_pack_report" -> (packReportQ _),
     "x_stream_curate" -> (streamCurateQ _),
+    "x_stream_curate_quotes" -> (streamCurateQuotesQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
     "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
@@ -8677,6 +8925,7 @@ object TrainingData {
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,
     "x_ann_ivf_pq" -> annIvfPqSql,
+    "x_ann_ivf_pq_sampled" -> annIvfPqSampledSql,
     "x_ann_recall" -> annRecallSql,
     "x_ann_filtered" -> annFilteredSql,
     "x_dedup_drop" -> dedupDropSql,
@@ -8769,6 +9018,7 @@ object TrainingData {
     "x_seq_pack" -> seqPackSql,
     "x_pack_report" -> packReportSql,
     "x_stream_curate" -> streamCurateSql,
+    "x_stream_curate_quotes" -> streamCurateQuotesSql,
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
     "x_ann_ivf_sq8_table" -> annIvfSq8Sql,

@@ -387,24 +387,42 @@ object StreamingOps {
     *    writes: a replay of a fully-applied batch skips the screen
     *    entirely.
     *
+    * QUOTE SCREEN (optional, `winnowTablePath` non-null): the batch is
+    * additionally screened by POSITIONAL winnowing containment against
+    * a maintained fingerprint table ([[graft.operators.Corpus.writeWinnowTable]])
+    * — the deterministic tiny-quote detector the MinHash screen is
+    * structurally blind to (band collision is bounded by the pair's
+    * JACCARD, so a short verbatim quote inside a large held page never
+    * collides). Survivors' fingerprints append beside their signatures,
+    * so the quote table is as live as the signature table: batch 1
+    * catches quotes of documents admitted in batch 0. Both screens'
+    * rejections union; the same replay-safety exclusion of the batch's
+    * own ids applies to the fingerprint corpus side.
+    *
     * Scale notes: per batch, the corpus side is two column-pruned scans
     * of the signature table (bands + shingle sets) — corpus text is
-    * never re-tokenized; the batch side is O(batch). State lives in the
-    * signature table, not the state store, so there is no watermark and
-    * no per-key streaming state to bound. Within-batch duplicates are
-    * NOT collapsed (documented screen semantics — run exact dedup
-    * upstream if a feed can self-duplicate inside one trigger).
-    * `checkpointDir` MUST be durable storage in production (the temp
-    * default exists for single-run tests).
+    * never re-tokenized; the batch side is O(batch). The quote screen
+    * adds one (id, h)-pruned scan of the fingerprint table and a
+    * batch×corpus-only hash join (corpus-internal pairs never form).
+    * State lives in the maintained tables, not the state store, so
+    * there is no watermark and no per-key streaming state to bound.
+    * Within-batch duplicates are NOT collapsed (documented screen
+    * semantics — run exact dedup upstream if a feed can self-duplicate
+    * inside one trigger). `checkpointDir` MUST be durable storage in
+    * production (the temp default exists for single-run tests).
     */
   def continuousCurate(src: DataFrame, sigTablePath: String,
                        admittedDir: String, textCol: String, idCol: String,
                        k: Int = 5, threshold: Double = 0.5,
                        checkpointDir: String = null,
-                       shufflePartitions: Option[Int] = None): Unit =
+                       shufflePartitions: Option[Int] = None,
+                       winnowTablePath: String = null,
+                       minContainmentBp: Long = 8000L,
+                       winnowMaxDf: Long = 50L): Unit =
     withShufflePartitions(src.sparkSession, shufflePartitions) {
       continuousCurate0(src, sigTablePath, admittedDir, textCol, idCol,
-        k, threshold, checkpointDir)
+        k, threshold, checkpointDir, Option(winnowTablePath),
+        minContainmentBp, winnowMaxDf)
     }
 
   /** Run `body` with `spark.sql.shuffle.partitions` overridden — the
@@ -431,7 +449,10 @@ object StreamingOps {
                                 admittedDir: String, textCol: String,
                                 idCol: String,
                                 k: Int, threshold: Double,
-                                checkpointDir: String): Unit = {
+                                checkpointDir: String,
+                                winnowTablePath: Option[String] = None,
+                                minContainmentBp: Long = 8000L,
+                                winnowMaxDf: Long = 50L): Unit = {
     val ckpt = Option(checkpointDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString)
     // same shingle-size refusal as appendToSignatureTable, checked ONCE
@@ -443,6 +464,11 @@ object StreamingOps {
     require(storedK == k,
       s"signature table at $sigTablePath was written with " +
         s"k=$storedK but the curate loop hashes with k=$k")
+    // fingerprint geometry likewise read once at query start; the
+    // table's own marker is the single source of truth (callers don't
+    // pass k/window — a curate loop must match whatever the table holds)
+    val winnowKw = winnowTablePath.map(p =>
+      graft.operators.Corpus.winnowTableParams(src.sparkSession, p))
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -457,9 +483,18 @@ object StreamingOps {
           // both the screen and (filtered to survivors) the signature
           // append — the original shape re-shingled the survivors for
           // the append, a second full pass over the batch text
+          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
           val sigB = graft.operators.Dedup
             .signatureRelation(batch, textCol, idCol, k)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .persist(lvl)
+          // the quote screen's batch fingerprints, computed ONCE and
+          // reused (screen + survivor append) — same tokenize-once
+          // discipline as the signature relation
+          val fpB = winnowKw.map { case (wk, ww) =>
+            graft.operators.Corpus
+              .winnowingFingerprints(batch, textCol, idCol, wk, ww)
+              .persist(lvl)
+          }
           // Local (executor-block) materialization, not the default
           // parquet spill: the screen result never escapes the batch
           // (released in the finally) and a retry rebuilds it, so the
@@ -470,18 +505,36 @@ object StreamingOps {
               threshold, graft.ops.MatStrategy.Local)
           try {
             val own = batch.select(col(idCol).as("corpus_id"))
-            val dupIds = screened.df
+            val lshDup = screened.df
               .join(broadcast(own), Seq("corpus_id"), "left_anti")
-              .select(col("batch_id").as(idCol)).distinct()
+              .select(col("batch_id").as(idCol))
+            // quote screen: batch fingerprints vs the maintained table,
+            // with the batch's own ids excluded from the corpus side
+            // (replay safety — a crash after the fingerprint append
+            // must not make the replay quote-reject the batch against
+            // its own fingerprints)
+            val quoteDup = (winnowTablePath, fpB) match {
+              case (Some(wp), Some(fp)) =>
+                val corpusFps = spark.read.parquet(wp)
+                  .join(broadcast(own.select(col("corpus_id").as("id"))),
+                    Seq("id"), "left_anti")
+                Some(graft.operators.Corpus
+                  .winnowingContainmentScreen(fp, corpusFps,
+                    winnowMaxDf, minContainmentBp)
+                  .select(col("batch_id").as(idCol)))
+              case _ => None
+            }
+            val dupIds = quoteDup
+              .fold(lshDup)(q => lshDup.unionByName(q)).distinct()
             // survivors / survivorSigs are each one cheap anti-join off
             // materialized inputs (screen spilled, signatures persisted)
             val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
             val survivorSigs = sigB.join(
               dupIds.select(col(idCol).as("doc_id")), Seq("doc_id"),
               "left_anti")
-            // the two sinks are independent (different dirs, disjoint
+            // the sinks are independent (different dirs, disjoint
             // inputs): submit their jobs concurrently — the body's wall
-            // is the slower write, not the sum (Spark schedules jobs
+            // is the slowest write, not the sum (Spark schedules jobs
             // from concurrent threads fairly)
             import scala.concurrent.{Await, Future}
             import scala.concurrent.ExecutionContext.Implicits.global
@@ -490,10 +543,24 @@ object StreamingOps {
             val fSig = Future(
               idempotentAppend(survivorSigs, sigTablePath,
                 s"b${batchId}_sig_"))
+            val fFp = (winnowTablePath, fpB) match {
+              case (Some(wp), Some(fp)) =>
+                val survivorFps = fp.join(
+                  dupIds.select(col(idCol).as("id")), Seq("id"),
+                  "left_anti")
+                Some(Future(
+                  idempotentAppend(survivorFps, wp, s"b${batchId}_fp_")))
+              case _ => None
+            }
             Await.result(fAdm, scala.concurrent.duration.Duration.Inf)
             Await.result(fSig, scala.concurrent.duration.Duration.Inf)
+            fFp.foreach(f =>
+              Await.result(f, scala.concurrent.duration.Duration.Inf))
             fs.create(marker, true).close()
-          } finally { screened.release(); sigB.unpersist(false); () }
+          } finally {
+            screened.release(); sigB.unpersist(false)
+            fpB.foreach(_.unpersist(false)); ()
+          }
         }
         ()
       }

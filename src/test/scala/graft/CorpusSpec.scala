@@ -247,6 +247,28 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x\ny", 2L, 1L)))
   }
 
+  test("dedupLinesKeepFirst handles a corpus-wide hot line: one planted " +
+    "boilerplate copy per document, exactly one survives") {
+    // The hot-key scale shape: a line present in EVERY document (the
+    // cookie banner of a crawl corpus). The winner election is a
+    // partial-combined aggregate, so the hot line never concentrates
+    // on one reducer; semantically exactly the (doc 1, pos 0) copy
+    // must survive, plus each doc's unique line and its blank.
+    val hot = "accept all cookies to continue"
+    val docs = (1L to 200L)
+      .map(i => (i, s"$hot\n\nunique line $i"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dedupLinesKeepFirst(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 200)
+    assert(out(1L) === ((s"$hot\n\nunique line 1", 3L, 0L)))
+    (2L to 200L).foreach { i =>
+      assert(out(i) === ((s"\nunique line $i", 2L, 1L)),
+        s"doc $i must lose only its hot-line copy")
+    }
+  }
+
   test("dedupLinesIncremental screens seen lines, first-wins in batch") {
     val history = Seq((1L, "header\nalpha")).toDF("doc_id", "text")
     val batch = Seq(
@@ -418,6 +440,38 @@ class CorpusSpec extends SparkSpec {
     assert(gated.forall(_.getLong(5) >= 9000L))
   }
 
+  test("winnowingContainment survives multi-megabyte documents: a quote " +
+    "planted past the 2^21 character mark still reads 10000 bp") {
+    // Regression for the 21-bit pos packing: the old packed key
+    // h * 2^21 + pos let any pos >= 2,097,152 bleed into the hash
+    // field, silently corrupting fingerprints for exactly the long-tail
+    // book/page documents a crawl corpus contains — and the DuckDB
+    // oracle replayed the identical packing, so the gate could not see
+    // it. The 2^31 multiplier is exact for any JVM string (h < 2^30,
+    // pos < 2^31). This fixture plants a verbatim quote entirely
+    // BEYOND position 2^21 of a >2.1M-char source; containment must
+    // still read exactly 10^4 bp.
+    val src = (1 to 100000)
+      .map(i => f"body segment $i%07d text")
+      .mkString(" ") // 24 chars/segment -> ~2.4M chars
+    assert(src.length > (1 << 21) + 100000,
+      s"fixture must exceed 2^21 chars, got ${src.length}")
+    val quote = src.substring((1 << 21) + 1000, (1 << 21) + 1200)
+    val docs = Seq((1L, src), (2L, quote)).toDF("doc_id", "text")
+    val fps = Corpus.winnowingFingerprints(docs, "text", "doc_id")
+    val out = Corpus.winnowingContainment(fps, maxDf = 50,
+        minContainmentBp = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5))
+      .toMap
+    assert(out.get((2L, 1L)).contains(10000L),
+      s"deep quote must be fully contained in its source: $out")
+    // and the selected positions really do exceed the old 21-bit bound
+    val maxPos = fps.where($"id" === 1L)
+      .agg(max($"pos")).collect()(0).getLong(0)
+    assert(maxPos >= (1L << 21),
+      s"fixture must select fingerprints past 2^21, max pos $maxPos")
+  }
+
   test("winnowingContainment invariants: bp bounded by 10^4, shared " +
     "bounded by the smaller set, orientation total") {
     // a mixed corpus: self-similar repeats, partial overlaps, and
@@ -444,6 +498,66 @@ class CorpusSpec extends SparkSpec {
       // tie on set size must orient to the LOWER id as small
       if (nS == nL) assert(small < large, s"tie orientation: $r")
     }
+  }
+
+  test("winnowing recall contract: the (k, window) guarantee threshold " +
+    "k+window-1 is tight — shorter shared runs may vanish, threshold-" +
+    "length runs never do") {
+    // The machine-checkable form of the scaladoc guarantee: for every
+    // geometry in the table, a planted shared substring of EXACTLY
+    // k+window-1 chars must select at least one common fingerprint
+    // (coverage), while one of k+window-2 chars has at least one
+    // fixture where no fingerprint is shared (tightness) — so the
+    // minimum reliably-detectable quote length IS k+window-1, and a
+    // df cap only ever REMOVES evidence (monotonicity, third block).
+    val geometries = Seq((5, 4), (5, 8), (3, 4), (8, 4))
+    // distinct-alphabet filler so the planted run is the only overlap
+    for ((k, w) <- geometries) {
+      val t = k + w - 1
+      val run = ("zqxjvw" * ((t + 5) / 6)).take(t)
+      val docs = Seq(
+        (1L, s"aaaa bbbb cccc $run dddd eeee ffff"),
+        (2L, s"gggg hhhh $run iiii jjjj kkkk llll"))
+        .toDF("doc_id", "text")
+      val fps = Corpus.winnowingFingerprints(docs, "text", "doc_id", k, w)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+      val shared = fps.filter(_._1 == 1L).map(_._2).toSet
+        .intersect(fps.filter(_._1 == 2L).map(_._2).toSet)
+      assert(shared.nonEmpty,
+        s"(k=$k, window=$w): a ${t}-char shared run selected no common " +
+          "fingerprint — the coverage guarantee is broken")
+    }
+    // tightness at the default geometry: a 7-char run (= k+window-2)
+    // CAN fall between both docs' selections. Constructed miss: 5-char
+    // lowercase shingle hashes never wrap the modulus (h < 123·31⁴ <
+    // 1e9+7), so hash order is lexicographic-ish — a run of 'z's flanked
+    // by distinct sub-'z' letters loses every window argmin to a
+    // boundary/context shingle, and those are doc-specific. The longest
+    // common substring between the docs is exactly the 7-char run.
+    val short = Seq(
+      (1L, "meadow river azzzzzzzb forest lake"),
+      (2L, "copper wing czzzzzzzd ember quilt hollow"))
+      .toDF("doc_id", "text")
+    val fp7 = Corpus.winnowingFingerprints(short, "text", "doc_id", 5, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val shared7 = fp7.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fp7.filter(_._1 == 2L).map(_._2).toSet)
+    assert(shared7.isEmpty,
+      "fixture drift: the sub-threshold run was detected — the " +
+        "tightness claim is untested")
+    // df-cap monotonicity: candidates at maxDf=m are a subset of
+    // candidates at any larger cap (the cap only removes evidence)
+    val corpus = (1L to 8L)
+      .map(i => (i, s"shared zqxjvw core text here unique token $i"))
+      .toDF("doc_id", "text")
+    def pairsAt(cap: Long) =
+      Corpus.winnowingCandidates(corpus, "text", "doc_id",
+          maxDf = cap, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = pairsAt(4)
+    val loose = pairsAt(50)
+    assert(tight.subsetOf(loose),
+      "a smaller df cap must never CREATE a candidate pair")
   }
 
   test("winnowingCandidates df cap drops ubiquitous fingerprints") {

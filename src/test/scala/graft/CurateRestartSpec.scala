@@ -145,4 +145,97 @@ class CurateRestartSpec extends SparkSpec {
       "a survivor was dropped by screening the batch against itself")
     assert(sigIds(root) == Seq(1L, 100L, 201L))
   }
+
+  // ---------------------------------- with the winnowing quote screen
+
+  /** Quote-screen fixture: sig AND winnow tables over a 1-doc corpus.
+    * Batch 0 admits 100 (novel). Batch 1 holds 200 — a 40-char verbatim
+    * QUOTE of 100 (J ≈ 0.28 vs the LSH 0.5 bar: only the live
+    * fingerprint table can reject it) — and 201 (fresh). */
+  private def quoteFixture(): (java.io.File, () => Unit) = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_curateq_restart").toFile
+    def path(n: String) = new java.io.File(root, n).toString
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureTable(
+      corpus, "text", "doc_id", path("sigs"), k = 5)
+    graft.operators.Corpus.writeWinnowTable(
+      corpus, "text", "doc_id", path("fps"), k = 5, window = 4)
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val batches = Seq(
+      Seq((100L, novelText)),
+      Seq((200L, novelText.substring(20, 60)), (201L, freshText)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = path(s"tmpq$i")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L); ()
+    }
+    val run = () => {
+      val src = spark.readStream
+        .schema(corpus.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      StreamingOps.continuousCurate(src, path("sigs"), path("admitted"),
+        "text", "doc_id", checkpointDir = path("ckpt"),
+        winnowTablePath = path("fps"), minContainmentBp = 8000L)
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 200) {
+        Thread.sleep(50); waited += 1
+      }
+    }
+    (root, run)
+  }
+
+  private def fpIds(root: java.io.File): Seq[Long] =
+    spark.read.parquet(new java.io.File(root, "fps").toString)
+      .select("id").distinct().collect().map(_.getLong(0)).toSeq.sorted
+
+  test("quote screen rejects a tiny quote of a doc admitted one batch " +
+    "earlier, and survivors' fingerprints append") {
+    val (root, run) = quoteFixture()
+    run()
+    // 200 is a verbatim quote of 100 — invisible to LSH (J ≈ 0.28),
+    // rejected ONLY because batch 0 appended 100's fingerprints
+    assert(admitted(root) == Seq(100L, 201L),
+      "the quote was admitted: the fingerprint table is not live")
+    assert(sigIds(root) == Seq(1L, 100L, 201L))
+    assert(fpIds(root) == Seq(1L, 100L, 201L),
+      "survivor fingerprints missing (or the rejected quote's leaked in)")
+  }
+
+  test("quote screen: replay after ALL appends but before the marker " +
+    "does not quote-reject the batch against its own fingerprints") {
+    val (root, run) = quoteFixture()
+    run()
+    // crash window: admits, sigs AND fingerprints landed; marker did
+    // not. The replayed quote screen sees 201's own fingerprints in the
+    // table — a self-pair reads containment 10^4, so without own-batch
+    // exclusion the replay would rewrite an EMPTY admit set
+    uncommitLastBatch(root)
+    rm(root, "admitted/_graft_applied_b1")
+    run()
+    assert(admitted(root) == Seq(100L, 201L),
+      "a survivor was quote-rejected against its own fingerprints")
+    assert(sigIds(root) == Seq(1L, 100L, 201L))
+    assert(fpIds(root) == Seq(1L, 100L, 201L))
+  }
+
+  test("quote screen: replay after the admit write but before the " +
+    "fingerprint append converges to the clean state") {
+    val (root, run) = quoteFixture()
+    run()
+    uncommitLastBatch(root)
+    rm(root, "admitted/_graft_applied_b1")
+    delPrefixed(root, "sigs", "b1_sig_")
+    delPrefixed(root, "fps", "b1_fp_")
+    run()
+    assert(admitted(root) == Seq(100L, 201L))
+    assert(sigIds(root) == Seq(1L, 100L, 201L),
+      "survivor signatures missing or duplicated after replay")
+    assert(fpIds(root) == Seq(1L, 100L, 201L),
+      "survivor fingerprints missing or duplicated after replay")
+  }
 }

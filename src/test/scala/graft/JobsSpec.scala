@@ -94,6 +94,35 @@ class JobsSpec extends SparkSpec {
       "novel content was wrongly rejected")
   }
 
+  test("quote_audit maintains its fingerprint table: create, converge " +
+    "on re-run, append only unseen docs") {
+    val out = Files.createTempDirectory("graft_quote_job").toString
+    Jobs.all("quote_audit")(spark, sf0001, out)
+    val fps1 = spark.read.parquet(s"$out/winnow_fps").count()
+    val pairs1 = spark.read.parquet(s"$out/quote_pairs").count()
+    // re-run: every doc already fingerprinted → nothing appends, the
+    // report re-derives identically
+    Jobs.all("quote_audit")(spark, sf0001, out)
+    assert(spark.read.parquet(s"$out/winnow_fps").count() == fps1,
+      "a converged table must not grow on re-run")
+    assert(spark.read.parquet(s"$out/quote_pairs").count() == pairs1)
+
+    // append path: a table created over HALF the corpus must be topped
+    // up to full coverage by the job, not rebuilt
+    val out2 = Files.createTempDirectory("graft_quote_job2").toString
+    val d = Tables.load(spark, sf0001, "documents")
+    graft.operators.Corpus.writeWinnowTable(
+      d.where(col("doc_id") % 2 === 0), "text", "doc_id",
+      s"$out2/winnow_fps", k = 5, window = 4)
+    val half = spark.read.parquet(s"$out2/winnow_fps").count()
+    Jobs.all("quote_audit")(spark, sf0001, out2)
+    val full = spark.read.parquet(s"$out2/winnow_fps")
+    assert(full.count() > half, "missing docs were not appended")
+    assert(full.count() == fps1,
+      "appended table must equal the from-scratch table")
+    assert(spark.read.parquet(s"$out2/quote_pairs").count() == pairs1)
+  }
+
   test("audit-append job is append-semantics (second run doubles rows)") {
     val out = Files.createTempDirectory("graft_append").toString
     Jobs.all("clean_region")(spark, sf0001, out)

@@ -403,6 +403,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"winnowing must not join:\n$p")
   }
 
+  test("dedupLinesKeepFirst elects winners via a partial-combined " +
+    "aggregate, never a content-keyed window") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val p = plan(graft.operators.Corpus
+      .dedupLinesKeepFirst(d, "text", "doc_id"))
+    // a Window partitioned by raw line content routes every copy of a
+    // corpus-wide boilerplate line to ONE reducer; the aggregate's
+    // map-side partial phase collapses a hot line to one row per task
+    // BEFORE the exchange, so the hot key costs O(tasks)
+    assert(!p.contains("RunningWindowFunction") &&
+      !"Window \\[row_number".r.findFirstIn(p).isDefined,
+      s"winner election must not be a content-keyed window:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"no map-side partial aggregation below the exchange:\n$p")
+  }
+
   test("DSIR serving: the model joins as a broadcast, the corpus side " +
     "never shuffles for it") {
     val d = Tables.load(spark, sf0001, "documents")

@@ -86,9 +86,13 @@ def main(argv):
             "cpu_lo": min(cpus) if cpus else -1,
             "cpu_hi": max(cpus) if cpus else -1,
         }
+    # total band over the CLEAN totals when present (flagged rows
+    # replaced by their in-run second readings) — the number
+    # verify_local --bands adjudicates
+    totals = [r.get("value_clean", r["value"]) for r in runs]
     out = {"n_runs": len(runs), "sf": runs[-1].get("sf", ""),
-           "total_lo": min(r["value"] for r in runs),
-           "total_hi": max(r["value"] for r in runs),
+           "total_lo": min(totals),
+           "total_hi": max(totals),
            "queries": queries}
     with open("BANDS.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)

@@ -85,9 +85,11 @@ def check_bands(bench_path: str, bands_path: str = "BANDS.json",
     automatic check the driver/judge can run on any BENCH artifact."""
     tol = float(tol)  # CLI args arrive as strings
     bench = json.load(open(bench_path))
-    bands = json.load(open(bands_path))["queries"]
+    bands_doc = json.load(open(bands_path))
+    bands = bands_doc["queries"]
     flagged, unknown, n_ok = [], [], 0
     ran = bench.get("queries", {})
+    t_start = bench.get("queries_t_start_sec", {})
     for name, wall in sorted(ran.items()):
         if wall < 0:
             flagged.append((name, wall, None, "errored"))
@@ -105,12 +107,33 @@ def check_bands(bench_path: str, bands_path: str = "BANDS.json",
                         "missing from bench artifact"))
     for name, wall, b, why in flagged:
         hint = f" band [{b['lo']}, {b['hi']}] (n={b['n']})" if b else ""
-        print(f"OUT-OF-BAND {name}: {wall}s {why}{hint}")
+        at = f" at t+{t_start[name]:.1f}s" if name in t_start else ""
+        print(f"OUT-OF-BAND {name}: {wall}s {why}{hint}{at}")
+    # a flagged WINDOW's wall-clock span correlates with the run's load
+    # trajectory (contention) where alphabetical adjacency can't
+    spans = sorted(t_start[n] for n, _, _, _ in flagged if n in t_start)
+    if len(spans) >= 2:
+        print(f"flagged window spans t+{spans[0]:.1f}s .. "
+              f"t+{spans[-1]:.1f}s of the run")
     if unknown:
         print(f"NO-BAND ({len(unknown)}): {', '.join(unknown)}")
+    # headline total: adjudicate the CLEAN total (flagged rows replaced
+    # by their in-run second readings) against the committed band
+    total_bad = False
+    if "total_lo" in bands_doc and "total_hi" in bands_doc:
+        tv = bench.get("value_clean", bench.get("value"))
+        lo, hi = bands_doc["total_lo"], bands_doc["total_hi"]
+        which = "value_clean" if "value_clean" in bench else "value"
+        if tv is not None and tv > tol * hi:
+            total_bad = True
+            print(f"OUT-OF-BAND TOTAL: {which} {tv}s above {tol}x "
+                  f"band hi (total band [{lo}, {hi}])")
+        else:
+            print(f"total OK: {which} {tv}s vs band [{lo}, {hi}] "
+                  f"(tol {tol}x)")
     print(f"== bands: {n_ok} in-band / {len(flagged)} flagged / "
           f"{len(unknown)} unbanded (tol {tol}x) ==")
-    return 1 if flagged else 0
+    return 1 if (flagged or total_bad) else 0
 
 if __name__ == "__main__":
     if sys.argv[1] == "--bands":

@@ -145,6 +145,8 @@ object Bench {
           // shingle → minhash → simhash family (native expressions)
           size(NativeFns.minhashSig(
             NativeFns.shingleHashes(col("text"), 5))).as("sig"),
+          size(NativeFns.positionalShingleHashes(col("text"), 5))
+            .as("psh"),
           NativeFns.simhashNative(col("text")).as("sh"),
           // dot-product family: native codegen'd + HOF form
           NativeFns.dotNative(col("emb"), col("emb")).as("d1"),

@@ -1006,14 +1006,21 @@ object Dedup {
     * dual of [[contaminationReport]]: contamination asks "seen in the
     * eval set", novelty asks "seen EARLIER in this corpus".
     *
-    * Scale shape: explode distinct grams ONCE, attribute each gram
-    * occurrence by a min() window over the gram partition (one shuffle
-    * on the gram key, and the expensive tokenize/fan-out subtree is
-    * evaluated exactly once — a min-aggregate joined back would
-    * re-evaluate it per reference), then one count aggregation per
-    * doc. Documents never pair up, so the cost is linear in total
-    * grams at any corpus size. Documents with fewer than n tokens
-    * have no grams and no row (the oracle drops them identically).
+    * Scale shape: explode distinct grams off one doc-keyed fan-out
+    * exchange; ownership is a partial-combined `min(id)` aggregate per
+    * gram — NEVER a window partitioned by gram content. Natural
+    * language has guaranteed corpus-wide hot grams ("of the" appears
+    * once per document after the per-doc distinct — billions of copies
+    * at 100 TB), and a gram-partitioned window sorts every copy on one
+    * reducer, where the aggregate's map-side combine emits one row per
+    * (task, gram). The two consumers (per-doc gram counts ride the
+    * doc-keyed exchange shuffle-free; ownership re-shuffles by gram)
+    * re-run the explode off the SAME reused fan-out exchange: the
+    * corpus is scanned once and tokenized twice — linear CPU traded
+    * for the removed skew. Documents never pair up, so the cost is
+    * linear in total grams at any corpus size. Documents with fewer
+    * than n tokens have no grams and no row (the oracle drops them
+    * identically).
     */
   def noveltyReport(corpus: DataFrame, textCol: String, idCol: String,
                     n: Int = 2): DataFrame = {
@@ -1029,13 +1036,14 @@ object Dedup {
     val fan = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val gr = corpus.repartition(fan, col(idCol))
       .select(col(idCol), explode(grams).as("gr"))
-    val w = Window.partitionBy(col("gr"))
-    gr.withColumn("first_id", min(col(idCol)).over(w))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        count(when(col("first_id") === col(idCol), 1)).as("n_novel"))
-      .select(col(idCol), col("n_grams"), col("n_novel"),
-        expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+    val base = gr.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val owned = gr.groupBy(col("gr")).agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    base.join(owned, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0) * 10000 div n_grams")
+          .as("novelty_bp"))
   }
 
   /** Word n-gram Jaccard similarity between two text columns (exact

@@ -7456,8 +7456,10 @@ object TrainingData {
   // copy's aligned chunk grid matches the original's head chunks but
   // not its tail: per doc, distinct chunk fingerprints, how many also
   // appear in another document, and the shared share in basis points.
-  // Attribution rides a count() window over the fingerprint partition
-  // (the x_novelty device — the chunk fan-out is evaluated once).
+  // Attribution is a partial-combined per-fingerprint count plus a
+  // semi-join back (the skew-safe x_novelty device — a boilerplate
+  // chunk held by every doc combines map-side instead of sorting all
+  // holders on one reducer).
   def chunkDedupQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val corpus = d.select(col("doc_id"), col("text"))
@@ -7467,13 +7469,21 @@ object TrainingData {
       .chunkDocs(corpus, "text", "doc_id", window = 10, stride = 10)
       .select(col("doc_id"), md5(col("chunk")).as("fp"))
       .distinct()
-    val w = Window.partitionBy(col("fp"))
-    fps.withColumn("n_docs_fp", count(lit(1)).over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("n_docs_fp") > 1, 1)).as("n_shared"))
-      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
-        expr("n_shared * 10000 div n_chunks").as("shared_bp"))
+    // shared-chunk attribution via a partial-combined count per
+    // fingerprint + a semi-join back — not a window partitioned by
+    // chunk content (a corpus-wide boilerplate chunk would sort every
+    // holder on one reducer; the join AQE can skew-split, the window
+    // it cannot)
+    val shared = fps.groupBy(col("fp")).agg(count(lit(1)).as("d"))
+      .where(col("d") > 1).select(col("fp"))
+    val nShared = fps.join(shared, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("coalesce(n_shared, 0) * 10000 div n_chunks")
+          .as("shared_bp"))
   }
   val chunkDedupSql: String =
     """WITH corpus AS (

@@ -524,14 +524,26 @@ class PlanSpec extends SparkSpec {
       s"bucket prefix maxima not broadcast:\n$p")
   }
 
-  test("noveltyReport scans and tokenizes the corpus exactly ONCE " +
-    "(window attribution, not a join back onto the fan-out)") {
-    val p = plan(graft.queries.TrainingData.noveltyQ(spark, sf0001))
+  test("noveltyReport scans the corpus ONCE and attributes ownership " +
+    "via a partial-combined aggregate, never a gram-keyed window") {
+    val df = graft.queries.TrainingData.noveltyQ(spark, sf0001)
+    df.collect() // exchange reuse lands in AQE's FINAL plan
+    // the executed AdaptiveSparkPlan prints final plan THEN the initial
+    // plan — count scans in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    // both consumers (per-doc counts, per-gram ownership) must read the
+    // REUSED doc-keyed fan-out exchange — one corpus scan
     val scans = "FileScan".r.findAllIn(p).length
-    assert(scans == 1, s"gram fan-out evaluated $scans times:\n$p")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 3,
-      s"expected fan-out + gram + doc exchanges only, got $exchanges:\n$p")
+    assert(scans == 1, s"gram fan-out scanned the corpus $scans times:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      s"the two gram consumers must share the fan-out exchange:\n$p")
+    // ownership must be an aggregate (map-side combine collapses the
+    // guaranteed-hot natural-language grams), not a window sort
+    assert(!p.contains("Window"),
+      s"gram attribution must not be a content-keyed window:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"no map-side partial aggregation below the gram exchange:\n$p")
   }
 
   test("linkPrediction: the wedge self-join runs at an EXPLICIT fan-out " +

@@ -95,5 +95,9 @@ object GraftExtensions {
       es => StripAccentsExpr(es.head)),
     (NativeFns.DeflateRatioName,
       "graft_deflate_ratio(s) - deflate-compressed/raw byte ratio",
-      es => DeflateRatioExpr(es.head)))
+      es => DeflateRatioExpr(es.head)),
+    (NativeFns.HilbertName,
+      "graft_hilbert(x, y, bits) - Hilbert curve index of a 2-D point",
+      es => HilbertIndexExpr(es(0), es(1),
+        es(2).eval().asInstanceOf[Int])))
 }

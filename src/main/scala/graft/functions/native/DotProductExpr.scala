@@ -93,6 +93,7 @@ object NativeFns {
   val NfcName = "graft_nfc"
   val StripAccentsName = "graft_strip_accents"
   val DeflateRatioName = "graft_deflate_ratio"
+  val HilbertName = "graft_hilbert"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -163,4 +164,11 @@ object NativeFns {
   def stripAccents(s: Column): Column = call_function(StripAccentsName, s)
 
   def deflateRatio(s: Column): Column = call_function(DeflateRatioName, s)
+
+  /** Hilbert curve index of an integer point (codegen'd loop; inputs
+    * cast to long and masked to `bits` bits — see [[HilbertIndexExpr]]). */
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(HilbertName, x.cast("long"), y.cast("long"), lit(bits))
+  }
 }

@@ -707,6 +707,225 @@ object Multimodal {
         "energy", "abs_sum")
   }
 
+  // ------------------------------------------------------------ EXIF
+  // Metadata-level parsing needs NO codec: EXIF is a TIFF-structured
+  // IFD embedded in a JPEG APP1 segment (or the IFD of a TIFF file
+  // itself), and walking it is pure byte arithmetic — the JDK ships
+  // everything required. This is the capture-metadata side of a media
+  // pipeline (orientation normalization before resize/phash, capture
+  // timestamps for temporal splits) and it must work on payloads this
+  // library never wrote, so the walker bound-checks every offset and
+  // quarantines malformed claims instead of throwing.
+
+  /** Verdict of an EXIF probe — the metadata twin of the decode
+    * trichotomy: FOUND (a well-formed IFD walked; fields that were
+    * absent stay None), ABSENT (payload carries no EXIF/IFD claim),
+    * CORRUPT (payload claims EXIF — an APP1 "Exif\0\0" header or a
+    * TIFF magic — but its IFD is malformed/truncated: quarantine). */
+  sealed trait ExifVerdict
+  case class ExifFound(orientation: Option[Long], takenAt: Option[String],
+                       bigEndian: Boolean) extends ExifVerdict
+  case object ExifAbsent extends ExifVerdict
+  case object ExifCorrupt extends ExifVerdict
+
+  /** Walk one TIFF-structured IFD chain inside `bytes[tiff, limit)`
+    * (`tiff` = offset of the byte-order mark; IFD offsets in the
+    * structure are relative to it). Returns None for any structural
+    * violation — bad magic, entry table or referenced value data
+    * running past `limit`. Only IFD0 is read (EXIF places Orientation
+    * 0x0112 and DateTime 0x0132 there); unknown tags are skipped, so
+    * foreign writers' IFDs (the JDK's own TIFF encoder, real cameras)
+    * walk cleanly. */
+  def parseTiffIfd(bytes: Array[Byte], tiff: Int,
+                   limit: Int): Option[ExifFound] = {
+    if (tiff + 8 > limit) return None
+    val big =
+      if (bytes(tiff) == 'M' && bytes(tiff + 1) == 'M') true
+      else if (bytes(tiff) == 'I' && bytes(tiff + 1) == 'I') false
+      else return None
+    def u16(o: Int): Int =
+      if (big) ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      else (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      if (big)
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+          ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      else
+        (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+          ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    if (u16(tiff + 2) != 42) return None
+    val ifdOff = u32(tiff + 4)
+    if (ifdOff < 8 || tiff + ifdOff + 2 > limit) return None
+    val ifd = tiff + ifdOff.toInt
+    val n = u16(ifd)
+    if (ifd + 2 + 12 * n + 4 > limit) return None
+    var orientation: Option[Long] = None
+    var takenAt: Option[String] = None
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      if (tag == 0x0112 && typ == 3 && cnt == 1L) {
+        // SHORT count=1: value inline in the first two value bytes
+        orientation = Some(u16(e + 8).toLong)
+      } else if (tag == 0x0132 && typ == 2 && cnt >= 2L) {
+        // ASCII: count>4 means the value field is an offset (relative
+        // to the TIFF header) to NUL-terminated text
+        val off =
+          if (cnt <= 4L) e + 8
+          else {
+            val v = u32(e + 8)
+            if (tiff + v + cnt > limit) return None
+            tiff + v.toInt
+          }
+        takenAt = Some(
+          new String(bytes, off, cnt.toInt - 1, "US-ASCII"))
+      }
+      i += 1
+    }
+    Some(ExifFound(orientation, takenAt, big))
+  }
+
+  /** EXIF probe over one payload. JPEG: walk the marker stream for an
+    * APP1 segment whose payload opens "Exif\0\0" and parse the TIFF
+    * block inside it (bounded by the segment's declared length and the
+    * payload end — a truncated segment is CORRUPT, never an
+    * out-of-bounds read). Standalone TIFF: parse its own IFD (a
+    * camera-written TIFF carries orientation in IFD0 exactly like
+    * EXIF). Anything else — including a JPEG with no APP1/Exif — is
+    * ABSENT. */
+  def exifMeta(bytes: Array[Byte]): ExifVerdict = {
+    def be16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    if (bytes.length >= 4 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 0x2A &&
+        bytes(3) == 0) ||
+        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+          bytes(3) == 0x2A))) {
+      return parseTiffIfd(bytes, 0, bytes.length)
+        .fold[ExifVerdict](ExifCorrupt)(identity)
+    }
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
+      (bytes(1) & 0xFF) != 0xD8) return ExifAbsent
+    var off = 2
+    while (off + 4 <= bytes.length && (bytes(off) & 0xFF) == 0xFF) {
+      val marker = bytes(off + 1) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) return ExifAbsent // SOS/EOI
+      val len = be16(off + 2)
+      if (len < 2) return ExifAbsent
+      val segEnd = off + 2 + len
+      if (marker == 0xE1 && off + 10 <= bytes.length &&
+        bytes(off + 4) == 'E' && bytes(off + 5) == 'x' &&
+        bytes(off + 6) == 'i' && bytes(off + 7) == 'f' &&
+        bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+        // the declared segment may overrun the payload (truncated
+        // file) — clamp, and let the IFD walker flag the cut
+        val limit = math.min(segEnd, bytes.length)
+        return parseTiffIfd(bytes, off + 10, limit)
+          .fold[ExifVerdict](ExifCorrupt)(identity)
+      }
+      off = segEnd
+    }
+    ExifAbsent
+  }
+
+  /** Deterministic JPEG-with-EXIF payload: a real decodable JPEG
+    * ([[syntheticImage]]) with an APP1 Exif segment spliced after SOI —
+    * IFD0 carries Orientation 0x0112 = `orientation` and DateTime
+    * 0x0132 = `takenAt`, in either byte order. Decoders ignore APP1,
+    * so the image stays decodable; EXIF readers (this library's and
+    * real ones) see the planted tags. */
+  def syntheticExifJpeg(w: Int, h: Int, seed: Long, orientation: Int,
+                        takenAt: String, bigEndian: Boolean): Array[Byte] = {
+    val jpeg = syntheticImage(w, h, seed, "jpg")
+    val app1 = exifApp1(orientation, takenAt, bigEndian)
+    val out = new Array[Byte](jpeg.length + app1.length)
+    out(0) = jpeg(0); out(1) = jpeg(1) // SOI
+    app1.copyToArray(out, 2)
+    System.arraycopy(jpeg, 2, out, 2 + app1.length, jpeg.length - 2)
+    out
+  }
+
+  /** The APP1 Exif segment bytes (marker..value data) — IFD0 with
+    * exactly {Orientation, DateTime}, DateTime data right after the
+    * entry table. */
+  private def exifApp1(orientation: Int, takenAt: String,
+                       bigEndian: Boolean): Array[Byte] = {
+    val dt = takenAt.getBytes("US-ASCII") :+ 0.toByte // NUL-terminated
+    // TIFF block: header(8) + count(2) + 2 entries(24) + next(4) + dt
+    val tiffLen = 8 + 2 + 24 + 4 + dt.length
+    val segLen = 2 + 6 + tiffLen // length field + "Exif\0\0" + TIFF
+    val b = new Array[Byte](2 + segLen)
+    def p16(o: Int, v: Int): Unit =
+      if (bigEndian) { b(o) = ((v >> 8) & 0xFF).toByte
+        b(o + 1) = (v & 0xFF).toByte }
+      else { b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte }
+    def p32(o: Int, v: Long): Unit =
+      if (bigEndian) { var i = 0; while (i < 4) {
+        b(o + i) = ((v >> (8 * (3 - i))) & 0xFF).toByte; i += 1 } }
+      else { var i = 0; while (i < 4) {
+        b(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 } }
+    b(0) = 0xFF.toByte; b(1) = 0xE1.toByte
+    b(2) = ((segLen >> 8) & 0xFF).toByte; b(3) = (segLen & 0xFF).toByte
+    "Exif".getBytes("US-ASCII").copyToArray(b, 4)
+    b(8) = 0; b(9) = 0
+    val t = 10 // TIFF header offset in b
+    if (bigEndian) { b(t) = 'M'; b(t + 1) = 'M' }
+    else { b(t) = 'I'; b(t + 1) = 'I' }
+    p16(t + 2, 42); p32(t + 4, 8L)
+    p16(t + 8, 2) // two entries
+    val e0 = t + 10
+    p16(e0, 0x0112); p16(e0 + 2, 3); p32(e0 + 4, 1L)
+    p16(e0 + 8, orientation); p16(e0 + 10, 0)
+    val e1 = e0 + 12
+    p16(e1, 0x0132); p16(e1 + 2, 2); p32(e1 + 4, dt.length.toLong)
+    p32(e1 + 8, 38L) // 8 header + 2 count + 24 entries + 4 next
+    p32(e1 + 12, 0L) // next-IFD
+    dt.copyToArray(b, t + 38)
+    b
+  }
+
+  /** Deterministic CORRUPT EXIF payload: SOI + an APP1 that declares a
+    * full Exif segment but ends 12 bytes in — claims EXIF, and the
+    * IFD walk runs out of bytes. The quarantine fixture for
+    * [[extractExif]]. */
+  def truncatedExifJpeg(seed: Long, orientation: Int,
+                        takenAt: String): Array[Byte] = {
+    val full = syntheticExifJpeg(3, 3, seed, orientation, takenAt,
+      bigEndian = false)
+    full.take(2 + 12) // SOI + marker/len/"Exif\0\0" + 2 TIFF bytes
+  }
+
+  /** Partition-wise EXIF extraction over a `(doc_id, media binary)`
+    * frame — the capture-metadata stage of a media pipeline, pure byte
+    * walking (works against 100 TB of crawl media with no codec
+    * installed): orientation + capture timestamp + byte order for
+    * payloads with a well-formed EXIF/IFD; CORRUPT claims quarantined
+    * with nulled fields; everything else passes through as
+    * has_exif = false. Row-local, no shuffle. */
+  def extractExif(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          exifMeta(bytes) match {
+            case ExifFound(o, dt, big) =>
+              (id, true, false, o, dt, Some(big))
+            case ExifCorrupt =>
+              (id, false, true, None: Option[Long],
+                None: Option[String], None: Option[Boolean])
+            case ExifAbsent =>
+              (id, false, false, None: Option[Long],
+                None: Option[String], None: Option[Boolean])
+          }
+        }
+      }.toDF("doc_id", "has_exif", "quarantined", "orientation",
+        "taken_at", "big_endian")
+  }
+
   /** Attach the media payload as a BINARY column (stand-in for reading
     * image/audio bytes from a blob store column). */
   def withMediaBinary(docs: DataFrame, textCol: String): DataFrame =

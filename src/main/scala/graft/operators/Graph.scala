@@ -623,6 +623,104 @@ object Graph {
                iters: Int = 10): DataFrame =
     pageRankM(edges, aCol, bCol, iters).df
 
+  /** WARM-START PageRank — the incremental-maintenance form: instead
+    * of re-running the full iteration count from the uniform start
+    * after a graph delta, resume from the STORED ranks of the previous
+    * graph version (`prev`: nodeCol, rankCol in the same micro-unit
+    * lanes) and run only `iters` refresh rounds over the NEW edge set.
+    * Power iteration converges from any start vector, and a delta
+    * that touches a small neighborhood leaves most stored ranks
+    * already at (or near) the new fixed point — so the 100 TB refresh
+    * costs `iters` rounds instead of the cold count, with the SAME
+    * per-round shuffle shape as [[pageRankM]]. Nodes new in this
+    * version (absent from `prev`) start at the uniform 1000000; nodes
+    * that left the graph drop out (ranks are per-node-set, not
+    * carried). Everything stays in the exact integer lanes
+    * (r div d, damping 17/20, restart 150000), so a SQL oracle unrolls
+    * cold rounds + warm rounds and must match bit-for-bit — and
+    * because the recurrence is identical, warm-starting with
+    * prev = uniform reproduces [[pageRankM]] exactly (GraphSpec pins
+    * both properties).
+    */
+  def pageRankWarmM(edges: DataFrame, aCol: String, bCol: String,
+                    prev: DataFrame, nodeCol: String, rankCol: String,
+                    iters: Int = 3,
+                    roundMat: graft.ops.MatStrategy =
+                      graft.ops.MatStrategy.Local,
+                    mat: graft.ops.MatStrategy =
+                      graft.ops.MatStrategy.Default,
+                    matEvery: Int = 2): graft.ops.Materialized = {
+    import graft.ops.Materialize
+    require(mat != graft.ops.MatStrategy.PassThrough,
+      "mat must be an eager strategy: the iterative round state this " +
+        "operator's output plan reads is released before return, so a " +
+        "PassThrough result would replay freed lineage-truncated blocks")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
+    val e = canonicalEdges(edges, aCol, bCol)
+    val directedM = Materialize(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")),
+      roundMat)
+    var degM: graft.ops.Materialized = null
+    var nodesM: graft.ops.Materialized = null
+    var r0M: graft.ops.Materialized = null
+    try {
+      val directed = directedM.df
+      degM = Materialize(
+        directed.groupBy("src").agg(count(lit(1)).as("d")), roundMat)
+      nodesM = Materialize(
+        directed.select(col("src").as("v")).distinct(), roundMat)
+      val deg = degM.df
+      val nodes = nodesM.df
+      // seed from the stored ranks; the left join prices one hash
+      // shuffle of |V| rows — ~one extra round — and truncates the
+      // caller's prev lineage out of every subsequent round
+      r0M = Materialize(
+        nodes.join(
+          prev.select(col(nodeCol).as("v"), col(rankCol).as("__r0")),
+          Seq("v"), "left")
+          .select(col("v"),
+            coalesce(col("__r0"), lit(1000000L)).as("r")),
+        roundMat)
+      var ranks = r0M.df
+      var freeRanks: () => Unit = () => ()
+      for (i <- 1 to iters) {
+        val contrib = directed.join(deg, "src")
+          .join(ranks.withColumnRenamed("v", "src"), "src")
+          .select(col("dst").as("v"), expr("r div d").as("c"))
+          .groupBy("v").agg(sum(col("c")).as("s"))
+        val nextDf = nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
+              .as("r"))
+        if (i % matEvery == 0 || i == iters) {
+          val next = Materialize(nextDf, roundMat)
+          freeRanks()
+          ranks = next.df
+          freeRanks = next.release
+        } else ranks = nextDf
+      }
+      val out = Materialize(
+        ranks.select(col("v").as("node"), col("r").as("rank")), mat)
+      freeRanks()
+      out
+    } finally {
+      directedM.release()
+      if (degM != null) degM.release()
+      if (nodesM != null) nodesM.release()
+      if (r0M != null) r0M.release()
+    }
+  }
+
+  /** [[pageRankWarmM]] with default materialization, returning the
+    * bare frame (the [[pageRank]] contract). */
+  def pageRankWarm(edges: DataFrame, aCol: String, bCol: String,
+                   prev: DataFrame, nodeCol: String, rankCol: String,
+                   iters: Int = 3): DataFrame =
+    pageRankWarmM(edges, aCol, bCol, prev, nodeCol, rankCol, iters).df
+
   /** Personalized (topic-sensitive) PageRank — Haveliwala, WWW 2002 —
     * in the same exact-integer lanes as [[pageRankM]]: the restart
     * mass that the global variant spreads as 150000 micro-units per

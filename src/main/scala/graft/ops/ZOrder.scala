@@ -47,3 +47,35 @@ object ZOrder {
       df.withColumn("z", zValue(zCols.map(col), bits)),
       path, Seq("z"), partitions)
 }
+
+/** Hilbert-curve 2-D layout — the z-order alternative with strictly
+  * tighter locality: every curve step moves to a 4-neighbor cell
+  * (HilbertSpec pins |Δx|+|Δy| = 1 exhaustively), where the z-curve
+  * jumps across quadrant seams — so a box predicate maps to FEWER,
+  * longer index ranges and per-file min/max stats skip more files for
+  * the same box (HilbertSpec measures both curves on the same
+  * fixture). Costs one codegen'd O(bits) loop per row
+  * ([[graft.functions.native.HilbertIndexExpr]]) vs z's pure bit
+  * interleave — pay it when the workload is box-heavy, keep z when
+  * write throughput dominates. Same conventions as [[ZOrder]]: keys
+  * non-negative, masked to `bits` bits, rank-normalize skewed domains
+  * first (Sinks.writeZOrdered's quantile-bucket device applies
+  * unchanged).
+  */
+object Hilbert {
+
+  /** Hilbert index Column of (x, y) on the 2^bits × 2^bits grid;
+    * oracle-gated against an unrolled DuckDB CTE replay by
+    * p_hilbert_scan. 2·bits ≤ 62. */
+  def hValue(x: Column, y: Column, bits: Int = 18): Column =
+    graft.functions.native.NativeFns.hilbertIndex(x, y, bits)
+
+  /** Range-cluster `df` on the Hilbert index of (xCol, yCol) (the h
+    * column is kept in the output for audit/pruning inspection). */
+  def writeHilbertOrdered(df: DataFrame, path: String,
+                          xCol: String, yCol: String,
+                          partitions: Int, bits: Int = 18): DataFrame =
+    graft.sources.ClusteredWrite.writeClustered(
+      df.withColumn("h", hValue(col(xCol), col(yCol), bits)),
+      path, Seq("h"), partitions)
+}

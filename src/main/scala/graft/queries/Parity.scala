@@ -1008,6 +1008,64 @@ object Parity {
       |WHERE l_partkey BETWEEN 100 AND 300
       |  AND l_suppkey BETWEEN 1 AND 40""".stripMargin
 
+  // ----------------------------------------------- Hilbert-curve layout
+  // Hilbert.writeHilbertOrdered gated end to end — the tighter-locality
+  // sibling of the z-order layout (every curve step is a 4-neighbor
+  // move, so a box predicate spans fewer index ranges; HilbertSpec
+  // measures the file-skip advantage on this same fixture). The box
+  // slice read FROM THE HILBERT-CLUSTERED FILES must equal the filter
+  // over the original table, and the emitted h value gates the native
+  // expression's rotate/flip fold (graft.functions.native
+  // .HilbertIndexExpr, codegen'd loop) against DuckDB's replay of the
+  // SAME fold as 18 unrolled CTE levels — bit-for-bit, no tolerance.
+  def hilbertScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = Fixtures.cached("hilbert", dir) { root =>
+      val p = new java.io.File(root, "li").toString
+      graft.ops.Hilbert.writeHilbertOrdered(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        p, "l_partkey", "l_suppkey", partitions = 8)
+      p
+    }
+    spark.read.parquet(path)
+      .where(col("l_partkey").between(100L, 300L) &&
+        col("l_suppkey").between(1L, 40L))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("h"))
+  }
+  val hilbertScanSql: String = {
+    val bits = 18
+    val n1 = (1L << bits) - 1L
+    val levels = (0 until bits).map { i =>
+      val k = bits - 1 - i
+      val s2 = 1L << (2 * k) // s·s for s = 2^k
+      s"""h${i + 1} AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    hd + $s2 * xor(3 * ((hx >> $k) & 1), (hy >> $k) & 1) AS hd,
+         |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
+         |      CASE WHEN ((hx >> $k) & 1) = 1 THEN $n1 - hy ELSE hy END
+         |    ELSE hx END AS hx,
+         |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
+         |      CASE WHEN ((hx >> $k) & 1) = 1 THEN $n1 - hx ELSE hx END
+         |    ELSE hy END AS hy
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    CAST(0 AS BIGINT) AS hd,
+       |    CAST(l_partkey AS BIGINT) AS hx,
+       |    CAST(l_suppkey AS BIGINT) AS hy
+       |  FROM lineitem
+       |  WHERE l_partkey BETWEEN 100 AND 300
+       |    AND l_suppkey BETWEEN 1 AND 40),
+       |$levels
+       |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  l_partkey, l_suppkey, hd AS h
+       |FROM h$bits""".stripMargin
+  }
+
   // ----------------------------------------------- versioned snapshots
   // Versioned (time travel) gated end to end: v1 = the even-id half of
   // documents, v2 = the full table; reading PINNED VERSION 1 after v2
@@ -1300,6 +1358,7 @@ object Parity {
     "p_compaction" -> (compactionQ _),
     "p_schema_evolution" -> (schemaEvolutionQ _),
     "p_zorder_scan" -> (zorderScanQ _),
+    "p_hilbert_scan" -> (hilbertScanQ _),
     "p_time_travel" -> (timeTravelQ _),
     "p_quality_checks" -> (qualityChecksQ _),
     "p_snapshot_diff" -> (snapshotDiffQ _),
@@ -1340,6 +1399,7 @@ object Parity {
     "p_compaction" -> compactionSql,
     "p_schema_evolution" -> schemaEvolutionSql,
     "p_zorder_scan" -> zorderScanSql,
+    "p_hilbert_scan" -> hilbertScanSql,
     "p_time_travel" -> timeTravelSql,
     "p_quality_checks" -> qualityChecksSql,
     "p_snapshot_diff" -> snapshotDiffSql,

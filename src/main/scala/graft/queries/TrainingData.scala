@@ -2356,6 +2356,77 @@ object TrainingData {
        |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM pr10""".stripMargin
   }
 
+  // ------------------------------------- warm-start PageRank refresh
+  // Graph.pageRankWarm gated end to end — the incremental-maintenance
+  // story extended to the fixed-point family: stored ranks of the old
+  // near-dup graph (the x_pagerank computation, 10 cold rounds) are
+  // RESUMED for 3 refresh rounds over the graph with the appended
+  // bridge edges (the x_triangles_incr delta device), instead of 10
+  // cold rounds from uniform. Every lane is the same exact integer
+  // arithmetic, so the oracle unrolls 10 cold + 3 warm rounds and must
+  // match bit-for-bit; new-in-delta nodes seed at the uniform 1000000.
+  def pageRankIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val oldPairs = Dedup.nearDupPairsFromSigs(spark,
+      sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
+      threshold = 0.5)
+    val anchors = docs(spark, dir).where(col("doc_id") % 10 === 0)
+    val bridges = anchors
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+      .union(anchors.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000001L).as("doc_b")))
+    val oldRanks = graft.operators.Graph.pageRank(
+      oldPairs, "doc_a", "doc_b", iters = 10)
+    graft.operators.Graph.pageRankWarm(
+      oldPairs.select(col("doc_a"), col("doc_b")).union(bridges),
+      "doc_a", "doc_b", oldRanks, "node", "rank", iters = 3)
+  }
+  val pageRankIncrSql: String = {
+    def rounds(tbl: String, prefix: String, n: Int, from: String) =
+      (1 to n).map { i =>
+        val p = if (i == 1) from else s"$prefix${i - 1}"
+        s"""$prefix$i AS (
+           |  SELECT n.v,
+           |    150000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+           |  FROM ${tbl}_nodes n LEFT JOIN (
+           |    SELECT e.dst AS v, sum(p.r // deg.d) AS s
+           |    FROM $p p
+           |    JOIN ${tbl}_deg deg ON deg.src = p.v
+           |    JOIN ${tbl}_e e ON e.src = p.v
+           |    GROUP BY 1) s ON s.v = n.v)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+       |ce AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM j WHERE jaccard >= 0.5),
+       |old_e AS (SELECT a AS src, b AS dst FROM ce
+       |          UNION ALL SELECT b, a FROM ce),
+       |old_deg AS (SELECT src, count(*) AS d FROM old_e GROUP BY 1),
+       |old_nodes AS (SELECT DISTINCT src AS v FROM old_e),
+       |cold0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM old_nodes),
+       |${rounds("old", "cold", 10, "cold0")},
+       |bridges AS (
+       |  SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1000001 FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |nce AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a,
+       |         greatest(doc_a, doc_b) AS b
+       |  FROM (SELECT a AS doc_a, b AS doc_b FROM ce
+       |        UNION ALL SELECT doc_a, doc_b FROM bridges)),
+       |new_e AS (SELECT a AS src, b AS dst FROM nce
+       |          UNION ALL SELECT b, a FROM nce),
+       |new_deg AS (SELECT src, count(*) AS d FROM new_e GROUP BY 1),
+       |new_nodes AS (SELECT DISTINCT src AS v FROM new_e),
+       |warm0 AS (
+       |  SELECT n.v, COALESCE(c.r, CAST(1000000 AS BIGINT)) AS r
+       |  FROM new_nodes n LEFT JOIN cold10 c ON c.v = n.v),
+       |${rounds("new", "warm", 3, "warm0")}
+       |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM warm3""".stripMargin
+  }
+
   // ---------------------------------- personalized PageRank (leakage)
   // Contamination-risk diffusion: benchmark stand-in docs (orig id
   // < 10, same seed rule as x_decontaminate) seed a personalized
@@ -3861,6 +3932,61 @@ object TrainingData {
       |  CASE WHEN doc_id % 3 = 0 THEN 1
       |       WHEN doc_id % 3 = 1 THEN NULL
       |       ELSE CAST(n_chars % 30 AS BIGINT) END AS frames
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------- multimodal EXIF lane
+  // Capture-metadata extraction WITHOUT a codec: EXIF is a TIFF IFD
+  // embedded in a JPEG APP1 segment, and walking it is pure byte
+  // arithmetic (Multimodal.exifMeta) — the stage that feeds orientation
+  // normalization (before resize/phash) and capture-time temporal
+  // splits. Five planted lanes: real JPEG+EXIF in BOTH byte orders
+  // (orientation id%8+1, DateTime from id arithmetic), a TRUNCATED
+  // APP1 (claims "Exif\0\0", IFD cut — QUARANTINED), a real JDK-written
+  // TIFF whose FOREIGN 12-entry baseline IFD must walk cleanly
+  // (has_exif, no orientation tag — probed: MM order, no 0x0112/0x0132),
+  // and plain text (absent). The oracle replays the id arithmetic.
+  def multimodalExifQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dtOf(id: Long): String =
+      f"2026:${id % 12 + 1}%02d:${id % 28 + 1}%02d " +
+        f"${id % 24}%02d:${id % 60}%02d:${id * 7 % 60}%02d"
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val payload = (id % 5) match {
+            case 0 => Multimodal.syntheticExifJpeg(3, 3, id,
+              (id % 8).toInt + 1, dtOf(id), bigEndian = false)
+            case 1 => Multimodal.syntheticExifJpeg(3, 3, id,
+              (id % 8).toInt + 1, dtOf(id), bigEndian = true)
+            case 2 => Multimodal.truncatedExifJpeg(id,
+              (id % 8).toInt + 1, dtOf(id))
+            case 3 => Multimodal.syntheticImage(
+              (id % 9).toInt + 1, (id % 6).toInt + 1, id, "tiff")
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.extractExif(media)
+  }
+  val multimodalExifSql: String =
+    """SELECT doc_id,
+      |  doc_id % 5 IN (0, 1, 3) AS has_exif,
+      |  doc_id % 5 = 2 AS quarantined,
+      |  CASE WHEN doc_id % 5 IN (0, 1)
+      |       THEN doc_id % 8 + 1 END AS orientation,
+      |  CASE WHEN doc_id % 5 IN (0, 1) THEN
+      |    '2026:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+      |    ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+      |  END AS taken_at,
+      |  CASE WHEN doc_id % 5 = 0 THEN false
+      |       WHEN doc_id % 5 IN (1, 3) THEN true END AS big_endian
       |FROM documents""".stripMargin
 
   // -------------------------------------------- multimodal REAL resize
@@ -8717,6 +8843,7 @@ object TrainingData {
     "x_multimodal_meta" -> (multimodalMetaQ _),
     "x_multimodal_decode" -> (multimodalDecodeQ _),
     "x_multimodal_tiff" -> (multimodalTiffQ _),
+    "x_multimodal_exif" -> (multimodalExifQ _),
     "x_resize_real" -> (resizeRealQ _),
     "x_ann_lsh" -> (annLshQ _),
     "x_asof_join" -> (asOfJoinQ _),
@@ -8800,6 +8927,7 @@ object TrainingData {
     "x_neardup_bands" -> (neardupBandsQ _),
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
+    "x_pagerank_incr" -> (pageRankIncrQ _),
     "x_ppr_leakage" -> (pprLeakageQ _),
     "x_hits" -> (hitsQ _),
     "x_kcore" -> (kcoreQ _),
@@ -8909,6 +9037,7 @@ object TrainingData {
     "x_multimodal_meta" -> multimodalMetaSql,
     "x_multimodal_decode" -> multimodalDecodeSql,
     "x_multimodal_tiff" -> multimodalTiffSql,
+    "x_multimodal_exif" -> multimodalExifSql,
     "x_resize_real" -> resizeRealSql,
     "x_ann_lsh" -> annLshSql,
     "x_asof_join" -> asOfJoinSql,
@@ -8996,6 +9125,7 @@ object TrainingData {
     "x_neardup_bands" -> neardupBandsSql,
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
+    "x_pagerank_incr" -> pageRankIncrSql,
     "x_ppr_leakage" -> pprLeakageSql,
     "x_hits" -> hitsSql,
     "x_kcore" -> kcoreSql,

@@ -24,6 +24,50 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
   }
 
+  test("pageRankWarm seeded with the uniform vector reproduces pageRank " +
+    "exactly; new-in-delta nodes seed at 1000000") {
+    val e = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_custkey % 97 AS a", "o_orderkey % 89 AS b")
+      .where($"a" =!= $"b")
+    val uniform = e.selectExpr("a AS node").union(e.selectExpr("b"))
+      .distinct().selectExpr("node", "CAST(1000000 AS LONG) AS rank")
+    val cold = Graph.pageRank(e, "a", "b", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val warm = Graph.pageRankWarm(e, "a", "b", uniform, "node", "rank",
+      iters = 4).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(cold == warm, "identical recurrence from the uniform start")
+    // star 1-{2,3} warmed one round from prev where node 3 is NEW:
+    // r0 = (1->2e6, 2->4e5, 3->1e6 default);
+    // r1(1) = 150000 + 17*(4e5 + 1e6) div 20 = 1340000
+    // r1(2) = r1(3) = 150000 + 17*(2e6 div 2) div 20 = 1000000
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val prev = Seq((1L, 2000000L), (2L, 400000L)).toDF("node", "rank")
+    val r = Graph.pageRankWarm(star, "a", "b", prev, "node", "rank",
+      iters = 1).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1340000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("pageRankWarm after a delta lands nearer the new fixed point " +
+    "than the same round count from cold (the refresh thesis)") {
+    val old = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_custkey % 61 AS a", "o_orderkey % 53 AS b")
+      .where($"a" =!= $"b")
+    val delta = Seq((0L, 1L), (0L, 2L), (60L, 52L)).toDF("a", "b")
+    val all = old.union(delta)
+    val fixed = Graph.pageRank(all, "a", "b", iters = 12)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val stored = Graph.pageRank(old, "a", "b", iters = 10)
+    def dist(m: Map[Long, Long]) =
+      fixed.map { case (n, r) => math.abs(m.getOrElse(n, 1000000L) - r) }.sum
+    val warm = Graph.pageRankWarm(all, "a", "b", stored, "node", "rank",
+      iters = 2).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val cold2 = Graph.pageRank(all, "a", "b", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(dist(warm) < dist(cold2),
+      s"warm 2 rounds (${dist(warm)}) must beat cold 2 rounds " +
+        s"(${dist(cold2)}) toward the 12-round fixed point")
+  }
+
   test("pageRank is bit-identical under repartitioning (integer lanes)") {
     val e = Tables.load(spark, sf0001, "orders")
       .selectExpr("o_custkey % 97 AS a", "o_orderkey % 89 AS b")

@@ -428,6 +428,68 @@ class MultimodalSpec extends SparkSpec {
         s"built-in trichotomy changed for unclaimed doc $id")
     }
   }
+
+  test("EXIF: planted JPEG APP1 round-trips in both byte orders and " +
+    "stays a decodable image") {
+    for (big <- Seq(false, true)) {
+      val b = Multimodal.syntheticExifJpeg(5, 4, 77L, 6,
+        "2026:03:09 14:07:21", big)
+      Multimodal.exifMeta(b) match {
+        case Multimodal.ExifFound(o, dt, be) =>
+          assert(o.contains(6L), s"orientation (big=$big)")
+          assert(dt.contains("2026:03:09 14:07:21"), s"datetime (big=$big)")
+          assert(be == big, "parsed byte order must match the written one")
+        case v => fail(s"expected ExifFound, got $v (big=$big)")
+      }
+      // APP1 must not break the image: decoders skip it
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))
+      assert(img != null && img.getWidth == 5 && img.getHeight == 4,
+        s"EXIF-spliced JPEG must still decode (big=$big)")
+    }
+  }
+
+  test("EXIF verdicts: truncated APP1 quarantines, a FOREIGN JDK TIFF " +
+    "IFD walks cleanly with no orientation, non-claims are absent") {
+    assert(Multimodal.exifMeta(Multimodal.truncatedExifJpeg(5L, 3,
+      "2026:01:01 00:00:00")) == Multimodal.ExifCorrupt,
+      "declared-but-cut APP1 must be CORRUPT, not absent")
+    // the JDK's own TIFF writer: 12 baseline tags, MM order, no
+    // 0x0112/0x0132 — the walker must skip unknown tags, not choke
+    Multimodal.exifMeta(Multimodal.syntheticImage(8, 5, 21L, "tiff")) match {
+      case Multimodal.ExifFound(o, dt, be) =>
+        assert(o.isEmpty && dt.isEmpty && be,
+          "foreign baseline IFD: present, no orientation/datetime, MM")
+      case v => fail(s"expected ExifFound on a real TIFF IFD, got $v")
+    }
+    assert(Multimodal.exifMeta(
+      "plain text".getBytes("UTF-8")) == Multimodal.ExifAbsent)
+    assert(Multimodal.exifMeta(
+      Multimodal.syntheticImage(3, 3, 9L, "jpg")) == Multimodal.ExifAbsent,
+      "a JPEG without an Exif APP1 is ABSENT, not corrupt")
+  }
+
+  test("extractExif: partition-wise trichotomy over mixed media") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticExifJpeg(3, 3, 1L, 2,
+        "2026:05:05 05:05:05", bigEndian = false)),
+      (2L, Multimodal.truncatedExifJpeg(2L, 4, "2026:06:06 06:06:06")),
+      (3L, "not media at all".getBytes("UTF-8")),
+      (4L, Multimodal.syntheticImage(4, 2, 4L, "tiff")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractExif(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && !out(1L).isNullAt(3) &&
+      out(1L).getLong(3) == 2L && !out(1L).getBoolean(5),
+      "EXIF JPEG: found, orientation 2, little-endian")
+    assert(!out(2L).getBoolean(1) && out(2L).getBoolean(2) &&
+      out(2L).isNullAt(3), "truncated: quarantined, nulled fields")
+    assert(!out(3L).getBoolean(1) && !out(3L).getBoolean(2),
+      "text: absent, never quarantined")
+    assert(out(4L).getBoolean(1) && out(4L).isNullAt(3) &&
+      out(4L).getBoolean(5), "real TIFF: present, MM, no orientation")
+  }
 }
 
 /** Test double for [[Multimodal.CompressedDecoder]]: a made-up "GRFT"

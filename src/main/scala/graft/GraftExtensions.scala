@@ -99,5 +99,9 @@ object GraftExtensions {
     (NativeFns.HilbertName,
       "graft_hilbert(x, y, bits) - Hilbert curve index of a 2-D point",
       es => HilbertIndexExpr(es(0), es(1),
-        es(2).eval().asInstanceOf[Int])))
+        es(2).eval().asInstanceOf[Int])),
+    (NativeFns.UnigramSegmentName,
+      "graft_unigram_segment(word, pieces, scores) - Viterbi unigram-LM " +
+        "segmentation under a literal vocabulary",
+      es => UnigramSegmentExpr(es(0), es(1), es(2))))
 }

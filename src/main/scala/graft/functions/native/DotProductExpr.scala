@@ -94,6 +94,7 @@ object NativeFns {
   val StripAccentsName = "graft_strip_accents"
   val DeflateRatioName = "graft_deflate_ratio"
   val HilbertName = "graft_hilbert"
+  val UnigramSegmentName = "graft_unigram_segment"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -170,5 +171,16 @@ object NativeFns {
   def hilbertIndex(x: Column, y: Column, bits: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(HilbertName, x.cast("long"), y.cast("long"), lit(bits))
+  }
+
+  /** Viterbi-optimal unigram-LM segmentation of a pretoken under a
+    * LITERAL vocabulary (bounded driver-side collect — the BPE-merge
+    * contract); see [[UnigramSegmentExpr]]. Pieces joined with U+001F;
+    * null = uncoverable (true OOV character). */
+  def unigramSegment(word: Column, pieces: Seq[String],
+                     scores: Seq[Long]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function(UnigramSegmentName, word,
+      typedLit(pieces), typedLit(scores))
   }
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.native.{NativeFns, UnigramSegmentExpr}
+
+/** Unigram-LM (SentencePiece-style) tokenizer — the probabilistic
+  * sibling of the library's BPE lane (Kudo, ACL 2018 vs Sennrich 2016):
+  * where BPE greedily merges the most frequent pair, the unigram model
+  * scores every vocabulary piece by its corpus log-likelihood and
+  * segments each pretoken VITERBI-OPTIMALLY — the segmentation real
+  * multilingual tokenizers ship, because it recovers from bad merges
+  * BPE is stuck with.
+  *
+  * Everything runs on the (word, count) VOCABULARY table, the shape
+  * real trainers use — corpus size enters only through the initial
+  * word count aggregation:
+  *
+  *  - candidate generation ([[pieceCounts]]): one bounded explode
+  *    (≤ maxWordLen · MaxPieceLen substrings per unique word) into a
+  *    partial-combined hash aggregate;
+  *  - vocabulary selection ([[trainVocab]]): every single character
+  *    (coverage guarantee: no pretoken is ever uncoverable) plus the
+  *    top-`topMulti` longer pieces by (count desc, piece) — a
+  *    TakeOrdered, never a global sort; scores are floor(ln·10⁶)
+  *    micro-nats (the LanguageModel quantization device), so the
+  *    downstream DP is exact integer arithmetic a SQL oracle replays;
+  *  - segmentation ([[segmentWords]]): the vocabulary is a bounded
+  *    driver-side collect (KBs — the BPE-merge contract) shipped as a
+  *    literal into the codegen'd
+  *    [[graft.functions.native.UnigramSegmentExpr]]; row-local, no
+  *    shuffle, no UDF;
+  *  - hard-EM usage recount ([[usageReport]]): one explode of the
+  *    segmentations into a hash aggregate — the E-step statistics
+  *    driving vocabulary pruning (pieces Viterbi never uses are dead
+  *    weight; real trainers iterate this until the vocab budget).
+  *
+  * At 100 TB: unique-word cardinality, not corpus bytes, bounds every
+  * stage after the first aggregate; the segmentation expression is
+  * O(len · MaxPieceLen) per word inside WholeStageCodegen.
+  */
+object Unigram {
+
+  /** Piece separator in segmentation strings (U+001F — the BPE
+    * representation convention; never occurs in whitespace-split
+    * pretokens). */
+  val Sep: String = "\u001f"
+
+  /** Word-frequency table over whitespace pretokens of
+    * lower(trim(text)), capped at `maxWordLen` characters (the cap
+    * bounds the oracle's DP unroll; the segmentation expression itself
+    * handles any length). */
+  def wordCounts(docs: DataFrame, textCol: String,
+                 maxWordLen: Int): DataFrame =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Candidate piece counts: every substring of length
+    * 1..[[UnigramSegmentExpr.MaxPieceLen]] of every unique word, one
+    * count per OCCURRENCE weighted by word frequency. */
+  def pieceCounts(words: DataFrame): DataFrame =
+    words.select(col("cnt"), explode(expr(
+      "flatten(transform(sequence(1, length(w)), i -> " +
+        s"transform(sequence(1, least(${UnigramSegmentExpr.MaxPieceLen}, " +
+        "length(w) - i + 1)), l -> substring(w, i, l))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Seed vocabulary: all single characters + the top-`topMulti`
+    * multi-character pieces, scored in quantized micro-nats —
+    * score(p) = ⌊ln(cnt_p)·10⁶⌋ − ⌊ln(Σcnt)·10⁶⌋ < 0, so Viterbi
+    * prefers few high-likelihood pieces. Output: (piece, cnt, score,
+    * is_char). */
+  def trainVocab(docs: DataFrame, textCol: String, topMulti: Int,
+                 maxWordLen: Int): DataFrame = {
+    val pc = pieceCounts(wordCounts(docs, textCol, maxWordLen))
+    val chars = pc.where(length(col("piece")) === 1)
+      .withColumn("is_char", lit(true))
+    val multi = pc.where(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(topMulti)
+      .withColumn("is_char", lit(false))
+    val vraw = chars.unionByName(multi)
+    val tot = vraw.agg(sum(col("cnt")).as("__t"))
+    vraw.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("long") -
+          floor(log(col("__t").cast("double")) * lit(1e6d)).cast("long"))
+          .as("score"),
+        col("is_char"))
+  }
+
+  /** Viterbi-segment a (w, cnt) word table under a collected
+    * vocabulary: adds `seg` (pieces joined with [[Sep]]; null = a
+    * character outside the vocabulary) and `n_pieces`. */
+  def segmentWords(words: DataFrame,
+                   vocab: Seq[(String, Long)]): DataFrame =
+    words.withColumn("seg",
+      NativeFns.unigramSegment(col("w"), vocab.map(_._1),
+        vocab.map(_._2)))
+      .withColumn("n_pieces",
+        size(split(col("seg"), Sep, -1)).cast("long"))
+
+  /** Hard-EM E-step: per-piece usage under the Viterbi segmentation
+    * (occurrences × word frequency), joined back onto the vocabulary
+    * with the prune verdict — characters are always kept (coverage),
+    * an unused multi-char piece is dead weight. Output: (piece, cnt,
+    * usage, kept). */
+  def usageReport(segmented: DataFrame, vocab: DataFrame): DataFrame = {
+    val usage = segmented.where(col("seg").isNotNull)
+      .select(col("cnt"), explode(split(col("seg"), Sep, -1)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+    vocab.join(usage, Seq("piece"), "left")
+      .select(col("piece"), col("cnt"),
+        coalesce(col("usage"), lit(0L)).as("usage"),
+        (coalesce(col("usage"), lit(0L)) > 0L || col("is_char"))
+          .as("kept"))
+  }
+}

@@ -6570,6 +6570,147 @@ object TrainingData {
        |FROM d0 JOIN d3 USING (doc_id)""".stripMargin
   }
 
+  // -------------------------------------- unigram-LM tokenizer (3 lanes)
+  // The SentencePiece-style sibling of the BPE lane (Kudo, ACL 2018):
+  // operators/Unigram.scala trains a scored vocabulary (all single
+  // chars + top-96 multi-char substrings, micro-nat integer scores),
+  // Viterbi-segments every unique pretoken through the codegen'd
+  // graft_unigram_segment expression (vocab shipped as a literal from
+  // the bounded BPE-merge-style collect), and recounts piece usage —
+  // the hard-EM E-step that drives vocabulary pruning. The DP is exact
+  // integer arithmetic with a total tie order (score desc, then the
+  // longest final piece), so the oracle replays it as 20 unrolled CTE
+  // levels and every segmentation string must match bit-for-bit.
+  // Words are capped at 20 chars on BOTH engines — the cap bounds the
+  // oracle's unroll, not the expression (which handles any length).
+  private val UnigramMaxWordLen = 20
+  private val UnigramTopMulti = 96
+
+  private def unigramVocabDf(spark: SparkSession, dir: String) =
+    graft.operators.Unigram.trainVocab(docs(spark, dir), "text",
+      UnigramTopMulti, UnigramMaxWordLen)
+
+  /** Session-cached vocabulary parquet (the bpe-merges device: train
+    * once, every consumer reads the stored artifact). */
+  private def unigramVocabPath(spark: SparkSession, dir: String): String =
+    Fixtures.cached("unigram-vocab", dir) { root =>
+      val path = new java.io.File(root, "vocab").toString
+      unigramVocabDf(spark, dir).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  private def unigramSegmented(spark: SparkSession, dir: String) = {
+    val vocab = spark.read.parquet(unigramVocabPath(spark, dir))
+      .orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    graft.operators.Unigram.segmentWords(
+      graft.operators.Unigram.wordCounts(docs(spark, dir), "text",
+        UnigramMaxWordLen),
+      vocab)
+  }
+
+  def unigramTrainQ(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(unigramVocabPath(spark, dir))
+      .select(col("piece"), col("cnt"), col("score"), col("is_char"))
+
+  def unigramApplyQ(spark: SparkSession, dir: String): DataFrame =
+    unigramSegmented(spark, dir)
+      .select(col("w").as("word"), col("cnt"), col("n_pieces"),
+        col("seg"))
+
+  def unigramEmQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.usageReport(
+      unigramSegmented(spark, dir),
+      spark.read.parquet(unigramVocabPath(spark, dir)))
+
+  /** Shared oracle prefix: words → candidate pieces → scored vocab. */
+  private val unigramBaseCtes: String =
+    s"""words AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS w
+       |    FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND $UnigramMaxWordLen
+       |  GROUP BY w),
+       |pc AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(
+       |      range(1, len(w) + 1),
+       |      i -> list_transform(
+       |        range(1, least(4, len(w) - i + 1) + 1),
+       |        l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece
+       |    FROM words)
+       |  GROUP BY 1),
+       |vraw AS (
+       |  SELECT piece, cnt, TRUE AS is_char FROM pc WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt, FALSE FROM (
+       |    SELECT piece, cnt FROM pc WHERE len(piece) >= 2
+       |    QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+       |      <= $UnigramTopMulti)),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) -
+       |    (SELECT CAST(floor(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000)
+       |            AS BIGINT) FROM vraw) AS score,
+       |    is_char
+       |  FROM vraw)""".stripMargin
+
+  /** The Viterbi DP as unrolled CTE levels d1..dMaxLen (prefix length =
+    * level), each picking the best (score desc, longest-final-piece)
+    * extension of levels i-4..i-1 — ending in `segres(w, cnt, seg)`. */
+  private val unigramDpCtes: String = {
+    val levels = (1 to UnigramMaxWordLen).map { i =>
+      val branches = (math.max(0, i - 4) until i).map { j =>
+        s"""    SELECT d.w, d.cnt, d.score + v.score AS score,
+           |      CASE WHEN d.seg = '' THEN v.piece
+           |           ELSE d.seg || chr(31) || v.piece END AS seg,
+           |      $j AS j
+           |    FROM d$j d JOIN vocab v
+           |      ON v.piece = substr(d.w, ${j + 1}, ${i - j})
+           |    WHERE len(d.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""d$i AS MATERIALIZED (
+         |  SELECT w, cnt, score, seg FROM (
+         |$branches)
+         |  QUALIFY row_number() OVER (PARTITION BY w
+         |    ORDER BY score DESC, j ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to UnigramMaxWordLen).map { i =>
+      s"SELECT w, cnt, seg FROM d$i WHERE len(w) = $i"
+    }.mkString("\n  UNION ALL ")
+    s"""d0 AS (
+       |  SELECT w, cnt, CAST(0 AS BIGINT) AS score, '' AS seg
+       |  FROM words),
+       |$levels,
+       |segres AS (
+       |  $finals)""".stripMargin
+  }
+
+  val unigramTrainSql: String =
+    s"""WITH $unigramBaseCtes
+       |SELECT piece, cnt, score, is_char FROM vocab""".stripMargin
+
+  val unigramApplySql: String =
+    s"""WITH $unigramBaseCtes,
+       |$unigramDpCtes
+       |SELECT w AS word, cnt,
+       |  CAST(len(string_split(seg, chr(31))) AS BIGINT) AS n_pieces,
+       |  seg
+       |FROM segres""".stripMargin
+
+  val unigramEmSql: String =
+    s"""WITH $unigramBaseCtes,
+       |$unigramDpCtes,
+       |usage AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+       |    SELECT cnt, unnest(string_split(seg, chr(31))) AS piece
+       |    FROM segres)
+       |  GROUP BY 1)
+       |SELECT v.piece, v.cnt, COALESCE(u.usage, 0) AS usage,
+       |  COALESCE(u.usage, 0) > 0 OR v.is_char AS kept
+       |FROM vocab v LEFT JOIN usage u USING (piece)""".stripMargin
+
   // ------------------------------------------ persisted SQ8/IVF index
   /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
     * session and searched by every later ANN query — the embedding-side
@@ -8864,6 +9005,9 @@ object TrainingData {
     "x_tfidf" -> (tfidfQ _),
     "x_simhash_pairs" -> (simhashPairsQ _),
     "x_token_bpe" -> (tokenBpeQ _),
+    "x_unigram_train" -> (unigramTrainQ _),
+    "x_unigram_apply" -> (unigramApplyQ _),
+    "x_unigram_em" -> (unigramEmQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
     "x_pii_summary" -> (piiSummaryQ _),
@@ -9058,6 +9202,9 @@ object TrainingData {
     "x_tfidf" -> tfidfSql,
     "x_simhash_pairs" -> simhashPairsSql,
     "x_token_bpe" -> tokenBpeSql,
+    "x_unigram_train" -> unigramTrainSql,
+    "x_unigram_apply" -> unigramApplySql,
+    "x_unigram_em" -> unigramEmSql,
     "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
     "x_pii_summary" -> piiSummarySql,

@@ -742,7 +742,78 @@ object Jobs {
     graft.queries.TrainingData.queries("x_ann_pareto")(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/ann_pareto")
 
+  /** Unigram-LM tokenizer training pipeline — the BPE lane's
+    * probabilistic sibling as a production entry point: the scored
+    * vocabulary is READ-OR-CREATED (a tokenizer is trained once in a
+    * corpus's life — the sig-table contract), then the pretoken table
+    * is Viterbi-segmented through the codegen'd DP and the hard-EM
+    * usage report (the statistics the next prune round reads) is
+    * written beside the segmentations. Pretokens are capped at 64
+    * chars here — the operator cap, not the oracle's 20-char DP-unroll
+    * cap (the expression is O(len·4) at any length). */
+  private def trainTokenizerJob(spark: SparkSession, sfDir: String,
+                                outDir: String): Unit = {
+    import graft.operators.Unigram
+    val vocabPath = s"$outDir/unigram_vocab"
+    val d = Tables.load(spark, sfDir, "documents")
+    val marker = new org.apache.hadoop.fs.Path(vocabPath, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      Unigram.trainVocab(d, "text", topMulti = 96, maxWordLen = 64)
+        .write.mode("overwrite").parquet(vocabPath)
+    val vocabDf = spark.read.parquet(vocabPath)
+    val vocab = vocabDf.orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val seg = Unigram.segmentWords(
+      Unigram.wordCounts(d, "text", maxWordLen = 64), vocab)
+    seg.write.mode("overwrite").parquet(s"$outDir/unigram_segments")
+    Unigram.usageReport(
+        spark.read.parquet(s"$outDir/unigram_segments"), vocabDf)
+      .write.mode("overwrite").parquet(s"$outDir/unigram_usage")
+  }
+
+  /** Warm-start PageRank maintenance: the duplicate-hub ranking kept
+    * fresh the incremental way — the first run pays the cold 10
+    * rounds from uniform; every later run RESUMES from the stored
+    * ranks for 3 refresh rounds over the current near-dup graph
+    * (power iteration converges from any start, and a small graph
+    * delta leaves most stored ranks at the new fixed point already).
+    * The output is spill-materialized before the overwrite, so
+    * writing back over the ranks just read is safe. */
+  private def refreshPagerankJob(spark: SparkSession, sfDir: String,
+                                 outDir: String): Unit = {
+    val ranksPath = s"$outDir/pagerank_ranks"
+    val pairs = Dedup.minhashNearDupPairs(
+      Tables.load(spark, sfDir, "documents"), "text", "doc_id",
+      k = 5, threshold = 0.5)
+    val marker = new org.apache.hadoop.fs.Path(ranksPath, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ranks =
+      if (!fs.exists(marker))
+        graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b",
+          iters = 10)
+      else
+        graft.operators.Graph.pageRankWarm(pairs, "doc_a", "doc_b",
+          spark.read.parquet(ranksPath), "node", "rank", iters = 3)
+    ranks.write.mode("overwrite").parquet(ranksPath)
+  }
+
+  /** EXIF capture-metadata pass over the corpus's media column — the
+    * codec-free byte walk (JPEG APP1 / TIFF IFD): orientation,
+    * capture timestamp, byte order, with corrupt claims quarantined.
+    * The stage that feeds orientation normalization and capture-time
+    * temporal splits. */
+  private def mediaExifJob(spark: SparkSession, sfDir: String,
+                           outDir: String): Unit =
+    graft.multimodal.Multimodal.extractExif(
+        graft.multimodal.Multimodal.withMediaBinary(
+          Tables.load(spark, sfDir, "documents"), "text"))
+      .write.mode("overwrite").parquet(s"$outDir/media_exif")
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "train_tokenizer" -> (trainTokenizerJob _),
+    "refresh_pagerank" -> (refreshPagerankJob _),
+    "media_exif" -> (mediaExifJob _),
     "audit_privacy" -> (auditPrivacyJob _),
     "clean_lines" -> (cleanLinesJob _),
     "tune_ann" -> (tuneAnnJob _),

@@ -25,9 +25,9 @@ class JobsSpec extends SparkSpec {
     // release tables; audit_privacy emits four; clean_lines,
     // sketch_users, audit_leakage and scan_rowkeys two each
     // rank_missing_edges, excerpt_audit and quote_audit also emit two
-    // tables each
-    assert(dirs.size == Jobs.all.size + 32,
-      s"expected ${Jobs.all.size + 32} output tables, got $dirs")
+    // tables each; train_tokenizer emits three (vocab, segments, usage)
+    assert(dirs.size == Jobs.all.size + 34,
+      s"expected ${Jobs.all.size + 34} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>
         // composite SQ8/IVF layout, not one parquet relation — validate
@@ -130,5 +130,43 @@ class JobsSpec extends SparkSpec {
     Jobs.all("clean_region")(spark, sf0001, out)
     val twice = spark.read.parquet(s"$out/dwd_region").count()
     assert(twice == 2 * once)
+  }
+
+  test("train_tokenizer reads-or-creates its vocabulary and the " +
+    "segmentations cover every pretoken") {
+    val out = Files.createTempDirectory("graft_tok_job").toString
+    Jobs.all("train_tokenizer")(spark, sf0001, out)
+    val vocab1 = spark.read.parquet(s"$out/unigram_vocab").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val seg = spark.read.parquet(s"$out/unigram_segments")
+    assert(seg.where(col("seg").isNull).count() == 0,
+      "every char is in the vocab, so no pretoken may be uncoverable")
+    // the stored vocabulary is the tokenizer's identity: a re-run must
+    // reuse it byte-for-byte, not retrain
+    Jobs.all("train_tokenizer")(spark, sf0001, out)
+    val vocab2 = spark.read.parquet(s"$out/unigram_vocab").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(vocab1 == vocab2, "vocabulary must survive re-runs unchanged")
+    // usage only counts pieces Viterbi used; chars are always kept
+    val usage = spark.read.parquet(s"$out/unigram_usage")
+    assert(usage.where(!col("kept")).where(col("usage") > 0).count() == 0)
+  }
+
+  test("refresh_pagerank cold-starts once, then refreshes warm from " +
+    "the stored ranks") {
+    val out = Files.createTempDirectory("graft_pr_job").toString
+    Jobs.all("refresh_pagerank")(spark, sf0001, out)
+    val cold = spark.read.parquet(s"$out/pagerank_ranks").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold.nonEmpty)
+    Jobs.all("refresh_pagerank")(spark, sf0001, out)
+    val warm = spark.read.parquet(s"$out/pagerank_ranks").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same graph, 3 more power rounds from the stored ranks: the node
+    // set is stable and the values move toward (or sit at) the fixed
+    // point — and the job must not have reset to the uniform start
+    assert(warm.keySet == cold.keySet)
+    assert(warm.values.exists(_ != 1000000L),
+      "warm refresh must start from stored ranks, not the uniform seed")
   }
 }

@@ -6699,6 +6699,50 @@ object TrainingData {
        |  seg
        |FROM segres""".stripMargin
 
+  // Doc-level unigram fertility (the x_token_bpe surface for the
+  // unigram lane): pieces-per-word in basis points per document. The
+  // segmentation runs ROW-LOCALLY on the exploded (doc, word) stream —
+  // no join back on raw word content (a shuffle join on words routes
+  // every "the" to one reducer; the expression costs O(len·4) in the
+  // same codegen stage instead), then one doc-keyed aggregate. The
+  // oracle joins its unique-word DP results back by word — fine in
+  // DuckDB, the skew hazard is Spark-side only.
+  def unigramFertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = spark.read.parquet(unigramVocabPath(spark, dir))
+      .orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .where(length(col("w")).between(1, UnigramMaxWordLen))
+      .withColumn("np", size(split(
+        graft.functions.native.NativeFns.unigramSegment(col("w"),
+          vocab.map(_._1), vocab.map(_._2)),
+        graft.operators.Unigram.Sep, -1)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .withColumn("fertility_bp",
+        expr("n_pieces * 10000 div n_words"))
+  }
+  val unigramFertilitySql: String =
+    s"""WITH $unigramBaseCtes,
+       |$unigramDpCtes,
+       |np AS (
+       |  SELECT w, CAST(len(string_split(seg, chr(31))) AS BIGINT)
+       |    AS np
+       |  FROM segres),
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND $UnigramMaxWordLen)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(np) * 10000 // count(*) AS BIGINT) AS fertility_bp
+       |FROM dw JOIN np USING (w)
+       |GROUP BY doc_id""".stripMargin
+
   val unigramEmSql: String =
     s"""WITH $unigramBaseCtes,
        |$unigramDpCtes,
@@ -9008,6 +9052,7 @@ object TrainingData {
     "x_unigram_train" -> (unigramTrainQ _),
     "x_unigram_apply" -> (unigramApplyQ _),
     "x_unigram_em" -> (unigramEmQ _),
+    "x_unigram_fertility" -> (unigramFertilityQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
     "x_pii_summary" -> (piiSummaryQ _),
@@ -9205,6 +9250,7 @@ object TrainingData {
     "x_unigram_train" -> unigramTrainSql,
     "x_unigram_apply" -> unigramApplySql,
     "x_unigram_em" -> unigramEmSql,
+    "x_unigram_fertility" -> unigramFertilitySql,
     "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
     "x_pii_summary" -> piiSummarySql,

@@ -101,6 +101,27 @@ object Unigram {
       .withColumn("n_pieces",
         size(split(col("seg"), Sep, -1)).cast("long"))
 
+  /** Hard-EM M-step: the usage report of one Viterbi pass becomes the
+    * NEXT round's vocabulary — unused multi-char pieces drop, the
+    * survivors re-score from their Viterbi usage (floored at one
+    * occurrence, so always-kept characters whose solo usage is zero
+    * keep a finite log). Iterating segment → usage → rescore is the
+    * unigram trainer's pruning loop; one round is oracle-gated end to
+    * end as x_unigram_prune. */
+  def rescoreFromUsage(usage: DataFrame): DataFrame = {
+    val kept = usage.where(col("kept"))
+      .select(col("piece"),
+        greatest(col("usage"), lit(1L)).as("cnt"),
+        (length(col("piece")) === 1).as("is_char"))
+    val tot = kept.agg(sum(col("cnt")).as("__t"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("long") -
+          floor(log(col("__t").cast("double")) * lit(1e6d)).cast("long"))
+          .as("score"),
+        col("is_char"))
+  }
+
   /** Hard-EM E-step: per-piece usage under the Viterbi segmentation
     * (occurrences × word frequency), joined back onto the vocabulary
     * with the prune verdict — characters are always kept (coverage),

@@ -6656,36 +6656,40 @@ object TrainingData {
        |    is_char
        |  FROM vraw)""".stripMargin
 
-  /** The Viterbi DP as unrolled CTE levels d1..dMaxLen (prefix length =
-    * level), each picking the best (score desc, longest-final-piece)
-    * extension of levels i-4..i-1 — ending in `segres(w, cnt, seg)`. */
-  private val unigramDpCtes: String = {
+  /** The Viterbi DP as unrolled CTE levels (prefix length = level),
+    * each picking the best (score desc, longest-final-piece) extension
+    * of levels i-4..i-1 — ending in `$out(w, cnt, seg)`. Parameterized
+    * by the vocabulary table and a level prefix so one oracle can
+    * replay MULTIPLE EM rounds (x_unigram_prune chains two). */
+  private def unigramDp(vocabTbl: String, pfx: String,
+                        out: String): String = {
     val levels = (1 to UnigramMaxWordLen).map { i =>
       val branches = (math.max(0, i - 4) until i).map { j =>
         s"""    SELECT d.w, d.cnt, d.score + v.score AS score,
            |      CASE WHEN d.seg = '' THEN v.piece
            |           ELSE d.seg || chr(31) || v.piece END AS seg,
            |      $j AS j
-           |    FROM d$j d JOIN vocab v
+           |    FROM $pfx$j d JOIN $vocabTbl v
            |      ON v.piece = substr(d.w, ${j + 1}, ${i - j})
            |    WHERE len(d.w) >= $i""".stripMargin
       }.mkString("\n    UNION ALL\n")
-      s"""d$i AS MATERIALIZED (
+      s"""$pfx$i AS MATERIALIZED (
          |  SELECT w, cnt, score, seg FROM (
          |$branches)
          |  QUALIFY row_number() OVER (PARTITION BY w
          |    ORDER BY score DESC, j ASC) = 1)""".stripMargin
     }.mkString(",\n")
     val finals = (1 to UnigramMaxWordLen).map { i =>
-      s"SELECT w, cnt, seg FROM d$i WHERE len(w) = $i"
+      s"SELECT w, cnt, seg FROM $pfx$i WHERE len(w) = $i"
     }.mkString("\n  UNION ALL ")
-    s"""d0 AS (
+    s"""${pfx}0 AS (
        |  SELECT w, cnt, CAST(0 AS BIGINT) AS score, '' AS seg
        |  FROM words),
        |$levels,
-       |segres AS (
+       |$out AS (
        |  $finals)""".stripMargin
   }
+  private val unigramDpCtes: String = unigramDp("vocab", "d", "segres")
 
   val unigramTrainSql: String =
     s"""WITH $unigramBaseCtes
@@ -6754,6 +6758,60 @@ object TrainingData {
        |SELECT v.piece, v.cnt, COALESCE(u.usage, 0) AS usage,
        |  COALESCE(u.usage, 0) > 0 OR v.is_char AS kept
        |FROM vocab v LEFT JOIN usage u USING (piece)""".stripMargin
+
+  // One FULL hard-EM round, oracle-replayed end to end: segment under
+  // the seed vocabulary, recount usage (E), drop unused multi-char
+  // pieces and re-score survivors from usage (M), re-segment under the
+  // new scores — per word, both piece counts and whether the
+  // segmentation CHANGED. The oracle chains the 20-level DP twice
+  // (seed vocab, then the rescored one). Spark-side both vocabularies
+  // are the bounded driver collect; the two segmentations join on the
+  // UNIQUE word key (no content-skew hazard — distinct on both sides).
+  def unigramPruneQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val v1df = spark.read.parquet(unigramVocabPath(spark, dir))
+    val v1 = v1df.orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val words = Unigram.wordCounts(docs(spark, dir), "text",
+      UnigramMaxWordLen)
+    val seg1 = Unigram.segmentWords(words, v1)
+    val v2 = Unigram.rescoreFromUsage(Unigram.usageReport(seg1, v1df))
+      .orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val seg2 = Unigram.segmentWords(words, v2)
+    seg1.select(col("w"), col("cnt"), col("n_pieces").as("n_v1"),
+        col("seg").as("__s1"))
+      .join(seg2.select(col("w"), col("n_pieces").as("n_v2"),
+        col("seg").as("__s2")), Seq("w"))
+      .select(col("w").as("word"), col("cnt"), col("n_v1"), col("n_v2"),
+        (col("__s1") =!= col("__s2")).as("changed"))
+  }
+  val unigramPruneSql: String =
+    s"""WITH $unigramBaseCtes,
+       |$unigramDpCtes,
+       |u1 AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+       |    SELECT cnt, unnest(string_split(seg, chr(31))) AS piece
+       |    FROM segres)
+       |  GROUP BY 1),
+       |keptv AS (
+       |  SELECT v.piece, greatest(COALESCE(u.usage, 0), 1) AS cnt,
+       |    len(v.piece) = 1 AS is_char
+       |  FROM vocab v LEFT JOIN u1 u USING (piece)
+       |  WHERE COALESCE(u.usage, 0) > 0 OR len(v.piece) = 1),
+       |vocab2 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) -
+       |    (SELECT CAST(floor(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000)
+       |            AS BIGINT) FROM keptv) AS score,
+       |    is_char
+       |  FROM keptv),
+       |${unigramDp("vocab2", "e", "segres2")}
+       |SELECT a.w AS word, a.cnt,
+       |  CAST(len(string_split(a.seg, chr(31))) AS BIGINT) AS n_v1,
+       |  CAST(len(string_split(b.seg, chr(31))) AS BIGINT) AS n_v2,
+       |  a.seg != b.seg AS changed
+       |FROM segres a JOIN segres2 b ON a.w = b.w""".stripMargin
 
   // ------------------------------------------ persisted SQ8/IVF index
   /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
@@ -9053,6 +9111,7 @@ object TrainingData {
     "x_unigram_apply" -> (unigramApplyQ _),
     "x_unigram_em" -> (unigramEmQ _),
     "x_unigram_fertility" -> (unigramFertilityQ _),
+    "x_unigram_prune" -> (unigramPruneQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
     "x_pii_summary" -> (piiSummaryQ _),
@@ -9251,6 +9310,7 @@ object TrainingData {
     "x_unigram_apply" -> unigramApplySql,
     "x_unigram_em" -> unigramEmSql,
     "x_unigram_fertility" -> unigramFertilitySql,
+    "x_unigram_prune" -> unigramPruneSql,
     "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
     "x_pii_summary" -> piiSummarySql,

@@ -107,6 +107,34 @@ class UnigramSpec extends SparkSpec {
       .foreach(c => assert(u(c)._2, s"char '$c' must be kept"))
   }
 
+  test("one hard-EM round: unused multi-char pieces drop, characters " +
+    "survive with floored usage, and every word still segments") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat"), (3L, "the the the"))
+      .toDF("doc_id", "text")
+    val v1df = Unigram.trainVocab(docs, "text", topMulti = 8,
+      maxWordLen = 20)
+    val v1 = v1df.orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val words = Unigram.wordCounts(docs, "text", 20)
+    val usage = Unigram.usageReport(Unigram.segmentWords(words, v1), v1df)
+    val v2df = Unigram.rescoreFromUsage(usage)
+    val v2 = v2df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // M-step drops exactly the not-kept pieces
+    val keptSet = usage.where(col("kept")).collect()
+      .map(_.getString(0)).toSet
+    assert(v2.map(_._1).toSet == keptSet)
+    // floored usage: every rescored count >= 1, scores negative
+    assert(v2.forall(t => t._2 >= 1L && t._3 < 0L))
+    // coverage survives the prune: chars are all kept, so round 2
+    // still segments every word
+    val seg2 = Unigram.segmentWords(words,
+      v2df.orderBy(col("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq)
+    assert(seg2.where(col("seg").isNull).count() == 0)
+  }
+
   test("segmentation runs inside WholeStageCodegen (native expression, " +
     "not an interpreted fallback)") {
     val words = Unigram.wordCounts(

@@ -1360,4 +1360,116 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  // ------------------------------------------------------------- PCA
+  // Exact-integer top principal component by power iteration — the
+  // whitening/decorrelation primitive embedding pipelines run before
+  // dedup and indexing (a dominant shared direction drowns cosine
+  // contrast; projecting it out is the classic fix, and the top
+  // component is also the strongest possible 1-D semantic ordering).
+  //
+  // The 100 TB shape: the covariance matrix is NEVER materialized —
+  // each round computes w = Aᵀ(A·v) as two corpus scans (a per-vector
+  // scalar t = ⟨x−m, v⟩, then d partial-aggregated sums of t·(x−m)),
+  // so cost is O(N·d) per round with no d²·N blowup and no d²
+  // shuffle. The direction vector is O(d) driver state (the k-means
+  // bounded-collect contract).
+  //
+  // Exact-integer lanes (the pageRank discipline, so a SQL oracle
+  // replays every round bit-for-bit): vectors quantize to
+  // floor(x·2²⁰); the mean and every renormalization use
+  // SIGN-SAFE truncating division (abs, divide, reapply sign — both
+  // engines' integer division semantics agree on non-negative
+  // operands); per-round sums ride decimal(38,0) ↔ HUGEINT; the
+  // rescaled direction is canonicalized to a positive leading nonzero
+  // component, fixing the eigenvector's sign ambiguity.
+
+  /** Truncate-toward-zero BigInt quotient (sign-safe — mirrors the
+    * oracle's CASE WHEN a < 0 THEN -((-a) // b) form). */
+  private def quotZ(a: BigInt, b: BigInt): BigInt = {
+    val q = a.abs / b
+    if (a < 0) -q else q
+  }
+
+  /** The quantized `(vec_id, i, xq)` relation (i is 1-based, matching
+    * the oracle's array indexing); the base every PCA stage scans. */
+  def pcaQuantized(emb: DataFrame, idCol: String,
+                   vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      posexplode(col(vecCol)).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+        floor(col("x").cast("double") * lit(1048576d)).cast("long")
+          .as("xq"))
+
+  /** Top principal direction after `rounds` integer power iterations:
+    * returns (mean, direction), both length-d driver arrays in the
+    * quantized lanes (direction components bounded by ±2²⁰). The
+    * caller projects with [[pcaProject]]. `quantized` should be a
+    * MATERIALIZED [[pcaQuantized]] relation — every round scans it
+    * twice. */
+  def pcaTopComponent(quantized: DataFrame,
+                      rounds: Int = 6): (Array[Long], Array[Long]) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = quantized.sparkSession
+    val nVec = quantized.select(col("vec_id")).distinct().count()
+    require(nVec > 0, "empty input")
+    // the mean, one aggregate + an O(d) collect
+    val sums = quantized.groupBy(col("i"))
+      .agg(sum(col("xq")).as("s")).collect()
+      .map(r => r.getLong(0).toInt -> BigInt(r.getLong(1))).toMap
+    val d = sums.keys.max
+    val m = Array.tabulate(d)(ix => quotZ(sums(ix + 1), nVec).toLong)
+    var v = Array.fill(d)(1048576L)
+    for (_ <- 1 to rounds) {
+      val vLit = typedLit(v.toSeq)
+      // mv = <m, v> is pure driver arithmetic (both are O(d) state)
+      val mv = (0 until d).map(ix => BigInt(m(ix)) * BigInt(v(ix))).sum
+      // scan 1: the centered scalar per vector (fits a long:
+      // d · 2²⁰ · 2²⁰ = 2^46 at d = 64)
+      val t = quantized
+        .withColumn("tv",
+          col("xq") * element_at(vLit, col("i").cast("int")))
+        .groupBy(col("vec_id"))
+        .agg((sum(col("tv")) - lit(mv.toLong)).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val tsum = BigInt(t.agg(sum(col("t").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0).toBigInteger)
+        // scan 2: w_i = Σ t·xq − (Σt)·m_i, decimal sums, O(d) collect
+        val wRows = quantized.join(t, Seq("vec_id"))
+          .groupBy(col("i"))
+          .agg(sum(col("t").cast("decimal(38,0)") * col("xq")).as("w"))
+          .collect()
+          .map(r => r.getLong(0).toInt ->
+            BigInt(r.getDecimal(1).toBigInteger)).toMap
+        val w = Array.tabulate(d)(ix =>
+          wRows.getOrElse(ix + 1, BigInt(0)) - tsum * BigInt(m(ix)))
+        // renormalize: ÷N to bound magnitudes, rescale the max |comp|
+        // to 2²⁰, canonical positive leading nonzero
+        val wn = w.map(quotZ(_, BigInt(nVec)))
+        val s = wn.map(_.abs).max
+        if (s > 0) {
+          val raw = wn.map(x => quotZ(x * BigInt(1048576), s))
+          val flip = raw.find(_ != 0).exists(_ < 0)
+          v = raw.map(x => (if (flip) -x else x).toLong)
+        } // s == 0: degenerate (all vectors equal the mean) — keep v
+      } finally { t.unpersist(false); () }
+    }
+    (m, v)
+  }
+
+  /** Project every vector onto the direction: pc1 = ⟨xq − m, v⟩ —
+    * exact integers (≤ 2^47 at d = 64), one partial-aggregated
+    * doc-keyed shuffle. */
+  def pcaProject(quantized: DataFrame, mean: Array[Long],
+                 direction: Array[Long]): DataFrame = {
+    val mLit = typedLit(mean.toSeq)
+    val vLit = typedLit(direction.toSeq)
+    quantized
+      .withColumn("c",
+        (col("xq") - element_at(mLit, col("i").cast("int"))) *
+          element_at(vLit, col("i").cast("int")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("c")).as("pc1"))
+  }
 }

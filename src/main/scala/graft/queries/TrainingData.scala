@@ -6813,6 +6813,82 @@ object TrainingData {
        |  a.seg != b.seg AS changed
        |FROM segres a JOIN segres2 b ON a.w = b.w""".stripMargin
 
+  // ------------------------------------------ exact-integer PCA lane
+  // Similarity.pcaTopComponent / pcaProject gated end to end: six
+  // integer power-iteration rounds (w = Aᵀ(A·v) as two scans — the
+  // covariance matrix is never materialized, so there is no d²·N
+  // blowup at 100 TB), quantized 2²⁰ lanes, sign-safe truncating
+  // divisions, decimal(38,0) ↔ HUGEINT sums, and the direction's sign
+  // canonicalized on its leading nonzero component. The oracle unrolls
+  // all six rounds (mean, per-vector scalar, per-dim sums, ÷N, rescale
+  // to max |comp| = 2²⁰, sign flip) and the per-vector projection must
+  // match bit-for-bit.
+  def pcaProjectQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.pcaQuantized(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (m, v) = Similarity.pcaTopComponent(q, rounds = 6)
+      Similarity.pcaProject(q, m, v)
+    } finally { q.unpersist(false); () }
+  }
+  val pcaProjectSql: String = {
+    val rounds = (1 to 6).map { r =>
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""mv$r AS (SELECT sum(CAST(m.m AS HUGEINT) * v.x) AS mv
+         |  FROM m JOIN $pv v USING (i)),
+         |t$r AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.xq AS HUGEINT) * v.x) - (SELECT mv FROM mv$r)
+         |      AS t
+         |  FROM e JOIN $pv v USING (i) GROUP BY e.vec_id),
+         |ts$r AS (SELECT sum(t) AS ts FROM t$r),
+         |w$r AS (
+         |  SELECT e.i,
+         |    sum(CAST(t.t AS HUGEINT) * e.xq)
+         |      - (SELECT ts FROM ts$r) * max(m.m) AS w
+         |  FROM e JOIN t$r t USING (vec_id) JOIN m ON m.i = e.i
+         |  GROUP BY e.i),
+         |wn$r AS (
+         |  SELECT i, CASE WHEN w < 0
+         |    THEN -((-w) // (SELECT n FROM nn))
+         |    ELSE w // (SELECT n FROM nn) END AS wn
+         |  FROM w$r),
+         |s$r AS (SELECT max(abs(wn)) AS s FROM wn$r),
+         |vr$r AS (
+         |  SELECT i, CASE WHEN wn < 0
+         |    THEN -((-wn) * 1048576 // (SELECT s FROM s$r))
+         |    ELSE wn * 1048576 // (SELECT s FROM s$r) END AS x
+         |  FROM wn$r),
+         |flip$r AS (
+         |  SELECT x < 0 AS f FROM vr$r
+         |  WHERE i = (SELECT min(i) FROM vr$r WHERE x != 0)),
+         |v$r AS MATERIALIZED (
+         |  SELECT i,
+         |    CASE WHEN (SELECT f FROM flip$r) THEN -x ELSE x END AS x
+         |  FROM vr$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |      * 1048576) AS BIGINT) AS xq
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |sums AS (
+       |  SELECT i, CAST(sum(xq) AS HUGEINT) AS s FROM e GROUP BY i),
+       |m AS MATERIALIZED (
+       |  SELECT i, CASE WHEN s < 0
+       |    THEN -((-s) // (SELECT n FROM nn))
+       |    ELSE s // (SELECT n FROM nn) END AS m
+       |  FROM sums),
+       |v0 AS (SELECT DISTINCT i, CAST(1048576 AS HUGEINT) AS x FROM e),
+       |$rounds
+       |SELECT e.vec_id,
+       |  CAST(sum((e.xq - m.m) * v.x) AS BIGINT) AS pc1
+       |FROM e JOIN m ON m.i = e.i JOIN v6 v ON v.i = e.i
+       |GROUP BY e.vec_id""".stripMargin
+  }
+
   // ------------------------------------------ persisted SQ8/IVF index
   /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
     * session and searched by every later ANN query — the embedding-side
@@ -9112,6 +9188,7 @@ object TrainingData {
     "x_unigram_em" -> (unigramEmQ _),
     "x_unigram_fertility" -> (unigramFertilityQ _),
     "x_unigram_prune" -> (unigramPruneQ _),
+    "x_pca_project" -> (pcaProjectQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
     "x_pii_summary" -> (piiSummaryQ _),
@@ -9311,6 +9388,7 @@ object TrainingData {
     "x_unigram_em" -> unigramEmSql,
     "x_unigram_fertility" -> unigramFertilitySql,
     "x_unigram_prune" -> unigramPruneSql,
+    "x_pca_project" -> pcaProjectSql,
     "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
     "x_pii_summary" -> piiSummarySql,

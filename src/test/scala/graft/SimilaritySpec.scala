@@ -543,4 +543,54 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(run(emb) == run(emb.repartition(13)))
   }
+
+  test("pcaTopComponent recovers a planted dominant direction and the " +
+    "integer projection orders vectors along it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = 16
+    val u = Array.tabulate(d)(i => math.sin(i + 1.0)) // fixed direction
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val rows = (0 until 200).map { id =>
+      val a = (id - 100) / 100.0 // the planted coordinate, spread ±1
+      val vec = Array.tabulate(d)(i =>
+        (a * u(i) / un + rnd.nextGaussian() * 0.02).toFloat)
+      (id.toLong, vec.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = graft.operators.Similarity
+      .pcaQuantized(emb, "vec_id", "embedding")
+    val (m, v) = graft.operators.Similarity.pcaTopComponent(q, rounds = 6)
+    // direction: |cos(v, u)| must be near 1 after six rounds
+    val dot = (0 until d).map(i => v(i) * u(i)).sum
+    val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(dot) / (vn * un) > 0.99,
+      s"recovered direction diverges: |cos| = ${math.abs(dot) / (vn * un)}")
+    // projection orders by the planted coordinate (monotone up to the
+    // noise floor: rank correlation is high either way round)
+    val pc = graft.operators.Similarity.pcaProject(q, m, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byPlanted = rows.map(_._1).sortBy(id => pc(id))
+    val asc = byPlanted.zipWithIndex.count { case (id, ix) =>
+      math.abs(id - ix) <= 20 }
+    val desc = byPlanted.reverse.zipWithIndex.count { case (id, ix) =>
+      math.abs(id - ix) <= 20 }
+    assert(math.max(asc, desc) > 180,
+      s"projection does not order along the planted axis ($asc/$desc)")
+  }
+
+  test("pcaTopComponent and pcaProject are bit-identical under " +
+    "repartitioning (integer lanes, sign-canonical)") {
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(200)
+    def run(e: org.apache.spark.sql.DataFrame) = {
+      val q = graft.operators.Similarity
+        .pcaQuantized(e, "vec_id", "embedding")
+      val (m, v) = graft.operators.Similarity
+        .pcaTopComponent(q, rounds = 4)
+      val p = graft.operators.Similarity.pcaProject(q, m, v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m.toSeq, v.toSeq, p)
+    }
+    assert(run(emb) == run(emb.repartition(17)))
+  }
 }

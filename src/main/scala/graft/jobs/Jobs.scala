@@ -810,8 +810,31 @@ object Jobs {
           Tables.load(spark, sfDir, "documents"), "text"))
       .write.mode("overwrite").parquet(s"$outDir/media_exif")
 
+  /** PCA artifacts for the embedding corpus: the top principal
+    * direction (with the mean) persisted as an O(d) table, and the
+    * per-vector projection + residual-variance report — the whitening
+    * inputs an embedding pipeline stores beside its ANN index (a
+    * dominant shared direction drowns cosine contrast; this is the
+    * measured fix). */
+  private def embedPcaJob(spark: SparkSession, sfDir: String,
+                          outDir: String): Unit = {
+    import spark.implicits._
+    val q = graft.operators.Similarity.pcaQuantized(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (m, v) = graft.operators.Similarity.pcaTopComponent(q, rounds = 6)
+      (1 to m.length).map(i => (i.toLong, m(i - 1), v(i - 1)))
+        .toDF("i", "mean_q", "dir_q")
+        .write.mode("overwrite").parquet(s"$outDir/pca_direction")
+      graft.operators.Similarity.pcaResidualReport(q, m, v)
+        .write.mode("overwrite").parquet(s"$outDir/pca_projection")
+    } finally { q.unpersist(false); () }
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
     "train_tokenizer" -> (trainTokenizerJob _),
+    "embed_pca" -> (embedPcaJob _),
     "refresh_pagerank" -> (refreshPagerankJob _),
     "media_exif" -> (mediaExifJob _),
     "audit_privacy" -> (auditPrivacyJob _),

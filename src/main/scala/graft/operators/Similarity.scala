@@ -1472,4 +1472,35 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sum(col("c")).as("pc1"))
   }
+
+  /** Residual-variance report after removing the top component — the
+    * number the common-direction fix is judged by: per vector,
+    * residual_bp = (‖x−m‖²·‖v‖² − ⟨x−m,v⟩²) · 10⁴ div (‖x−m‖²·‖v‖²) —
+    * the fraction of the vector's energy NOT on the dominant direction,
+    * in exact integer basis points (Cauchy–Schwarz keeps the numerator
+    * non-negative, so the truncating division is sign-free on both
+    * engines; products ride decimal(38,0) ↔ HUGEINT). A vector equal
+    * to the mean reports 0 — nothing left to explain. One scan, one
+    * doc-keyed partial-aggregated shuffle; ‖v‖² is O(d) driver
+    * arithmetic. Output: (vec_id, pc1, residual_bp). */
+  def pcaResidualReport(quantized: DataFrame, mean: Array[Long],
+                        direction: Array[Long]): DataFrame = {
+    val mLit = typedLit(mean.toSeq)
+    val vLit = typedLit(direction.toSeq)
+    val v2 = direction.map(x => BigInt(x) * BigInt(x)).sum
+    require(v2 > 0, "zero direction")
+    quantized
+      .withColumn("cc", col("xq") - element_at(mLit, col("i").cast("int")))
+      .withColumn("pv",
+        col("cc") * element_at(vLit, col("i").cast("int")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pv")).as("pc1"),
+        sum(col("cc") * col("cc")).as("q2"))
+      .select(col("vec_id"), col("pc1"),
+        expr(s"""CASE WHEN q2 = 0 THEN 0L ELSE
+                |  ((CAST(q2 AS DECIMAL(38,0)) * ${v2.toLong}L
+                |    - CAST(pc1 AS DECIMAL(38,0)) * pc1) * 10000L)
+                |  div (CAST(q2 AS DECIMAL(38,0)) * ${v2.toLong}L)
+                |END""".stripMargin).as("residual_bp"))
+  }
 }

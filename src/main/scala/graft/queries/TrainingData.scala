@@ -6832,7 +6832,9 @@ object TrainingData {
       Similarity.pcaProject(q, m, v)
     } finally { q.unpersist(false); () }
   }
-  val pcaProjectSql: String = {
+  /** Shared oracle prefix: quantized relation, mean, and the six
+    * unrolled power-iteration rounds ending in `v6(i, x)`. */
+  private val pcaCtes: String = {
     val rounds = (1 to 6).map { r =>
       val pv = if (r == 1) "v0" else s"v${r - 1}"
       s"""mv$r AS (SELECT sum(CAST(m.m AS HUGEINT) * v.x) AS mv
@@ -6868,7 +6870,7 @@ object TrainingData {
          |    CASE WHEN (SELECT f FROM flip$r) THEN -x ELSE x END AS x
          |  FROM vr$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
        |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
        |      * 1048576) AS BIGINT) AS xq
@@ -6882,12 +6884,44 @@ object TrainingData {
        |    ELSE s // (SELECT n FROM nn) END AS m
        |  FROM sums),
        |v0 AS (SELECT DISTINCT i, CAST(1048576 AS HUGEINT) AS x FROM e),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+  val pcaProjectSql: String =
+    s"""WITH $pcaCtes
        |SELECT e.vec_id,
        |  CAST(sum((e.xq - m.m) * v.x) AS BIGINT) AS pc1
        |FROM e JOIN m ON m.i = e.i JOIN v6 v ON v.i = e.i
        |GROUP BY e.vec_id""".stripMargin
+
+  // Residual-variance fraction after removing the top component — the
+  // common-direction fix's acceptance number: residual_bp =
+  // (q2·‖v‖² − pc1²)·10⁴ // (q2·‖v‖²) per vector (Cauchy–Schwarz keeps
+  // the numerator non-negative, so the truncating division needs no
+  // sign device). All products HUGEINT ↔ decimal(38,0).
+  def pcaResidualQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.pcaQuantized(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (m, v) = Similarity.pcaTopComponent(q, rounds = 6)
+      Similarity.pcaResidualReport(q, m, v)
+    } finally { q.unpersist(false); () }
   }
+  val pcaResidualSql: String =
+    s"""WITH $pcaCtes,
+       |dirn2 AS (SELECT sum(x * x) AS n2 FROM v6),
+       |per AS (
+       |  SELECT e.vec_id,
+       |    sum((e.xq - m.m) * v.x) AS pc1,
+       |    sum(CAST(e.xq - m.m AS HUGEINT) * (e.xq - m.m)) AS q2
+       |  FROM e JOIN m ON m.i = e.i JOIN v6 v ON v.i = e.i
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id, CAST(pc1 AS BIGINT) AS pc1,
+       |  CAST(CASE WHEN q2 = 0 THEN 0 ELSE
+       |    ((q2 * (SELECT n2 FROM dirn2) - pc1 * pc1) * 10000)
+       |      // (q2 * (SELECT n2 FROM dirn2))
+       |  END AS BIGINT) AS residual_bp
+       |FROM per""".stripMargin
 
   // ------------------------------------------ persisted SQ8/IVF index
   /** Path of the MAINTAINED SQ8∘IVF index for an sf-dir, built once per
@@ -9189,6 +9223,7 @@ object TrainingData {
     "x_unigram_fertility" -> (unigramFertilityQ _),
     "x_unigram_prune" -> (unigramPruneQ _),
     "x_pca_project" -> (pcaProjectQ _),
+    "x_pca_residual" -> (pcaResidualQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
     "x_pii_summary" -> (piiSummaryQ _),
@@ -9389,6 +9424,7 @@ object TrainingData {
     "x_unigram_fertility" -> unigramFertilitySql,
     "x_unigram_prune" -> unigramPruneSql,
     "x_pca_project" -> pcaProjectSql,
+    "x_pca_residual" -> pcaResidualSql,
     "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
     "x_pii_summary" -> piiSummarySql,

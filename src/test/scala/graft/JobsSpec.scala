@@ -24,10 +24,11 @@ class JobsSpec extends SparkSpec {
     // its index table, the pruned read); govern_corpus emits five
     // release tables; audit_privacy emits four; clean_lines,
     // sketch_users, audit_leakage and scan_rowkeys two each
-    // rank_missing_edges, excerpt_audit and quote_audit also emit two
-    // tables each; train_tokenizer emits three (vocab, segments, usage)
-    assert(dirs.size == Jobs.all.size + 34,
-      s"expected ${Jobs.all.size + 34} output tables, got $dirs")
+    // rank_missing_edges, excerpt_audit, quote_audit and embed_pca also
+    // emit two tables each; train_tokenizer emits three (vocab,
+    // segments, usage)
+    assert(dirs.size == Jobs.all.size + 35,
+      s"expected ${Jobs.all.size + 35} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>
         // composite SQ8/IVF layout, not one parquet relation — validate

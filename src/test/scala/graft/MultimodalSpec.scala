@@ -469,6 +469,20 @@ class MultimodalSpec extends SparkSpec {
       "a JPEG without an Exif APP1 is ABSENT, not corrupt")
   }
 
+  test("EXIF walker skips 0xFF fill bytes before a marker (the JPEG " +
+    "padding rule real encoders use)") {
+    val b = Multimodal.syntheticExifJpeg(3, 3, 5L, 7,
+      "2026:02:02 02:02:02", bigEndian = false)
+    // splice two fill bytes between SOI and the APP1 marker
+    val padded = Array[Byte](b(0), b(1), 0xFF.toByte, 0xFF.toByte) ++
+      b.drop(2)
+    Multimodal.exifMeta(padded) match {
+      case Multimodal.ExifFound(o, dt, _) =>
+        assert(o.contains(7L) && dt.contains("2026:02:02 02:02:02"))
+      case v => fail(s"padded APP1 must still parse, got $v")
+    }
+  }
+
   test("extractExif: partition-wise trichotomy over mixed media") {
     import spark.implicits._
     val rows = Seq(

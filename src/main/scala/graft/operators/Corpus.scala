@@ -380,6 +380,54 @@ object Corpus {
       corpus.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(meta, true)
     try out.write(s"$k,$window".getBytes("UTF-8")) finally out.close()
+    // df state rides beside the data from birth: the containment
+    // screens read corpus-wide document frequencies from this sidecar
+    // instead of re-aggregating the whole fingerprint table per call.
+    // Built from the read-back parquet so the shingle pass isn't run a
+    // second time; overwrite (fresh table, fresh state).
+    winnowDfDelta(corpus.sparkSession.read.parquet(path), -1L)
+      .write.mode("overwrite").parquet(winnowDfStatePath(path))
+  }
+
+  /** The df-state sidecar of a winnow fingerprint table: an
+    * underscore-prefixed subdirectory (invisible to parquet readers of
+    * the table itself) holding APPEND-ONLY `(h, d, batch_id)` delta
+    * rows — `d` = distinct documents of that append event containing
+    * `h`. Document ids are unique across the feed (the ingest
+    * contract), so the table's true df is the plain SUM of deltas per
+    * hash: folding never needs the fingerprint table, and a screen
+    * needing df for a bounded hash set aggregates only the delta rows
+    * matching that set — per-batch cost scales with the batch, never
+    * the corpus (SURVEY §13, the signature-table contract).
+    */
+  def winnowDfStatePath(path: String): String =
+    new org.apache.hadoop.fs.Path(path, "_graft_winnow_df").toString
+
+  /** One append event's df contribution: distinct containing documents
+    * per hash, stamped with the event's batch id (-1 for pre-loop
+    * history — the initial corpus and batch-API appends). A replaying
+    * curate batch screens against `batch_id < ownId`, so a delta that
+    * landed before the crash can never double-count with the batch's
+    * own live contribution.
+    */
+  def winnowDfDelta(fingerprints: DataFrame, batchId: Long): DataFrame =
+    fingerprints.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("d"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Build the df sidecar for a winnow table that predates it (or whose
+    * copy lost the sidecar): one df aggregation over the fingerprint
+    * table, stamped batch_id = -1. No-op when delta files exist. */
+  def ensureWinnowDfState(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(winnowDfStatePath(path))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(sp) && fs.listStatus(sp)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!hasData)
+      winnowDfDelta(spark.read.parquet(path), -1L)
+        .write.mode("overwrite").parquet(sp.toString)
+    ()
   }
 
   /** (k, window) a winnowing fingerprint table was written with. */
@@ -411,8 +459,20 @@ object Corpus {
       s"winnow table at $path was written with (k=$sk, window=$sw) but " +
         s"the batch is fingerprinted with (k=$k, window=$window) — " +
         "refusing to mix geometries")
-    winnowingFingerprints(batch, textCol, idCol, k, window)
-      .write.mode("append").parquet(path)
+    // fingerprinted ONCE (persisted): the rows feed both the table
+    // append and the df-state delta, and the shingle extraction is the
+    // operator's whole CPU cost
+    // a pre-sidecar table must be healed BEFORE this batch lands in the
+    // fingerprint table, or its rows would count twice (once in the
+    // rebuild, once in the delta below)
+    ensureWinnowDfState(batch.sparkSession, path)
+    val fp = winnowingFingerprints(batch, textCol, idCol, k, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fp.write.mode("append").parquet(path)
+      winnowDfDelta(fp, -1L)
+        .write.mode("append").parquet(winnowDfStatePath(path))
+    } finally { fp.unpersist(false); () }
   }
 
   /** The INGEST-TIME quote screen: positional containment of an
@@ -457,6 +517,128 @@ object Corpus {
       .agg(count(lit(1)).as("shared"))
       .join(nB, Seq("batch_id"))
       .join(nC, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        col("n_batch"), col("n_corpus"), col("shared"),
+        expr("(shared * 10000) div least(n_batch, n_corpus)")
+          .as("containment_bp"))
+      .where(col("containment_bp") >= minContainmentBp)
+  }
+
+  /** [[winnowingContainmentScreen]] with the corpus-wide document
+    * frequencies read from the MAINTAINED df sidecar
+    * ([[winnowDfStatePath]]) instead of re-aggregated from the full
+    * fingerprint table — the amortized form the continuous curate loop
+    * runs. Identical results by construction (ids are unique across
+    * batch and corpus, so df over corpus ∪ batch = stored corpus df +
+    * this batch's df, hash by hash); the one-shot
+    * [[winnowingContainmentScreen]] stays for stateless batch audits.
+    *
+    * `dfState` is the `(h, d)` delta relation, already filtered by the
+    * caller to the deltas that logically precede this batch
+    * (`batch_id < ownId` — replay safety, mirroring the corpus-side
+    * own-id exclusion on `corpusFps`).
+    *
+    * Per-batch cost is batch + delta, never the corpus:
+    *  - the batch's own hash dfs are one O(batch) aggregation;
+    *  - corpus dfs are summed ONLY for delta rows matching a
+    *    batch-bounded hash set (batch hashes, then candidate docs'
+    *    hashes), pushed as a broadcast semi-join BEFORE the aggregate —
+    *    no corpus-wide groupBy(h) ever forms;
+    *  - the fingerprint table is touched twice, each a column-pruned
+    *    scan joined against a broadcast batch-derived set (pair
+    *    candidates by rare shared hash; candidate docs' own rows for
+    *    denominators).
+    * The df cap stays exact under maintenance: df is monotone under
+    * appends, and a hash crossing the cap due to THIS batch's
+    * contribution is re-judged here (stored d + batch d), so
+    * cap-crossing needs no stored-state rewrite.
+    */
+  def winnowingContainmentScreenMaintained(batchFps: DataFrame,
+                                           corpusFps: DataFrame,
+                                           dfState: DataFrame,
+                                           maxDf: Long = 50,
+                                           minContainmentBp: Long = 8000L): DataFrame =
+    screenMaintainedCore(batchFps, corpusFps, dfState, maxDf,
+      minContainmentBp, identity)
+
+  /** [[winnowingContainmentScreenMaintained]] materialized (the
+    * incrementalNearDupAgainstPreSigsM device): the screen's plan reads
+    * its own intermediates several times (the rare batch-hash set gates
+    * both the pair join and the denominators; the pruned corpus rows
+    * feed pairs AND candidate ids), and left lazy each reuse re-runs
+    * the subtree — so the reused frames persist for the build, the
+    * result lands eagerly under `mat`, and the intermediates release
+    * before return. Per-batch callers (the curate loop) use this form;
+    * the lazy form stays for composition into larger plans.
+    */
+  def winnowingContainmentScreenMaintainedM(batchFps: DataFrame,
+                                            corpusFps: DataFrame,
+                                            dfState: DataFrame,
+                                            maxDf: Long = 50,
+                                            minContainmentBp: Long = 8000L,
+                                            mat: graft.ops.MatStrategy =
+                                              graft.ops.MatStrategy.Default): graft.ops.Materialized = {
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      held += p
+      p
+    }
+    try graft.ops.Materialize(
+      screenMaintainedCore(batchFps, corpusFps, dfState, maxDf,
+        minContainmentBp, hold), mat)
+    finally { held.foreach(_.unpersist(false)); () }
+  }
+
+  private def screenMaintainedCore(batchFps: DataFrame,
+                                   corpusFps: DataFrame,
+                                   dfState: DataFrame,
+                                   maxDf: Long,
+                                   minContainmentBp: Long,
+                                   hold: DataFrame => DataFrame): DataFrame = {
+    require(maxDf >= 1, s"df cap must be >= 1, got $maxDf")
+    require(minContainmentBp >= 0 && minContainmentBp <= 10000,
+      s"containment is in basis points 0..10000, got $minContainmentBp")
+    val ihB = hold(batchFps.select(col("id"), col("h")).distinct())
+    val dfB = hold(ihB.groupBy(col("h")).agg(count(lit(1)).as("db")))
+    // corpus df for BATCH hashes: delta rows pruned to the batch's hash
+    // set before any aggregation (the semi-join side is batch-bounded)
+    val dfCB = dfState.join(broadcast(dfB.select(col("h"))), Seq("h"))
+      .groupBy(col("h")).agg(sum(col("d")).as("dc"))
+    val rareB = hold(dfB.join(dfCB, Seq("h"), "left")
+      .where(coalesce(col("dc"), lit(0L)) + col("db") <= maxDf)
+      .select(col("h")))
+    val pB = hold(ihB.join(broadcast(rareB), Seq("h")))
+    val nB = pB.groupBy(col("id")).agg(count(lit(1)).as("n_batch"))
+      .withColumnRenamed("id", "batch_id")
+    // pair candidates: every shared hash is by definition a batch hash,
+    // so the corpus table is read once, pruned to the rare batch set
+    val pC = hold(corpusFps.select(col("id"), col("h"))
+      .join(broadcast(rareB), Seq("h")).distinct())
+    val pairs = pB.select(col("h"), col("id").as("batch_id"))
+      .join(pC.select(col("h"), col("id").as("corpus_id")), Seq("h"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+    // denominators need the CANDIDATE corpus docs' full rare-hash
+    // counts — their non-batch hashes included, so their dfs come from
+    // the sidecar too (batch contribution zero there). Candidates come
+    // off pC, not pairs: every pC doc holds a rare BATCH hash, so it
+    // necessarily pairs with some batch doc — same set, one join
+    // shorter a lineage (pairs is expanded once, in the final result)
+    val candIds = pC.select(col("id")).distinct()
+    val candFps = hold(corpusFps.select(col("id"), col("h"))
+      .join(broadcast(candIds), Seq("id")).distinct())
+    val dfCC = dfState
+      .join(broadcast(candFps.select(col("h")).distinct()), Seq("h"))
+      .groupBy(col("h")).agg(sum(col("d")).as("dc"))
+    val rareC = dfCC.join(dfB, Seq("h"), "left")
+      .where(col("dc") + coalesce(col("db"), lit(0L)) <= maxDf)
+      .select(col("h"))
+    val nC = candFps.join(broadcast(rareC), Seq("h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_corpus"))
+      .withColumnRenamed("id", "corpus_id")
+    pairs.join(nB, Seq("batch_id")).join(nC, Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         col("n_batch"), col("n_corpus"), col("shared"),
         expr("(shared * 10000) div least(n_batch, n_corpus)")

@@ -605,6 +605,98 @@ class CorpusSpec extends SparkSpec {
     assert(incr.nonEmpty, "fixture produced no batch-involving pairs")
   }
 
+  test("maintained winnow screen equals the one-shot screen across " +
+    "appends, including batch-induced cap crossings") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_winnow_state").toFile
+    val table = new java.io.File(root, "fps").toString
+    try {
+      // S1 lands in THREE corpus docs (two appends), so its hashes sit
+      // exactly AT maxDf=3 — rare without the batch; the batch's own
+      // copy pushes them over the cap (the crossing case the maintained
+      // screen must re-judge from stored d + batch d, never from a
+      // corpus re-aggregation)
+      val s1 = "the quick brown fox jumps over the lazy dog repeatedly"
+      val u1 = "an utterly unique passage about winnowing fingerprints"
+      val appendA = Seq(
+        (1L, s"$s1 and then document one continues with $u1 for a while"),
+        (2L, s"prefix for doc two $s1 and some trailing tokens here")
+      ).toDF("doc_id", "text")
+      val appendB = Seq(
+        (3L, s"third document also contains $s1 plus its own ending")
+      ).toDF("doc_id", "text")
+      Corpus.writeWinnowTable(appendA, "text", "doc_id", table)
+      Corpus.appendToWinnowTable(appendB, "text", "doc_id", table)
+      val batch = Seq(
+        (10L, s1), // crosses S1's hashes past maxDf=3
+        (11L, u1)  // quotes doc 1's unique passage → real containment
+      ).toDF("doc_id", "text")
+      val fpB = Corpus.winnowingFingerprints(batch, "text", "doc_id")
+      val corpusFps = spark.read.parquet(table)
+      val dfState = spark.read
+        .parquet(Corpus.winnowDfStatePath(table))
+        .select(col("h"), col("d"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      for ((maxDf, minBp) <- Seq((3L, 0L), (50L, 0L), (50L, 8000L))) {
+        val oneShot = rows(Corpus.winnowingContainmentScreen(
+          fpB, corpusFps, maxDf, minBp))
+        val maintained = rows(Corpus.winnowingContainmentScreenMaintained(
+          fpB, corpusFps, dfState, maxDf, minBp))
+        assert(maintained == oneShot,
+          s"maintained screen diverged at maxDf=$maxDf minBp=$minBp")
+      }
+      // the quote of u1 must surface (proves the fixture is non-vacuous)
+      val hit = Corpus.winnowingContainmentScreenMaintained(
+        fpB, corpusFps, dfState, 50L, 8000L)
+        .where(col("batch_id") === 11L && col("corpus_id") === 1L)
+      assert(hit.count() == 1, "planted quote pair missing")
+      // and at maxDf=3 the S1-only pair (10, any) must NOT appear —
+      // the batch's own copy crossed S1's hashes over the cap
+      val crossed = Corpus.winnowingContainmentScreenMaintained(
+        fpB, corpusFps, dfState, 3L, 0L)
+        .where(col("batch_id") === 10L)
+      assert(crossed.count() == 0,
+        "cap-crossing hashes still produced containment evidence")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  test("winnow df sidecar folds to the fingerprint table's exact " +
+    "document frequencies across write + append") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_winnow_fold").toFile
+    val table = new java.io.File(root, "fps").toString
+    try {
+      val d = Tables.load(spark, sf0001, "documents")
+        .select(col("doc_id"), col("text"))
+      Corpus.writeWinnowTable(d.where(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", table)
+      Corpus.appendToWinnowTable(d.where(col("doc_id") % 3 === 0),
+        "text", "doc_id", table)
+      val folded = spark.read.parquet(Corpus.winnowDfStatePath(table))
+        .groupBy(col("h")).agg(sum(col("d")).as("df"))
+      val recount = spark.read.parquet(table)
+        .select(col("id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      assert(folded.join(recount, Seq("h", "df")).count() == recount.count()
+        && folded.count() == recount.count(),
+        "sidecar fold diverged from the fingerprint-table recount")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("burstiness: spread terms score 10000, concentrated terms cf/df") {
     val docs = Seq(
       (1L, "the cat cat cat"),

@@ -193,6 +193,23 @@ class CurateRestartSpec extends SparkSpec {
     spark.read.parquet(new java.io.File(root, "fps").toString)
       .select("id").distinct().collect().map(_.getLong(0)).toSeq.sorted
 
+  /** Invariant of the maintained df sidecar: after ANY converged run —
+    * clean or replayed — its per-hash fold must equal a recount over
+    * the fingerprint table, or future screens drift. */
+  private def assertDfStateConsistent(root: java.io.File): Unit = {
+    import org.apache.spark.sql.functions._
+    val table = new java.io.File(root, "fps").toString
+    val folded = spark.read
+      .parquet(graft.operators.Corpus.winnowDfStatePath(table))
+      .groupBy(col("h")).agg(sum(col("d")).as("df"))
+    val recount = spark.read.parquet(table)
+      .select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    assert(folded.count() == recount.count() &&
+      folded.join(recount, Seq("h", "df")).count() == recount.count(),
+      "df sidecar diverged from the fingerprint table after replay")
+  }
+
   test("quote screen rejects a tiny quote of a doc admitted one batch " +
     "earlier, and survivors' fingerprints append") {
     val (root, run) = quoteFixture()
@@ -204,16 +221,19 @@ class CurateRestartSpec extends SparkSpec {
     assert(sigIds(root) == Seq(1L, 100L, 201L))
     assert(fpIds(root) == Seq(1L, 100L, 201L),
       "survivor fingerprints missing (or the rejected quote's leaked in)")
+    assertDfStateConsistent(root)
   }
 
   test("quote screen: replay after ALL appends but before the marker " +
     "does not quote-reject the batch against its own fingerprints") {
     val (root, run) = quoteFixture()
     run()
-    // crash window: admits, sigs AND fingerprints landed; marker did
-    // not. The replayed quote screen sees 201's own fingerprints in the
-    // table — a self-pair reads containment 10^4, so without own-batch
-    // exclusion the replay would rewrite an EMPTY admit set
+    // crash window: admits, sigs, fingerprints AND the df sidecar delta
+    // landed; marker did not. The replayed quote screen sees 201's own
+    // fingerprints in the table and its own df delta in the sidecar — a
+    // self-pair reads containment 10^4, so without own-batch exclusion
+    // (corpus anti-join + batch_id < ownId delta filter) the replay
+    // would rewrite an EMPTY admit set or double-count dfs
     uncommitLastBatch(root)
     rm(root, "admitted/_graft_applied_b1")
     run()
@@ -221,6 +241,7 @@ class CurateRestartSpec extends SparkSpec {
       "a survivor was quote-rejected against its own fingerprints")
     assert(sigIds(root) == Seq(1L, 100L, 201L))
     assert(fpIds(root) == Seq(1L, 100L, 201L))
+    assertDfStateConsistent(root)
   }
 
   test("quote screen: replay after the admit write but before the " +
@@ -231,11 +252,33 @@ class CurateRestartSpec extends SparkSpec {
     rm(root, "admitted/_graft_applied_b1")
     delPrefixed(root, "sigs", "b1_sig_")
     delPrefixed(root, "fps", "b1_fp_")
+    // the df sidecar delta is a separate write — roll it back too (the
+    // widest window: admits landed, every maintained-state append lost)
+    delPrefixed(root, "fps/_graft_winnow_df", "b1_")
     run()
     assert(admitted(root) == Seq(100L, 201L))
     assert(sigIds(root) == Seq(1L, 100L, 201L),
       "survivor signatures missing or duplicated after replay")
     assert(fpIds(root) == Seq(1L, 100L, 201L),
       "survivor fingerprints missing or duplicated after replay")
+    assertDfStateConsistent(root)
+  }
+
+  test("quote screen: replay after the fingerprint append but before " +
+    "the df sidecar delta keeps screen and state consistent") {
+    val (root, run) = quoteFixture()
+    run()
+    // crash window BETWEEN the two maintained-state writes: batch 1's
+    // fingerprints landed but its df delta did not. The replayed screen
+    // must treat the batch as unapplied on BOTH sides (own-id corpus
+    // exclusion covers the fp rows; the delta simply isn't there) and
+    // the replay must land the delta exactly once.
+    uncommitLastBatch(root)
+    rm(root, "admitted/_graft_applied_b1")
+    delPrefixed(root, "fps/_graft_winnow_df", "b1_")
+    run()
+    assert(admitted(root) == Seq(100L, 201L))
+    assert(fpIds(root) == Seq(1L, 100L, 201L))
+    assertDfStateConsistent(root)
   }
 }

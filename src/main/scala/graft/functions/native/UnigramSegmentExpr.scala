@@ -22,10 +22,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * contract: tokenizer vocabularies are KBs, corpus data never is) and
   * is hashed once per task, not per row. Pieces are capped at
   * [[UnigramSegmentExpr.MaxPieceLen]] characters — the DP looks back
-  * that far — and the whole loop is O(len · MaxPieceLen) with no
-  * allocation beyond the two DP arrays. A word containing a character
-  * outside the vocabulary has no cover and returns null (callers keep
-  * every corpus character in the vocabulary, so null flags true OOV).
+  * that far — and the whole loop is O(len · MaxPieceLen): a char→byte
+  * offset table built once per word makes each piece lookup O(piece
+  * bytes) (the UTF8String.substring path re-scans from byte 0 per DP
+  * cell — O(len²) on multi-byte text).
+  *
+  * OUT-OF-VOCABULARY characters take the CHARACTER FALLBACK real
+  * unigram tokenizers ship (SentencePiece's byte/char fallback): a
+  * single character absent from the vocabulary is usable as a piece at
+  * the floor score [[UnigramSegmentExpr.UnkScore]], so every word has
+  * a cover and an unseen codepoint costs one conspicuously-bad piece
+  * instead of silently nulling the whole word (the r9 OOV defect).
+  * The fallback can only ever cover a TRULY out-of-vocabulary char:
+  * any path using it on an in-vocab char is strictly dominated by the
+  * same path with that char's real single-char piece (piece scores are
+  * micro-nat logs > −⌊ln(Σcnt)⌋·10⁶, which beats the −10⁹ floor for
+  * every corpus below e^1000 occurrences), so segmentations of fully
+  * in-vocab words are bit-identical with or without the fallback —
+  * the existing gated lanes are unaffected by construction. Fallback
+  * pieces are exactly the seg pieces absent from the vocabulary; the
+  * usage report folds them into an explicit `<unk>` accounting row.
   *
   * Output: the piece sequence joined with U+001F (the BPE separator
   * convention); piece count = one + separators, so downstream stats
@@ -60,80 +76,39 @@ case class UnigramSegmentExpr(first: Expression, second: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_unigram_segment"
 
-  /** Vocabulary hash, built once per task from the foldable children.
-    * Values are boxed so an absent piece reads as null, never as a
-    * phantom 0 score. */
-  @transient private lazy val vocab
-      : java.util.HashMap[UTF8String, java.lang.Long] = {
+  /** The DP host with its vocabulary hash, built once per task from
+    * the foldable children. Lives in [[graft.functions.UnigramSegmenter]]
+    * — a Java-LEGAL class name: generated code must cast the codegen
+    * reference object, and this package's own name contains the Java
+    * keyword `native`, which janino rejects (the r10 silent-interpreted
+    * finding). */
+  @transient private[native] lazy val segmenter
+      : graft.functions.UnigramSegmenter = {
     val pieces = second.eval().asInstanceOf[ArrayData]
     val scores = third.eval().asInstanceOf[ArrayData]
     require(pieces != null && scores != null &&
       pieces.numElements() == scores.numElements(),
       s"$prettyName: pieces and scores must be equal-length non-null arrays")
-    val m = new java.util.HashMap[UTF8String, java.lang.Long](
-      pieces.numElements() * 2)
+    val ps = new Array[UTF8String](pieces.numElements())
+    val ss = new Array[Long](scores.numElements())
     var i = 0
-    while (i < pieces.numElements()) {
-      m.put(pieces.getUTF8String(i), java.lang.Long.valueOf(scores.getLong(i)))
+    while (i < ps.length) {
+      ps(i) = pieces.getUTF8String(i)
+      ss(i) = scores.getLong(i)
       i += 1
     }
-    m
-  }
-
-  /** The DP; public so generated code can call it through a reference
-    * object. Returns null when no cover exists. */
-  def segment(word: UTF8String): UTF8String = {
-    val len = word.numChars()
-    if (len == 0) return UTF8String.EMPTY_UTF8
-    val best = new Array[Long](len + 1)
-    val from = new Array[Int](len + 1)
-    java.util.Arrays.fill(best, Long.MinValue)
-    best(0) = 0L
-    var i = 1
-    while (i <= len) {
-      // ascending j with strict improvement: the SMALLEST feasible
-      // split point wins ties = the longest final piece (the oracle's
-      // ORDER BY score DESC, j ASC)
-      var j = math.max(0, i - UnigramSegmentExpr.MaxPieceLen)
-      while (j < i) {
-        if (best(j) != Long.MinValue) {
-          val s = vocab.get(word.substring(j, i))
-          if (s != null) {
-            val cand = best(j) + s.longValue()
-            if (cand > best(i)) { best(i) = cand; from(i) = j }
-          }
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (best(len) == Long.MinValue) return null
-    // reconstruct: walk split points right-to-left, emit left-to-right
-    val cuts = new Array[Int](len + 1)
-    var n = 0
-    var p = len
-    while (p > 0) { cuts(n) = p; n += 1; p = from(p) }
-    val parts = new Array[UTF8String](2 * n - 1)
-    var k = n - 1
-    var lo = 0
-    var out = 0
-    while (k >= 0) {
-      val hi = cuts(k)
-      if (out > 0) { parts(out) = UnigramSegmentExpr.Sep; out += 1 }
-      parts(out) = word.substring(lo, hi); out += 1
-      lo = hi
-      k -= 1
-    }
-    UTF8String.concat(parts: _*)
+    new graft.functions.UnigramSegmenter(ps, ss)
   }
 
   override def nullSafeEval(w: Any, p: Any, s: Any): Any =
-    segment(w.asInstanceOf[UTF8String])
+    segmenter.segment(w.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("unigramExpr", this,
-      classOf[UnigramSegmentExpr].getName)
+    // the reference object is the SEGMENTER, not this expression: the
+    // generated cast must name a Java-legal class (see `segmenter`)
+    val ref = ctx.addReferenceObj("unigramSegmenter", segmenter,
+      classOf[graft.functions.UnigramSegmenter].getName)
     nullSafeCodeGen(ctx, ev, (w, _, _) => {
       s"""
          |${ev.value} = $ref.segment($w);
@@ -153,6 +128,14 @@ object UnigramSegmentExpr {
     * pieces array can never match and are dead weight, so trainers cap
     * candidate generation at the same bound. */
   val MaxPieceLen: Int = 4
+
+  /** Floor score (micro-nats) of the single-character OOV fallback —
+    * one fallback piece per unseen codepoint. Below every achievable
+    * real piece score (> −⌊ln(Σcnt)⌋·10⁶ > −10⁹ for any corpus below
+    * e^1000 piece occurrences), so a real cover always wins where one
+    * exists; exact integer, so the SQL oracle replays it as a literal
+    * in its augmented-vocabulary join. */
+  val UnkScore: Long = -1000000000L
 
   /** U+001F piece separator (the BPE representation convention — never
     * occurs in whitespace-split corpus pretokens). */

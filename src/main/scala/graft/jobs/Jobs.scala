@@ -761,7 +761,22 @@ object Jobs {
     if (!fs.exists(marker))
       Unigram.trainVocab(d, "text", topMulti = 96, maxWordLen = 64)
         .write.mode("overwrite").parquet(vocabPath)
-    val vocabDf = spark.read.parquet(vocabPath)
+    // vocab budget (GRAFT_VOCAB_BUDGET, the CLI surface's env-based
+    // parameterization, like SPARK_GRAFT_CPUS): when set, the seed
+    // vocabulary is refined by the budgeted hard-EM loop (two
+    // segment→usage→cut→rescore rounds — Unigram.trainToBudget, the
+    // x_unigram_budget lane) and THAT artifact ships; unset keeps the
+    // seed vocabulary.
+    val vocabDf = sys.env.get("GRAFT_VOCAB_BUDGET").map(_.toInt) match {
+      case Some(b) =>
+        val budgeted = s"$outDir/unigram_vocab_budgeted"
+        Unigram.trainToBudget(
+            Unigram.wordCounts(d, "text", maxWordLen = 64),
+            spark.read.parquet(vocabPath), b, rounds = 2)
+          .write.mode("overwrite").parquet(budgeted)
+        spark.read.parquet(budgeted)
+      case None => spark.read.parquet(vocabPath)
+    }
     val vocab = vocabDf.orderBy(col("piece"))
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
     val seg = Unigram.segmentWords(
@@ -804,11 +819,29 @@ object Jobs {
     * The stage that feeds orientation normalization and capture-time
     * temporal splits. */
   private def mediaExifJob(spark: SparkSession, sfDir: String,
-                           outDir: String): Unit =
+                           outDir: String): Unit = {
     graft.multimodal.Multimodal.extractExif(
         graft.multimodal.Multimodal.withMediaBinary(
           Tables.load(spark, sfDir, "documents"), "text"))
       .write.mode("overwrite").parquet(s"$outDir/media_exif")
+    // GRAFT_EXIF_SCRUB=1: the quarantine-preserving location scrub —
+    // image-borne GPS is PII the text scrub lane structurally cannot
+    // see. The scrubbed table nulls the coordinates; the quarantine
+    // table keeps every row a privacy gate must hold back (GPS-bearing
+    // OR corrupt-claim — a malformed GPS IFD is never silently passed).
+    if (sys.env.get("GRAFT_EXIF_SCRUB").contains("1")) {
+      val exif = spark.read.parquet(s"$outDir/media_exif")
+      exif.withColumn("gps_lat_udeg", lit(null).cast("long"))
+        .withColumn("gps_lon_udeg", lit(null).cast("long"))
+        .write.mode("overwrite").parquet(s"$outDir/media_exif_scrubbed")
+      exif.where(col("gps_lat_udeg").isNotNull ||
+          col("gps_lon_udeg").isNotNull || col("quarantined"))
+        .select(col("doc_id"), col("quarantined"),
+          (col("gps_lat_udeg").isNotNull ||
+            col("gps_lon_udeg").isNotNull).as("located"))
+        .write.mode("overwrite").parquet(s"$outDir/media_gps_quarantine")
+    }
+  }
 
   /** PCA artifacts for the embedding corpus: the top principal
     * direction (with the mean) persisted as an O(d) table, and the

@@ -721,10 +721,23 @@ object Multimodal {
     * trichotomy: FOUND (a well-formed IFD walked; fields that were
     * absent stay None), ABSENT (payload carries no EXIF/IFD claim),
     * CORRUPT (payload claims EXIF — an APP1 "Exif\0\0" header or a
-    * TIFF magic — but its IFD is malformed/truncated: quarantine). */
+    * TIFF magic — but its IFD is malformed/truncated: quarantine).
+    *
+    * GPS coordinates ride along when IFD0 carries a GPSInfo pointer
+    * (tag 0x8825) to a well-formed GPS sub-IFD: signed MICRO-DEGREES
+    * computed in exact integer arithmetic from the spec's
+    * degree/minute/second unsigned rationals —
+    * sign·(dn·10⁶ div dd + mn·10⁶ div (md·60) + sn·10⁶ div (sd·3600)),
+    * truncating division per term, sign from the N/S/E/W ref — so a
+    * SQL oracle replays the value bit-for-bit and no float ever forms.
+    * GPS is PII a text-level scrub structurally cannot see (it lives
+    * in image bytes); surfacing it is what lets a pipeline strip or
+    * gate on location before training. */
   sealed trait ExifVerdict
   case class ExifFound(orientation: Option[Long], takenAt: Option[String],
-                       bigEndian: Boolean) extends ExifVerdict
+                       bigEndian: Boolean,
+                       gpsLatUdeg: Option[Long] = None,
+                       gpsLonUdeg: Option[Long] = None) extends ExifVerdict
   case object ExifAbsent extends ExifVerdict
   case object ExifCorrupt extends ExifVerdict
 
@@ -732,10 +745,12 @@ object Multimodal {
     * (`tiff` = offset of the byte-order mark; IFD offsets in the
     * structure are relative to it). Returns None for any structural
     * violation — bad magic, entry table or referenced value data
-    * running past `limit`. Only IFD0 is read (EXIF places Orientation
-    * 0x0112 and DateTime 0x0132 there); unknown tags are skipped, so
-    * foreign writers' IFDs (the JDK's own TIFF encoder, real cameras)
-    * walk cleanly. */
+    * running past `limit`, a GPSInfo pointer whose sub-IFD is
+    * malformed. IFD0 is read (EXIF places Orientation 0x0112 and
+    * DateTime 0x0132 there) plus the GPS sub-IFD when IFD0 carries
+    * the GPSInfo pointer 0x8825 — one more offset hop, same bounds
+    * discipline; unknown tags are skipped, so foreign writers' IFDs
+    * (the JDK's own TIFF encoder, real cameras) walk cleanly. */
   def parseTiffIfd(bytes: Array[Byte], tiff: Int,
                    limit: Int): Option[ExifFound] = {
     if (tiff + 8 > limit) return None
@@ -761,6 +776,7 @@ object Multimodal {
     if (ifd + 2 + 12 * n + 4 > limit) return None
     var orientation: Option[Long] = None
     var takenAt: Option[String] = None
+    var gpsOff: Option[Long] = None
     var i = 0
     while (i < n) {
       val e = ifd + 2 + 12 * i
@@ -782,10 +798,75 @@ object Multimodal {
           }
         takenAt = Some(
           new String(bytes, off, cnt.toInt - 1, "US-ASCII"))
+      } else if (tag == 0x8825 && typ == 4 && cnt == 1L) {
+        // GPSInfo: LONG offset (relative to the TIFF header) of the
+        // GPS sub-IFD
+        gpsOff = Some(u32(e + 8))
       }
       i += 1
     }
-    Some(ExifFound(orientation, takenAt, big))
+    var gpsLat: Option[Long] = None
+    var gpsLon: Option[Long] = None
+    gpsOff match {
+      case Some(g) =>
+        // a GPSInfo claim with a malformed sub-IFD is CORRUPT, exactly
+        // like a malformed IFD0 — location is the one field a privacy
+        // pipeline must not silently lose
+        if (g < 8 || tiff + g + 2 > limit) return None
+        val gifd = tiff + g.toInt
+        val gn = u16(gifd)
+        if (gifd + 2 + 12 * gn + 4 > limit) return None
+        // refs: ASCII count 2, inline ('N'/'S'/'E'/'W' + NUL); coords:
+        // three unsigned RATIONALs (deg, min, sec) at a u32 offset
+        var latSign: Option[Long] = None
+        var lonSign: Option[Long] = None
+        var latU: Option[Long] = None
+        var lonU: Option[Long] = None
+        def refSign(e: Int, pos: Char, neg: Char): Option[Long] =
+          (bytes(e + 8) & 0xFF).toChar match {
+            case c if c == pos => Some(1L)
+            case c if c == neg => Some(-1L)
+            case _ => None
+          }
+        // unsigned micro-degrees from 3 rationals; None = structural
+        // violation (bounds / zero denominator)
+        def udeg(e: Int): Option[Long] = {
+          val v = u32(e + 8)
+          if (tiff + v + 24 > limit) return None
+          val o = tiff + v.toInt
+          val dn = u32(o); val dd = u32(o + 4)
+          val mn = u32(o + 8); val md = u32(o + 12)
+          val sn = u32(o + 16); val sd = u32(o + 20)
+          if (dd == 0L || md == 0L || sd == 0L) None
+          else Some(dn * 1000000L / dd + mn * 1000000L / (md * 60L) +
+            sn * 1000000L / (sd * 3600L))
+        }
+        var gi = 0
+        while (gi < gn) {
+          val e = gifd + 2 + 12 * gi
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          val cnt = u32(e + 4)
+          if (tag == 0x0001 && typ == 2 && cnt == 2L) {
+            latSign = refSign(e, 'N', 'S')
+            if (latSign.isEmpty) return None
+          } else if (tag == 0x0002 && typ == 5 && cnt == 3L) {
+            latU = udeg(e)
+            if (latU.isEmpty) return None
+          } else if (tag == 0x0003 && typ == 2 && cnt == 2L) {
+            lonSign = refSign(e, 'E', 'W')
+            if (lonSign.isEmpty) return None
+          } else if (tag == 0x0004 && typ == 5 && cnt == 3L) {
+            lonU = udeg(e)
+            if (lonU.isEmpty) return None
+          }
+          gi += 1
+        }
+        gpsLat = for (s <- latSign; u <- latU) yield s * u
+        gpsLon = for (s <- lonSign; u <- lonU) yield s * u
+      case None =>
+    }
+    Some(ExifFound(orientation, takenAt, big, gpsLat, gpsLon))
   }
 
   /** EXIF probe over one payload. JPEG: walk the marker stream for an
@@ -890,6 +971,104 @@ object Multimodal {
     b
   }
 
+  /** Deterministic JPEG with EXIF + GPS: [[syntheticExifJpeg]]'s IFD0
+    * plus the GPSInfo pointer and a GPS sub-IFD holding
+    * {LatitudeRef, Latitude, LongitudeRef, Longitude} — latitude/
+    * longitude as (deg/1, min/1, secNum/secDen) unsigned rationals in
+    * either byte order, so the rational arithmetic (not just offsets)
+    * is exercised. `corruptGps = true` keeps the GPSInfo claim but
+    * points it past the payload — the quarantine fixture for a
+    * malformed GPS sub-IFD. */
+  def syntheticExifGpsJpeg(w: Int, h: Int, seed: Long, orientation: Int,
+                           takenAt: String, bigEndian: Boolean,
+                           latDeg: Int, latMin: Int, latSecNum: Int,
+                           latSecDen: Int, north: Boolean,
+                           lonDeg: Int, lonMin: Int, lonSecNum: Int,
+                           lonSecDen: Int, east: Boolean,
+                           corruptGps: Boolean = false): Array[Byte] = {
+    val jpeg = syntheticImage(w, h, seed, "jpg")
+    val app1 = exifGpsApp1(orientation, takenAt, bigEndian,
+      latDeg, latMin, latSecNum, latSecDen, north,
+      lonDeg, lonMin, lonSecNum, lonSecDen, east, corruptGps)
+    val out = new Array[Byte](jpeg.length + app1.length)
+    out(0) = jpeg(0); out(1) = jpeg(1) // SOI
+    app1.copyToArray(out, 2)
+    System.arraycopy(jpeg, 2, out, 2 + app1.length, jpeg.length - 2)
+    out
+  }
+
+  /** APP1 Exif segment with IFD0 {Orientation, DateTime, GPSInfo} and
+    * the GPS sub-IFD {LatRef, Lat, LonRef, Lon} behind it. */
+  private def exifGpsApp1(orientation: Int, takenAt: String,
+                          bigEndian: Boolean,
+                          latDeg: Int, latMin: Int, latSecNum: Int,
+                          latSecDen: Int, north: Boolean,
+                          lonDeg: Int, lonMin: Int, lonSecNum: Int,
+                          lonSecDen: Int, east: Boolean,
+                          corruptGps: Boolean): Array[Byte] = {
+    val dt = takenAt.getBytes("US-ASCII") :+ 0.toByte
+    // IFD0: header(8) + count(2) + 3 entries(36) + next(4) = 50, then
+    // dt; GPS IFD: count(2) + 4 entries(48) + next(4) = 54, then
+    // 2 × 3 rationals (24 each)
+    val gpsIfd = 50 + dt.length
+    val tiffLen = gpsIfd + 54 + 48
+    val segLen = 2 + 6 + tiffLen
+    val b = new Array[Byte](2 + segLen)
+    def p16(o: Int, v: Int): Unit =
+      if (bigEndian) { b(o) = ((v >> 8) & 0xFF).toByte
+        b(o + 1) = (v & 0xFF).toByte }
+      else { b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte }
+    def p32(o: Int, v: Long): Unit =
+      if (bigEndian) { var i = 0; while (i < 4) {
+        b(o + i) = ((v >> (8 * (3 - i))) & 0xFF).toByte; i += 1 } }
+      else { var i = 0; while (i < 4) {
+        b(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 } }
+    b(0) = 0xFF.toByte; b(1) = 0xE1.toByte
+    b(2) = ((segLen >> 8) & 0xFF).toByte; b(3) = (segLen & 0xFF).toByte
+    "Exif".getBytes("US-ASCII").copyToArray(b, 4)
+    b(8) = 0; b(9) = 0
+    val t = 10
+    if (bigEndian) { b(t) = 'M'; b(t + 1) = 'M' }
+    else { b(t) = 'I'; b(t + 1) = 'I' }
+    p16(t + 2, 42); p32(t + 4, 8L)
+    p16(t + 8, 3) // three IFD0 entries
+    val e0 = t + 10
+    p16(e0, 0x0112); p16(e0 + 2, 3); p32(e0 + 4, 1L)
+    p16(e0 + 8, orientation); p16(e0 + 10, 0)
+    val e1 = e0 + 12
+    p16(e1, 0x0132); p16(e1 + 2, 2); p32(e1 + 4, dt.length.toLong)
+    p32(e1 + 8, 50L)
+    val e2 = e1 + 12
+    p16(e2, 0x8825); p16(e2 + 2, 4); p32(e2 + 4, 1L)
+    p32(e2 + 8, if (corruptGps) tiffLen + 1000L else gpsIfd.toLong)
+    p32(e2 + 12, 0L) // next-IFD
+    dt.copyToArray(b, t + 50)
+    // GPS sub-IFD
+    val g = t + gpsIfd
+    p16(g, 4)
+    def refEntry(o: Int, tag: Int, c: Char): Unit = {
+      p16(o, tag); p16(o + 2, 2); p32(o + 4, 2L)
+      b(o + 8) = c.toByte; b(o + 9) = 0; b(o + 10) = 0; b(o + 11) = 0
+    }
+    val latRatOff = gpsIfd + 54
+    val lonRatOff = latRatOff + 24
+    refEntry(g + 2, 0x0001, if (north) 'N' else 'S')
+    p16(g + 14, 0x0002); p16(g + 16, 5); p32(g + 18, 3L)
+    p32(g + 22, latRatOff.toLong)
+    refEntry(g + 26, 0x0003, if (east) 'E' else 'W')
+    p16(g + 38, 0x0004); p16(g + 40, 5); p32(g + 42, 3L)
+    p32(g + 46, lonRatOff.toLong)
+    p32(g + 50, 0L) // next-IFD
+    def rats(o: Int, deg: Int, min: Int, sn: Int, sd: Int): Unit = {
+      p32(o, deg.toLong); p32(o + 4, 1L)
+      p32(o + 8, min.toLong); p32(o + 12, 1L)
+      p32(o + 16, sn.toLong); p32(o + 20, sd.toLong)
+    }
+    rats(t + latRatOff, latDeg, latMin, latSecNum, latSecDen)
+    rats(t + lonRatOff, lonDeg, lonMin, lonSecNum, lonSecDen)
+    b
+  }
+
   /** Deterministic CORRUPT EXIF payload: SOI + an APP1 that declares a
     * full Exif segment but ends 12 bytes in — claims EXIF, and the
     * IFD walk runs out of bytes. The quarantine fixture for
@@ -916,18 +1095,20 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           exifMeta(bytes) match {
-            case ExifFound(o, dt, big) =>
-              (id, true, false, o, dt, Some(big))
+            case ExifFound(o, dt, big, lat, lon) =>
+              (id, true, false, o, dt, Some(big), lat, lon)
             case ExifCorrupt =>
               (id, false, true, None: Option[Long],
-                None: Option[String], None: Option[Boolean])
+                None: Option[String], None: Option[Boolean],
+                None: Option[Long], None: Option[Long])
             case ExifAbsent =>
               (id, false, false, None: Option[Long],
-                None: Option[String], None: Option[Boolean])
+                None: Option[String], None: Option[Boolean],
+                None: Option[Long], None: Option[Long])
           }
         }
       }.toDF("doc_id", "has_exif", "quarantined", "orientation",
-        "taken_at", "big_endian")
+        "taken_at", "big_endian", "gps_lat_udeg", "gps_lon_udeg")
   }
 
   /** Attach the media payload as a BINARY column (stand-in for reading

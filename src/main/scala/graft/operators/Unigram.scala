@@ -91,8 +91,13 @@ object Unigram {
   }
 
   /** Viterbi-segment a (w, cnt) word table under a collected
-    * vocabulary: adds `seg` (pieces joined with [[Sep]]; null = a
-    * character outside the vocabulary) and `n_pieces`. */
+    * vocabulary: adds `seg` (pieces joined with [[Sep]]) and
+    * `n_pieces`. Total over ANY text: an out-of-vocabulary character
+    * becomes its own fallback piece at the
+    * [[graft.functions.native.UnigramSegmentExpr.UnkScore]] floor
+    * (SentencePiece's char fallback), so applying a trained artifact
+    * to NEW text degrades per unseen codepoint instead of nulling
+    * whole words. */
   def segmentWords(words: DataFrame,
                    vocab: Seq[(String, Long)]): DataFrame =
     words.withColumn("seg",
@@ -126,15 +131,85 @@ object Unigram {
     * (occurrences × word frequency), joined back onto the vocabulary
     * with the prune verdict — characters are always kept (coverage),
     * an unused multi-char piece is dead weight. Output: (piece, cnt,
-    * usage, kept). */
+    * usage, kept).
+    *
+    * OOV fallback pieces — seg pieces that are NOT vocabulary entries
+    * (possible only when segmenting text outside the training corpus)
+    * — are accounted EXPLICITLY as one `<unk>` row (cnt 0, summed
+    * usage, kept = false: the fallback is structural, never a
+    * vocabulary entry a prune round should carry). The row appears
+    * only when fallback actually fired, so training-corpus reports
+    * are unchanged. `<unk>` (5 chars) can never collide with a real
+    * piece (pieces are capped at MaxPieceLen = 4). */
   def usageReport(segmented: DataFrame, vocab: DataFrame): DataFrame = {
-    val usage = segmented.where(col("seg").isNotNull)
+    val usage = segmented
       .select(col("cnt"), explode(split(col("seg"), Sep, -1)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
-    vocab.join(usage, Seq("piece"), "left")
+    val known = vocab.join(usage, Seq("piece"), "left")
       .select(col("piece"), col("cnt"),
         coalesce(col("usage"), lit(0L)).as("usage"),
         (coalesce(col("usage"), lit(0L)) > 0L || col("is_char"))
           .as("kept"))
+    val unk = usage
+      .join(broadcast(vocab.select(col("piece"))), Seq("piece"), "left_anti")
+      .agg(sum(col("usage")).as("usage"))
+      .where(col("usage").isNotNull)
+      .select(lit("<unk>").as("piece"), lit(0L).as("cnt"),
+        col("usage"), lit(false).as("kept"))
+    known.unionByName(unk)
+  }
+
+  /** [[rescoreFromUsage]] under a VOCABULARY BUDGET — the loop step of
+    * a real unigram trainer (Kudo ACL'18 prunes to a target |V|): keep
+    * every single character (coverage — the floor below which the
+    * budget cannot cut, so |V| after a round is max(budget, n_chars)),
+    * then the top multi-char pieces by (usage desc, piece) up to
+    * `budget − n_chars`, and re-score survivors from usage. The
+    * ranking window runs over the KB-scale vocabulary relation, never
+    * corpus data. */
+  def rescoreToBudget(usage: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"vocab budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val kept = usage.where(col("kept"))
+      .select(col("piece"), greatest(col("usage"), lit(1L)).as("cnt"),
+        (length(col("piece")) === 1).as("is_char"))
+    val nChars = kept.where(col("is_char")).agg(count(lit(1)).as("__nc"))
+    val ranked = kept.withColumn("__r",
+      when(col("is_char"), lit(0L)).otherwise(
+        row_number().over(Window.partitionBy(col("is_char"))
+          .orderBy(col("cnt").desc, col("piece"))).cast("long")))
+    val cut = ranked.crossJoin(broadcast(nChars))
+      .where(col("is_char") ||
+        col("__r") <= greatest(lit(budget.toLong) - col("__nc"), lit(0L)))
+      .select(col("piece"), col("cnt"), col("is_char"))
+    val tot = cut.agg(sum(col("cnt")).as("__t"))
+    cut.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("long") -
+          floor(log(col("__t").cast("double")) * lit(1e6d)).cast("long"))
+          .as("score"),
+        col("is_char"))
+  }
+
+  /** Fixed-rounds budgeted hard-EM training loop: segment → usage →
+    * budget-cut → rescore, `rounds` times from `vocab0`. Fixed rounds
+    * (not until-converged) keep the SQL oracle's unroll bounded —
+    * x_unigram_budget replays two full rounds; `train_tokenizer` runs
+    * this under its vocab-budget option. Per round: one row-local
+    * Viterbi pass over the unique-word table, one usage aggregation,
+    * and a KB-scale vocabulary collect (the BPE-merge contract). |V|
+    * shrinks monotonically to max(budget, n_chars) (UnigramSpec pins
+    * shrink + coverage). */
+  def trainToBudget(words: DataFrame, vocab0: DataFrame, budget: Int,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var v = vocab0
+    for (_ <- 1 to rounds) {
+      val vocabLit = v.orderBy(col("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+      v = rescoreToBudget(usageReport(segmentWords(words, vocabLit), v),
+        budget)
+    }
+    v
   }
 }

@@ -3986,7 +3986,78 @@ object TrainingData {
       |    ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
       |  END AS taken_at,
       |  CASE WHEN doc_id % 5 = 0 THEN false
-      |       WHEN doc_id % 5 IN (1, 3) THEN true END AS big_endian
+      |       WHEN doc_id % 5 IN (1, 3) THEN true END AS big_endian,
+      |  CAST(NULL AS BIGINT) AS gps_lat_udeg,
+      |  CAST(NULL AS BIGINT) AS gps_lon_udeg
+      |FROM documents""".stripMargin
+
+  // ------------------------------------ EXIF GPS sub-IFD lane (r10)
+  // The GPSInfo hop gated end to end: planted GPS fixtures in BOTH
+  // byte orders carry (deg/1, min/1, secNum/100) unsigned rationals
+  // and N/S/E/W refs that are pure functions of doc_id, so the oracle
+  // recomputes every signed micro-degree with the same truncating
+  // integer arithmetic the walker uses — rational math, refs, and
+  // offsets all checked, no floats anywhere. A corrupt GPS sub-IFD
+  // (pointer past the payload) quarantines; a GPS-less EXIF row keeps
+  // null coordinates. Image-borne GPS is the PII axis the text-scrub
+  // lane (x_pii_scrub) structurally cannot reach.
+  def multimodalGpsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dtOf(id: Long): String =
+      f"2026:${id % 12 + 1}%02d:${id % 28 + 1}%02d " +
+        f"${id % 24}%02d:${id % 60}%02d:${id * 7 % 60}%02d"
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          def gps(big: Boolean, corrupt: Boolean) =
+            Multimodal.syntheticExifGpsJpeg(3, 3, id,
+              (id % 8).toInt + 1, dtOf(id), big,
+              (id % 90).toInt, (id % 60).toInt,
+              (id * 7 % 6000).toInt, 100, id % 2 == 0,
+              (id % 180).toInt, (id * 3 % 60).toInt,
+              (id * 11 % 6000).toInt, 100, id % 3 == 0,
+              corruptGps = corrupt)
+          val payload = (id % 5) match {
+            case 0 => gps(big = false, corrupt = false)
+            case 1 => gps(big = true, corrupt = false)
+            case 2 => gps(big = false, corrupt = true)
+            case 3 => Multimodal.syntheticExifJpeg(3, 3, id,
+              (id % 8).toInt + 1, dtOf(id), bigEndian = false)
+            case _ => text.getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+      }.toDF("doc_id", "media")
+    Multimodal.extractExif(media)
+  }
+  val multimodalGpsSql: String =
+    """SELECT doc_id,
+      |  doc_id % 5 IN (0, 1, 3) AS has_exif,
+      |  doc_id % 5 = 2 AS quarantined,
+      |  CASE WHEN doc_id % 5 IN (0, 1, 3)
+      |       THEN doc_id % 8 + 1 END AS orientation,
+      |  CASE WHEN doc_id % 5 IN (0, 1, 3) THEN
+      |    '2026:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+      |    ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+      |    ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+      |  END AS taken_at,
+      |  CASE WHEN doc_id % 5 IN (0, 3) THEN false
+      |       WHEN doc_id % 5 = 1 THEN true END AS big_endian,
+      |  CASE WHEN doc_id % 5 IN (0, 1) THEN
+      |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+      |    ((doc_id % 90) * 1000000 + (doc_id % 60) * 1000000 // 60 +
+      |     (doc_id * 7 % 6000) * 1000000 // 360000)
+      |  END AS gps_lat_udeg,
+      |  CASE WHEN doc_id % 5 IN (0, 1) THEN
+      |    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) *
+      |    ((doc_id % 180) * 1000000 + (doc_id * 3 % 60) * 1000000 // 60 +
+      |     (doc_id * 11 % 6000) * 1000000 // 360000)
+      |  END AS gps_lon_udeg
       |FROM documents""".stripMargin
 
   // -------------------------------------------- multimodal REAL resize
@@ -5215,8 +5286,11 @@ object TrainingData {
   // chains (admit), +7e6 = quotes of those (live-table reject), +8e6 =
   // LSH near-dups of corpus (LSH reject), +9e6 = novel (admit). The
   // oracle replays the sequential admit decisions with both screens:
-  // the winnow df-cap recomputes over held ∪ batch per screen — the
-  // maintenance rule the loop applies.
+  // its winnow df-cap recounts over held ∪ batch per screen, which by
+  // construction equals what the loop reads from the MAINTAINED df
+  // sidecar (stored corpus dfs + the batch's own) — the loop never
+  // re-aggregates the corpus; the oracle, being SQL over raw tables,
+  // replays the same value the slow way.
   def streamCurateQuotesQ(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Corpus, Dedup}
     val root = java.nio.file.Files
@@ -5248,9 +5322,14 @@ object TrainingData {
     Seq((baseSigs, sigPath), (baseFps, fpPath)).foreach { case (b, t) =>
       val from = java.nio.file.Paths.get(b)
       val to = java.nio.file.Paths.get(t)
-      java.nio.file.Files.createDirectories(to)
-      java.nio.file.Files.list(from).forEach { f =>
-        java.nio.file.Files.copy(f, to.resolve(f.getFileName.toString))
+      // recursive: the winnow table carries its df-state sidecar in an
+      // underscore subdirectory, and a shallow copy would strand it
+      java.nio.file.Files.walk(from).forEach { f =>
+        val dst = to.resolve(from.relativize(f).toString)
+        if (java.nio.file.Files.isDirectory(f))
+          java.nio.file.Files.createDirectories(dst)
+        else
+          java.nio.file.Files.copy(f, dst)
         ()
       }
     }
@@ -6659,10 +6738,13 @@ object TrainingData {
   /** The Viterbi DP as unrolled CTE levels (prefix length = level),
     * each picking the best (score desc, longest-final-piece) extension
     * of levels i-4..i-1 — ending in `$out(w, cnt, seg)`. Parameterized
-    * by the vocabulary table and a level prefix so one oracle can
-    * replay MULTIPLE EM rounds (x_unigram_prune chains two). */
+    * by the vocabulary table, a level prefix, and the word table so
+    * one oracle can replay MULTIPLE EM rounds (x_unigram_prune chains
+    * two) or segment a DIFFERENT word set (x_unigram_oov applies the
+    * trained vocab to planted-OOV apply words). */
   private def unigramDp(vocabTbl: String, pfx: String,
-                        out: String): String = {
+                        out: String,
+                        wordsTbl: String = "words"): String = {
     val levels = (1 to UnigramMaxWordLen).map { i =>
       val branches = (math.max(0, i - 4) until i).map { j =>
         s"""    SELECT d.w, d.cnt, d.score + v.score AS score,
@@ -6684,7 +6766,7 @@ object TrainingData {
     }.mkString("\n  UNION ALL ")
     s"""${pfx}0 AS (
        |  SELECT w, cnt, CAST(0 AS BIGINT) AS score, '' AS seg
-       |  FROM words),
+       |  FROM $wordsTbl),
        |$levels,
        |$out AS (
        |  $finals)""".stripMargin
@@ -6812,6 +6894,157 @@ object TrainingData {
        |  CAST(len(string_split(b.seg, chr(31))) AS BIGINT) AS n_v2,
        |  a.seg != b.seg AS changed
        |FROM segres a JOIN segres2 b ON a.w = b.w""".stripMargin
+
+  // ---------------- unigram apply-time OOV fallback (2 lanes, r10)
+  // The trained artifact applied to NEW text: apply words are the
+  // corpus pretokens with 'a'→'ä' and 'e'→'é' (the corpus alphabet is
+  // pure lowercase ASCII, so both are guaranteed-unseen codepoints at
+  // every sf). segmentWords is TOTAL over them — each OOV char becomes
+  // its own fallback piece at the UnkScore floor — and the oracle
+  // replays the EXACT rule by augmenting its vocabulary with every
+  // absent apply-set character at the literal floor score before the
+  // same 20-level DP (fallback ≡ "as if the vocab held the char"),
+  // so tie order and piece choice stay engine-identical.
+  private val UnigramUnkScore =
+    graft.functions.native.UnigramSegmentExpr.UnkScore
+
+  private def unigramOovSegmented(spark: SparkSession, dir: String) = {
+    val vocab = spark.read.parquet(unigramVocabPath(spark, dir))
+      .orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val awords = docs(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .where(length(col("w")).between(1, UnigramMaxWordLen))
+      .select(translate(col("w"), "ae", "äé").as("w"))
+      .distinct()
+      .withColumn("cnt", lit(1L))
+    graft.operators.Unigram.segmentWords(awords, vocab)
+  }
+
+  /** Shared oracle tail: apply words, fallback-augmented vocabulary,
+    * and the DP over them ending in segres_oov. */
+  private val unigramOovCtes: String =
+    s"""awords AS MATERIALIZED (
+       |  SELECT DISTINCT translate(w, 'ae', 'äé') AS w,
+       |    CAST(1 AS BIGINT) AS cnt
+       |  FROM words),
+       |achars AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1))) AS piece
+       |  FROM awords),
+       |vocab_oov AS MATERIALIZED (
+       |  SELECT piece, score FROM vocab
+       |  UNION ALL
+       |  SELECT piece, CAST($UnigramUnkScore AS BIGINT) AS score
+       |  FROM achars
+       |  WHERE piece NOT IN (SELECT piece FROM vocab)),
+       |${unigramDp("vocab_oov", "o", "segres_oov", "awords")}""".stripMargin
+
+  def unigramOovQ(spark: SparkSession, dir: String): DataFrame = {
+    val segd = unigramOovSegmented(spark, dir)
+    val vocabDf = spark.read.parquet(unigramVocabPath(spark, dir))
+    // fallback pieces are exactly the seg pieces outside the
+    // vocabulary; counting them is one broadcast lookup on the
+    // KB-scale vocab + an aggregate keyed by the (distinct) word
+    val pieces = segd.select(col("w"),
+      explode(split(col("seg"), graft.operators.Unigram.Sep, -1))
+        .as("piece"))
+    val unk = pieces.join(
+        broadcast(vocabDf.select(col("piece")).withColumn("__v", lit(1))),
+        Seq("piece"), "left")
+      .groupBy(col("w"))
+      .agg(sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_unk"))
+    segd.join(unk, Seq("w"))
+      .select(col("w").as("word"), col("n_pieces"), col("n_unk"),
+        col("seg"))
+  }
+  val unigramOovSql: String =
+    s"""WITH $unigramBaseCtes,
+       |$unigramOovCtes,
+       |up AS (
+       |  SELECT w, unnest(string_split(seg, chr(31))) AS piece
+       |  FROM segres_oov),
+       |unkc AS (
+       |  SELECT w, CAST(sum(CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_unk
+       |  FROM up LEFT JOIN vocab v USING (piece)
+       |  GROUP BY w)
+       |SELECT s.w AS word,
+       |  CAST(len(string_split(s.seg, chr(31))) AS BIGINT) AS n_pieces,
+       |  u.n_unk, s.seg
+       |FROM segres_oov s JOIN unkc u USING (w)""".stripMargin
+
+  /** The usage report over the OOV apply set — the `<unk>` accounting
+    * row gated end to end (cnt 0, summed fallback usage, kept=false). */
+  def unigramOovUsageQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.usageReport(
+      unigramOovSegmented(spark, dir),
+      spark.read.parquet(unigramVocabPath(spark, dir)))
+  val unigramOovUsageSql: String =
+    s"""WITH $unigramBaseCtes,
+       |$unigramOovCtes,
+       |usageo AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+       |    SELECT cnt, unnest(string_split(seg, chr(31))) AS piece
+       |    FROM segres_oov)
+       |  GROUP BY 1)
+       |SELECT v.piece, v.cnt, COALESCE(u.usage, 0) AS usage,
+       |  COALESCE(u.usage, 0) > 0 OR v.is_char AS kept
+       |FROM vocab v LEFT JOIN usageo u USING (piece)
+       |UNION ALL
+       |SELECT '<unk>' AS piece, CAST(0 AS BIGINT) AS cnt,
+       |  CAST(sum(usage) AS BIGINT) AS usage, FALSE AS kept
+       |FROM usageo WHERE piece NOT IN (SELECT piece FROM vocab)
+       |HAVING sum(usage) IS NOT NULL""".stripMargin
+
+  // ------------------- budgeted hard-EM training loop (r10)
+  // Unigram.trainToBudget gated for two full rounds: segment → usage →
+  // drop unused multis → CUT to the vocab budget (top multis by usage
+  // desc, piece; single chars never cut — coverage) → rescore from
+  // usage. The oracle chains the 20-level DP twice and replays each
+  // round's cut as a QUALIFY window with the same tie order.
+  private val UnigramBudget = 60
+
+  def unigramBudgetQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.trainToBudget(
+      graft.operators.Unigram.wordCounts(docs(spark, dir), "text",
+        UnigramMaxWordLen),
+      spark.read.parquet(unigramVocabPath(spark, dir)),
+      UnigramBudget, rounds = 2)
+
+  private def unigramBudgetRound(segTbl: String, vocabTbl: String,
+                                 nextVocab: String, pfx: String): String =
+    s"""u$pfx AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+       |    SELECT cnt, unnest(string_split(seg, chr(31))) AS piece
+       |    FROM $segTbl)
+       |  GROUP BY 1),
+       |k$pfx AS (
+       |  SELECT v.piece, greatest(COALESCE(u.usage, 0), 1) AS cnt,
+       |    len(v.piece) = 1 AS is_char
+       |  FROM $vocabTbl v LEFT JOIN u$pfx u USING (piece)
+       |  WHERE COALESCE(u.usage, 0) > 0 OR len(v.piece) = 1),
+       |c$pfx AS (
+       |  SELECT piece, cnt, is_char FROM k$pfx
+       |  QUALIFY is_char OR row_number() OVER (PARTITION BY is_char
+       |    ORDER BY cnt DESC, piece)
+       |    <= greatest($UnigramBudget -
+       |      (SELECT count(*) FROM k$pfx WHERE is_char), 0)),
+       |$nextVocab AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) -
+       |    (SELECT CAST(floor(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000)
+       |            AS BIGINT) FROM c$pfx) AS score,
+       |    is_char
+       |  FROM c$pfx)""".stripMargin
+
+  val unigramBudgetSql: String =
+    s"""WITH $unigramBaseCtes,
+       |$unigramDpCtes,
+       |${unigramBudgetRound("segres", "vocab", "bvocab2", "b1")},
+       |${unigramDp("bvocab2", "f", "bsegres2")},
+       |${unigramBudgetRound("bsegres2", "bvocab2", "bvocab3", "b2")}
+       |SELECT piece, cnt, score, is_char FROM bvocab3""".stripMargin
 
   // ------------------------------------------ exact-integer PCA lane
   // Similarity.pcaTopComponent / pcaProject gated end to end: six
@@ -9197,6 +9430,7 @@ object TrainingData {
     "x_multimodal_decode" -> (multimodalDecodeQ _),
     "x_multimodal_tiff" -> (multimodalTiffQ _),
     "x_multimodal_exif" -> (multimodalExifQ _),
+    "x_multimodal_gps" -> (multimodalGpsQ _),
     "x_resize_real" -> (resizeRealQ _),
     "x_ann_lsh" -> (annLshQ _),
     "x_asof_join" -> (asOfJoinQ _),
@@ -9222,6 +9456,9 @@ object TrainingData {
     "x_unigram_em" -> (unigramEmQ _),
     "x_unigram_fertility" -> (unigramFertilityQ _),
     "x_unigram_prune" -> (unigramPruneQ _),
+    "x_unigram_oov" -> (unigramOovQ _),
+    "x_unigram_oov_usage" -> (unigramOovUsageQ _),
+    "x_unigram_budget" -> (unigramBudgetQ _),
     "x_pca_project" -> (pcaProjectQ _),
     "x_pca_residual" -> (pcaResidualQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
@@ -9398,6 +9635,7 @@ object TrainingData {
     "x_multimodal_decode" -> multimodalDecodeSql,
     "x_multimodal_tiff" -> multimodalTiffSql,
     "x_multimodal_exif" -> multimodalExifSql,
+    "x_multimodal_gps" -> multimodalGpsSql,
     "x_resize_real" -> resizeRealSql,
     "x_ann_lsh" -> annLshSql,
     "x_asof_join" -> asOfJoinSql,
@@ -9423,6 +9661,9 @@ object TrainingData {
     "x_unigram_em" -> unigramEmSql,
     "x_unigram_fertility" -> unigramFertilitySql,
     "x_unigram_prune" -> unigramPruneSql,
+    "x_unigram_oov" -> unigramOovSql,
+    "x_unigram_oov_usage" -> unigramOovUsageSql,
+    "x_unigram_budget" -> unigramBudgetSql,
     "x_pca_project" -> pcaProjectSql,
     "x_pca_residual" -> pcaResidualSql,
     "x_tok_fertility" -> tokFertilitySql,

@@ -435,8 +435,10 @@ class MultimodalSpec extends SparkSpec {
       val b = Multimodal.syntheticExifJpeg(5, 4, 77L, 6,
         "2026:03:09 14:07:21", big)
       Multimodal.exifMeta(b) match {
-        case Multimodal.ExifFound(o, dt, be) =>
+        case Multimodal.ExifFound(o, dt, be, lat, lon) =>
           assert(o.contains(6L), s"orientation (big=$big)")
+          assert(lat.isEmpty && lon.isEmpty,
+            "no GPS IFD was planted: coordinates must stay None")
           assert(dt.contains("2026:03:09 14:07:21"), s"datetime (big=$big)")
           assert(be == big, "parsed byte order must match the written one")
         case v => fail(s"expected ExifFound, got $v (big=$big)")
@@ -457,7 +459,7 @@ class MultimodalSpec extends SparkSpec {
     // the JDK's own TIFF writer: 12 baseline tags, MM order, no
     // 0x0112/0x0132 — the walker must skip unknown tags, not choke
     Multimodal.exifMeta(Multimodal.syntheticImage(8, 5, 21L, "tiff")) match {
-      case Multimodal.ExifFound(o, dt, be) =>
+      case Multimodal.ExifFound(o, dt, be, _, _) =>
         assert(o.isEmpty && dt.isEmpty && be,
           "foreign baseline IFD: present, no orientation/datetime, MM")
       case v => fail(s"expected ExifFound on a real TIFF IFD, got $v")
@@ -477,10 +479,50 @@ class MultimodalSpec extends SparkSpec {
     val padded = Array[Byte](b(0), b(1), 0xFF.toByte, 0xFF.toByte) ++
       b.drop(2)
     Multimodal.exifMeta(padded) match {
-      case Multimodal.ExifFound(o, dt, _) =>
+      case Multimodal.ExifFound(o, dt, _, _, _) =>
         assert(o.contains(7L) && dt.contains("2026:02:02 02:02:02"))
       case v => fail(s"padded APP1 must still parse, got $v")
     }
+  }
+
+  test("EXIF GPS: planted sub-IFD round-trips in both byte orders as " +
+    "exact signed micro-degrees; corrupt GPS quarantines") {
+    for (big <- Seq(false, true)) {
+      // 37°48'14.04"N, 122°25'9.96"W — seconds as 1404/100, 996/100
+      val b = Multimodal.syntheticExifGpsJpeg(3, 3, 9L, 1,
+        "2026:01:02 03:04:05", big,
+        37, 48, 1404, 100, north = true,
+        122, 25, 996, 100, east = false)
+      Multimodal.exifMeta(b) match {
+        case Multimodal.ExifFound(o, dt, be, lat, lon) =>
+          assert(o.contains(1L) && dt.contains("2026:01:02 03:04:05") &&
+            be == big)
+          // 37·10⁶ + 48·10⁶ div 60 + 1404·10⁶ div 360000
+          assert(lat.contains(37000000L + 800000L + 3900L),
+            s"lat (big=$big): $lat")
+          // −(122·10⁶ + 25·10⁶ div 60 + 996·10⁶ div 360000); the
+          // minute term truncates: 25000000 div 60 = 416666
+          assert(lon.contains(-(122000000L + 416666L + 2766L)),
+            s"lon (big=$big): $lon")
+        case v => fail(s"expected ExifFound with GPS, got $v (big=$big)")
+      }
+      // GPS APP1 must not break the image either
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))
+      assert(img != null && img.getWidth == 3 && img.getHeight == 3)
+    }
+    // GPSInfo pointer past the payload: CORRUPT, never a silent pass —
+    // location is the one field a privacy gate must not lose
+    assert(Multimodal.exifMeta(Multimodal.syntheticExifGpsJpeg(
+      3, 3, 9L, 1, "2026:01:02 03:04:05", bigEndian = false,
+      37, 48, 1404, 100, north = true,
+      122, 25, 996, 100, east = false,
+      corruptGps = true)) == Multimodal.ExifCorrupt)
+    // zero denominator in a rational: CORRUPT
+    assert(Multimodal.exifMeta(Multimodal.syntheticExifGpsJpeg(
+      3, 3, 9L, 1, "2026:01:02 03:04:05", bigEndian = false,
+      37, 48, 1404, 0, north = true,
+      122, 25, 996, 100, east = false)) == Multimodal.ExifCorrupt)
   }
 
   test("extractExif: partition-wise trichotomy over mixed media") {

@@ -69,11 +69,95 @@ class UnigramSpec extends SparkSpec {
     assert(segOf("abab", v).contains("ab" + Unigram.Sep + "ab"))
   }
 
-  test("a word with an out-of-vocabulary character segments to null; " +
-    "empty input is empty") {
-    val v = Seq(("a", -5L), ("b", -5L))
-    assert(segOf("axb", v).isEmpty, "OOV char must yield null")
+  test("an out-of-vocabulary character takes the char fallback (one " +
+    "floor-scored piece), never nulling the word; empty input is empty") {
+    val v = Seq(("a", -5L), ("b", -5L), ("ab", -8L))
+    // 'x' is OOV: it becomes its own piece; the in-vocab neighbors
+    // still segment optimally around it ("ab" beats "a"+"b")
+    assert(segOf("abxab", v).contains(
+      "ab" + Unigram.Sep + "x" + Unigram.Sep + "ab"))
+    // an all-OOV word is per-char fallback pieces
+    assert(segOf("xy", v).contains("x" + Unigram.Sep + "y"))
     assert(segOf("", v).contains(""))
+  }
+
+  test("the fallback never fires for an in-vocab character: a real " +
+    "cover strictly dominates any fallback-using path") {
+    // 'b' is in vocab at the worst realistic score; the fallback floor
+    // is far below it, so 'ab' must use the real pieces
+    val v = Seq(("a", -20000000L), ("b", -20000000L))
+    assert(segOf("ab", v).contains("a" + Unigram.Sep + "b"))
+  }
+
+  test("multi-byte text segments correctly (char→byte offset table): " +
+    "pieces slice on CHAR boundaries, fallback included") {
+    // 'é' (2 bytes) and '語' (3 bytes) mixed with ASCII; vocab holds
+    // the multi-byte chars and a multi-byte bigram
+    val v = Seq(("é", -5L), ("語", -6L), ("aé", -8L), ("a", -5L))
+    assert(segOf("aé語", v).contains(
+      "aé" + Unigram.Sep + "語"))
+    // OOV multi-byte char ('ü') falls back as ONE char piece
+    assert(segOf("aüa", v).contains(
+      "a" + Unigram.Sep + "ü" + Unigram.Sep + "a"))
+  }
+
+  test("usageReport folds fallback pieces into one explicit <unk> row " +
+    "(cnt 0, summed usage, kept=false); absent when nothing fell back") {
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val vdf = Unigram.trainVocab(docs, "text", topMulti = 8,
+      maxWordLen = 20)
+    val vocab = vdf.orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    // apply to NEW text with planted OOV chars: 'ö' twice, weighted by
+    // word frequency (cnt 3 and 1)
+    val applyWords = Seq(("öat", 3L), ("cöö", 1L), ("cat", 2L))
+      .toDF("w", "cnt")
+    val rep = Unigram.usageReport(
+      Unigram.segmentWords(applyWords, vocab), vdf)
+    val unk = rep.where(col("piece") === "<unk>").collect()
+    assert(unk.length == 1, "exactly one <unk> accounting row")
+    // 'öat' (cnt 3) has one ö; 'cöö' (cnt 1) has two → usage 3·1+1·2=5
+    assert(unk.head.getLong(1) == 0L && unk.head.getLong(2) == 5L &&
+      !unk.head.getBoolean(3))
+    // training-corpus report: no fallback → no <unk> row (existing
+    // lanes' hashes unchanged)
+    val clean = Unigram.usageReport(
+      Unigram.segmentWords(Unigram.wordCounts(docs, "text", 20), vocab),
+      vdf)
+    assert(clean.where(col("piece") === "<unk>").count() == 0)
+  }
+
+  test("trainToBudget: |V| shrinks monotonically to max(budget, " +
+    "n_chars), chars never cut, and the final vocab still covers") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat ran"),
+      (3L, "the the the mat mat")).toDF("doc_id", "text")
+    val v0 = Unigram.trainVocab(docs, "text", topMulti = 16,
+      maxWordLen = 20)
+    val words = Unigram.wordCounts(docs, "text", 20)
+    val nChars = v0.where(col("is_char")).count()
+    val budget = (nChars + 2).toInt // forces a real multi-char cut
+    val sizes = (1 to 3).scanLeft(v0) { (v, _) =>
+      val vocab = v.orderBy(col("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+      Unigram.rescoreToBudget(
+        Unigram.usageReport(Unigram.segmentWords(words, vocab), v),
+        budget)
+    }.map(_.collect())
+    val counts = sizes.map(_.length.toLong)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"vocab must shrink monotonically, got $counts")
+    assert(counts.last <= math.max(budget.toLong, nChars))
+    // coverage floor: every char of v0 survives every round
+    val chars0 = sizes.head.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    val charsN = sizes.last.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    assert(chars0 == charsN, "single characters must never be cut")
+    // and trainToBudget(rounds=2) equals two manual rounds
+    val two = Unigram.trainToBudget(words, v0, budget, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(two == sizes(2)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
   test("train + segment + usage over a corpus: chars always kept, " +
@@ -141,12 +225,15 @@ class UnigramSpec extends SparkSpec {
       Seq((1L, "aa ab ba")).toDF("doc_id", "text"), "text", 20)
     val seg = Unigram.segmentWords(words,
       Seq(("a", -5L), ("b", -6L), ("ab", -8L), ("aa", -7L), ("ba", -9L)))
-    assert(seg.count() == 3)
-    // drive execution first: AQE finalizes (and codegens) the plan
-    // only once it runs; the `*(n)` prefix marks whole-stage-codegen'd
-    // operators (the PlanSpec idiom), and the segmentation lives in
-    // the final Project
-    seg.collect()
+    // codegen.fallback=false makes a janino compile failure THROW
+    // instead of silently demoting to interpreted execution — the plan
+    // string keeps its `*(n)` markers either way, so the marker check
+    // alone cannot catch it (the r10 finding: a reference-object cast
+    // to a class under the `native` package is illegal Java, and every
+    // segmentation stage was quietly interpreted)
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      assert(seg.collect().length == 3)
+    }
     val plan = seg.queryExecution.executedPlan.toString
     assert(plan.contains("*(2) Project"), s"project not codegen'd:\n$plan")
   }

@@ -98,8 +98,33 @@ object GraftExtensions {
       es => DeflateRatioExpr(es.head)),
     (NativeFns.HilbertName,
       "graft_hilbert(x, y, bits) - Hilbert curve index of a 2-D point",
-      es => HilbertIndexExpr(es(0), es(1),
-        es(2).eval().asInstanceOf[Int])),
+      es => {
+        // bits is baked into the generated loop, so it must be a
+        // foldable literal — validated HERE as an AnalysisException
+        // (arity, foldability, numeric type), not a ClassCastException
+        // or IndexOutOfBounds at analysis (ADVICE r9)
+        if (es.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              s"graft_hilbert expects (x, y, bits), got ${es.length} arguments"))
+        if (!es(2).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              "graft_hilbert bits must be a literal (foldable) integer"))
+        val bits = es(2).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte => b.intValue()
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              s"graft_hilbert bits must be integral, got $other"))
+        }
+        HilbertIndexExpr(es(0), es(1), bits)
+      }),
     (NativeFns.UnigramSegmentName,
       "graft_unigram_segment(word, pieces, scores) - Viterbi unigram-LM " +
         "segmentation under a literal vocabulary",

@@ -251,6 +251,23 @@ object Jobs {
     ()
   }
 
+  /** lineitem laid out on the HILBERT curve of (l_partkey, l_suppkey)
+    * — the 2-D box-scan layout with the measured fewer-ranges
+    * advantage over z-order (HilbertSpec: every curve step is a
+    * 4-neighbor move, so per-file min/max stats skip more files for
+    * the same box; p_hilbert_scan gates the index arithmetic). This
+    * job makes that layout reachable from the CLI surface beside the
+    * 1-D range clustering of [[clusterLineitemJob]]. */
+  private def clusterLineitemHilbertJob(spark: SparkSession,
+                                        sfDir: String,
+                                        outDir: String): Unit = {
+    graft.ops.Hilbert.writeHilbertOrdered(
+      Tables.load(spark, sfDir, "lineitem"),
+      s"$outDir/lineitem_hilbert", "l_partkey", "l_suppkey",
+      partitions = 32)
+    ()
+  }
+
   /** Master-data cleanup: the dirtied customer master resolved end to
     * end — blocked linkage, entity clusters, golden-record survivorship
     * — written as the links table plus the merged master. Delegates to
@@ -803,14 +820,27 @@ object Jobs {
       k = 5, threshold = 0.5)
     val marker = new org.apache.hadoop.fs.Path(ranksPath, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ranks =
-      if (!fs.exists(marker))
-        graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b",
-          iters = 10)
-      else
-        graft.operators.Graph.pageRankWarm(pairs, "doc_a", "doc_b",
-          spark.read.parquet(ranksPath), "node", "rank", iters = 3)
-    ranks.write.mode("overwrite").parquet(ranksPath)
+    if (!fs.exists(marker))
+      graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b",
+        iters = 10)
+        .write.mode("overwrite").parquet(ranksPath)
+    else {
+      // warm path emits the STALENESS WITNESS beside the ranks: the
+      // final round carries the previous rank (zero extra shuffle), so
+      // the max round-over-round movement — whether 3 rounds sufficed
+      // for this delta — is one ungrouped max. A non-converged refresh
+      // is visible in pagerank_witness instead of shipping silently.
+      val r = graft.operators.Graph.pageRankWarmM(pairs, "doc_a",
+        "doc_b", spark.read.parquet(ranksPath), "node", "rank",
+        iters = 3, keepPrevRank = true).df
+      r.agg(max(abs(col("rank") - col("prev_rank")))
+          .as("max_delta_micro"))
+        .select(col("max_delta_micro"),
+          (col("max_delta_micro") <= 1000L).as("converged"))
+        .write.mode("overwrite").parquet(s"$outDir/pagerank_witness")
+      r.select(col("node"), col("rank"))
+        .write.mode("overwrite").parquet(ranksPath)
+    }
   }
 
   /** EXIF capture-metadata pass over the corpus's media column — the
@@ -917,7 +947,8 @@ object Jobs {
     "curate_stream" -> (curateStreamJob _),
     "chunk_corpus" -> (chunkCorpusJob _),
     "export_shards" -> (exportShardsJob _),
-    "cluster_lineitem" -> (clusterLineitemJob _))
+    "cluster_lineitem" -> (clusterLineitemJob _),
+    "cluster_lineitem_hilbert" -> (clusterLineitemHilbertJob _))
 }
 
 object JobRunner {

@@ -894,6 +894,11 @@ object Multimodal {
       val marker = bytes(off + 1) & 0xFF
       if (marker == 0xFF) { // 0xFF fill bytes may pad before a marker
         off += 1
+      } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        // STANDALONE markers (TEM, RST0-7) carry no length field —
+        // reading one as a segment would mis-walk every marker after
+        // it (EXIF misreported absent on real-world payloads)
+        off += 2
       } else {
       if (marker == 0xD9 || marker == 0xDA) return ExifAbsent // SOS/EOI
       val len = be16(off + 2)

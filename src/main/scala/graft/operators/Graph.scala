@@ -649,7 +649,8 @@ object Graph {
                       graft.ops.MatStrategy.Local,
                     mat: graft.ops.MatStrategy =
                       graft.ops.MatStrategy.Default,
-                    matEvery: Int = 2): graft.ops.Materialized = {
+                    matEvery: Int = 2,
+                    keepPrevRank: Boolean = false): graft.ops.Materialized = {
     import graft.ops.Materialize
     require(mat != graft.ops.MatStrategy.PassThrough,
       "mat must be an eager strategy: the iterative round state this " +
@@ -691,10 +692,23 @@ object Graph {
           .join(ranks.withColumnRenamed("v", "src"), "src")
           .select(col("dst").as("v"), expr("r div d").as("c"))
           .groupBy("v").agg(sum(col("c")).as("s"))
-        val nextDf = nodes.join(contrib, Seq("v"), "left")
-          .select(col("v"),
-            (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
-              .as("r"))
+        // keepPrevRank: the LAST round's seed join reads the previous
+        // ranks instead of the bare node set (same rows — every round
+        // is node-complete), so the penultimate rank rides into the
+        // output as a column with ZERO extra shuffle — the staleness
+        // witness (round-over-round delta) costs nothing
+        val nextDf =
+          if (keepPrevRank && i == iters)
+            ranks.select(col("v"), col("r").as("__pr"))
+              .join(contrib, Seq("v"), "left")
+              .select(col("v"),
+                (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
+                  .as("r"),
+                col("__pr"))
+          else nodes.join(contrib, Seq("v"), "left")
+            .select(col("v"),
+              (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
+                .as("r"))
         if (i % matEvery == 0 || i == iters) {
           val next = Materialize(nextDf, roundMat)
           freeRanks()
@@ -702,8 +716,12 @@ object Graph {
           freeRanks = next.release
         } else ranks = nextDf
       }
-      val out = Materialize(
-        ranks.select(col("v").as("node"), col("r").as("rank")), mat)
+      val outCols =
+        if (keepPrevRank)
+          Seq(col("v").as("node"), col("r").as("rank"),
+            col("__pr").as("prev_rank"))
+        else Seq(col("v").as("node"), col("r").as("rank"))
+      val out = Materialize(ranks.select(outCols: _*), mat)
       freeRanks()
       out
     } finally {
@@ -720,6 +738,35 @@ object Graph {
                    prev: DataFrame, nodeCol: String, rankCol: String,
                    iters: Int = 3): DataFrame =
     pageRankWarmM(edges, aCol, bCol, prev, nodeCol, rankCol, iters).df
+
+  /** STALENESS WITNESS of a warm refresh — the x_ktruss_witness device
+    * applied to the fixed-point family: one row
+    * `(max_delta_micro, converged)` where max_delta_micro is the
+    * largest round-over-round rank movement |r_iters − r_{iters−1}|
+    * across all nodes and converged = (max_delta_micro ≤ tolMicro).
+    * x_pagerank_incr proves the warm rounds reproduce the spec'd fixed
+    * point; THIS tells `refresh_pagerank` whether `iters` rounds
+    * actually sufficed for a given edge delta — a too-stale warm start
+    * (deep delta, too few rounds) fails loudly instead of shipping
+    * half-refreshed ranks. Exact integers end to end, so a SQL oracle
+    * replays the flag bit-for-bit.
+    *
+    * Cost: the refresh itself — the final round carries the previous
+    * rank as a column (zero extra shuffle), and the witness is one
+    * ungrouped max over the output.
+    */
+  def pageRankWarmWitness(edges: DataFrame, aCol: String, bCol: String,
+                          prev: DataFrame, nodeCol: String,
+                          rankCol: String, iters: Int = 3,
+                          tolMicro: Long = 1000L): DataFrame = {
+    require(tolMicro >= 0, s"tolMicro must be >= 0, got $tolMicro")
+    pageRankWarmM(edges, aCol, bCol, prev, nodeCol, rankCol, iters,
+        keepPrevRank = true).df
+      .agg(max(abs(col("rank") - col("prev_rank")))
+        .as("max_delta_micro"))
+      .select(col("max_delta_micro"),
+        (col("max_delta_micro") <= tolMicro).as("converged"))
+  }
 
   /** Personalized (topic-sensitive) PageRank — Haveliwala, WWW 2002 —
     * in the same exact-integer lanes as [[pageRankM]]: the restart

@@ -2365,7 +2365,10 @@ object TrainingData {
   // cold rounds from uniform. Every lane is the same exact integer
   // arithmetic, so the oracle unrolls 10 cold + 3 warm rounds and must
   // match bit-for-bit; new-in-delta nodes seed at the uniform 1000000.
-  def pageRankIncrQ(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared warm-refresh fixture: (new edge set, stored old ranks) —
+    * 10 cold rounds over the near-dup graph, bridge-edge delta. */
+  private def pageRankWarmInputs(spark: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
     val oldPairs = Dedup.nearDupPairsFromSigs(spark,
       sigTableFor(spark, dir, "neardup", nearDupCorpus(spark, dir)),
       threshold = 0.5)
@@ -2376,11 +2379,31 @@ object TrainingData {
         (col("doc_id") + 1000001L).as("doc_b")))
     val oldRanks = graft.operators.Graph.pageRank(
       oldPairs, "doc_a", "doc_b", iters = 10)
-    graft.operators.Graph.pageRankWarm(
-      oldPairs.select(col("doc_a"), col("doc_b")).union(bridges),
-      "doc_a", "doc_b", oldRanks, "node", "rank", iters = 3)
+    (oldPairs.select(col("doc_a"), col("doc_b")).union(bridges),
+      oldRanks)
   }
-  val pageRankIncrSql: String = {
+
+  def pageRankIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val (newEdges, oldRanks) = pageRankWarmInputs(spark, dir)
+    graft.operators.Graph.pageRankWarm(
+      newEdges, "doc_a", "doc_b", oldRanks, "node", "rank", iters = 3)
+  }
+
+  // --------------------------- warm-refresh staleness witness (r10)
+  // Graph.pageRankWarmWitness over the SAME fixture: the largest
+  // round-over-round rank movement between warm rounds 2 and 3, and
+  // whether it clears the 1000-micro tolerance — the flag that tells
+  // refresh_pagerank when 3 rounds did NOT suffice for a delta. The
+  // oracle reuses the 10-cold + 3-warm unroll and diffs the last two
+  // warm levels; exact integers make the boolean engine-identical.
+  def pageRankWitnessQ(spark: SparkSession, dir: String): DataFrame = {
+    val (newEdges, oldRanks) = pageRankWarmInputs(spark, dir)
+    graft.operators.Graph.pageRankWarmWitness(
+      newEdges, "doc_a", "doc_b", oldRanks, "node", "rank",
+      iters = 3, tolMicro = 1000L)
+  }
+
+  private val pageRankIncrCtes: String = {
     def rounds(tbl: String, prefix: String, n: Int, from: String) =
       (1 to n).map { i =>
         val p = if (i == 1) from else s"$prefix${i - 1}"
@@ -2394,7 +2417,7 @@ object TrainingData {
            |    JOIN ${tbl}_e e ON e.src = p.v
            |    GROUP BY 1) s ON s.v = n.v)""".stripMargin
       }.mkString(",\n")
-    s"""WITH ${minhashCtesOver(nearDupCorpusSql)},
+    s"""${minhashCtesOver(nearDupCorpusSql)},
        |ce AS (
        |  SELECT DISTINCT least(doc_a, doc_b) AS a,
        |         greatest(doc_a, doc_b) AS b
@@ -2423,9 +2446,16 @@ object TrainingData {
        |warm0 AS (
        |  SELECT n.v, COALESCE(c.r, CAST(1000000 AS BIGINT)) AS r
        |  FROM new_nodes n LEFT JOIN cold10 c ON c.v = n.v),
-       |${rounds("new", "warm", 3, "warm0")}
-       |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM warm3""".stripMargin
+       |${rounds("new", "warm", 3, "warm0")}""".stripMargin
   }
+  val pageRankIncrSql: String =
+    s"""WITH $pageRankIncrCtes
+       |SELECT v AS node, CAST(r AS BIGINT) AS rank FROM warm3""".stripMargin
+  val pageRankWitnessSql: String =
+    s"""WITH $pageRankIncrCtes
+       |SELECT CAST(max(abs(a.r - b.r)) AS BIGINT) AS max_delta_micro,
+       |  max(abs(a.r - b.r)) <= 1000 AS converged
+       |FROM warm3 a JOIN warm2 b ON a.v = b.v""".stripMargin
 
   // ---------------------------------- personalized PageRank (leakage)
   // Contamination-risk diffusion: benchmark stand-in docs (orig id
@@ -7055,7 +7085,10 @@ object TrainingData {
   // canonicalized on its leading nonzero component. The oracle unrolls
   // all six rounds (mean, per-vector scalar, per-dim sums, ÷N, rescale
   // to max |comp| = 2²⁰, sign flip) and the per-vector projection must
-  // match bit-for-bit.
+  // match bit-for-bit — INCLUDING the degenerate s = 0 round (all
+  // vectors equal the mean): both engines then keep the previous
+  // direction unflipped (the Scala guard mirrored as the CASE's first
+  // branch), so bit-exactness is universal, not fixture-conditional.
   def pcaProjectQ(spark: SparkSession, dir: String): DataFrame = {
     val q = Similarity.pcaQuantized(
       Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
@@ -7091,12 +7124,13 @@ object TrainingData {
          |  FROM w$r),
          |s$r AS (SELECT max(abs(wn)) AS s FROM wn$r),
          |vr$r AS (
-         |  SELECT i, CASE WHEN wn < 0
-         |    THEN -((-wn) * 1048576 // (SELECT s FROM s$r))
+         |  SELECT w.i, CASE
+         |    WHEN (SELECT s FROM s$r) = 0 THEN p.x
+         |    WHEN wn < 0 THEN -((-wn) * 1048576 // (SELECT s FROM s$r))
          |    ELSE wn * 1048576 // (SELECT s FROM s$r) END AS x
-         |  FROM wn$r),
+         |  FROM wn$r w JOIN $pv p USING (i)),
          |flip$r AS (
-         |  SELECT x < 0 AS f FROM vr$r
+         |  SELECT (SELECT s FROM s$r) != 0 AND x < 0 AS f FROM vr$r
          |  WHERE i = (SELECT min(i) FROM vr$r WHERE x != 0)),
          |v$r AS MATERIALIZED (
          |  SELECT i,
@@ -9525,6 +9559,7 @@ object TrainingData {
     "x_sparse_sim" -> (sparseSimQ _),
     "x_pagerank" -> (pageRankQ _),
     "x_pagerank_incr" -> (pageRankIncrQ _),
+    "x_pagerank_witness" -> (pageRankWitnessQ _),
     "x_ppr_leakage" -> (pprLeakageQ _),
     "x_hits" -> (hitsQ _),
     "x_kcore" -> (kcoreQ _),
@@ -9734,6 +9769,7 @@ object TrainingData {
     "x_sparse_sim" -> sparseSimSql,
     "x_pagerank" -> pageRankSql,
     "x_pagerank_incr" -> pageRankIncrSql,
+    "x_pagerank_witness" -> pageRankWitnessSql,
     "x_ppr_leakage" -> pprLeakageSql,
     "x_hits" -> hitsSql,
     "x_kcore" -> kcoreSql,

@@ -39,6 +39,27 @@ class ExtensionsSpec extends AnyFunSuite {
       // the usage doc must reach the catalog metadata (a swapped
       // ExpressionInfo ctor would put the name there instead)
       assert(desc.contains("double-array dot product"), desc)
+      // graft_hilbert argument validation (ADVICE r9): BIGINT literal
+      // bits works (numeric match, not asInstanceOf[Int]); wrong arity
+      // and a non-foldable bits fail as ANALYSIS errors with the
+      // function's own message, not a ClassCast/IndexOutOfBounds
+      val h = spark.sql(
+        "SELECT graft_hilbert(3L, 5L, CAST(8 AS BIGINT)) AS h")
+        .collect().head.getLong(0)
+      assert(h == spark.sql("SELECT graft_hilbert(3L, 5L, 8) AS h")
+        .collect().head.getLong(0))
+      // the registry may wrap the builder's AnalysisException — what
+      // matters is that the function's own message reaches the user at
+      // ANALYSIS time, not a ClassCast/IndexOutOfBounds at runtime
+      def analysisMessage(sql: String): String = {
+        val e = intercept[Exception] { spark.sql(sql).collect() }
+        Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      }
+      assert(analysisMessage("SELECT graft_hilbert(3L, 5L)")
+        .contains("got 2 arguments"))
+      assert(analysisMessage("SELECT graft_hilbert(3L, 5L, " +
+        "CAST(id AS INT)) FROM range(1)").contains("foldable"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

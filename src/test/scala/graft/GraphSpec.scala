@@ -68,6 +68,43 @@ class GraphSpec extends SparkSpec {
         s"(${dist(cold2)}) toward the 12-round fixed point")
   }
 
+  test("pageRankWarmWitness equals the manual diff of the last two " +
+    "warm rounds, and a deep delta with too few rounds is NOT converged") {
+    val old = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_custkey % 61 AS a", "o_orderkey % 53 AS b")
+      .where($"a" =!= $"b")
+    // DEEP delta: a new hub wired into many nodes shifts rank mass far
+    // from the stored fixed point — one warm round cannot settle it
+    val hub = (0L until 40L).map(i => (1000L, i)).toDF("a", "b")
+    val all = old.union(hub)
+    val stored = Graph.pageRank(old, "a", "b", iters = 10)
+    // manual: |warm2 - warm1| max over nodes
+    def ranks(it: Int) = Graph.pageRankWarm(all, "a", "b", stored,
+      "node", "rank", iters = it)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r1 = ranks(1); val r2 = ranks(2)
+    val manual = r2.map { case (n, r) => math.abs(r - r1(n)) }.max
+    val w = Graph.pageRankWarmWitness(all, "a", "b", stored, "node",
+      "rank", iters = 2, tolMicro = 50L).collect().head
+    assert(w.getLong(0) == manual,
+      s"witness delta ${w.getLong(0)} != manual $manual")
+    assert(!w.getBoolean(1),
+      s"deep delta at 2 rounds must NOT read converged (delta $manual)")
+    // a generous tolerance reads converged — the flag is the
+    // comparison, engine-exact either way
+    val ok = Graph.pageRankWarmWitness(all, "a", "b", stored, "node",
+      "rank", iters = 2, tolMicro = Long.MaxValue).collect().head
+    assert(ok.getBoolean(1))
+    // and with enough warm rounds the SAME delta settles under a real
+    // tolerance: the witness is what tells a refresh its round count
+    // sufficed
+    val settled = Graph.pageRankWarmWitness(all, "a", "b", stored,
+      "node", "rank", iters = 12, tolMicro = manual)
+      .collect().head
+    assert(settled.getLong(0) < manual,
+      "more rounds must shrink the round-over-round movement")
+  }
+
   test("pageRank is bit-identical under repartitioning (integer lanes)") {
     val e = Tables.load(spark, sf0001, "orders")
       .selectExpr("o_custkey % 97 AS a", "o_orderkey % 89 AS b")

@@ -169,5 +169,33 @@ class JobsSpec extends SparkSpec {
     assert(warm.keySet == cold.keySet)
     assert(warm.values.exists(_ != 1000000L),
       "warm refresh must start from stored ranks, not the uniform seed")
+    // the warm path emits its staleness witness: one row naming the
+    // max round-over-round movement and whether 3 rounds sufficed
+    val w = spark.read.parquet(s"$out/pagerank_witness").collect()
+    assert(w.length == 1 && w.head.getLong(0) >= 0L)
+  }
+
+  test("cluster_lineitem_hilbert lays files out in disjoint h-ranges " +
+    "and a box scan over them equals the unclustered answer") {
+    val out = Files.createTempDirectory("graft_hilbert_job").toString
+    Jobs.all("cluster_lineitem_hilbert")(spark, sf0001, out)
+    val path = s"$out/lineitem_hilbert"
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length > 1)
+    // the ClusteredWriteSpec device: pairwise-disjoint cluster-key
+    // ranges per file — what makes min/max stats actually skip
+    val hRanges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("h"), max("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    hRanges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "h ranges overlap")
+      case _ =>
+    }
+    val box = col("l_partkey").between(100L, 150L) &&
+      col("l_suppkey").between(1L, 5L)
+    assert(spark.read.parquet(path).where(box).count() ==
+      Tables.load(spark, sf0001, "lineitem").where(box).count())
   }
 }

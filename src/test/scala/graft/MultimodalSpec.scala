@@ -483,6 +483,18 @@ class MultimodalSpec extends SparkSpec {
         assert(o.contains(7L) && dt.contains("2026:02:02 02:02:02"))
       case v => fail(s"padded APP1 must still parse, got $v")
     }
+    // STANDALONE markers (TEM 0x01, RST0-7) carry no length field: a
+    // walker that reads one as a segment mis-walks everything after it
+    val withTem = Array[Byte](b(0), b(1), 0xFF.toByte, 0x01.toByte) ++
+      b.drop(2)
+    val withRst = Array[Byte](b(0), b(1), 0xFF.toByte, 0xD3.toByte) ++
+      b.drop(2)
+    for ((p, tag) <- Seq((withTem, "TEM"), (withRst, "RST3")))
+      Multimodal.exifMeta(p) match {
+        case Multimodal.ExifFound(o, _, _, _, _) =>
+          assert(o.contains(7L), s"$tag: orientation lost")
+        case v => fail(s"APP1 after a standalone $tag must parse, got $v")
+      }
   }
 
   test("EXIF GPS: planted sub-IFD round-trips in both byte orders as " +

@@ -128,5 +128,16 @@ object GraftExtensions {
     (NativeFns.UnigramSegmentName,
       "graft_unigram_segment(word, pieces, scores) - Viterbi unigram-LM " +
         "segmentation under a literal vocabulary",
-      es => UnigramSegmentExpr(es(0), es(1), es(2))))
+      es => UnigramSegmentExpr(es(0), es(1), es(2))),
+    (NativeFns.AhoCountsName,
+      "graft_aho_counts(text, terms) - per-term Aho-Corasick occurrence " +
+        "counts under a literal dictionary",
+      es => {
+        if (es.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              s"graft_aho_counts expects (text, terms), got ${es.length} arguments"))
+        AhoCountsExpr(es(0), es(1))
+      }))
 }

@@ -95,6 +95,7 @@ object NativeFns {
   val DeflateRatioName = "graft_deflate_ratio"
   val HilbertName = "graft_hilbert"
   val UnigramSegmentName = "graft_unigram_segment"
+  val AhoCountsName = "graft_aho_counts"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -182,5 +183,14 @@ object NativeFns {
     import org.apache.spark.sql.functions.typedLit
     call_function(UnigramSegmentName, word,
       typedLit(pieces), typedLit(scores))
+  }
+
+  /** Per-term Aho–Corasick occurrence counts (`array<long>` indexed by
+    * the dictionary's declared order; overlapping + nested matches all
+    * count) under a LITERAL term dictionary — one text pass regardless
+    * of dictionary size; see [[AhoCountsExpr]]. */
+  def ahoCounts(text: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function(AhoCountsName, text, typedLit(terms))
   }
 }

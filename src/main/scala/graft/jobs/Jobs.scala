@@ -895,7 +895,42 @@ object Jobs {
     } finally { q.unpersist(false); () }
   }
 
+  /** Blocklist screen over documents: per-(doc, term) Aho–Corasick hit
+    * counts plus the per-doc policy verdict. Terms from
+    * GRAFT_BLOCK_TERMS (comma-separated), thresholds from
+    * GRAFT_BLOCK_REVIEW_AT / GRAFT_BLOCK_AT. One automaton pass per
+    * document, zero exchanges in both outputs. */
+  private def screenBlocklistJob(spark: SparkSession, sfDir: String,
+                                 outDir: String): Unit = {
+    val terms = sys.env.getOrElse("GRAFT_BLOCK_TERMS",
+      "merge,scan,batch stream").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val reviewAt = sys.env.getOrElse("GRAFT_BLOCK_REVIEW_AT", "12").toLong
+    val blockAt = sys.env.getOrElse("GRAFT_BLOCK_AT", "20").toLong
+    val d = Tables.load(spark, sfDir, "documents")
+    graft.operators.Blocklist.scanCounts(d, "text", "doc_id", terms)
+      .write.mode("overwrite").parquet(s"$outDir/blocklist_hits")
+    graft.operators.Blocklist
+      .policyReport(d, "text", "doc_id", terms, reviewAt, blockAt)
+      .write.mode("overwrite").parquet(s"$outDir/blocklist_verdicts")
+  }
+
+  /** Generation-eval overlap report: ROUGE-1/2 P/R/F1 + BLEU clip
+    * metrics between each document and its near-dup mutation (the
+    * corpus's natural paraphrase pair) — integer basis points. */
+  private def evalOverlapJob(spark: SparkSession, sfDir: String,
+                             outDir: String): Unit = {
+    val pairs = Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("substring(text, 11)").as("cand"),
+        org.apache.spark.sql.functions.col("text").as("ref"))
+    graft.operators.TextEval.rougeBleuReport(pairs, "doc_id", "cand", "ref")
+      .write.mode("overwrite").parquet(s"$outDir/overlap_report")
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "screen_blocklist" -> (screenBlocklistJob _),
+    "eval_overlap" -> (evalOverlapJob _),
     "train_tokenizer" -> (trainTokenizerJob _),
     "embed_pca" -> (embedPcaJob _),
     "refresh_pagerank" -> (refreshPagerankJob _),

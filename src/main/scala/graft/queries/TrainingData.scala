@@ -4864,6 +4864,126 @@ object TrainingData {
        |FROM f GROUP BY source""".stripMargin
   }
 
+  // ------------------------------------------- blocklist screening
+  // Aho–Corasick multi-term scan (Blocklist.scanCounts /
+  // Blocklist.policyReport): ONE pass per document regardless of
+  // dictionary size, every occurrence counted including overlapping
+  // and nested matches. The corpus carries no overlapping terms
+  // naturally, so a ' banana bananana' tail is planted (identically on
+  // both engines): terms 'ana' and 'nana' then overlap and nest —
+  // banana holds ana×2 + nana×1, bananana ana×3 + nana×2 — proving the
+  // output-link semantics, while 'merge' / 'scan' / 'batch stream'
+  // (a cross-word term) hit organically and 'qzx' never does. The
+  // oracle probes every position: cnt(t) = #{i : substr(text,i,|t|)=t},
+  // the definition the automaton implements. Both lanes are zero-
+  // exchange row-local projections (plan-asserted).
+  private[graft] val BlockTerms =
+    Seq("merge", "scan", "batch stream", "ana", "nana", "qzx")
+  private val blockTermsValuesSql = BlockTerms.zipWithIndex
+    .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+  private def blockPlanted = concat(col("text"), lit(" banana bananana"))
+  private val blockPlantedSql = "text || ' banana bananana'"
+
+  def blocklistScanQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocklist.scanCounts(
+      docs(spark, dir).select(col("doc_id"), blockPlanted.as("text")),
+      "text", "doc_id", BlockTerms)
+  val blocklistScanSql: String =
+    s"""WITH t(term_id, term) AS (VALUES $blockTermsValuesSql),
+       |c AS (SELECT doc_id, $blockPlantedSql AS text FROM documents),
+       |m AS (
+       |  SELECT c.doc_id, CAST(t.term_id AS BIGINT) AS term_id, t.term,
+       |    CAST(len(list_filter(range(1, len(c.text) - len(t.term) + 2),
+       |      i -> substr(c.text, CAST(i AS INT), len(t.term)) = t.term))
+       |      AS BIGINT) AS cnt
+       |  FROM c CROSS JOIN t)
+       |SELECT doc_id, term_id, term, cnt FROM m WHERE cnt > 0""".stripMargin
+
+  def blocklistPolicyQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocklist.policyReport(
+      docs(spark, dir).select(col("doc_id"), blockPlanted.as("text")),
+      "text", "doc_id", BlockTerms, reviewAt = 12L, blockAt = 20L)
+  val blocklistPolicySql: String =
+    s"""WITH t(term_id, term) AS (VALUES $blockTermsValuesSql),
+       |c AS (SELECT doc_id, $blockPlantedSql AS text FROM documents),
+       |m AS (
+       |  SELECT c.doc_id,
+       |    CAST(len(list_filter(range(1, len(c.text) - len(t.term) + 2),
+       |      i -> substr(c.text, CAST(i AS INT), len(t.term)) = t.term))
+       |      AS BIGINT) AS cnt
+       |  FROM c CROSS JOIN t)
+       |SELECT doc_id,
+       |  CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_terms,
+       |  CAST(sum(cnt) AS BIGINT) AS n_hits,
+       |  CASE WHEN sum(cnt) >= 20 THEN 'block'
+       |       WHEN sum(cnt) >= 12 THEN 'review'
+       |       ELSE 'pass' END AS verdict
+       |FROM m GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------- ROUGE / BLEU overlap
+  // Generation-eval metrics (TextEval.rougeBleuReport) in exact
+  // integer basis points: candidate = the near-dup mutation
+  // (substring(text, 11) — the corpus's natural paraphrase pair),
+  // reference = the original. ROUGE-n P/R/F1 for n=1,2 plus BLEU's
+  // brevity ratio and the squared BLEU-2 (p1·p2 — exact, radical-
+  // free). The clip Σ min(count_c, count_r) is relational (explode →
+  // count → join → sum-min), never a per-row O(|doc|²) HOF, and both
+  // engines tokenize with lower+trim+\s+ split.
+  def rougeBleuQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir).select(col("doc_id"),
+      expr("substring(text, 11)").as("cand"), col("text").as("ref"))
+    graft.operators.TextEval.rougeBleuReport(pairs, "doc_id", "cand", "ref")
+  }
+  val rougeBleuSql: String = {
+    def bigrams(t: String) =
+      s"""CASE WHEN len($t) < 2 THEN [] ELSE
+         |  list_transform(range(1, len($t)), i -> $t[i] || ' ' || $t[i+1])
+         |  END""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT doc_id, substr(text, 11) AS cand, text AS ref
+       |  FROM documents),
+       |tok AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(cand)), '\\s+') AS ct,
+       |  string_split_regex(lower(trim(ref)), '\\s+') AS rt FROM pairs),
+       |c1 AS (SELECT doc_id, g, count(*) AS cc
+       |  FROM (SELECT doc_id, unnest(ct) AS g FROM tok) GROUP BY 1, 2),
+       |r1 AS (SELECT doc_id, g, count(*) AS cr
+       |  FROM (SELECT doc_id, unnest(rt) AS g FROM tok) GROUP BY 1, 2),
+       |o1 AS (SELECT doc_id, sum(least(cc, cr)) AS clip1
+       |  FROM c1 JOIN r1 USING (doc_id, g) GROUP BY 1),
+       |c2 AS (SELECT doc_id, g, count(*) AS cc
+       |  FROM (SELECT doc_id, unnest(${bigrams("ct")}) AS g FROM tok)
+       |  GROUP BY 1, 2),
+       |r2 AS (SELECT doc_id, g, count(*) AS cr
+       |  FROM (SELECT doc_id, unnest(${bigrams("rt")}) AS g FROM tok)
+       |  GROUP BY 1, 2),
+       |o2 AS (SELECT doc_id, sum(least(cc, cr)) AS clip2
+       |  FROM c2 JOIN r2 USING (doc_id, g) GROUP BY 1),
+       |m AS (SELECT tok.doc_id,
+       |  coalesce(clip1, 0) AS clip1, coalesce(clip2, 0) AS clip2,
+       |  len(ct) AS nc1, len(rt) AS nr1,
+       |  greatest(len(ct) - 1, 0) AS nc2, greatest(len(rt) - 1, 0) AS nr2
+       |  FROM tok LEFT JOIN o1 USING (doc_id) LEFT JOIN o2 USING (doc_id)),
+       |b AS (SELECT doc_id,
+       |  clip1 * 10000 // greatest(nc1, 1) AS p1_bp,
+       |  clip1 * 10000 // greatest(nr1, 1) AS r1_bp,
+       |  clip2 * 10000 // greatest(nc2, 1) AS p2_bp,
+       |  clip2 * 10000 // greatest(nr2, 1) AS r2_bp,
+       |  nc1 * 10000 // greatest(nr1, 1) AS brevity_bp FROM m)
+       |SELECT doc_id,
+       |  CAST(p1_bp AS BIGINT) AS p1_bp, CAST(r1_bp AS BIGINT) AS r1_bp,
+       |  CAST(CASE WHEN p1_bp + r1_bp = 0 THEN 0
+       |       ELSE 2 * p1_bp * r1_bp // (p1_bp + r1_bp) END AS BIGINT)
+       |    AS f1_bp,
+       |  CAST(p2_bp AS BIGINT) AS p2_bp, CAST(r2_bp AS BIGINT) AS r2_bp,
+       |  CAST(CASE WHEN p2_bp + r2_bp = 0 THEN 0
+       |       ELSE 2 * p2_bp * r2_bp // (p2_bp + r2_bp) END AS BIGINT)
+       |    AS f2_bp,
+       |  CAST(brevity_bp AS BIGINT) AS brevity_bp,
+       |  CAST(p1_bp * p2_bp AS BIGINT) AS bleu2_sq_bp2
+       |FROM b""".stripMargin
+  }
+
   // ------------------------------------------- term co-occurrence lift
   // Lexical association over the top-50 vocabulary: for every token
   // pair co-occurring in ≥10 documents, observed-over-expected lift in
@@ -9497,6 +9617,9 @@ object TrainingData {
     "x_pca_residual" -> (pcaResidualQ _),
     "x_tok_fertility" -> (tokFertilityQ _),
     "x_pii_scrub" -> (piiScrubQ _),
+    "x_blocklist_scan" -> (blocklistScanQ _),
+    "x_blocklist_policy" -> (blocklistPolicyQ _),
+    "x_rouge_bleu" -> (rougeBleuQ _),
     "x_pii_summary" -> (piiSummaryQ _),
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
@@ -9703,6 +9826,9 @@ object TrainingData {
     "x_pca_residual" -> pcaResidualSql,
     "x_tok_fertility" -> tokFertilitySql,
     "x_pii_scrub" -> piiScrubSql,
+    "x_blocklist_scan" -> blocklistScanSql,
+    "x_blocklist_policy" -> blocklistPolicySql,
+    "x_rouge_bleu" -> rougeBleuSql,
     "x_pii_summary" -> piiSummarySql,
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,

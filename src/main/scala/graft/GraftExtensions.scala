@@ -139,5 +139,16 @@ object GraftExtensions {
             messageParameters = Map("errorMessage" ->
               s"graft_aho_counts expects (text, terms), got ${es.length} arguments"))
         AhoCountsExpr(es(0), es(1))
+      }),
+    (NativeFns.AhoScrubName,
+      "graft_aho_scrub(text, terms, repl) - leftmost-longest " +
+        "non-overlapping masking of a literal dictionary",
+      es => {
+        if (es.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              s"graft_aho_scrub expects (text, terms, repl), got ${es.length} arguments"))
+        AhoScrubExpr(es(0), es(1), es(2))
       }))
 }

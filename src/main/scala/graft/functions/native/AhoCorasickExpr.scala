@@ -61,6 +61,47 @@ final class AhoAutomaton private (
       i += 1
     }
   }
+
+  /** Greedy leftmost-longest NON-overlapping masking: every match is
+    * collected as a (start, end) span, spans sweep in (start asc,
+    * longest first) order, and a span is masked iff it starts at or
+    * after the previous mask's end — exactly the walk
+    * `regexp_replace(text, '(t_long|…|t_short)', repl, 'g')` performs
+    * with a length-descending alternation (match leftmost; among
+    * alternatives at one position take the first = longest; resume
+    * after the replacement). Returns (masked text, spans masked). */
+  def maskLeftmostLongest(text: String, termLens: Array[Int],
+                          repl: String): (String, Long) = {
+    val spans = mutable.ArrayBuffer.empty[(Int, Int)] // (start, end)
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      s = step(s, text.charAt(i))
+      val o = outs(s)
+      var j = 0
+      while (j < o.length) {
+        val len = termLens(o(j))
+        spans += ((i + 1 - len, i + 1))
+        j += 1
+      }
+      i += 1
+    }
+    if (spans.isEmpty) return (text, 0L)
+    val ordered = spans.sortBy { case (st, en) => (st, -(en - st)) }
+    val sb = new java.lang.StringBuilder(n)
+    var cursor = 0
+    var masked = 0L
+    ordered.foreach { case (st, en) =>
+      if (st >= cursor) {
+        sb.append(text, cursor, st).append(repl)
+        cursor = en
+        masked += 1L
+      }
+    }
+    sb.append(text, cursor, n)
+    (sb.toString, masked)
+  }
 }
 
 object AhoAutomaton {
@@ -172,4 +213,62 @@ case class AhoCountsExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_aho_scrub(text, terms, replacement)` — greedy
+  * leftmost-longest NON-overlapping masking of every dictionary term,
+  * the production scrub path beside [[AhoCountsExpr]]'s audit path.
+  * Semantics are exactly `regexp_replace(text, '(t₁|…|tₖ)', repl,
+  * 'g')` with the alternation sorted longest-first (the oracle's
+  * form) — but one automaton pass instead of the backtracking
+  * engine's O(text·k): at 100 TB a 10k-term scrub is only feasible
+  * this way. Dictionary and replacement are foldable literals.
+  */
+case class AhoScrubExpr(first: Expression, second: Expression,
+                        third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val typesOk = first.dataType == StringType &&
+      (second.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }) && third.dataType == StringType
+    if (!typesOk) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<string>, string), got " +
+        s"${first.dataType.simpleString} / ${second.dataType.simpleString}" +
+        s" / ${third.dataType.simpleString}")
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal (foldable) dictionary and " +
+          "replacement")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "graft_aho_scrub"
+
+  @transient private lazy val compiled
+      : (AhoAutomaton, Array[Int], String) = {
+    val arr = second.eval(null).asInstanceOf[ArrayData]
+    val terms = (0 until arr.numElements())
+      .map(i => arr.getUTF8String(i).toString)
+    (AhoAutomaton.build(terms), terms.map(_.length).toArray,
+      third.eval(null).asInstanceOf[UTF8String].toString)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) return null
+    val (automaton, lens, repl) = compiled
+    val (masked, _) = automaton
+      .maskLeftmostLongest(v.asInstanceOf[UTF8String].toString, lens, repl)
+    UTF8String.fromString(masked)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }

@@ -96,6 +96,7 @@ object NativeFns {
   val HilbertName = "graft_hilbert"
   val UnigramSegmentName = "graft_unigram_segment"
   val AhoCountsName = "graft_aho_counts"
+  val AhoScrubName = "graft_aho_scrub"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -192,5 +193,13 @@ object NativeFns {
   def ahoCounts(text: Column, terms: Seq[String]): Column = {
     import org.apache.spark.sql.functions.typedLit
     call_function(AhoCountsName, text, typedLit(terms))
+  }
+
+  /** Greedy leftmost-longest non-overlapping masking of every
+    * dictionary term (= regexp_replace with a longest-first
+    * alternation, at automaton cost); see [[AhoScrubExpr]]. */
+  def ahoScrub(text: Column, terms: Seq[String], repl: String): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function(AhoScrubName, text, typedLit(terms), lit(repl))
   }
 }

@@ -913,6 +913,10 @@ object Jobs {
     graft.operators.Blocklist
       .policyReport(d, "text", "doc_id", terms, reviewAt, blockAt)
       .write.mode("overwrite").parquet(s"$outDir/blocklist_verdicts")
+    graft.operators.Blocklist
+      .scrub(d, "text", terms,
+        sys.env.getOrElse("GRAFT_BLOCK_REPL", "<BLOCKED>"))
+      .write.mode("overwrite").parquet(s"$outDir/blocklist_clean")
   }
 
   /** Generation-eval overlap report: ROUGE-1/2 P/R/F1 + BLEU clip

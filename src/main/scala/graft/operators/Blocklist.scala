@@ -47,6 +47,17 @@ object Blocklist {
         col("cnt"))
   }
 
+  /** Scrubbed corpus: every dictionary term masked with `repl` under
+    * the greedy leftmost-longest non-overlapping rule (the regex-
+    * alternation semantics at automaton cost). Row-local projection of
+    * all input columns with textCol rewritten — zero exchanges. */
+  def scrub(docs: DataFrame, textCol: String, terms: Seq[String],
+            repl: String): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    docs.withColumn(textCol,
+      NativeFns.ahoScrub(col(textCol), terms, repl))
+  }
+
   /** Per-document policy verdict from one automaton pass:
     * (idCol, n_terms: long, n_hits: long, verdict: string) where
     * n_terms counts distinct dictionary terms present, n_hits all

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generation-eval overlap metrics — ROUGE-n precision/recall/F1 and
@@ -59,6 +60,63 @@ object TextEval {
         size(col("rg")).cast("long").as(s"n_ref_$n"))
       .join(clip, Seq(idCol), "left")
       .na.fill(0L, Seq(s"clip_$n"))
+  }
+
+  /** Within-document repetition signals in the Gopher family (Rae et
+    * al. 2021 §A1.1, token-unit variant): per document,
+    *   top2_gram / top2_n      — the most frequent word 2-gram (ties
+    *                             break lexicographically) and its count
+    *   top2_tok_bp             — 10⁴·(2·top2_n) div n_tokens: token
+    *                             mass of all its instances (can exceed
+    *                             10⁴ on pathological overlap — that IS
+    *                             the signal)
+    *   dup5_cov_bp             — 10⁴·covered div n_tokens where
+    *                             covered = |union of [pos, pos+5)
+    *                             intervals of every word 5-gram that
+    *                             occurs ≥2×| — coverage, not instance
+    *                             count, so nested repeats don't double
+    *   n_tokens                — whitespace token count
+    * The interval union is a per-doc running-max window over instance
+    * starts (one shuffle on the doc key); gram counting is two
+    * (doc, gram) hash aggregations with map-side partials — the shape
+    * that holds at 100 TB.
+    */
+  def repetitionReport(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val id = col(idCol)
+    val nt = docs.select(id,
+      size(toks(col(textCol))).cast("long").as("n_tokens"))
+    def grams(n: Int) = docs
+      .select(id, posexplode(wordGrams(col(textCol), n))
+        .as(Seq("pos0", "g")))
+      .select(id, (col("pos0") + 1).as("pos"), col("g"))
+    val top2 = grams(2)
+      .groupBy(id, col("g")).agg(count(lit(1)).as("top2_n"))
+      .withColumn("rn", row_number().over(Window.partitionBy(id)
+        .orderBy(col("top2_n").desc, col("g"))))
+      .where(col("rn") === 1)
+      .select(id, col("g").as("top2_gram"), col("top2_n"))
+    val g5 = grams(5)
+    val dup5 = g5.groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(id, col("g"))
+    val w = Window.partitionBy(id).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = g5.join(dup5, Seq(idCol, "g"))
+      .select(id, col("pos"), (col("pos") + 5).as("e"))
+      .withColumn("pe", max(col("e")).over(w))
+      .select(id, greatest(col("e") -
+        greatest(col("pos"), coalesce(col("pe"), col("pos"))), lit(0))
+        .as("cv"))
+      .groupBy(id).agg(sum(col("cv")).as("covered"))
+    nt.join(top2, Seq(idCol), "left").join(cov, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("top2_gram"), lit("")).as("top2_gram"),
+        coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+        expr("coalesce(top2_n, 0) * 2 * 10000 div greatest(n_tokens, 1)")
+          .as("top2_tok_bp"),
+        expr("coalesce(covered, 0) * 10000 div greatest(n_tokens, 1)")
+          .as("dup5_cov_bp"),
+        col("n_tokens"))
   }
 
   /** ROUGE-1/2 + BLEU-clip report per (candidate, reference) pair, all

@@ -4920,6 +4920,34 @@ object TrainingData {
        |       ELSE 'pass' END AS verdict
        |FROM m GROUP BY doc_id""".stripMargin
 
+  // Production scrub path: greedy leftmost-longest non-overlapping
+  // masking — exactly regexp_replace with a LENGTH-DESC alternation
+  // (match leftmost; among alternatives at a position the first =
+  // longest wins; resume after the replacement), which is the oracle's
+  // form, at one automaton pass instead of O(text·k) backtracking. The
+  // planted overlap tail pins the greedy rule: 'banana' masks its
+  // leftmost 'ana' (not the longer-but-later 'nana'), 'bananana' masks
+  // 'ana' then the now-leftmost 'nana'.
+  def blocklistScrubQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), blockPlanted.as("text"))
+    graft.operators.Blocklist.scrub(base, "text", BlockTerms, "<BLOCKED>")
+      .select(col("doc_id"), col("text").as("clean_text"),
+        TextFns.patternCount(col("text"), "<BLOCKED>").as("n_masked"))
+  }
+  val blocklistScrubSql: String = {
+    val alternation = BlockTerms.sortBy(t => (-t.length, t)).mkString("|")
+    s"""WITH c AS (
+       |  SELECT doc_id, $blockPlantedSql AS text FROM documents),
+       |s AS (SELECT doc_id,
+       |  regexp_replace(text, '($alternation)', '<BLOCKED>', 'g')
+       |    AS clean_text FROM c)
+       |SELECT doc_id, clean_text,
+       |  CAST(len(regexp_extract_all(clean_text, '<BLOCKED>')) AS BIGINT)
+       |    AS n_masked
+       |FROM s""".stripMargin
+  }
+
   // ------------------------------------------- ROUGE / BLEU overlap
   // Generation-eval metrics (TextEval.rougeBleuReport) in exact
   // integer basis points: candidate = the near-dup mutation
@@ -4983,6 +5011,74 @@ object TrainingData {
        |  CAST(p1_bp * p2_bp AS BIGINT) AS bleu2_sq_bp2
        |FROM b""".stripMargin
   }
+
+  // ------------------------------------------- Gopher repetition signals
+  // TextEval.repetitionReport (Rae et al. 2021 §A1.1, token-unit
+  // variant): most-frequent word 2-gram + its token mass, and the
+  // token-coverage of duplicated 5-grams as a true interval UNION
+  // (running-max window), so nested/overlapping repeats never double-
+  // count. The corpus rarely repeats 5-grams naturally, so a
+  // 3×-repeated 5-token phrase is planted identically on both engines;
+  // its cross-boundary grams also duplicate, and the union arithmetic
+  // (not instance counting) is what keeps the coverage at exactly the
+  // 15-token tail. All outputs exact integer basis points.
+  def gopherRepetitionQ(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" zq wv xk rr tt zq wv xk rr tt zq wv xk rr tt"))
+    graft.operators.TextEval.repetitionReport(
+      docs(spark, dir).select(col("doc_id"), planted.as("text")),
+      "text", "doc_id")
+  }
+  val gopherRepetitionSql: String =
+    raw"""WITH docs AS (
+       |  SELECT doc_id,
+       |    text || ' zq wv xk rr tt zq wv xk rr tt zq wv xk rr tt' AS text
+       |  FROM documents),
+       |tok AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\s+') AS t FROM docs),
+       |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+       |g2 AS (
+       |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN [] ELSE
+       |      list_transform(range(1, len(t)), i ->
+       |        struct_pack(pos := i, g := t[i] || ' ' || t[i+1])) END) AS u
+       |    FROM tok)),
+       |top2 AS (
+       |  SELECT doc_id, g AS top2_gram, count(*) AS top2_n FROM g2
+       |  GROUP BY 1, 2
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY count(*) DESC, g) = 1),
+       |g5 AS (
+       |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [] ELSE
+       |      list_transform(range(1, len(t) - 3), i ->
+       |        struct_pack(pos := i, g := t[i] || ' ' || t[i+1] || ' '
+       |          || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) END) AS u
+       |    FROM tok)),
+       |dup5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2
+       |         HAVING count(*) >= 2),
+       |cov0 AS (
+       |  SELECT g5.doc_id, g5.pos, g5.pos + 5 AS e
+       |  FROM g5 JOIN dup5 USING (doc_id, g)),
+       |cov1 AS (
+       |  SELECT doc_id, pos, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |  FROM cov0),
+       |cov AS (
+       |  SELECT doc_id,
+       |    sum(greatest(e - greatest(pos, coalesce(pe, pos)), 0)) AS covered
+       |  FROM cov1 GROUP BY 1)
+       |SELECT n.doc_id,
+       |  coalesce(top2_gram, '') AS top2_gram,
+       |  CAST(coalesce(top2_n, 0) AS BIGINT) AS top2_n,
+       |  CAST(coalesce(top2_n, 0) * 2 * 10000 // greatest(n_tokens, 1)
+       |    AS BIGINT) AS top2_tok_bp,
+       |  CAST(coalesce(covered, 0) * 10000 // greatest(n_tokens, 1)
+       |    AS BIGINT) AS dup5_cov_bp,
+       |  n_tokens
+       |FROM n LEFT JOIN top2 USING (doc_id)
+       |       LEFT JOIN cov USING (doc_id)""".stripMargin
 
   // ------------------------------------------- term co-occurrence lift
   // Lexical association over the top-50 vocabulary: for every token
@@ -9619,7 +9715,9 @@ object TrainingData {
     "x_pii_scrub" -> (piiScrubQ _),
     "x_blocklist_scan" -> (blocklistScanQ _),
     "x_blocklist_policy" -> (blocklistPolicyQ _),
+    "x_blocklist_scrub" -> (blocklistScrubQ _),
     "x_rouge_bleu" -> (rougeBleuQ _),
+    "x_gopher_repetition" -> (gopherRepetitionQ _),
     "x_pii_summary" -> (piiSummaryQ _),
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
@@ -9828,7 +9926,9 @@ object TrainingData {
     "x_pii_scrub" -> piiScrubSql,
     "x_blocklist_scan" -> blocklistScanSql,
     "x_blocklist_policy" -> blocklistPolicySql,
+    "x_blocklist_scrub" -> blocklistScrubSql,
     "x_rouge_bleu" -> rougeBleuSql,
+    "x_gopher_repetition" -> gopherRepetitionSql,
     "x_pii_summary" -> piiSummarySql,
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,

@@ -98,6 +98,36 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("scrub masks leftmost-longest non-overlapping, like the regex walk") {
+    val terms = Seq("merge", "scan", "batch stream", "ana", "nana", "qzx")
+    val df = Seq("banana bananana").toDF("text")
+    val r = Blocklist.scrub(df, "text", terms, "<B>").head().getString(0)
+    // banana: leftmost 'ana'@1 wins (not later 'nana'); bananana:
+    // 'ana'@1 then the now-leftmost 'nana'@4
+    assert(r == "b<B>na b<B><B>")
+  }
+
+  test("scrub == java-regex replaceAll with a length-desc alternation") {
+    val terms = Seq("a", "ab", "aba", "bab", "nana", "ana", "b")
+    val pattern = terms.sortBy(t => (-t.length, t)).mkString("|")
+    val auto = AhoAutomaton.build(terms)
+    val lens = terms.map(_.length).toArray
+    val rnd = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(24))("abn" (rnd.nextInt(3))).mkString
+      val (masked, _) = auto.maskLeftmostLongest(s, lens, "_X_")
+      assert(masked == s.replaceAll(pattern, "_X_"), s"text=$s")
+    }
+  }
+
+  test("x_blocklist_scrub masks the planted tail in every document") {
+    val q = queries.TrainingData.queries("x_blocklist_scrub")
+    val df = q(spark, sf0001)
+    // ' banana bananana' always yields ana + (ana, nana) = 3 spans
+    assert(df.filter($"n_masked" < 3).count() == 0)
+    assert(df.filter(!$"clean_text".contains("<BLOCKED>")).count() == 0)
+  }
+
   test("x_blocklist_scan finds the planted overlapping terms in every doc") {
     val q = queries.TrainingData.queries("x_blocklist_scan")
     val nDocs = Tables.load(spark, sf0001, "documents").count()

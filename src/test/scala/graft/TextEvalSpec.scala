@@ -54,6 +54,42 @@ class TextEvalSpec extends SparkSpec {
     assert(r.getSeq[String](0).isEmpty && r.getSeq[String](1).isEmpty)
   }
 
+  test("repetitionReport: top bigram + no duplicated 5-grams") {
+    val df = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val r = TextEval.repetitionReport(df, "text", "doc_id").head()
+    assert(r.getString(1) == "a b" && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 3L * 2 * 10000 / 7)  // 8571
+    assert(r.getLong(4) == 0L)                  // all 5-grams distinct
+    assert(r.getLong(5) == 7L)
+  }
+
+  test("repetitionReport: overlapping duplicated 5-grams cover by UNION") {
+    // 8 tokens; both 5-grams repeat with overlapping instances at
+    // 1,2,3,4 → union [1,9) = all 8 tokens, not 4·5 = 20
+    val df = Seq((1L, "x y x y x y x y")).toDF("doc_id", "text")
+    val r = TextEval.repetitionReport(df, "text", "doc_id").head()
+    assert(r.getLong(4) == 10000L)
+    assert(r.getString(1) == "x y" && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 10000L)
+  }
+
+  test("repetitionReport: short docs produce zero metrics, not nulls") {
+    val df = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = TextEval.repetitionReport(df, "text", "doc_id").head()
+    assert(r.getString(1) == "" && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 1L)
+  }
+
+  test("x_gopher_repetition lane: the planted 3x phrase registers everywhere") {
+    val q = queries.TrainingData.queries("x_gopher_repetition")
+    val df = q(spark, sf0001).cache()
+    try {
+      assert(df.count() == Tables.load(spark, sf0001, "documents").count())
+      assert(df.filter($"dup5_cov_bp" === 0L).count() == 0)
+      assert(df.filter($"top2_n" < 3L).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("x_rouge_bleu lane: near-dup candidate keeps recall below precision") {
     val q = queries.TrainingData.queries("x_rouge_bleu")
     val df = q(spark, sf0001).cache()

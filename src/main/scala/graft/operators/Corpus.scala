@@ -612,10 +612,15 @@ object Corpus {
     val pB = hold(ihB.join(broadcast(rareB), Seq("h")))
     val nB = pB.groupBy(col("id")).agg(count(lit(1)).as("n_batch"))
       .withColumnRenamed("id", "batch_id")
+    // ONE corpus-table scan serves both consumers (the rare-batch-hash
+    // prune here and the candidate-doc denominator pull below) — held
+    // for the batch, released with the other intermediates. Compute
+    // per batch stays one scan + batch-bounded aggregations; the
+    // transient cache is the scan's own columns, nothing derived
+    val cfp = hold(corpusFps.select(col("id"), col("h")))
     // pair candidates: every shared hash is by definition a batch hash,
     // so the corpus table is read once, pruned to the rare batch set
-    val pC = hold(corpusFps.select(col("id"), col("h"))
-      .join(broadcast(rareB), Seq("h")).distinct())
+    val pC = hold(cfp.join(broadcast(rareB), Seq("h")).distinct())
     val pairs = pB.select(col("h"), col("id").as("batch_id"))
       .join(pC.select(col("h"), col("id").as("corpus_id")), Seq("h"))
       .groupBy(col("batch_id"), col("corpus_id"))
@@ -627,8 +632,7 @@ object Corpus {
     // necessarily pairs with some batch doc — same set, one join
     // shorter a lineage (pairs is expanded once, in the final result)
     val candIds = pC.select(col("id")).distinct()
-    val candFps = hold(corpusFps.select(col("id"), col("h"))
-      .join(broadcast(candIds), Seq("id")).distinct())
+    val candFps = hold(cfp.join(broadcast(candIds), Seq("id")).distinct())
     val dfCC = dfState
       .join(broadcast(candFps.select(col("h")).distinct()), Seq("h"))
       .groupBy(col("h")).agg(sum(col("d")).as("dc"))

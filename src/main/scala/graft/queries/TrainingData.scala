@@ -5622,7 +5622,12 @@ object TrainingData {
       .parquet(feedDir)
     graft.streaming.StreamingOps.continuousCurate(
       src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5,
-      shufflePartitions = Some(8),
+      // 32, not the sibling lanes' 8: the quote screen's corpus-side
+      // work (two winnow-table scans + distincts over millions of
+      // fingerprint rows per batch) is NOT the near-empty-join regime
+      // the runToMemory 8-partition discipline is for — at 8 the
+      // corpus distincts serialize on a quarter of the machine
+      shufflePartitions = Some(32),
       winnowTablePath = fpPath, minContainmentBp = 8000L,
       winnowMaxDf = 50L)
     spark.read.parquet(outPath).select(col("doc_id"))

@@ -36,6 +36,28 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("automaton == brute force under RANDOM dictionaries (failure-link " +
+    "edges: shared prefixes, nested terms, suffix overlaps)") {
+    val rnd = new scala.util.Random(23)
+    def randTerm() =
+      Seq.fill(1 + rnd.nextInt(4))("ab" (rnd.nextInt(2))).mkString
+    (1 to 120).foreach { _ =>
+      val terms = Seq.fill(2 + rnd.nextInt(6))(randTerm()).distinct
+      val auto = AhoAutomaton.build(terms)
+      val text = Seq.fill(rnd.nextInt(40))("ab" (rnd.nextInt(2))).mkString
+      val counts = new Array[Long](terms.size)
+      auto.scan(text, counts)
+      assert(counts.toSeq == brute(text, terms),
+        s"terms=$terms text=$text")
+      // and the scrub walk agrees with the regex walk for the same dict
+      val pattern = terms.sortBy(t => (-t.length, t)).mkString("|")
+      val (masked, _) = auto.maskLeftmostLongest(
+        text, terms.map(_.length).toArray, "_")
+      assert(masked == text.replaceAll(pattern, "_"),
+        s"terms=$terms text=$text")
+    }
+  }
+
   test("expression scans unicode text on UTF-16 code units, null-safe") {
     val df = Seq(Some("中文中文中"), Some(""), None).toDF("t")
     val r = df.select(

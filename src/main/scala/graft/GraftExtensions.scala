@@ -129,6 +129,32 @@ object GraftExtensions {
       "graft_unigram_segment(word, pieces, scores) - Viterbi unigram-LM " +
         "segmentation under a literal vocabulary",
       es => UnigramSegmentExpr(es(0), es(1), es(2))),
+    (NativeFns.AhoFoldCountsName,
+      "graft_aho_fold_counts(text, terms) - aho counts under the " +
+        "case/NFC fold (terms and text fold through the same map)",
+      es => {
+        if (es.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              "graft_aho_fold_counts expects (text, terms)"))
+        AhoCountsExpr(es(0), es(1), fold = true)
+      }),
+    (NativeFns.AhoFoldScrubName,
+      "graft_aho_fold_scrub(text, terms, repl) - leftmost-longest " +
+        "masking under the case/NFC fold; original-text spans masked",
+      es => {
+        if (es.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_1332",
+            messageParameters = Map("errorMessage" ->
+              "graft_aho_fold_scrub expects (text, terms, repl)"))
+        AhoScrubExpr(es(0), es(1), es(2), fold = true)
+      }),
+    (NativeFns.LcsLenName,
+      "graft_lcs_len(a, b) - longest-common-subsequence length of two " +
+        "token arrays (ROUGE-L core)",
+      es => LcsLenExpr(es(0), es(1))),
     (NativeFns.AhoCountsName,
       "graft_aho_counts(text, terms) - per-term Aho-Corasick occurrence " +
         "counts under a literal dictionary",

@@ -97,6 +97,9 @@ object NativeFns {
   val UnigramSegmentName = "graft_unigram_segment"
   val AhoCountsName = "graft_aho_counts"
   val AhoScrubName = "graft_aho_scrub"
+  val LcsLenName = "graft_lcs_len"
+  val AhoFoldCountsName = "graft_aho_fold_counts"
+  val AhoFoldScrubName = "graft_aho_fold_scrub"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -195,6 +198,14 @@ object NativeFns {
     call_function(AhoCountsName, text, typedLit(terms))
   }
 
+  /** [[ahoCounts]] under the case/NFC fold ([[CaseFold]]): terms and
+    * text pass through the same lowercase+NFC map, so a lowercase
+    * dictionary hits "VIAGRA" and a decomposed-accent "Café". */
+  def ahoFoldCounts(text: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function(AhoFoldCountsName, text, typedLit(terms))
+  }
+
   /** Greedy leftmost-longest non-overlapping masking of every
     * dictionary term (= regexp_replace with a longest-first
     * alternation, at automaton cost); see [[AhoScrubExpr]]. */
@@ -202,4 +213,16 @@ object NativeFns {
     import org.apache.spark.sql.functions.{lit, typedLit}
     call_function(AhoScrubName, text, typedLit(terms), lit(repl))
   }
+
+  /** [[ahoScrub]] under the case/NFC fold: matching runs on the folded
+    * stream, masking lands on original-text spans via the offset map —
+    * unmatched text keeps its case and form; see [[AhoScrubExpr]]. */
+  def ahoFoldScrub(text: Column, terms: Seq[String], repl: String): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function(AhoFoldScrubName, text, typedLit(terms), lit(repl))
+  }
+
+  /** Longest-common-subsequence length of two token arrays — ROUGE-L's
+    * matching core, as a row-local two-row DP; see [[LcsLenExpr]]. */
+  def lcsLen(a: Column, b: Column): Column = call_function(LcsLenName, a, b)
 }

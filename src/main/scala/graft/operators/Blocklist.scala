@@ -30,15 +30,28 @@ import graft.functions.native.NativeFns
   */
 object Blocklist {
 
+  /** Operator-level dictionary guard: empty dictionaries and empty
+    * terms fail HERE, at call time, with the operator's name in the
+    * message — not as the automaton builder's lazy per-task require
+    * mid-job (the expression's own analysis-time check is the second
+    * line of defense for SQL-built plans). */
+  private def requireTerms(terms: Seq[String]): Unit = {
+    require(terms.nonEmpty, "empty blocklist")
+    require(terms.forall(t => t != null && t.nonEmpty),
+      "blocklist terms must be non-null, non-empty strings")
+  }
+
   /** Per-(doc, term) occurrence counts, terms that never hit filtered
     * out: (idCol, term_id: long, term: string, cnt: long).
     * Row-local — posexplode of the counts array; no shuffle. */
   def scanCounts(docs: DataFrame, textCol: String, idCol: String,
-                 terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "empty blocklist")
+                 terms: Seq[String], fold: Boolean = false): DataFrame = {
+    requireTerms(terms)
     docs
       .select(col(idCol),
-        posexplode(NativeFns.ahoCounts(col(textCol), terms))
+        posexplode(
+          if (fold) NativeFns.ahoFoldCounts(col(textCol), terms)
+          else NativeFns.ahoCounts(col(textCol), terms))
           .as(Seq("term_id", "cnt")))
       .filter(col("cnt") > 0)
       .select(col(idCol), col("term_id").cast("long").as("term_id"),
@@ -52,10 +65,71 @@ object Blocklist {
     * alternation semantics at automaton cost). Row-local projection of
     * all input columns with textCol rewritten — zero exchanges. */
   def scrub(docs: DataFrame, textCol: String, terms: Seq[String],
-            repl: String): DataFrame = {
-    require(terms.nonEmpty, "empty blocklist")
+            repl: String, fold: Boolean = false): DataFrame = {
+    requireTerms(terms)
     docs.withColumn(textCol,
-      NativeFns.ahoScrub(col(textCol), terms, repl))
+      if (fold) NativeFns.ahoFoldScrub(col(textCol), terms, repl)
+      else NativeFns.ahoScrub(col(textCol), terms, repl))
+  }
+
+  /** [[scanCounts]] over a term TABLE instead of a foldable literal —
+    * the dictionary-at-scale path. The term table collects to the
+    * driver and ships as a broadcast variable (term tables are
+    * metadata-plane: a 1M-term list is tens of MB — the same plane as
+    * the broadcast every dimension join already ships, far below the
+    * foldable-literal ceiling where Catalyst would re-serialize the
+    * dictionary into every expression tree copy), and the automaton is
+    * built ONCE PER PARTITION inside a mapPartitions seam (the
+    * Multimodal per-partition init device) — rows then stream through
+    * it with zero per-row setup. Zero exchanges: the operator
+    * pipelines inside the scan stage exactly like the literal path,
+    * and emits the same rows: (idCol: long, term_id, term, cnt), terms
+    * that never hit filtered out.
+    *
+    * `terms` must have columns (term_id: castable to long, term:
+    * string) with unique ids; idCol must be castable to long (the
+    * typed-seam contract — use the literal path for exotic id types).
+    */
+  def scanCountsTable(docs: DataFrame, textCol: String, idCol: String,
+                      terms: DataFrame,
+                      fold: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = terms
+      .select(col("term_id").cast("long"), col("term").cast("string"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(t.nonEmpty, "empty blocklist table")
+    require(t.forall(r => !r.isNullAt(1) && r.getString(1).nonEmpty),
+      "blocklist terms must be non-null, non-empty strings")
+    require(t.map(_.getLong(0)).distinct.length == t.length,
+      "blocklist term_id must be unique")
+    val termIds = t.map(_.getLong(0))
+    val termStrs = t.map(r =>
+      if (fold) graft.functions.native.CaseFold.fold(r.getString(1))
+      else r.getString(1))
+    val origStrs = t.map(_.getString(1))
+    val bc = spark.sparkContext.broadcast((termIds, termStrs, origStrs))
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val (ids, folded, orig) = bc.value
+        // per-partition init: ONE automaton build, then pure streaming
+        val automaton =
+          graft.functions.native.AhoAutomaton.build(folded.toSeq)
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val counts = new Array[Long](folded.length)
+            automaton.scan(
+              if (fold) graft.functions.native.CaseFold.fold(text)
+              else text, counts)
+            Iterator.range(0, counts.length).collect {
+              case i if counts(i) > 0 => (id, ids(i), orig(i), counts(i))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "term_id", "term", "cnt")
   }
 
   /** Per-document policy verdict from one automaton pass:
@@ -66,8 +140,8 @@ object Blocklist {
     * Array folds over the counts vector — still zero exchanges. */
   def policyReport(docs: DataFrame, textCol: String, idCol: String,
                    terms: Seq[String], reviewAt: Long,
-                   blockAt: Long): DataFrame = {
-    require(terms.nonEmpty, "empty blocklist")
+                   blockAt: Long, fold: Boolean = false): DataFrame = {
+    requireTerms(terms)
     require(blockAt >= reviewAt, "blockAt must be >= reviewAt")
     // counts materialized once per row in a sub-projection — the
     // verdict references it three times and CollapseProject keeps a
@@ -77,7 +151,8 @@ object Blocklist {
     val nHits: Column = aggregate(counts, lit(0L), (acc, c) => acc + c)
     docs
       .select(col(idCol),
-        NativeFns.ahoCounts(col(textCol), terms).as("_cnts"))
+        (if (fold) NativeFns.ahoFoldCounts(col(textCol), terms)
+         else NativeFns.ahoCounts(col(textCol), terms)).as("_cnts"))
       .select(
         col(idCol),
         size(filter(counts, c => c > 0)).cast("long").as("n_terms"),

@@ -5080,6 +5080,325 @@ object TrainingData {
        |FROM n LEFT JOIN top2 USING (doc_id)
        |       LEFT JOIN cov USING (doc_id)""".stripMargin
 
+  // ------------------------------------------- case-folded blocklist
+  // Blocklist matching under the case/NFC fold (CaseFold): terms and
+  // text pass through ONE lowercase+NFC map inside the expression, so
+  // a lowercase composed-form dictionary hits 'BaNaNa', a decomposed-
+  // accent 'CAFE<combining acute>' and the composed 'café' alike — the
+  // first thing a real blocklist deployment needs and a raw code-unit
+  // automaton misses. The oracle replays the same fold with
+  // lower(nfc_normalize(...)) and probes positionally; counts are
+  // occurrence counts, so the engines' different string units (UTF-16
+  // vs UTF-8) cannot skew the comparison.
+  private[graft] val FoldTerms =
+    Seq("banana", "caf\u00e9", "nana", "scan")
+  private def foldPlanted = concat(col("text"),
+    lit(" BaNaNa CAFE\u0301 cafe\u0301 caf\u00e9 NANA"))
+  private val foldPlantedSql =
+    "text || ' BaNaNa CAFE' || chr(769) || ' cafe' || chr(769) || " +
+      "' caf' || chr(233) || ' NANA'"
+  private val foldTermsValuesSql = FoldTerms.zipWithIndex
+    .map { case (t, i) =>
+      val esc = t.replace("\u00e9", "' || chr(233) || '")
+      s"($i, '$esc')"
+    }.mkString(", ")
+
+  def blocklistFoldQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocklist.scanCounts(
+      docs(spark, dir).select(col("doc_id"), foldPlanted.as("text")),
+      "text", "doc_id", FoldTerms, fold = true)
+  val blocklistFoldSql: String =
+    s"""WITH t0(term_id, term) AS (VALUES $foldTermsValuesSql),
+       |t AS (SELECT term_id, lower(nfc_normalize(term)) AS term FROM t0),
+       |c AS (SELECT doc_id,
+       |  lower(nfc_normalize($foldPlantedSql)) AS text FROM documents),
+       |m AS (
+       |  SELECT c.doc_id, CAST(t.term_id AS BIGINT) AS term_id, t.term,
+       |    CAST(len(list_filter(range(1, len(c.text) - len(t.term) + 2),
+       |      i -> substr(c.text, CAST(i AS INT), len(t.term)) = t.term))
+       |      AS BIGINT) AS cnt
+       |  FROM c CROSS JOIN t)
+       |SELECT doc_id, term_id, term, cnt FROM m WHERE cnt > 0""".stripMargin
+
+  // Fold-scrub: matching runs on the FOLDED stream, masking lands on
+  // original-text spans via the folded->original offset map (the
+  // UnigramSegmenter char->byte table device) — unmatched text keeps
+  // its case and accents, which regexp_replace over a folded copy
+  // cannot do. The oracle therefore gates the MASK COUNT (identical in
+  // both coordinate systems), replayed as a longest-first alternation
+  // over the folded text.
+  def blocklistFoldScrubQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), foldPlanted.as("text"))
+    graft.operators.Blocklist
+      .scrub(base, "text", FoldTerms, "<BLOCKED>", fold = true)
+      .select(col("doc_id"),
+        TextFns.patternCount(col("text"), "<BLOCKED>").as("n_masked"))
+  }
+  val blocklistFoldScrubSql: String = {
+    val alternation = FoldTerms.sortBy(t => (-t.length, t))
+      .mkString("|").replace("\u00e9", "' || chr(233) || '")
+    s"""WITH c AS (SELECT doc_id,
+       |  lower(nfc_normalize($foldPlantedSql)) AS text FROM documents),
+       |s AS (SELECT doc_id, regexp_replace(text,
+       |  '(' || '$alternation' || ')', '<BLOCKED>', 'g') AS clean
+       |  FROM c)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(clean, '<BLOCKED>')) AS BIGINT)
+       |    AS n_masked
+       |FROM s""".stripMargin
+  }
+
+  // Table-driven blocklist: the dictionary arrives as a term TABLE
+  // (broadcast variable + one automaton build per partition — the
+  // Multimodal per-partition init seam), not a foldable literal, so
+  // 1M-term lists skip the literal ceiling. Same rows as the literal
+  // path on the same terms — the oracle IS the literal lane's.
+  def blocklistTableQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val termsDf = BlockTerms.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("term_id", "term")
+    graft.operators.Blocklist.scanCountsTable(
+      docs(spark, dir).select(col("doc_id"), blockPlanted.as("text")),
+      "text", "doc_id", termsDf)
+  }
+  val blocklistTableSql: String = blocklistScanSql
+
+  // ------------------------------------------- ROUGE-L (LCS recall)
+  // ROUGE-L P/R/F1 (Lin, ACL 2004 S3) over a bounded-token pair: the
+  // candidate drops the reference's 4th token and appends a novel one,
+  // so the LCS is a real subsequence computation (not a prefix match)
+  // with per-doc-varying values. The Spark side is the row-local
+  // native DP (LcsLenExpr, O(|c|x|r|) per pair, zero exchanges); the
+  // oracle REPLAYS THE DP in SQL as a recursive CTE over DP rows,
+  // using the prefix-max reformulation new[j] = max(prev[j],
+  // max_{k<=j, rt[k]=ct[i]}(prev[k-1]+1)) — exact integer equality,
+  // which is why the fixture bounds both sides to <= 8 tokens (the
+  // oracle's inner scan is O(lr^2) per DP row; the operator itself has
+  // no such bound).
+  def rougeLQ(spark: SparkSession, dir: String): DataFrame = {
+    val t8 = slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)
+    val candArr = concat(slice(t8, 1, 3), slice(t8, 5, 4),
+      array(lit("zzquux")))
+    val pairs = docs(spark, dir).select(col("doc_id"),
+      array_join(candArr, " ").as("cand"),
+      array_join(t8, " ").as("ref"))
+    graft.operators.TextEval.rougeLReport(pairs, "doc_id", "cand", "ref")
+  }
+  val rougeLSql: String =
+    raw"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, list_slice(
+       |    string_split_regex(lower(trim(text)), '\s+'), 1, 8) AS t
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(t, 1, 3) || list_slice(t, 5, 8)
+       |      || ['zzquux'], ' ') AS cand,
+       |    array_to_string(t, ' ') AS ref
+       |  FROM base),
+       |tok AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(cand)), '\s+') AS ct,
+       |  string_split_regex(lower(trim(ref)), '\s+') AS rt FROM pairs),
+       |sz AS (SELECT doc_id, ct, rt, len(ct) AS lc, len(rt) AS lr
+       |  FROM tok),
+       |dp AS (
+       |  SELECT doc_id, ct, rt, lc, lr, 0 AS i,
+       |         list_transform(range(1, lr + 1), x -> 0) AS r
+       |  FROM sz
+       |  UNION ALL
+       |  SELECT doc_id, ct, rt, lc, lr, i + 1,
+       |    list_transform(range(1, lr + 1), j ->
+       |      greatest(r[j], list_max(list_transform(range(1, j + 1),
+       |        k -> CASE WHEN rt[k] = ct[i + 1]
+       |             THEN (CASE WHEN k = 1 THEN 0 ELSE r[k - 1] END) + 1
+       |             ELSE 0 END))))
+       |  FROM dp WHERE i < lc),
+       |fin AS (SELECT doc_id, lc, lr,
+       |  CASE WHEN lr = 0 OR lc = 0 THEN 0 ELSE r[lr] END AS lcs
+       |  FROM dp WHERE i = lc),
+       |b AS (SELECT doc_id, lcs,
+       |  lcs * 10000 // greatest(lc, 1) AS pl_bp,
+       |  lcs * 10000 // greatest(lr, 1) AS rl_bp,
+       |  lc, lr FROM fin)
+       |SELECT doc_id, CAST(lcs AS BIGINT) AS lcs,
+       |  CAST(lc AS BIGINT) AS n_cand, CAST(lr AS BIGINT) AS n_ref,
+       |  CAST(pl_bp AS BIGINT) AS pl_bp, CAST(rl_bp AS BIGINT) AS rl_bp,
+       |  CAST(CASE WHEN pl_bp + rl_bp = 0 THEN 0
+       |       ELSE 2 * pl_bp * rl_bp // (pl_bp + rl_bp) END AS BIGINT)
+       |    AS fl_bp
+       |FROM b""".stripMargin
+
+  // ------------------------------------------- BLEU-3/4 clip ladder
+  // rougeBleuReportN at maxN = 4: the full modified-precision ladder
+  // p1..p4 with recalls, F1s, brevity, and the radical-free BLEU
+  // products (p1*p2, p1*p2*p3, p1*p2*p3*p4 — exact integers whose k-th
+  // roots are the geometric means; p1*p2*p3*p4 <= 10^16 fits a long).
+  // ONE text pass per pair for all four n (side- and n-tagged gram
+  // stream, conditional side counts — no cand x ref join).
+  def bleu34Q(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir).select(col("doc_id"),
+      expr("substring(text, 11)").as("cand"), col("text").as("ref"))
+    graft.operators.TextEval.rougeBleuReportN(
+      pairs, "doc_id", "cand", "ref", maxN = 4)
+  }
+  val bleu34Sql: String = {
+    def ng(t: String, n: Int): String =
+      if (n == 1) t
+      else {
+        val joins = (0 until n).map(k => s"$t[i+$k]").mkString(" || ' ' || ")
+        s"CASE WHEN len($t) < $n THEN [] ELSE " +
+          s"list_transform(range(1, len($t) - ${n - 2}), i -> $joins) END"
+      }
+    val perN = (1 to 4).map { n =>
+      s"""c$n AS (SELECT doc_id, g, count(*) AS cc
+         |  FROM (SELECT doc_id, unnest(${ng("ct", n)}) AS g FROM tok)
+         |  GROUP BY 1, 2),
+         |r$n AS (SELECT doc_id, g, count(*) AS cr
+         |  FROM (SELECT doc_id, unnest(${ng("rt", n)}) AS g FROM tok)
+         |  GROUP BY 1, 2),
+         |o$n AS (SELECT doc_id, sum(least(cc, cr)) AS clip$n
+         |  FROM c$n JOIN r$n USING (doc_id, g) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val totals = (1 to 4).map { n =>
+      if (n == 1) "len(ct) AS nc1, len(rt) AS nr1"
+      else s"greatest(len(ct) - ${n - 1}, 0) AS nc$n, " +
+        s"greatest(len(rt) - ${n - 1}, 0) AS nr$n"
+    }.mkString(",\n  ")
+    val joins = (1 to 4).map(n => s"LEFT JOIN o$n USING (doc_id)")
+      .mkString(" ")
+    val clips = (1 to 4).map(n =>
+      s"coalesce(clip$n, 0) AS clip$n").mkString(", ")
+    val prs = (1 to 4).map(n =>
+      s"""clip$n * 10000 // greatest(nc$n, 1) AS p${n}_bp,
+         |  clip$n * 10000 // greatest(nr$n, 1) AS r${n}_bp""".stripMargin)
+      .mkString(",\n  ")
+    val fs = (1 to 4).map(n =>
+      s"""CAST(p${n}_bp AS BIGINT) AS p${n}_bp,
+         |  CAST(r${n}_bp AS BIGINT) AS r${n}_bp,
+         |  CAST(CASE WHEN p${n}_bp + r${n}_bp = 0 THEN 0
+         |       ELSE 2 * p${n}_bp * r${n}_bp // (p${n}_bp + r${n}_bp)
+         |       END AS BIGINT) AS f${n}_bp""".stripMargin).mkString(",\n  ")
+    raw"""WITH pairs AS (
+       |  SELECT doc_id, substr(text, 11) AS cand, text AS ref
+       |  FROM documents),
+       |tok AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(cand)), '\s+') AS ct,
+       |  string_split_regex(lower(trim(ref)), '\s+') AS rt FROM pairs),
+       |$perN,
+       |m AS (SELECT tok.doc_id, $clips,
+       |  $totals
+       |  FROM tok $joins),
+       |b AS (SELECT doc_id,
+       |  $prs,
+       |  nc1 * 10000 // greatest(nr1, 1) AS brevity_bp FROM m)
+       |SELECT doc_id,
+       |  $fs,
+       |  CAST(brevity_bp AS BIGINT) AS brevity_bp,
+       |  CAST(p1_bp * p2_bp AS BIGINT) AS bleu2_sq_bp2,
+       |  CAST(p1_bp * p2_bp * p3_bp AS BIGINT) AS bleu3_cube_bp3,
+       |  CAST(p1_bp * p2_bp * p3_bp * p4_bp AS BIGINT) AS bleu4_pow4_bp4
+       |FROM b""".stripMargin
+  }
+
+  // ------------------------------------------- full Gopher battery
+  // repetitionBattery: the complete Rae et al. 2021 SA1.1 rule-gate
+  // inputs — top-2/3/4-gram token mass, duplicated-5-gram coverage
+  // (interval union), and the line family (duplicate-line fraction by
+  // count and by chars). The planted tail gives every document
+  // newline-split lines with one guaranteed duplicate pair (the
+  // 40-char excerpt twice) plus the 3x-repeated 5-token phrase; line
+  // splitting is exact on '\n' (no trimming) in both engines, and the
+  // token grams deliberately cross line boundaries (the tokenizer
+  // splits on ALL whitespace) — the two families stay independent.
+  def gopherBatteryQ(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit("\n"),
+      substring(col("text"), 1, 40), lit("\n"),
+      substring(col("text"), 1, 40),
+      lit("\nzq wv xk rr tt zq wv xk rr tt zq wv xk rr tt"))
+    graft.operators.TextEval.repetitionBattery(
+      docs(spark, dir).select(col("doc_id"), planted.as("text")),
+      "text", "doc_id")
+  }
+  val gopherBatterySql: String = {
+    def gn(n: Int): String = {
+      val joins = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      s"""g$n AS (
+         |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(t) < $n THEN [] ELSE
+         |      list_transform(range(1, len(t) - ${n - 2}), i ->
+         |        struct_pack(pos := i, g := $joins)) END) AS u
+         |    FROM tok)),
+         |top$n AS (
+         |  SELECT doc_id, max(cnt) AS top${n}_n FROM (
+         |    SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    }
+    raw"""WITH docsb AS (
+       |  SELECT doc_id,
+       |    text || chr(10) || substr(text, 1, 40) || chr(10) ||
+       |    substr(text, 1, 40) || chr(10) ||
+       |    'zq wv xk rr tt zq wv xk rr tt zq wv xk rr tt' AS text
+       |  FROM documents),
+       |tok AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\s+') AS t FROM docsb),
+       |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+       |${gn(2)},
+       |${gn(3)},
+       |${gn(4)},
+       |g5 AS (
+       |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [] ELSE
+       |      list_transform(range(1, len(t) - 3), i ->
+       |        struct_pack(pos := i, g := t[i] || ' ' || t[i+1] || ' '
+       |          || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) END) AS u
+       |    FROM tok)),
+       |dup5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2
+       |         HAVING count(*) >= 2),
+       |cov0 AS (
+       |  SELECT g5.doc_id, g5.pos, g5.pos + 5 AS e
+       |  FROM g5 JOIN dup5 USING (doc_id, g)),
+       |cov1 AS (
+       |  SELECT doc_id, pos, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |  FROM cov0),
+       |cov AS (
+       |  SELECT doc_id,
+       |    sum(greatest(e - greatest(pos, coalesce(pe, pos)), 0)) AS covered
+       |  FROM cov1 GROUP BY 1),
+       |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+       |  FROM docsb),
+       |lagg AS (SELECT doc_id, line, count(*) AS lc FROM lines
+       |  GROUP BY 1, 2),
+       |lstat AS (SELECT doc_id,
+       |  sum(lc) AS n_lines,
+       |  sum(CASE WHEN lc >= 2 THEN lc ELSE 0 END) AS dup_lines,
+       |  sum(len(line) * lc) AS line_chars,
+       |  sum(CASE WHEN lc >= 2 THEN len(line) * lc ELSE 0 END)
+       |    AS dup_line_chars
+       |  FROM lagg GROUP BY 1)
+       |SELECT n.doc_id,
+       |  CAST(coalesce(top2_n, 0) * 2 * 10000 // greatest(n_tokens, 1)
+       |    AS BIGINT) AS top2_tok_bp,
+       |  CAST(coalesce(top3_n, 0) * 3 * 10000 // greatest(n_tokens, 1)
+       |    AS BIGINT) AS top3_tok_bp,
+       |  CAST(coalesce(top4_n, 0) * 4 * 10000 // greatest(n_tokens, 1)
+       |    AS BIGINT) AS top4_tok_bp,
+       |  CAST(coalesce(covered, 0) * 10000 // greatest(n_tokens, 1)
+       |    AS BIGINT) AS dup5_cov_bp,
+       |  CAST(coalesce(dup_lines, 0) * 10000 // greatest(n_lines, 1)
+       |    AS BIGINT) AS dup_line_bp,
+       |  CAST(coalesce(dup_line_chars, 0) * 10000
+       |    // greatest(line_chars, 1) AS BIGINT) AS dup_line_char_bp,
+       |  n_tokens,
+       |  CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines
+       |FROM n LEFT JOIN top2 USING (doc_id)
+       |       LEFT JOIN top3 USING (doc_id)
+       |       LEFT JOIN top4 USING (doc_id)
+       |       LEFT JOIN cov USING (doc_id)
+       |       LEFT JOIN lstat USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------- term co-occurrence lift
   // Lexical association over the top-50 vocabulary: for every token
   // pair co-occurring in ≥10 documents, observed-over-expected lift in
@@ -9723,6 +10042,12 @@ object TrainingData {
     "x_blocklist_scrub" -> (blocklistScrubQ _),
     "x_rouge_bleu" -> (rougeBleuQ _),
     "x_gopher_repetition" -> (gopherRepetitionQ _),
+    "x_blocklist_fold" -> (blocklistFoldQ _),
+    "x_blocklist_fold_scrub" -> (blocklistFoldScrubQ _),
+    "x_blocklist_table" -> (blocklistTableQ _),
+    "x_rouge_l" -> (rougeLQ _),
+    "x_bleu34" -> (bleu34Q _),
+    "x_gopher_battery" -> (gopherBatteryQ _),
     "x_pii_summary" -> (piiSummaryQ _),
     "x_ann_ivf" -> (annIvfQ _),
     "x_ann_pq" -> (annPqQ _),
@@ -9934,6 +10259,12 @@ object TrainingData {
     "x_blocklist_scrub" -> blocklistScrubSql,
     "x_rouge_bleu" -> rougeBleuSql,
     "x_gopher_repetition" -> gopherRepetitionSql,
+    "x_blocklist_fold" -> blocklistFoldSql,
+    "x_blocklist_fold_scrub" -> blocklistFoldScrubSql,
+    "x_blocklist_table" -> blocklistTableSql,
+    "x_rouge_l" -> rougeLSql,
+    "x_bleu34" -> bleu34Sql,
+    "x_gopher_battery" -> gopherBatterySql,
     "x_pii_summary" -> piiSummarySql,
     "x_ann_ivf" -> annIvfSql,
     "x_ann_pq" -> annPqSql,

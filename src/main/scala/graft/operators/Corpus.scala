@@ -373,8 +373,14 @@ object Corpus {
     */
   def writeWinnowTable(corpus: DataFrame, textCol: String, idCol: String,
                        path: String, k: Int = 5, window: Int = 4): Unit = {
-    winnowingFingerprints(corpus, textCol, idCol, k, window)
-      .write.mode("overwrite").parquet(path)
+    import graft.sources.MaintainedIndex
+    // hash-CLUSTERED from birth (+ per-file h envelopes): the
+    // maintained screens' pair probes open only the files whose h
+    // range intersects the batch's hash set — per-batch read IO
+    // O(batch), not O(corpus)
+    MaintainedIndex.writeClusteredIndexed(
+      winnowingFingerprints(corpus, textCol, idCol, k, window),
+      path, "h")
     val meta = new org.apache.hadoop.fs.Path(path, "_graft_winnow_kw")
     val fs = meta.getFileSystem(
       corpus.sparkSession.sparkContext.hadoopConfiguration)
@@ -384,9 +390,47 @@ object Corpus {
     // screens read corpus-wide document frequencies from this sidecar
     // instead of re-aggregating the whole fingerprint table per call.
     // Built from the read-back parquet so the shingle pass isn't run a
-    // second time; overwrite (fresh table, fresh state).
-    winnowDfDelta(corpus.sparkSession.read.parquet(path), -1L)
-      .write.mode("overwrite").parquet(winnowDfStatePath(path))
+    // second time; overwrite (fresh table, fresh state). Clustered on
+    // h like the table — the screens' df pulls prune the same way.
+    MaintainedIndex.writeClusteredIndexed(
+      winnowDfDelta(corpus.sparkSession.read.parquet(path), -1L),
+      winnowDfStatePath(path), "h")
+    // the doc-keyed PROJECTION (distinct (id, h), clustered on id):
+    // the screens' denominator pull needs candidate DOCS' full hash
+    // sets — an access path the h-clustered table cannot prune — so it
+    // reads this id-clustered projection instead of scanning the table
+    MaintainedIndex.writeClusteredIndexed(
+      corpus.sparkSession.read.parquet(path)
+        .select(col("id"), col("h")).distinct(),
+      winnowByIdPath(path), "id")
+  }
+
+  /** The doc-keyed screen projection of a winnow table: distinct
+    * (id, h), id-clustered + id-indexed, written at ingest and
+    * appended per admitted batch. Storage is a second (smaller) copy
+    * of the screen's columns — the classic projection trade
+    * (C-Store): at 100 TB, a per-batch O(corpus) table scan is the
+    * thing you cannot afford; a ~40% storage premium is. */
+  def winnowByIdPath(path: String): String =
+    new org.apache.hadoop.fs.Path(path, "_graft_winnow_byid").toString
+
+  /** Heal a winnow table that predates the doc-keyed projection (or
+    * the file indexes): build them once from the table. No-op when
+    * present. */
+  def ensureWinnowScreenIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    import graft.sources.MaintainedIndex
+    val bp = new org.apache.hadoop.fs.Path(winnowByIdPath(path))
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasProj = fs.exists(bp) && fs.listStatus(bp)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!hasProj)
+      MaintainedIndex.writeClusteredIndexed(
+        spark.read.parquet(path).select(col("id"), col("h")).distinct(),
+        winnowByIdPath(path), "id")
+    MaintainedIndex.ensureIndexed(spark, path, "h")
+    MaintainedIndex.ensureIndexed(spark, winnowDfStatePath(path), "h")
+    MaintainedIndex.ensureIndexed(spark, winnowByIdPath(path), "id")
   }
 
   /** The df-state sidecar of a winnow fingerprint table: an
@@ -466,12 +510,20 @@ object Corpus {
     // fingerprint table, or its rows would count twice (once in the
     // rebuild, once in the delta below)
     ensureWinnowDfState(batch.sparkSession, path)
+    ensureWinnowScreenIndex(batch.sparkSession, path)
     val fp = winnowingFingerprints(batch, textCol, idCol, k, window)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      fp.write.mode("append").parquet(path)
-      winnowDfDelta(fp, -1L)
-        .write.mode("append").parquet(winnowDfStatePath(path))
+      import graft.sources.MaintainedIndex
+      // batch-API appends get a unique generation prefix; each append
+      // is its own clustered generation with fresh file envelopes
+      val gen = s"gen_${java.util.UUID.randomUUID().toString.take(8)}_"
+      MaintainedIndex.clusteredIdempotentAppend(fp, path, gen, "h")
+      MaintainedIndex.clusteredIdempotentAppend(
+        fp.select(col("id"), col("h")).distinct(),
+        winnowByIdPath(path), gen, "id")
+      MaintainedIndex.clusteredIdempotentAppend(
+        winnowDfDelta(fp, -1L), winnowDfStatePath(path), gen, "h")
     } finally { fp.unpersist(false); () }
   }
 
@@ -589,6 +641,119 @@ object Corpus {
       screenMaintainedCore(batchFps, corpusFps, dfState, maxDf,
         minContainmentBp, hold), mat)
     finally { held.foreach(_.unpersist(false)); () }
+  }
+
+  /** The PRUNED maintained screen — [[winnowingContainmentScreenMaintained]]
+    * with every stored-table read file-pruned against the batch's
+    * bounded probe sets, eager and self-releasing (the M-variant's
+    * hold/release device). This is the form the continuous curate loop
+    * runs: per batch it opens
+    *  - of the winnow TABLE, only files whose h-envelope meets the
+    *    batch's rare-hash set (the pair probe);
+    *  - of the doc-keyed PROJECTION ([[winnowByIdPath]]), only files
+    *    whose id-envelope meets the candidate-doc set (the denominator
+    *    pull — the read the h-clustered table cannot prune);
+    *  - of the df SIDECAR, only files whose h-envelope meets the
+    *    batch's (then candidates') hash sets.
+    * Identical results to the unpruned screen by construction: pruning
+    * only drops files that contain NO probe key, and every pruned read
+    * feeds an equi-semi-join on that key (ScreenPruneSpec pins the
+    * equality and the file-count collapse; the crash windows degrade
+    * to reading more via MaintainedIndex's unindexed-file rule, never
+    * to a false skip).
+    *
+    * The probe-set collects are the screen's own broadcast sides read
+    * driver-side — bounded by the batch and its candidates, the same
+    * bytes a broadcast already stages through the driver; corpus rows
+    * never collect.
+    *
+    * `excludeIds` (single column `id`) is the replay-safety corpus
+    * exclusion; `ownBatchId` filters the df sidecar to deltas that
+    * logically precede this batch (`batch_id < ownBatchId`).
+    */
+  def winnowingContainmentScreenPrunedM(batchFps: DataFrame,
+                                        tablePath: String,
+                                        excludeIds: Option[DataFrame] = None,
+                                        ownBatchId: Long = Long.MaxValue,
+                                        maxDf: Long = 50,
+                                        minContainmentBp: Long = 8000L,
+                                        mat: graft.ops.MatStrategy =
+                                          graft.ops.MatStrategy.Default): graft.ops.Materialized = {
+    require(maxDf >= 1, s"df cap must be >= 1, got $maxDf")
+    require(minContainmentBp >= 0 && minContainmentBp <= 10000,
+      s"containment is in basis points 0..10000, got $minContainmentBp")
+    import graft.sources.MaintainedIndex
+    val spark = batchFps.sparkSession
+    // heal order matters: the df sidecar must exist before the index
+    // pass builds its envelope stats
+    ensureWinnowDfState(spark, tablePath)
+    ensureWinnowScreenIndex(spark, tablePath)
+    val dfPath = winnowDfStatePath(tablePath)
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      held += p
+      p
+    }
+    def keysOf(df: DataFrame, c: String): Array[Any] =
+      df.select(col(c)).collect().map(_.get(0))
+    def exclude(df: DataFrame): DataFrame =
+      excludeIds.fold(df)(e =>
+        df.join(broadcast(e.select(col("id"))), Seq("id"), "left_anti"))
+    def dfStateFor(probes: Array[Any]): DataFrame =
+      MaintainedIndex.readPruned(spark, dfPath, "h", probes)
+        .where(col("batch_id") < lit(ownBatchId))
+        .select(col("h"), col("d"))
+    try {
+      val ihB = hold(batchFps.select(col("id"), col("h")).distinct())
+      val dfB = hold(ihB.groupBy(col("h")).agg(count(lit(1)).as("db")))
+      val dfCB = dfStateFor(keysOf(dfB, "h"))
+        .join(broadcast(dfB.select(col("h"))), Seq("h"))
+        .groupBy(col("h")).agg(sum(col("d")).as("dc"))
+      val rareB = hold(dfB.join(dfCB, Seq("h"), "left")
+        .where(coalesce(col("dc"), lit(0L)) + col("db") <= maxDf)
+        .select(col("h")))
+      val pB = hold(ihB.join(broadcast(rareB), Seq("h")))
+      val nB = pB.groupBy(col("id")).agg(count(lit(1)).as("n_batch"))
+        .withColumnRenamed("id", "batch_id")
+      // the table read: pruned to files whose h-envelope meets the
+      // rare batch-hash set, own ids excluded (replay safety)
+      val cfp = hold(exclude(
+        MaintainedIndex.readPruned(spark, tablePath, "h",
+          keysOf(rareB, "h")))
+        .select(col("id"), col("h")))
+      val pC = hold(cfp.join(broadcast(rareB), Seq("h")).distinct())
+      val pairs = pB.select(col("h"), col("id").as("batch_id"))
+        .join(pC.select(col("h"), col("id").as("corpus_id")), Seq("h"))
+        .groupBy(col("batch_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("shared"))
+      val candIds = hold(pC.select(col("id")).distinct())
+      // the denominator pull: the ID-CLUSTERED projection pruned to
+      // the candidate docs (rows are distinct (id, h) at write time)
+      val candFps = hold(exclude(
+        MaintainedIndex.readPruned(spark, winnowByIdPath(tablePath),
+          "id", keysOf(candIds, "id")))
+        .join(broadcast(candIds), Seq("id"))
+        .select(col("id"), col("h")).distinct())
+      val candH = hold(candFps.select(col("h")).distinct())
+      val dfCC = dfStateFor(keysOf(candH, "h"))
+        .join(broadcast(candH), Seq("h"))
+        .groupBy(col("h")).agg(sum(col("d")).as("dc"))
+      val rareC = dfCC.join(dfB, Seq("h"), "left")
+        .where(col("dc") + coalesce(col("db"), lit(0L)) <= maxDf)
+        .select(col("h"))
+      val nC = candFps.join(broadcast(rareC), Seq("h"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_corpus"))
+        .withColumnRenamed("id", "corpus_id")
+      graft.ops.Materialize(
+        pairs.join(nB, Seq("batch_id")).join(nC, Seq("corpus_id"))
+          .select(col("batch_id"), col("corpus_id"),
+            col("n_batch"), col("n_corpus"), col("shared"),
+            expr("(shared * 10000) div least(n_batch, n_corpus)")
+              .as("containment_bp"))
+          .where(col("containment_bp") >= minContainmentBp), mat)
+    } finally { held.foreach(_.unpersist(false)); () }
   }
 
   private def screenMaintainedCore(batchFps: DataFrame,

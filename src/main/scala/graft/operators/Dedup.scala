@@ -227,8 +227,13 @@ object Dedup {
   def writeSignatureTable(corpus: DataFrame, textCol: String,
                           idCol: String, path: String,
                           k: Int = 5): Unit = {
-    sigOf(corpus, textCol, idCol, k)
-      .write.mode("overwrite").parquet(path)
+    // doc_id-CLUSTERED (+ per-file id envelopes): the incremental
+    // screens' verify pull reads candidate docs' __sh sets — the
+    // table's BIG column — through file pruning on the candidate-id
+    // set instead of a full-table scan (MaintainedIndex; per-batch IO
+    // O(candidates), not O(corpus))
+    graft.sources.MaintainedIndex.writeClusteredIndexed(
+      sigOf(corpus, textCol, idCol, k), path, "doc_id")
     // record the shingle size next to the data (underscore-prefixed:
     // parquet readers skip it): signatures built with one k are
     // meaningless against a batch hashed with another, and without this
@@ -254,7 +259,9 @@ object Dedup {
     require(storedK == k,
       s"signature table at $path was written with k=$storedK but the " +
         s"batch is hashed with k=$k — refusing to mix shingle sizes")
-    sigOf(batch, textCol, idCol, k).write.mode("append").parquet(path)
+    graft.sources.MaintainedIndex.clusteredIdempotentAppend(
+      sigOf(batch, textCol, idCol, k), path,
+      s"gen_${java.util.UUID.randomUUID().toString.take(8)}_", "doc_id")
   }
 
   /** Shingle size a signature table was written with. */
@@ -310,23 +317,40 @@ object Dedup {
   private[graft] def incrementalNearDupAgainstPreSigsM(
       sigB: DataFrame, sigTablePath: String, threshold: Double = 0.5,
       mat: MatStrategy = MatStrategy.Default): Materialized = {
-    val sigC = sigB.sparkSession.read.parquet(sigTablePath)
+    val spark = sigB.sparkSession
+    val sigC = spark.read.parquet(sigTablePath)
+    // candidate generation reads the 68 B/doc band-key projection of
+    // the whole table — the documented tolerable full scan. It is
+    // MATERIALIZED (held) because the candidate set feeds both the
+    // verify join and the file prune of the __sh pull below.
     val cand = bandsOf(sigB).withColumnRenamed("doc_id", "batch_id")
       .join(bandsOf(sigC).withColumnRenamed("doc_id", "corpus_id"),
         Seq("band", "bkey"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
-    val verified = cand
-      .join(sigB.select(col("doc_id").as("batch_id"), col("__sh").as("sh_b")),
-        "batch_id")
-      .join(sigC.select(col("doc_id").as("corpus_id"), col("__sh").as("sh_c")),
-        "corpus_id")
-      .withColumn("jaccard", round(
-        graft.functions.native.NativeFns.jaccardNative(
-          col("sh_b"), col("sh_c")), 4))
-      .where(col("jaccard") >= threshold)
-      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-    Materialize(verified, mat)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the verify pull reads the table's BIG column (__sh, the full
+      // shingle set) for CANDIDATE corpus docs only: pruned at file
+      // level on the doc_id-clustered layout — never a full-column
+      // scan. Falls back to the whole table when the index is absent
+      // (pre-clustering tables) — correct either way.
+      val candIds = cand.select(col("corpus_id")).distinct()
+        .collect().map(_.get(0))
+      val shC = graft.sources.MaintainedIndex
+        .readPruned(spark, sigTablePath, "doc_id", candIds)
+      val verified = cand
+        .join(sigB.select(col("doc_id").as("batch_id"), col("__sh").as("sh_b")),
+          "batch_id")
+        .join(shC.select(col("doc_id").as("corpus_id"), col("__sh").as("sh_c")),
+          "corpus_id")
+        .withColumn("jaccard", round(
+          graft.functions.native.NativeFns.jaccardNative(
+            col("sh_b"), col("sh_c")), 4))
+        .where(col("jaccard") >= threshold)
+        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      Materialize(verified, mat)
+    } finally { cand.unpersist(false); () }
   }
 
   /** Whole-corpus near-dup pairs over a MAINTAINED signature table

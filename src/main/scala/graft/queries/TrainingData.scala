@@ -6946,6 +6946,62 @@ object TrainingData {
        |  AND (doc_small >= 8000000 OR doc_large >= 8000000)""".stripMargin
   }
 
+  // ------------------------ PRUNED maintained quote screen (batch mode)
+  // winnowingContainmentScreenPrunedM driven as a batch audit: the
+  // planted-quote batch screens against the MAINTAINED winnow table
+  // with every stored read file-pruned (pair probe by the batch's rare
+  // hashes on the h-clustered table; denominators by candidate ids on
+  // the id-clustered projection; df pulls on the h-clustered sidecar).
+  // The oracle replays the screen's semantics the slow way — df cap
+  // over corpus UNION batch, pairs restricted to batch x corpus — so a
+  // hash match certifies that file pruning changed NOTHING: pruning
+  // only skips files whose key envelope misses every probe, and each
+  // pruned read feeds an equi-semi-join on that key.
+  def quoteScreenPrunedQ(spark: SparkSession, dir: String): DataFrame = {
+    val batchFps = Fixtures.cached("winnow-fps-contain-batch", dir) { root =>
+      val path = new java.io.File(root, "fps").toString
+      val quotes = docs(spark, dir).where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          expr("substring(text, 21, 160)").as("text"))
+      graft.operators.Corpus
+        .winnowingFingerprints(quotes, "text", "doc_id", k = 5, window = 4)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    // the fingerprint relation's id column is already named "id"
+    // (the winnowingFingerprints output contract)
+    graft.operators.Corpus.winnowingContainmentScreenPrunedM(
+      spark.read.parquet(batchFps),
+      winnowTableFor(spark, dir),
+      maxDf = 50, minContainmentBp = 8000L).df
+  }
+  val quoteScreenPrunedSql: String = {
+    val ctes = winnowCtes.replace("FROM documents", "FROM corpus_q")
+    s"""WITH corpus_q AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 8000000, substr(text, 21, 160)
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |$ctes,
+       |ih AS (SELECT DISTINCT doc_id, h FROM fp),
+       |rare AS (SELECT h FROM ih GROUP BY h HAVING count(*) <= 50),
+       |p AS MATERIALIZED (
+       |  SELECT ih.doc_id, ih.h FROM ih JOIN rare USING (h)),
+       |pb AS (SELECT doc_id, h FROM p WHERE doc_id >= 8000000),
+       |pc AS (SELECT doc_id, h FROM p WHERE doc_id < 8000000),
+       |nb AS (SELECT doc_id, count(*) AS n_batch FROM pb GROUP BY 1),
+       |nc AS (SELECT doc_id, count(*) AS n_corpus FROM pc GROUP BY 1),
+       |pr AS (
+       |  SELECT pb.doc_id AS batch_id, pc.doc_id AS corpus_id,
+       |    count(*) AS shared
+       |  FROM pb JOIN pc USING (h) GROUP BY 1, 2)
+       |SELECT batch_id, corpus_id, n_batch, n_corpus, shared,
+       |  (shared * 10000) // least(n_batch, n_corpus) AS containment_bp
+       |FROM pr JOIN nb ON nb.doc_id = pr.batch_id
+       |        JOIN nc ON nc.doc_id = pr.corpus_id
+       |WHERE (shared * 10000) // least(n_batch, n_corpus) >= 8000""".stripMargin
+  }
+
   // ------------------------------------------- screen agreement table
   // The two candidate screens COMPARED on the same corpus: MinHash-LSH
   // (probabilistic, banded) vs winnowing (deterministic,
@@ -10133,6 +10189,7 @@ object TrainingData {
     "x_winnow_pairs" -> (winnowPairsQ _),
     "x_containment_winnow" -> (containmentWinnowQ _),
     "x_containment_winnow_incr" -> (containmentWinnowIncrQ _),
+    "x_quote_screen_pruned" -> (quoteScreenPrunedQ _),
     "x_screen_overlap" -> (screenOverlapQ _),
     "x_winnow_incremental" -> (winnowIncrementalQ _),
     "x_bpe_apply" -> (bpeApplyQ _),
@@ -10354,6 +10411,7 @@ object TrainingData {
     "x_winnow_pairs" -> winnowPairsSql,
     "x_containment_winnow" -> containmentWinnowSql,
     "x_containment_winnow_incr" -> containmentWinnowIncrSql,
+    "x_quote_screen_pruned" -> quoteScreenPrunedSql,
     "x_screen_overlap" -> screenOverlapSql,
     "x_winnow_incremental" -> winnowIncrementalSql,
     "x_bpe_apply" -> bpeApplySql,

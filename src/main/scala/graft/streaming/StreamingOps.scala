@@ -339,26 +339,12 @@ object StreamingOps {
     * exactly-once at the sink. The staging dir is underscore-prefixed
     * so a concurrent reader of `dir` never lists it.
     */
+  /** Deterministic batch-named append — the shared commit primitive,
+    * now hosted at [[graft.sources.MaintainedIndex.idempotentAppend]]
+    * (the clustered+indexed variants live there too). */
   private def idempotentAppend(df: DataFrame, dir: String,
                                prefix: String): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(dirPath, s"_stage_$prefix")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    // stale files from a crashed attempt of the SAME batch go first, so
-    // a replay can only ever converge downward to the fresh set
-    if (fs.exists(dirPath))
-      fs.listStatus(dirPath)
-        .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
-        .foreach(s => fs.delete(s.getPath, false))
-    fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (p, i) =>
-        fs.rename(p, new org.apache.hadoop.fs.Path(dirPath,
-          s"$prefix$i.parquet")); ()
-      }
-    fs.delete(tmp, true)
+    graft.sources.MaintainedIndex.idempotentAppend(df, dir, prefix)
     ()
   }
 
@@ -478,6 +464,13 @@ object StreamingOps {
     // every micro-batch after reads maintained state only
     winnowTablePath.foreach(p =>
       graft.operators.Corpus.ensureWinnowDfState(src.sparkSession, p))
+    // likewise the screen indexes: the doc-keyed projection + per-file
+    // envelopes heal ONCE for pre-index tables, then every micro-batch
+    // probe is a file-pruned read (O(batch) IO, never O(corpus))
+    winnowTablePath.foreach(p =>
+      graft.operators.Corpus.ensureWinnowScreenIndex(src.sparkSession, p))
+    graft.sources.MaintainedIndex.ensureIndexed(
+      src.sparkSession, sigTablePath, "doc_id")
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -537,27 +530,24 @@ object StreamingOps {
             // its own fingerprints)
             val quoteDup = (winnowTablePath, fpB) match {
               case (Some(wp), Some(fp)) =>
-                val corpusFps = spark.read.parquet(wp)
-                  .join(broadcast(own.select(col("corpus_id").as("id"))),
-                    Seq("id"), "left_anti")
-                // corpus dfs come from the maintained sidecar, filtered
-                // to deltas that logically precede this batch — the
-                // df-state twin of the own-id exclusion above (a crash
-                // after the delta append must not double-count the
-                // replayed batch's own contribution)
-                val dfState = spark.read
-                  .parquet(graft.operators.Corpus.winnowDfStatePath(wp))
-                  .where(col("batch_id") < lit(batchId))
-                  .select(col("h"), col("d"))
-                // materialized (Local): the screen's own intermediates
-                // are multiply-read, and the result never escapes the
-                // batch — the same bounded-intra-job-state case as the
-                // LSH screen above
+                // the PRUNED maintained screen: stored-table reads are
+                // file-pruned against the batch's bounded probe sets
+                // (pair probe by rare batch hashes on the h-clustered
+                // table; denominators by candidate ids on the
+                // id-clustered projection; df pulls on the h-clustered
+                // sidecar). Own ids excluded corpus-side and deltas
+                // filtered to batch_id < ownId — the same replay
+                // safety as before, now inside the screen. Local
+                // materialization: the result never escapes the batch.
                 if (dbg) tdbg("fp batch")(fp.count())
                 quoteM = tdbg("quote screen")(graft.operators.Corpus
-                  .winnowingContainmentScreenMaintainedM(fp, corpusFps,
-                    dfState, winnowMaxDf, minContainmentBp,
-                    graft.ops.MatStrategy.Local))
+                  .winnowingContainmentScreenPrunedM(fp, wp,
+                    excludeIds =
+                      Some(own.select(col("corpus_id").as("id"))),
+                    ownBatchId = batchId,
+                    maxDf = winnowMaxDf,
+                    minContainmentBp = minContainmentBp,
+                    mat = graft.ops.MatStrategy.Local))
                 Some(quoteM.df.select(col("batch_id").as(idCol)))
               case _ => None
             }
@@ -582,26 +572,41 @@ object StreamingOps {
             import scala.concurrent.ExecutionContext.Implicits.global
             val fAdm = Future(
               idempotentAppend(survivors, admittedDir, s"b${batchId}_"))
+            // maintained-table appends are CLUSTERED + INDEXED (their
+            // own generation of narrow-envelope files + stats rows
+            // under the same batch-named idempotence), so the NEXT
+            // batch's screens prune against them too
             val fSig = Future(
-              idempotentAppend(survivorSigs, sigTablePath,
-                s"b${batchId}_sig_"))
+              graft.sources.MaintainedIndex.clusteredIdempotentAppend(
+                survivorSigs, sigTablePath, s"b${batchId}_sig_",
+                "doc_id"))
             val fFp = (winnowTablePath, fpB) match {
               case (Some(wp), Some(fp)) =>
                 val survivorFps = fp.join(
                   dupIds.select(col(idCol).as("id")), Seq("id"),
                   "left_anti")
                 Some(Future {
-                  idempotentAppend(survivorFps, wp, s"b${batchId}_fp_")
+                  graft.sources.MaintainedIndex.clusteredIdempotentAppend(
+                    survivorFps, wp, s"b${batchId}_fp_", "h")
+                  // the doc-keyed projection append (distinct (id, h)
+                  // off the persisted fingerprints) — same batch-named
+                  // idempotence; a crash between the two converges on
+                  // replay, and screens never read a doc from the
+                  // projection that the table's candidates didn't name
+                  graft.sources.MaintainedIndex.clusteredIdempotentAppend(
+                    survivorFps.select(col("id"), col("h")).distinct(),
+                    graft.operators.Corpus.winnowByIdPath(wp),
+                    s"b${batchId}_byid_", "id")
                   // the df sidecar delta (O(batch) aggregate off the
                   // persisted fingerprints) lands under the same
                   // batch-named idempotence — a replay rewrites its own
                   // delta files, and the screen above already ignores
                   // any delta rows stamped with this batch's id
-                  idempotentAppend(
+                  graft.sources.MaintainedIndex.clusteredIdempotentAppend(
                     graft.operators.Corpus
                       .winnowDfDelta(survivorFps, batchId),
                     graft.operators.Corpus.winnowDfStatePath(wp),
-                    s"b${batchId}_")
+                    s"b${batchId}_", "h")
                 })
               case _ => None
             }

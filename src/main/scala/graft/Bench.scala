@@ -309,8 +309,30 @@ object Bench {
     val missing =
       if (only.isEmpty) (bands.keySet -- results.map(_._1)).toSeq.sorted
       else Seq.empty
+    // LOAD-AWARE re-runs (r10 judge item): a flagged row gets ONE
+    // re-run, and burning it into a load spike just reproduces the
+    // noise (r10: x_cooccurrence re-read at load 16.6 over a 7.98
+    // first reading and stayed flagged purely from contention). Each
+    // re-run therefore WAITS — off a shared bounded budget — until
+    // the 1-minute load drops to the first reading's level (or a
+    // floor below which waiting buys nothing), and a re-run that
+    // still executes loaded is classified rerun_contended below, not
+    // flagged_after_rerun. The wait seconds land in the artifact so
+    // a deferred re-run is visible in BENCH_RUNS.jsonl history.
+    val firstWall = results.toMap
+    val loadFloor = cpus.toDouble / 4.0
+    var rerunBudgetS = sys.env.getOrElse("GRAFT_BENCH_RERUN_WAIT", "120")
+      .toDouble
+    val rerunWaits = scala.collection.mutable.Map.empty[String, Double]
     val second: Seq[(String, Reading)] = flagged.flatMap { case (name, _, _) =>
       queryFns.find(_._1 == name).map { case (_, fn) =>
+        val target = math.max(loadFloor,
+          firstWall.get(name).map(_.load).getOrElse(Double.MaxValue))
+        var waited = 0.0
+        while (loadAvg() > target && rerunBudgetS > 0) {
+          Thread.sleep(5000); waited += 5; rerunBudgetS -= 5
+        }
+        rerunWaits(name) = waited
         name -> timeQuery(name, fn) }
     }
     // ADJUDICATED wall per flagged row: min(first, second). Under
@@ -320,7 +342,6 @@ object Bench {
     // wall is the run's fairest statement of the plan's cost, and both
     // raw readings stay in the artifact.
     val secondWall = second.toMap
-    val firstWall = results.toMap
     def adjudicated(name: String): Double = {
       val f = firstWall.get(name).map(_.wall).getOrElse(-1.0)
       val s = secondWall.get(name).map(_.wall).getOrElse(-1.0)
@@ -338,7 +359,11 @@ object Bench {
     }
     val (contended, stillOut) = outAfter.partition { name =>
       bands.get(name).exists(b => b.cpuHi.exists(ch =>
-        secondWall.get(name).exists(r => r.cpu >= 0 && r.cpu <= tol * ch)))
+        secondWall.get(name).exists(r => r.cpu >= 0 && r.cpu <= tol * ch))) ||
+      // the re-run executed loaded anyway (wait budget ran out): its
+      // wall is another contention sample, not evidence of regression
+      secondWall.get(name).exists(r => r.load > math.max(loadFloor,
+        firstWall.get(name).map(_.load).getOrElse(Double.MaxValue)))
     }
     def jstr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaggedJson = flagged.map { case (name, wall, why) =>
@@ -353,6 +378,7 @@ object Bench {
       s""""$name":{"wall":${r3(r.wall)},"cpu":${r3(r.cpu)},""" +
         s""""jit_ms":${r.jitMsD},"gc_ms":${r.gcMsD},""" +
         s""""load":${r3(r.load)},""" +
+        s""""rerun_wait_s":${r3(rerunWaits.getOrElse(name, 0.0))},""" +
         s""""adjudicated_wall":${r3(adjudicated(name))}}"""
     }.mkString("{", ",", "}")
     // CLEAN headline total: every flagged row contributes its

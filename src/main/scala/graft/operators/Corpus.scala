@@ -696,48 +696,101 @@ object Corpus {
       held += p
       p
     }
+    val dbgScreen = sys.env.get("GRAFT_CURATE_DEBUG").contains("1")
+    def sdbg[A](tag: String)(f: => A): A =
+      if (!dbgScreen) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[pruned screen] $tag%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
     def keysOf(df: DataFrame, c: String): Array[Any] =
       df.select(col(c)).collect().map(_.get(0))
     def exclude(df: DataFrame): DataFrame =
       excludeIds.fold(df)(e =>
         df.join(broadcast(e.select(col("id"))), Seq("id"), "left_anti"))
-    def dfStateFor(probes: Array[Any]): DataFrame =
-      MaintainedIndex.readPruned(spark, dfPath, "h", probes)
+    // Prune-or-not, decided BEFORE any probe collect: a probe set at
+    // least as large as the table's file count cannot skip a useful
+    // fraction under uniform keys, so bulk-sized batches (audits, the
+    // bench fixtures' corpus-scale batches) read tables whole and pay
+    // ZERO prune overhead — the r10 plan shape exactly. Micro-batches
+    // (the 100 TB steady state) fall through to the pruned read. The
+    // probe relations are already held, so counts are cache reads.
+    def prunedOrFull(dir: String, keyCol: String, probeRel: DataFrame,
+                     probeCol: String): (DataFrame, Boolean) = {
+      val nFiles = MaintainedIndex.dataFileCount(spark, dir)
+      // a SMALL table (≤ two task waves of files) is cheaper to read
+      // whole than to probe: skip the decision job entirely — zero
+      // added barriers in the bulk/fixture regime. At 100 TB the
+      // maintained tables are thousands of files and always take the
+      // pruned path below.
+      if (nFiles <= 2 * spark.sessionState.conf.numShufflePartitions)
+        return (spark.read.parquet(dir), false)
+      // ONE bounded job decides AND fetches: collect at most
+      // nFiles + 1 probes (an early-exit scan of the held relation).
+      // Overflow ⇒ the probe set outnumbers the files ⇒ read whole;
+      // otherwise the collected set is the prune's probe array — the
+      // driver never holds more probes than the table has files.
+      val probes = probeRel.select(col(probeCol))
+        .limit(nFiles + 1).collect().map(_.get(0))
+      if (probes.length > nFiles) (spark.read.parquet(dir), false)
+      else {
+        val (df, kept, all) = MaintainedIndex.readPrunedWithInfo(
+          spark, dir, keyCol, probes)
+        (df, kept < all)
+      }
+    }
+    def dfStateFor(probeRel: DataFrame, probeCol: String): DataFrame =
+      prunedOrFull(dfPath, "h", probeRel, probeCol)._1
         .where(col("batch_id") < lit(ownBatchId))
         .select(col("h"), col("d"))
     try {
       val ihB = hold(batchFps.select(col("id"), col("h")).distinct())
       val dfB = hold(ihB.groupBy(col("h")).agg(count(lit(1)).as("db")))
-      val dfCB = dfStateFor(keysOf(dfB, "h"))
+      sdbg("dfB")(dfB.count())
+      val dfCB = dfStateFor(dfB, "h")
         .join(broadcast(dfB.select(col("h"))), Seq("h"))
         .groupBy(col("h")).agg(sum(col("d")).as("dc"))
       val rareB = hold(dfB.join(dfCB, Seq("h"), "left")
         .where(coalesce(col("dc"), lit(0L)) + col("db") <= maxDf)
         .select(col("h")))
+      sdbg("rareB")(rareB.count())
       val pB = hold(ihB.join(broadcast(rareB), Seq("h")))
       val nB = pB.groupBy(col("id")).agg(count(lit(1)).as("n_batch"))
         .withColumnRenamed("id", "batch_id")
       // the table read: pruned to files whose h-envelope meets the
       // rare batch-hash set, own ids excluded (replay safety)
-      val cfp = hold(exclude(
-        MaintainedIndex.readPruned(spark, tablePath, "h",
-          keysOf(rareB, "h")))
-        .select(col("id"), col("h")))
+      val (cfpRead, tablePruned) = prunedOrFull(tablePath, "h",
+        rareB, "h")
+      val cfp = hold(exclude(cfpRead).select(col("id"), col("h")))
       val pC = hold(cfp.join(broadcast(rareB), Seq("h")).distinct())
+      sdbg("pC")(pC.count())
       val pairs = pB.select(col("h"), col("id").as("batch_id"))
         .join(pC.select(col("h"), col("id").as("corpus_id")), Seq("h"))
         .groupBy(col("batch_id"), col("corpus_id"))
         .agg(count(lit(1)).as("shared"))
       val candIds = hold(pC.select(col("id")).distinct())
-      // the denominator pull: the ID-CLUSTERED projection pruned to
-      // the candidate docs (rows are distinct (id, h) at write time)
-      val candFps = hold(exclude(
-        MaintainedIndex.readPruned(spark, winnowByIdPath(tablePath),
-          "id", keysOf(candIds, "id")))
-        .join(broadcast(candIds), Seq("id"))
-        .select(col("id"), col("h")).distinct())
+      // the denominator pull — ADAPTIVE between the two regimes:
+      //  - micro-batch (the 100 TB steady state): the pair probe was
+      //    file-pruned, so cfp is a partial relation and candidate
+      //    docs' full hash sets come from the ID-CLUSTERED projection,
+      //    itself pruned to the candidate-id set;
+      //  - batch ~ corpus (bulk audits, small fixtures): the pair
+      //    probe kept every file, cfp IS the whole table and is
+      //    already held — deriving denominators from it is the r10
+      //    scan-sharing shape, and reading the projection would only
+      //    add a second full pass.
+      val candFps = hold(
+        (if (!tablePruned)
+           cfp.join(broadcast(candIds), Seq("id"))
+         else
+           exclude(prunedOrFull(winnowByIdPath(tablePath), "id",
+               candIds, "id")._1)
+             .join(broadcast(candIds), Seq("id")))
+          .select(col("id"), col("h")).distinct())
+      sdbg("candFps")(candFps.count())
       val candH = hold(candFps.select(col("h")).distinct())
-      val dfCC = dfStateFor(keysOf(candH, "h"))
+      val dfCC = dfStateFor(candH, "h")
         .join(broadcast(candH), Seq("h"))
         .groupBy(col("h")).agg(sum(col("d")).as("dc"))
       val rareC = dfCC.join(dfB, Seq("h"), "left")
@@ -746,6 +799,7 @@ object Corpus {
       val nC = candFps.join(broadcast(rareC), Seq("h"))
         .groupBy(col("id")).agg(count(lit(1)).as("n_corpus"))
         .withColumnRenamed("id", "corpus_id")
+      sdbg("result")(()) // marker: remaining wall is the final materialize
       graft.ops.Materialize(
         pairs.join(nB, Seq("batch_id")).join(nC, Seq("corpus_id"))
           .select(col("batch_id"), col("corpus_id"),

@@ -333,12 +333,27 @@ object Dedup {
       // the verify pull reads the table's BIG column (__sh, the full
       // shingle set) for CANDIDATE corpus docs only: pruned at file
       // level on the doc_id-clustered layout — never a full-column
-      // scan. Falls back to the whole table when the index is absent
-      // (pre-clustering tables) — correct either way.
-      val candIds = cand.select(col("corpus_id")).distinct()
-        .collect().map(_.get(0))
-      val shC = graft.sources.MaintainedIndex
-        .readPruned(spark, sigTablePath, "doc_id", candIds)
+      // scan. The prune engages only when the candidate set is smaller
+      // than the table's file count (the micro-batch regime); bulk
+      // screens with corpus-scale candidate sets read the table whole
+      // and skip the probe collect. Falls back to the whole table when
+      // the index is absent (pre-clustering tables) — correct either way.
+      val nFiles = graft.sources.MaintainedIndex
+        .dataFileCount(spark, sigTablePath)
+      // small tables (≤ two task waves of files) read whole with zero
+      // probe barriers; larger ones pay ONE bounded job that decides
+      // AND fetches (limit nFiles + 1): overflow ⇒ candidates
+      // outnumber files ⇒ whole-table read
+      val smallTable =
+        nFiles <= 2 * spark.sessionState.conf.numShufflePartitions
+      val candIds =
+        if (smallTable) Array.empty[Any]
+        else cand.select(col("corpus_id")).distinct()
+          .limit(nFiles + 1).collect().map(_.get(0))
+      val shC =
+        if (smallTable || candIds.length > nFiles) sigC
+        else graft.sources.MaintainedIndex.readPruned(
+          spark, sigTablePath, "doc_id", candIds)
       val verified = cand
         .join(sigB.select(col("doc_id").as("batch_id"), col("__sh").as("sh_b")),
           "batch_id")

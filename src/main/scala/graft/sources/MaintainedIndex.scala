@@ -55,6 +55,16 @@ object MaintainedIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Number of visible data files of a table — the cheap fs-metadata
+    * input to the callers' prune-or-not decision: a probe set at least
+    * as large as the file count cannot skip a useful fraction under
+    * uniform keys (expected kept ≥ 63% at parity), so callers read the
+    * table whole and never pay the probe collect. */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    dataFiles(fs, p).size
+  }
+
   /** Visible data files (basenames) of a parquet directory — the same
     * filter Spark's own listing applies (no underscore/dot names). */
   private def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
@@ -209,6 +219,17 @@ object MaintainedIndex {
     case _ => None
   }
 
+  /** Driver-side stats cache: the per-file envelope relation is
+    * metadata-plane (O(#files) rows) but reading it is a Spark job,
+    * and a screen probes the same index 2-4 times per micro-batch.
+    * Entries key on the index directory and validate against the
+    * LISTING SIGNATURE (names + lengths + mtimes of the index files),
+    * so an append — which lands new stats files — invalidates exactly
+    * the tables it touched. Bounded by the number of maintained
+    * tables in the JVM. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[org.apache.spark.sql.Row])]
+
   /** The file-selection core, test-visible: (files to read, all live
     * data files). A file survives iff it is unindexed OR its [lo, hi]
     * envelope contains at least one probe. None = no pruning possible
@@ -219,15 +240,26 @@ object MaintainedIndex {
     val (fs, dirPath) = fsOf(spark, dir)
     val all = dataFiles(fs, dirPath)
     val idx = new Path(indexDir(dir, keyCol))
-    val hasIdx = fs.exists(idx) && fs.listStatus(idx)
-      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (!hasIdx || all.isEmpty) return (all, all)
-    val statsTry = scala.util.Try {
-      spark.read.parquet(idx.toString)
-        .select(col("file"), col("lo"), col("hi")).collect()
-    }
-    if (statsTry.isFailure) return (all, all)
-    val stats = statsTry.get
+    val idxFiles =
+      if (!fs.exists(idx)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(idx)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (idxFiles.isEmpty || all.isEmpty) return (all, all)
+    val listingSig = idxFiles.sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString("|")
+    val cachedEntry = statsCache.get(idx.toString)
+    val stats =
+      if (cachedEntry != null && cachedEntry._1 == listingSig) cachedEntry._2
+      else {
+        val statsTry = scala.util.Try {
+          spark.read.parquet(idx.toString)
+            .select(col("file"), col("lo"), col("hi")).collect()
+        }
+        if (statsTry.isFailure) return (all, all)
+        statsCache.put(idx.toString, (listingSig, statsTry.get))
+        statsTry.get
+      }
     // conservative merge if a file ever has two rows: widest envelope
     val env = new scala.collection.mutable.HashMap[String, (Any, Any)]
     stats.foreach { r =>
@@ -282,15 +314,25 @@ object MaintainedIndex {
     * rows matching the probe set, so any downstream equi-semi-join on
     * the key gives results identical to reading the whole table. */
   def readPruned(spark: SparkSession, dir: String, keyCol: String,
-                 probes: Array[Any]): DataFrame = {
+                 probes: Array[Any]): DataFrame =
+    readPrunedWithInfo(spark, dir, keyCol, probes)._1
+
+  /** [[readPruned]] plus (files kept, files total) — callers that can
+    * restructure their plan when pruning did NOT engage (a batch-sized
+    * probe set over a small table keeps everything) use the counts to
+    * fall back to scan sharing instead of a second table read. */
+  def readPrunedWithInfo(spark: SparkSession, dir: String, keyCol: String,
+                         probes: Array[Any]): (DataFrame, Int, Int) = {
     val (kept, all) = pruneFiles(spark, dir, keyCol, probes)
-    if (all.isEmpty) spark.read.parquet(dir) // empty/missing: schema err
-    else if (kept.isEmpty)
-      spark.read.parquet(dir).where(lit(false)) // schema-preserving empty
-    else if (kept.size == all.size) spark.read.parquet(dir)
-    else {
-      val base = new Path(dir)
-      spark.read.parquet(kept.map(n => new Path(base, n).toString): _*)
-    }
+    val df =
+      if (all.isEmpty) spark.read.parquet(dir) // empty/missing: schema err
+      else if (kept.isEmpty)
+        spark.read.parquet(dir).where(lit(false)) // schema-preserving empty
+      else if (kept.size == all.size) spark.read.parquet(dir)
+      else {
+        val base = new Path(dir)
+        spark.read.parquet(kept.map(n => new Path(base, n).toString): _*)
+      }
+    (df, kept.size, all.size)
   }
 }

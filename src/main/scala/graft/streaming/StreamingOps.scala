@@ -580,35 +580,40 @@ object StreamingOps {
               graft.sources.MaintainedIndex.clusteredIdempotentAppend(
                 survivorSigs, sigTablePath, s"b${batchId}_sig_",
                 "doc_id"))
-            val fFp = (winnowTablePath, fpB) match {
+            // the three fingerprint-family artifacts (table, doc-keyed
+            // projection, df delta) are independent derivations of the
+            // SAME persisted survivor fingerprints writing to disjoint
+            // directories — submitted concurrently like the other
+            // sinks, so the batch's write wall is the slowest artifact,
+            // not the sum. Crash anywhere between them converges on
+            // replay: batch-named idempotence rewrites each, the screen
+            // excludes own ids corpus-side and own deltas by batch id,
+            // and a projection/table gap only ever hides the batch's
+            // OWN docs (never candidates — those come from the table).
+            val fFp: Seq[Future[Unit]] = (winnowTablePath, fpB) match {
               case (Some(wp), Some(fp)) =>
                 val survivorFps = fp.join(
                   dupIds.select(col(idCol).as("id")), Seq("id"),
                   "left_anti")
-                Some(Future {
-                  graft.sources.MaintainedIndex.clusteredIdempotentAppend(
-                    survivorFps, wp, s"b${batchId}_fp_", "h")
-                  // the doc-keyed projection append (distinct (id, h)
-                  // off the persisted fingerprints) — same batch-named
-                  // idempotence; a crash between the two converges on
-                  // replay, and screens never read a doc from the
-                  // projection that the table's candidates didn't name
-                  graft.sources.MaintainedIndex.clusteredIdempotentAppend(
-                    survivorFps.select(col("id"), col("h")).distinct(),
-                    graft.operators.Corpus.winnowByIdPath(wp),
-                    s"b${batchId}_byid_", "id")
-                  // the df sidecar delta (O(batch) aggregate off the
-                  // persisted fingerprints) lands under the same
-                  // batch-named idempotence — a replay rewrites its own
-                  // delta files, and the screen above already ignores
-                  // any delta rows stamped with this batch's id
-                  graft.sources.MaintainedIndex.clusteredIdempotentAppend(
-                    graft.operators.Corpus
-                      .winnowDfDelta(survivorFps, batchId),
-                    graft.operators.Corpus.winnowDfStatePath(wp),
-                    s"b${batchId}_", "h")
-                })
-              case _ => None
+                Seq(
+                  Future {
+                    graft.sources.MaintainedIndex.clusteredIdempotentAppend(
+                      survivorFps, wp, s"b${batchId}_fp_", "h")
+                  },
+                  Future {
+                    graft.sources.MaintainedIndex.clusteredIdempotentAppend(
+                      survivorFps.select(col("id"), col("h")).distinct(),
+                      graft.operators.Corpus.winnowByIdPath(wp),
+                      s"b${batchId}_byid_", "id")
+                  },
+                  Future {
+                    graft.sources.MaintainedIndex.clusteredIdempotentAppend(
+                      graft.operators.Corpus
+                        .winnowDfDelta(survivorFps, batchId),
+                      graft.operators.Corpus.winnowDfStatePath(wp),
+                      s"b${batchId}_", "h")
+                  })
+              case _ => Nil
             }
             tdbg("await writes") {
               Await.result(fAdm, scala.concurrent.duration.Duration.Inf)

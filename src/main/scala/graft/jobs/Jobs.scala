@@ -932,7 +932,32 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/overlap_report")
   }
 
+  /** Maintained-screen-table lifecycle: build the winnow fingerprint
+    * table + signature table the ingest screens probe (clustered +
+    * per-file envelope stats + doc-keyed projection from birth),
+    * append one admitted batch so each table carries a second
+    * generation, then COMPACT both into single re-clustered
+    * generations — the layout pass a long-lived curate loop schedules
+    * so its per-batch pruned reads keep their kept ≤ probes bound. */
+  private def compactScreenTablesJob(spark: SparkSession, sfDir: String,
+                                     outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val fp = s"$outDir/winnow_table"
+    val sig = s"$outDir/sig_table"
+    graft.operators.Corpus.writeWinnowTable(base, "text", "doc_id", fp)
+    graft.operators.Dedup.writeSignatureTable(base, "text", "doc_id", sig)
+    graft.operators.Corpus.appendToWinnowTable(batch, "text", "doc_id", fp)
+    graft.operators.Dedup.appendToSignatureTable(batch, "text", "doc_id", sig)
+    graft.operators.Corpus.compactWinnowTable(spark, fp, s"${fp}_compact")
+    graft.operators.Dedup.compactSignatureTable(spark, sig, s"${sig}_compact")
+  }
+
   val all: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "compact_screen_tables" -> (compactScreenTablesJob _),
     "screen_blocklist" -> (screenBlocklistJob _),
     "eval_overlap" -> (evalOverlapJob _),
     "train_tokenizer" -> (trainTokenizerJob _),

@@ -414,6 +414,41 @@ object Corpus {
   def winnowByIdPath(path: String): String =
     new org.apache.hadoop.fs.Path(path, "_graft_winnow_byid").toString
 
+  /** Compact a maintained winnow table INTO `outPath` — the lifecycle
+    * counterpart of [[appendToWinnowTable]]: a long-lived ingest table
+    * accumulates one clustered generation per admitted batch, and the
+    * pruned screens' file bound (kept ≤ probes × generations) degrades
+    * linearly with batch count. Re-clusters all three screen artifacts
+    * (fingerprint table by h, doc-keyed projection by id, df sidecar
+    * by h) into single generations sized by bytes, carries the
+    * (k, window) geometry marker, and rebuilds every stats index.
+    * Rows are preserved exactly — screens before and after are equal
+    * by the prune-safety rule (CompactionSpec-style assertion in
+    * ScreenPruneSpec). The df sidecar's delta rows keep their batch_id
+    * stamps: compaction is a layout operation, and replay filtering
+    * (`batch_id < ownId`) must keep working on the compacted copy if
+    * the curate loop resumes against it. */
+  def compactWinnowTable(spark: org.apache.spark.sql.SparkSession,
+                         inPath: String, outPath: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import graft.sources.MaintainedIndex
+    val (k, w) = winnowTableParams(spark, inPath)
+    ensureWinnowDfState(spark, inPath)
+    ensureWinnowScreenIndex(spark, inPath)
+    MaintainedIndex.compactClusteredIndexed(
+      spark, inPath, outPath, "h", targetFileBytes)
+    val meta = new org.apache.hadoop.fs.Path(outPath, "_graft_winnow_kw")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(s"$k,$w".getBytes("UTF-8")) finally out.close()
+    MaintainedIndex.compactClusteredIndexed(spark,
+      winnowByIdPath(inPath), winnowByIdPath(outPath), "id",
+      targetFileBytes)
+    MaintainedIndex.compactClusteredIndexed(spark,
+      winnowDfStatePath(inPath), winnowDfStatePath(outPath), "h",
+      targetFileBytes)
+  }
+
   /** Heal a winnow table that predates the doc-keyed projection (or
     * the file indexes): build them once from the table. No-op when
     * present. */

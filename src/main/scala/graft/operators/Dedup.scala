@@ -264,6 +264,22 @@ object Dedup {
       s"gen_${java.util.UUID.randomUUID().toString.take(8)}_", "doc_id")
   }
 
+  /** Compact a maintained signature table INTO `outPath` — re-clusters
+    * the accumulated per-batch generations on doc_id into one (file
+    * count from bytes), rebuilds the stats index, and carries the
+    * shingle-size marker. Layout only; rows preserved exactly. */
+  def compactSignatureTable(spark: org.apache.spark.sql.SparkSession,
+                            inPath: String, outPath: String,
+                            targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val k = signatureTableK(spark, inPath)
+    graft.sources.MaintainedIndex.compactClusteredIndexed(
+      spark, inPath, outPath, "doc_id", targetFileBytes)
+    val meta = new org.apache.hadoop.fs.Path(outPath, "_graft_shingle_k")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Shingle size a signature table was written with. */
   def signatureTableK(spark: org.apache.spark.sql.SparkSession,
                       path: String): Int = {

@@ -151,13 +151,40 @@ object MaintainedIndex {
 
   /** Initial clustered write (overwrite) + full stats build. */
   def writeClusteredIndexed(df: DataFrame, dir: String,
-                            keyCol: String): Unit = {
+                            keyCol: String): Unit =
+    writeClusteredIndexed(df, dir, keyCol,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** [[writeClusteredIndexed]] at an explicit output file count — the
+    * compaction form (file count planned from bytes, not from the
+    * session's shuffle width). */
+  def writeClusteredIndexed(df: DataFrame, dir: String, keyCol: String,
+                            partitions: Int): Unit = {
     val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    df.repartitionByRange(parts, col(keyCol))
+    df.repartitionByRange(math.max(1, partitions), col(keyCol))
       .sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").parquet(dir)
     rebuildStats(spark, dir, keyCol)
+  }
+
+  /** Compact a maintained clustered table: every append leaves its own
+    * generation of narrow-envelope files, and the pruned reads' bound
+    * is kept ≤ probes × GENERATIONS — so a long-lived ingest table
+    * periodically re-clusters its accumulated generations into ONE
+    * (file count planned from bytes, [[Compaction]]'s sizing rule),
+    * resetting the bound to kept ≤ probes and restoring large sorted
+    * files. Lands in `outPath` (never in place — a mid-write failure
+    * must not destroy the input; publish via rename or
+    * [[graft.sources.Versioned]]) with a freshly built stats index.
+    * Unlike [[Compaction.compact]] this pays one range shuffle — that
+    * IS the re-clustering; row content is preserved exactly. */
+  def compactClusteredIndexed(spark: SparkSession, inPath: String,
+                              outPath: String, keyCol: String,
+                              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val (nIn, bytes) = Compaction.layoutOf(spark, inPath)
+    val nOut = Compaction.planFileCount(bytes, targetFileBytes)
+    writeClusteredIndexed(spark.read.parquet(inPath), outPath, keyCol, nOut)
+    (nIn, nOut)
   }
 
   /** Rebuild the whole stats index from the table (one column-pruned

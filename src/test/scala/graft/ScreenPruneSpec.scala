@@ -215,6 +215,36 @@ class ScreenPruneSpec extends SparkSpec {
     assert(healed == expect)
   }
 
+  test("compacted winnow table: one generation, equal screens, " +
+    "markers and replay stamps carried") {
+    val (table, batchFps) = winnowFixture()
+    val before = Corpus.winnowingContainmentScreenPrunedM(
+      batchFps, table).df
+      .orderBy("batch_id", "corpus_id").collect().map(_.toString).toSeq
+    val out = table + "_compacted"
+    Corpus.compactWinnowTable(spark, table, out,
+      targetFileBytes = 64L * 1024)
+    val after = Corpus.winnowingContainmentScreenPrunedM(
+      batchFps, out).df
+      .orderBy("batch_id", "corpus_id").collect().map(_.toString).toSeq
+    assert(after == before)
+    // geometry marker carried; row content exact
+    assert(Corpus.winnowTableParams(spark, out) ==
+      Corpus.winnowTableParams(spark, table))
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(table).count())
+    // the df sidecar keeps batch_id stamps (replay filtering must
+    // survive compaction)
+    assert(spark.read.parquet(Corpus.winnowDfStatePath(out))
+      .columns.contains("batch_id"))
+    // ONE generation: a single probe now opens at most one file
+    val probe: Array[Any] = batchFps.select(col("h")).limit(1)
+      .collect().map(_.get(0))
+    val (kept1, _) = MaintainedIndex.pruneFiles(spark, out, "h", probe)
+    assert(kept1.size <= 1,
+      s"kept ${kept1.size} files for one probe after compaction")
+  }
+
   // --------------------------------------------- the pruned LSH screen
 
   test("LSH verify pull prunes the signature table by candidate ids " +

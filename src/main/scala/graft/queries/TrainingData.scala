@@ -7002,6 +7002,46 @@ object TrainingData {
        |WHERE (shared * 10000) // least(n_batch, n_corpus) >= 8000""".stripMargin
   }
 
+  // ------------------- the same screen against a COMPACTED table
+  // Corpus.compactWinnowTable re-clusters a maintained table's append
+  // generations into one and rebuilds every stats index; this lane
+  // certifies the whole lifecycle in the correctness gate: the
+  // compacted copy must screen BIT-IDENTICALLY (same oracle as
+  // x_quote_screen_pruned - compaction is layout, never content). The
+  // fixture appends a batch to a copied table first, so the compaction
+  // genuinely folds multiple generations.
+  def quoteScreenCompactedQ(spark: SparkSession, dir: String): DataFrame = {
+    val batchFps = Fixtures.cached("winnow-fps-contain-batch", dir) { root =>
+      val path = new java.io.File(root, "fps").toString
+      val quotes = docs(spark, dir).where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          expr("substring(text, 21, 160)").as("text"))
+      graft.operators.Corpus
+        .winnowingFingerprints(quotes, "text", "doc_id", k = 5, window = 4)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    // two-generation maintained table (base write + one append), then
+    // compacted - built once per (session, sf-dir)
+    val compacted = Fixtures.cached("winnow-table-compacted", dir) { root =>
+      val t = new java.io.File(root, "fps").toString
+      val d = docs(spark, dir).select(col("doc_id"), col("text"))
+      graft.operators.Corpus.writeWinnowTable(
+        d.where(col("doc_id") % 3 =!= 0), "text", "doc_id", t)
+      graft.operators.Corpus.appendToWinnowTable(
+        d.where(col("doc_id") % 3 === 0), "text", "doc_id", t)
+      val out = new java.io.File(root, "fps_compact").toString
+      graft.operators.Corpus.compactWinnowTable(spark, t, out)
+      out
+    }
+    graft.operators.Corpus.winnowingContainmentScreenPrunedM(
+      spark.read.parquet(batchFps), compacted,
+      maxDf = 50, minContainmentBp = 8000L).df
+  }
+  // content-identical to the uncompacted maintained table, so the
+  // oracle IS the pruned-screen lane's
+  val quoteScreenCompactedSql: String = quoteScreenPrunedSql
+
   // ------------------------------------------- screen agreement table
   // The two candidate screens COMPARED on the same corpus: MinHash-LSH
   // (probabilistic, banded) vs winnowing (deterministic,
@@ -10190,6 +10230,7 @@ object TrainingData {
     "x_containment_winnow" -> (containmentWinnowQ _),
     "x_containment_winnow_incr" -> (containmentWinnowIncrQ _),
     "x_quote_screen_pruned" -> (quoteScreenPrunedQ _),
+    "x_quote_screen_compacted" -> (quoteScreenCompactedQ _),
     "x_screen_overlap" -> (screenOverlapQ _),
     "x_winnow_incremental" -> (winnowIncrementalQ _),
     "x_bpe_apply" -> (bpeApplyQ _),
@@ -10412,6 +10453,7 @@ object TrainingData {
     "x_containment_winnow" -> containmentWinnowSql,
     "x_containment_winnow_incr" -> containmentWinnowIncrSql,
     "x_quote_screen_pruned" -> quoteScreenPrunedSql,
+    "x_quote_screen_compacted" -> quoteScreenCompactedSql,
     "x_screen_overlap" -> screenOverlapSql,
     "x_winnow_incremental" -> winnowIncrementalSql,
     "x_bpe_apply" -> bpeApplySql,

@@ -5838,6 +5838,149 @@ object TrainingData {
        |SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1""".stripMargin
   }
 
+  // -------------------- curate loop with the POLICY (blocklist) screen
+  // continuousCurate with the third screen live: each batch passes
+  // MinHash-LSH dedup AND an Aho-Corasick policy gate (folded matching,
+  // >= 2 hits of the planted term reject). The semantics this lane
+  // pins: a policy-REJECTED document's signatures never append, so a
+  // later near-dup of blocked content ADMITS (+7e6 below: an excerpt
+  // of batch 0's blocked chain2 docs) - rejected pages must not become
+  // dedup evidence - while a near-dup of ADMITTED content (+9e6 vs the
+  // +6e6 chains) still rejects through the live table. The policy
+  // screen is one automaton pass per doc, zero exchanges, folded
+  // (the planted 'QzxBlockA'/'qzxblocka' pair counts 2 under one
+  // lowercase dictionary entry).
+  def streamCuratePolicyQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-curatep").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }))
+    val sigPath = new java.io.File(root, "sigs").toString
+    val outPath = new java.io.File(root, "admitted").toString
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val baseSigs = Fixtures.cached("sigs-curate-base", dir) { base =>
+      val p = new java.io.File(base, "sigs").toString
+      Dedup.writeSignatureTable(d, "text", "doc_id", p, k = 5)
+      p
+    }
+    locally {
+      val from = java.nio.file.Paths.get(baseSigs)
+      val to = java.nio.file.Paths.get(sigPath)
+      java.nio.file.Files.walk(from).forEach { f =>
+        val dst = to.resolve(from.relativize(f).toString)
+        if (java.nio.file.Files.isDirectory(f))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(f, dst)
+        ()
+      }
+    }
+    val chain = concat(md5(col("text")), md5(concat(col("text"), lit("a"))),
+      md5(concat(col("text"), lit("b"))))
+    val chain2 = concat(md5(concat(col("text"), lit("p"))),
+      md5(concat(col("text"), lit("q"))),
+      md5(concat(col("text"), lit("r"))))
+    val chain3 = concat(md5(concat(col("text"), lit("s"))),
+      md5(concat(col("text"), lit("t"))),
+      md5(concat(col("text"), lit("u"))))
+    val b0 = d.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        expr("substring(text, 11)").as("text"))
+      .union(d.where(col("doc_id") % 5 === 1).select(
+        (col("doc_id") + 6000000L).as("doc_id"), chain.as("text")))
+      .union(d.where(col("doc_id") % 5 === 2).select(
+        (col("doc_id") + 6500000L).as("doc_id"),
+        concat(chain2, lit(" QzxBlockA qzxblocka")).as("text")))
+    val b1 = d.where(col("doc_id") % 5 === 2).select(
+        (col("doc_id") + 7000000L).as("doc_id"),
+        substring(chain2, 11, 86).as("text"))
+      .union(d.where(col("doc_id") % 5 === 3).select(
+        (col("doc_id") + 8000000L).as("doc_id"), chain3.as("text")))
+      .union(d.where(col("doc_id") % 5 === 1).select(
+        (col("doc_id") + 9000000L).as("doc_id"),
+        substring(chain, 11, 86).as("text")))
+    val feedDir = Fixtures.cached("curatep-src", dir) { base =>
+      val sd = new java.io.File(base, "src")
+      sd.mkdirs()
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        val tmp = new java.io.File(base, s"tmp$i").toString
+        b.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(sd, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000000L + i * 60000L)
+        ()
+      }
+      sd.toString
+    }
+    val src = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    graft.streaming.StreamingOps.continuousCurate(
+      src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5,
+      shufflePartitions = Some(8),
+      blocklist = Seq("qzxblocka"), blocklistBlockAt = 2L)
+    spark.read.parquet(outPath).select(col("doc_id"))
+  }
+  val streamCuratePolicySql: String = {
+    val chain = "md5(text) || md5(text || 'a') || md5(text || 'b')"
+    val chain2 = "md5(text || 'p') || md5(text || 'q') || md5(text || 'r')"
+    val chain3 = "md5(text || 's') || md5(text || 't') || md5(text || 'u')"
+    val tagged =
+      s"""SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, substr(text, 11) FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, $chain FROM documents
+         |  WHERE doc_id % 5 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 6500000, $chain2 || ' QzxBlockA qzxblocka'
+         |  FROM documents WHERE doc_id % 5 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, substr($chain2, 11, 86) FROM documents
+         |  WHERE doc_id % 5 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, $chain3 FROM documents
+         |  WHERE doc_id % 5 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 9000000, substr($chain, 11, 86) FROM documents
+         |  WHERE doc_id % 5 = 1""".stripMargin
+    s"""WITH ${minhashCtesOver(tagged)},
+       |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |blk AS (
+       |  SELECT doc_id FROM corpus
+       |  WHERE doc_id >= 5000000
+       |    AND len(list_filter(
+       |      range(1, len(lower(nfc_normalize(text))) - 7),
+       |      i -> substr(lower(nfc_normalize(text)), CAST(i AS INT), 9)
+       |           = 'qzxblocka')) >= 2),
+       |b0 AS (SELECT doc_id FROM corpus
+       |       WHERE doc_id >= 5000000 AND doc_id < 7000000),
+       |b1 AS (SELECT doc_id FROM corpus WHERE doc_id >= 7000000),
+       |dup0 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM p
+       |  WHERE doc_a < 5000000 AND doc_b >= 5000000 AND doc_b < 7000000),
+       |adm0 AS (SELECT doc_id FROM b0
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM dup0)
+       |           AND doc_id NOT IN (SELECT doc_id FROM blk)),
+       |dup1 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM p
+       |  WHERE doc_b >= 7000000
+       |    AND (doc_a < 5000000
+       |         OR doc_a IN (SELECT doc_id FROM adm0))),
+       |adm1 AS (SELECT doc_id FROM b1
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM dup1)
+       |           AND doc_id NOT IN (SELECT doc_id FROM blk))
+       |SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1""".stripMargin
+  }
+
   // ------------------------ curate loop with the winnowing quote screen
   // StreamingOps.continuousCurate with BOTH screens live: each batch is
   // screened by MinHash-LSH (near-dups) AND by positional winnowing
@@ -10242,6 +10385,7 @@ object TrainingData {
     "x_pack_report" -> (packReportQ _),
     "x_stream_curate" -> (streamCurateQ _),
     "x_stream_curate_quotes" -> (streamCurateQuotesQ _),
+    "x_stream_curate_policy" -> (streamCuratePolicyQ _),
     "x_quality_quantile" -> (qualityQuantileQ _),
     "x_ann_ivf_sq8" -> (annIvfSq8Q _),
     "x_ann_ivf_sq8_table" -> (annIvfSq8TableQ _),
@@ -10465,6 +10609,7 @@ object TrainingData {
     "x_pack_report" -> packReportSql,
     "x_stream_curate" -> streamCurateSql,
     "x_stream_curate_quotes" -> streamCurateQuotesSql,
+    "x_stream_curate_policy" -> streamCuratePolicySql,
     "x_quality_quantile" -> qualityQuantileSql,
     "x_ann_ivf_sq8" -> annIvfSq8Sql,
     "x_ann_ivf_sq8_table" -> annIvfSq8Sql,

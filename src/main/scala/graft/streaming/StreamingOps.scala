@@ -408,11 +408,15 @@ object StreamingOps {
                        shufflePartitions: Option[Int] = None,
                        winnowTablePath: String = null,
                        minContainmentBp: Long = 8000L,
-                       winnowMaxDf: Long = 50L): Unit =
+                       winnowMaxDf: Long = 50L,
+                       blocklist: Seq[String] = Nil,
+                       blocklistBlockAt: Long = 1L,
+                       blocklistFold: Boolean = true): Unit =
     withShufflePartitions(src.sparkSession, shufflePartitions) {
       continuousCurate0(src, sigTablePath, admittedDir, textCol, idCol,
         k, threshold, checkpointDir, Option(winnowTablePath),
-        minContainmentBp, winnowMaxDf)
+        minContainmentBp, winnowMaxDf, blocklist, blocklistBlockAt,
+        blocklistFold)
     }
 
   /** Run `body` with `spark.sql.shuffle.partitions` overridden — the
@@ -442,7 +446,10 @@ object StreamingOps {
                                 checkpointDir: String,
                                 winnowTablePath: Option[String] = None,
                                 minContainmentBp: Long = 8000L,
-                                winnowMaxDf: Long = 50L): Unit = {
+                                winnowMaxDf: Long = 50L,
+                                blocklist: Seq[String] = Nil,
+                                blocklistBlockAt: Long = 1L,
+                                blocklistFold: Boolean = true): Unit = {
     val ckpt = Option(checkpointDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString)
     // same shingle-size refusal as appendToSignatureTable, checked ONCE
@@ -551,11 +558,28 @@ object StreamingOps {
                 Some(quoteM.df.select(col("batch_id").as(idCol)))
               case _ => None
             }
+            // the POLICY screen (optional): one Aho-Corasick pass over
+            // the batch text — a zero-exchange row-local projection
+            // that pipelines inside the batch scan; total hits at or
+            // above the threshold reject the document. Rejected docs'
+            // signatures/fingerprints never append (a policy-rejected
+            // page must not become dedup evidence), exactly like the
+            // dedup screens' rejects. Folded matching by default: a
+            // production blocklist must hit case/NFC variants.
+            val policyDup =
+              if (blocklist.isEmpty) None
+              else Some(graft.operators.Blocklist
+                .policyReport(batch, textCol, idCol, blocklist,
+                  reviewAt = blocklistBlockAt, blockAt = blocklistBlockAt,
+                  fold = blocklistFold)
+                .where(col("verdict") === "block")
+                .select(col(idCol)))
             // MATERIALIZED once (id-only, KB-scale): dupIds feeds three
             // anti-joins (admits, signatures, fingerprints) — left lazy,
             // each would re-run the whole screen DAG per sink
             dupIdsM = tdbg("dupIds")(graft.ops.Materialize(
-              quoteDup.fold(lshDup)(q => lshDup.unionByName(q)).distinct(),
+              (Seq(lshDup) ++ quoteDup ++ policyDup)
+                .reduce(_ unionByName _).distinct(),
               graft.ops.MatStrategy.Local))
             val dupIds = dupIdsM.df
             // survivors / survivorSigs are each one cheap anti-join off

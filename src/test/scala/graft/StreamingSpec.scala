@@ -318,6 +318,56 @@ class StreamingSpec extends SparkSpec {
       s"expected live-table screen to admit {100, 201}, got $admitted")
   }
 
+  test("curate policy screen: blocked docs reject, and never become " +
+    "dedup evidence") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_curate_policy").toFile
+    def path(n: String) = new java.io.File(root, n).toString
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val novelText = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val freshText = "red orange yellow green blue indigo violet black " +
+      "white brown crimson scarlet amber teal navy maroon olive silver"
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureTable(
+      corpus, "text", "doc_id", path("sigs"), k = 5)
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val batches = Seq(
+      // 100: novel but BLOCKED (two folded hits of 'qzxspam') — must
+      // reject AND leave no signatures behind
+      Seq((100L, novelText + " QzxSpam qzxspam")),
+      // 200: near-dup of the BLOCKED 100 (tail trimmed) — admits,
+      // because a rejected page is not dedup evidence
+      Seq((200L, novelText.substring(10)),
+        // 201: blocked in its own batch
+        (201L, freshText + " qzxspam QZXSPAM extra")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = path(s"tmp$i")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+    }
+    val src = spark.readStream
+      .schema(corpus.schema).option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    StreamingOps.continuousCurate(
+      src, path("sigs"), path("admitted"), "text", "doc_id",
+      blocklist = Seq("qzxspam"), blocklistBlockAt = 2L)
+    val admitted = spark.read.parquet(path("admitted"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(200L),
+      s"expected policy screen to admit only {200}, got $admitted")
+    val sigIds = spark.read.parquet(path("sigs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 200L),
+      s"blocked docs leaked signatures: $sigIds")
+  }
+
   test("continuousAggMaintenance commits one Versioned snapshot per " +
     "micro-batch and the latest equals the full aggregate") {
     import spark.implicits._

@@ -203,6 +203,72 @@ object TextEval {
       .withColumn("fl_bp", f1("pl_bp", "rl_bp"))
   }
 
+  /** chrF (Popović, WMT 2015): character n-gram F_β over n = 1..maxN
+    * (the metric's standard 6), in exact integer basis points. Text
+    * folds to lowercase with ALL whitespace removed (the
+    * whitespace-agnostic variant — the tokenizer-free property that
+    * makes chrF robust where word metrics fragment), then the same
+    * one-pass tagged-stream engine as [[rougeBleuReportN]]: both
+    * sides' char n-grams for every n in ONE generator, conditional
+    * side counts (no cand×ref join), clip + totals per (pair, n).
+    *   p{n}_bp / r{n}_bp — clipped char-n-gram precision / recall
+    *   chrf{β}_bp        — mean over n of (1+β²)·P·R div (β²·P + R),
+    *                        β = 2 (the metric's recall weighting),
+    *                        each per-n term an exact integer div,
+    *                        the mean an exact div by maxN
+    * Pairs with empty folded sides report zeros, never nulls.
+    * Requires idCol unique per row (the object contract). */
+  def chrFReport(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String, maxN: Int = 6,
+                 beta: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
+    require(beta >= 1, s"beta must be >= 1, got $beta")
+    val id = col(idCol)
+    def folded(c: Column): Column =
+      regexp_replace(lower(c), "\\s+", "")
+    def charGrams(t: String, n: Int): Column =
+      // short case guarded explicitly: Spark's sequence() DESCENDS on
+      // start > stop (the wordGrams lesson)
+      expr(s"CASE WHEN char_length($t) < $n " +
+        s"THEN CAST(array() AS array<string>) " +
+        s"ELSE transform(sequence(1, char_length($t) - ${n - 1}), " +
+        s"i -> substring($t, i, $n)) END")
+    val base = pairs.select(id,
+      folded(col(candCol)).as("cf"), folded(col(refCol)).as("rf"))
+    def tagged(t: String, side: Int): Column =
+      flatten(array((1 to maxN).map(n =>
+        transform(charGrams(t, n), g =>
+          struct(lit(n).as("n"), lit(side).as("side"), g.as("g")))): _*))
+    val st = base
+      .select(id, explode(concat(tagged("cf", 0), tagged("rf", 1))).as("u"))
+      .select(id, col("u.n").as("n"), col("u.side").as("side"),
+        col("u.g").as("g"))
+      .groupBy(id, col("n"), col("g"))
+      .agg(count(when(col("side") === 0, 1)).as("cc"),
+        count(when(col("side") === 1, 1)).as("cr"))
+      .groupBy(id, col("n"))
+      .agg(sum(least(col("cc"), col("cr"))).as("clip"),
+        sum(col("cc")).as("n_cand"), sum(col("cr")).as("n_ref"))
+    val aggs = (1 to maxN).flatMap(n => Seq(
+      max(when(col("n") === n, col("clip"))).as(s"clip_$n"),
+      max(when(col("n") === n, col("n_cand"))).as(s"nc_$n"),
+      max(when(col("n") === n, col("n_ref"))).as(s"nr_$n")))
+    val wide = st.groupBy(id).agg(aggs.head, aggs.tail: _*)
+    val anchored = pairs.select(id).join(wide, Seq(idCol), "left")
+      .na.fill(0L)
+    val b2 = beta * beta
+    def fb(n: Int): String =
+      s"(CASE WHEN ($b2 * p${n}_bp + r${n}_bp) = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE ${1 + b2} * p${n}_bp * r${n}_bp " +
+        s"div ($b2 * p${n}_bp + r${n}_bp) END)"
+    anchored
+      .select(id +: (1 to maxN).flatMap(n => Seq(
+        bp(s"clip_$n", s"nc_$n").as(s"p${n}_bp"),
+        bp(s"clip_$n", s"nr_$n").as(s"r${n}_bp"))): _*)
+      .withColumn(s"chrf${beta}_bp",
+        expr(s"(${(1 to maxN).map(fb).mkString(" + ")}) div $maxN"))
+  }
+
   // ---------------------------------------- Gopher repetition signals
 
   /** The shared repetition engine (Rae et al. 2021 §A1.1, token-unit

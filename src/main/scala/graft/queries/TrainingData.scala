@@ -5012,6 +5012,68 @@ object TrainingData {
        |FROM b""".stripMargin
   }
 
+  // ------------------------------------------------- chrF (char n-gram F)
+  // TextEval.chrFReport (Popovic, WMT 2015): character n-gram F_beta
+  // over n=1..6, beta=2, on lowercased whitespace-stripped text — the
+  // tokenizer-free eval metric that stays robust where word metrics
+  // fragment. Same one-pass tagged-stream engine as the BLEU ladder
+  // (no cand x ref join); all values exact integer basis points, the
+  // mean an exact div by 6, so the oracle replays every value.
+  def chrfQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir).select(col("doc_id"),
+      expr("substring(text, 11)").as("cand"), col("text").as("ref"))
+    graft.operators.TextEval.chrFReport(pairs, "doc_id", "cand", "ref")
+  }
+  val chrfSql: String = {
+    def ng(t: String, n: Int): String =
+      s"list_transform(range(1, len($t) - ${n - 2}), " +
+        s"i -> substr($t, CAST(i AS INT), $n))"
+    val perN = (1 to 6).map { n =>
+      s"""c$n AS (SELECT doc_id, g, count(*) AS cc
+         |  FROM (SELECT doc_id, unnest(${ng("cf", n)}) AS g FROM tok)
+         |  GROUP BY 1, 2),
+         |r$n AS (SELECT doc_id, g, count(*) AS cr
+         |  FROM (SELECT doc_id, unnest(${ng("rf", n)}) AS g FROM tok)
+         |  GROUP BY 1, 2),
+         |o$n AS (SELECT doc_id, sum(least(cc, cr)) AS clip$n
+         |  FROM c$n JOIN r$n USING (doc_id, g) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to 6).map(n => s"LEFT JOIN o$n USING (doc_id)")
+      .mkString(" ")
+    val m = (1 to 6).map(n =>
+      s"""coalesce(clip$n, 0) AS clip$n,
+         |  greatest(len(cf) - ${n - 1}, 0) AS nc$n,
+         |  greatest(len(rf) - ${n - 1}, 0) AS nr$n""".stripMargin)
+      .mkString(",\n  ")
+    val prs = (1 to 6).map(n =>
+      s"""clip$n * 10000 // greatest(nc$n, 1) AS p${n}_bp,
+         |  clip$n * 10000 // greatest(nr$n, 1) AS r${n}_bp""".stripMargin)
+      .mkString(",\n  ")
+    val outs = (1 to 6).map(n =>
+      s"CAST(p${n}_bp AS BIGINT) AS p${n}_bp, " +
+        s"CAST(r${n}_bp AS BIGINT) AS r${n}_bp").mkString(",\n  ")
+    val fb = (1 to 6).map(n =>
+      s"(CASE WHEN 4 * p${n}_bp + r${n}_bp = 0 THEN 0 " +
+        s"ELSE 5 * p${n}_bp * r${n}_bp // (4 * p${n}_bp + r${n}_bp) END)")
+      .mkString(" + ")
+    raw"""WITH pairs AS (
+       |  SELECT doc_id, substr(text, 11) AS cand, text AS ref
+       |  FROM documents),
+       |tok AS (SELECT doc_id,
+       |  regexp_replace(lower(cand), '\s+', '', 'g') AS cf,
+       |  regexp_replace(lower(ref), '\s+', '', 'g') AS rf FROM pairs),
+       |$perN,
+       |m AS (SELECT tok.doc_id,
+       |  $m
+       |  FROM tok $joins),
+       |b AS (SELECT doc_id,
+       |  $prs FROM m)
+       |SELECT doc_id,
+       |  $outs,
+       |  CAST(($fb) // 6 AS BIGINT) AS chrf2_bp
+       |FROM b""".stripMargin
+  }
+
   // ------------------------------------------- Gopher repetition signals
   // TextEval.repetitionReport (Rae et al. 2021 §A1.1, token-unit
   // variant): most-frequent word 2-gram + its token mass, and the
@@ -10286,6 +10348,7 @@ object TrainingData {
     "x_blocklist_table" -> (blocklistTableQ _),
     "x_rouge_l" -> (rougeLQ _),
     "x_bleu34" -> (bleu34Q _),
+    "x_chrf" -> (chrfQ _),
     "x_gopher_battery" -> (gopherBatteryQ _),
     "x_pii_summary" -> (piiSummaryQ _),
     "x_ann_ivf" -> (annIvfQ _),
@@ -10506,6 +10569,7 @@ object TrainingData {
     "x_blocklist_table" -> blocklistTableSql,
     "x_rouge_l" -> rougeLSql,
     "x_bleu34" -> bleu34Sql,
+    "x_chrf" -> chrfSql,
     "x_gopher_battery" -> gopherBatterySql,
     "x_pii_summary" -> piiSummarySql,
     "x_ann_ivf" -> annIvfSql,

@@ -192,6 +192,28 @@ class TextEvalSpec extends SparkSpec {
     assert(generates == 1, s"$generates generates:\n$plan")
   }
 
+  test("chrFReport matches a hand-computed pair; identical is perfect") {
+    // fold: 'a b' -> 'ab' vs 'abc'. n=1: clip 2/2/3 -> p=10000 r=6666
+    // n=2: {ab} vs {ab,bc} -> p=10000 r=5000; n>=3: zero.
+    // F2 terms: 5pr div (4p+r) = 7142, 5555, 0... -> chrf2 = 12697/6
+    val pairs = Seq(
+      (1L, "a b", "ABC"),
+      (2L, "same text here", "same   text here")).toDF("id", "cand", "ref")
+    val rows = graft.operators.TextEval
+      .chrFReport(pairs, "id", "cand", "ref").orderBy("id").collect()
+    val m = rows(0).schema.fieldNames.zipWithIndex.toMap
+    assert(rows(0).getLong(m("p1_bp")) == 10000L)
+    assert(rows(0).getLong(m("r1_bp")) == 6666L)
+    assert(rows(0).getLong(m("p2_bp")) == 10000L)
+    assert(rows(0).getLong(m("r2_bp")) == 5000L)
+    assert(rows(0).getLong(m("p3_bp")) == 0L)
+    assert(rows(0).getLong(m("chrf2_bp")) ==
+      (5L * 10000 * 6666 / 46666 + 5L * 10000 * 5000 / 45000) / 6)
+    // whitespace-agnostic: differing spacing folds identical -> perfect
+    assert(rows(1).getLong(m("chrf2_bp")) == 10000L)
+    (1 to 12).foreach(i => assert(rows(1).getLong(i) == 10000L))
+  }
+
   test("x_rouge_bleu lane: near-dup candidate keeps recall below precision") {
     val q = queries.TrainingData.queries("x_rouge_bleu")
     val df = q(spark, sf0001).cache()

@@ -155,6 +155,14 @@ object GraftExtensions {
       "graft_lcs_len(a, b) - longest-common-subsequence length of two " +
         "token arrays (ROUGE-L core)",
       es => LcsLenExpr(es(0), es(1))),
+    (NativeFns.TokenEditName,
+      "graft_tok_edit(a, b) - Levenshtein edit distance over token " +
+        "arrays (word-error-rate core)",
+      es => TokenEditExpr(es(0), es(1))),
+    (NativeFns.WordPieceSegmentName,
+      "graft_wordpiece_segment(word, vocab) - greedy longest-match " +
+        "WordPiece segmentation under a literal vocabulary",
+      es => WordPieceSegmentExpr(es(0), es(1))),
     (NativeFns.AhoCountsName,
       "graft_aho_counts(text, terms) - per-term Aho-Corasick occurrence " +
         "counts under a literal dictionary",

@@ -100,6 +100,8 @@ object NativeFns {
   val LcsLenName = "graft_lcs_len"
   val AhoFoldCountsName = "graft_aho_fold_counts"
   val AhoFoldScrubName = "graft_aho_fold_scrub"
+  val TokenEditName = "graft_tok_edit"
+  val WordPieceSegmentName = "graft_wordpiece_segment"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -225,4 +227,19 @@ object NativeFns {
   /** Longest-common-subsequence length of two token arrays — ROUGE-L's
     * matching core, as a row-local two-row DP; see [[LcsLenExpr]]. */
   def lcsLen(a: Column, b: Column): Column = call_function(LcsLenName, a, b)
+
+  /** Levenshtein edit distance over TOKEN arrays — the word-error-rate
+    * / TER-without-shifts core, as a row-local two-row DP; see
+    * [[TokenEditExpr]]. */
+  def tokenEdit(a: Column, b: Column): Column =
+    call_function(TokenEditName, a, b)
+
+  /** Greedy longest-match-first WordPiece segmentation of a word under
+    * a LITERAL vocabulary ("x" initial / "##x" continuation pieces;
+    * unmatchable words collapse to ["[UNK]"]); see
+    * [[WordPieceSegmentExpr]]. */
+  def wordpieceSegment(word: Column, vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function(WordPieceSegmentName, word, typedLit(vocab))
+  }
 }

@@ -932,6 +932,68 @@ object Jobs {
       .write.mode("overwrite").parquet(s"$outDir/overlap_report")
   }
 
+  /** Generation-eval edit-rate report: token-level edit distance and
+    * WER basis points between each document and its near-dup mutation
+    * — the edit-distance axis beside eval_overlap's n-gram clips. */
+  private def evalWerJob(spark: SparkSession, sfDir: String,
+                         outDir: String): Unit = {
+    val pairs = Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("substring(text, 11)").as("cand"),
+        org.apache.spark.sql.functions.col("text").as("ref"))
+    graft.operators.TextEval.tokenEditReport(pairs, "doc_id", "cand", "ref")
+      .write.mode("overwrite").parquet(s"$outDir/wer_report")
+  }
+
+  /** WordPiece trainer pipeline: learn GRAFT_WP_ROUNDS likelihood
+    * merges (default 3) over the corpus, persist the merge table and
+    * the greedy segmentation of the corpus's distinct pretokens under
+    * the trained vocabulary — the BERT-family third trainer beside
+    * train_tokenizer's BPE+unigram lanes. */
+  private def trainWordpieceJob(spark: SparkSession, sfDir: String,
+                                outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val rounds = sys.env.getOrElse("GRAFT_WP_ROUNDS", "3").toInt
+    val d = Tables.load(spark, sfDir, "documents")
+    val merges = graft.operators.WordPiece.trainMerges(d, "text", rounds)
+    merges.write.mode("overwrite").parquet(s"$outDir/wordpiece_merges")
+    val learned = merges.orderBy(col("ord")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.operators.WordPiece.finalSymbols(d, "text", learned)
+    val words = graft.operators.WordPiece.pretokens(d, "text").distinct()
+    graft.operators.WordPiece.segmentWords(words, "word", vocab)
+      .write.mode("overwrite").parquet(s"$outDir/wordpiece_segments")
+  }
+
+  /** Model-based quality screen: train GRAFT_QM_ROUNDS batch-perceptron
+    * rounds (default 4, exact integers) over token-statistic features
+    * with the diversity-rule label, persist the per-round weight table
+    * and the corpus scored under the final weights — the trainable
+    * filter beside govern_corpus's rule-based gates. */
+  private def trainQualityModelJob(spark: SparkSession, sfDir: String,
+                                   outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val rounds = sys.env.getOrElse("GRAFT_QM_ROUNDS", "4").toInt
+    val feats = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"),
+        when(lit(4) * size(array_distinct(col("t"))) >=
+          lit(3) * size(col("t")), 1L).otherwise(-1L).as("y"),
+        lit(1L).as("f1"), size(col("t")).cast("long").as("f2"),
+        size(array_distinct(col("t"))).cast("long").as("f3"),
+        (size(col("t")) - size(array_distinct(col("t"))))
+          .cast("long").as("f4"))
+    val fc = Seq("f1", "f2", "f3", "f4")
+    val trained = graft.operators.Perceptron.train(feats, "y", fc, rounds)
+    trained.write.mode("overwrite").parquet(s"$outDir/quality_weights")
+    val last = trained.orderBy(col("round").desc).limit(1).collect()(0)
+    graft.operators.Perceptron
+      .score(feats, fc, (1 to 4).map(j => last.getLong(1 + j)))
+      .select(col("doc_id"), col("y"), col("score"), col("predicted"))
+      .write.mode("overwrite").parquet(s"$outDir/quality_scores")
+  }
+
   /** Maintained-screen-table lifecycle: build the winnow fingerprint
     * table + signature table the ingest screens probe (clustered +
     * per-file envelope stats + doc-keyed projection from birth),
@@ -960,6 +1022,9 @@ object Jobs {
     "compact_screen_tables" -> (compactScreenTablesJob _),
     "screen_blocklist" -> (screenBlocklistJob _),
     "eval_overlap" -> (evalOverlapJob _),
+    "eval_wer" -> (evalWerJob _),
+    "train_wordpiece" -> (trainWordpieceJob _),
+    "train_quality_model" -> (trainQualityModelJob _),
     "train_tokenizer" -> (trainTokenizerJob _),
     "embed_pca" -> (embedPcaJob _),
     "refresh_pagerank" -> (refreshPagerankJob _),

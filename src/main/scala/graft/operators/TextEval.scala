@@ -203,6 +203,34 @@ object TextEval {
       .withColumn("fl_bp", f1("pl_bp", "rl_bp"))
   }
 
+  /** Token-level edit distance report per (candidate, reference)
+    * pair — word error rate (= TER without shifts, Snover et al.,
+    * AMTA 2006 §2) in exact integer basis points:
+    *   (idCol, edits, n_cand, n_ref, wer_bp)
+    * with edits the unit-cost Levenshtein distance over word tokens
+    * and wer_bp = 10⁴·edits div max(n_ref, 1). WER exceeds 10⁴ when
+    * the candidate is longer than the reference plus its overlap —
+    * the metric's documented behavior, not an error. The distance is
+    * the row-local native DP
+    * [[graft.functions.native.TokenEditExpr]] — like [[rougeLReport]]
+    * the whole operator is a zero-exchange projection pipelining
+    * inside the scan stage; per-pair cost O(|cand|·|ref|) in tokens,
+    * the metric's own lower bound. */
+  def tokenEditReport(pairs: DataFrame, idCol: String, candCol: String,
+                      refCol: String): DataFrame = {
+    graft.functions.native.NativeFns.register(pairs.sparkSession)
+    val id = col(idCol)
+    pairs
+      .select(id, toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"))
+      .select(id,
+        graft.functions.native.NativeFns.tokenEdit(col("ct"), col("rt"))
+          .as("edits"),
+        size(col("ct")).cast("long").as("n_cand"),
+        size(col("rt")).cast("long").as("n_ref"))
+      .na.fill(0L)
+      .withColumn("wer_bp", bp("edits", "n_ref"))
+  }
+
   /** chrF (Popović, WMT 2015): character n-gram F_β over n = 1..maxN
     * (the metric's standard 6), in exact integer basis points. Text
     * folds to lowercase with ALL whitespace removed (the

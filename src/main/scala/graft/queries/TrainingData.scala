@@ -10258,7 +10258,304 @@ object TrainingData {
        |JOIN documents d USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------- token-level edit distance (WER)
+  // Word error rate / TER-without-shifts (Snover et al., AMTA 2006 §2)
+  // over a bounded-token pair: candidate = the first 8 tokens,
+  // reference = the SAME tokens sorted — the distance (4..8 across the
+  // fixture corpus) measures how far the prefix sits from its sorted
+  // order, so values vary per doc and the alignment mixes matches,
+  // substitutions and indels. The Spark side is the
+  // row-local native DP (TokenEditExpr, O(|c|×|r|) per pair, zero
+  // exchanges); the oracle REPLAYS THE DP as a recursive CTE using the
+  // min-plus prefix-scan reformulation — the within-row insertion
+  // dependency cur[j] = min(v[j], cur[j-1]+1) unrolls to
+  // cur[j] = min_{k≤j}(v[k] + (j−k)) with v[k] = min(prev[k]+1,
+  // prev[k-1]+cost) and v[0] = the new row head — exact integer
+  // equality, which is why the fixture bounds both sides to ≤ 9 tokens
+  // (the oracle's inner scan is O(lr²) per DP row; the operator itself
+  // has no such bound).
+  def tokenEditQ(spark: SparkSession, dir: String): DataFrame = {
+    val t8 = slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)
+    val pairs = docs(spark, dir).select(col("doc_id"),
+      array_join(t8, " ").as("cand"),
+      array_join(array_sort(t8), " ").as("ref"))
+    graft.operators.TextEval.tokenEditReport(pairs, "doc_id", "cand", "ref")
+  }
+  val tokenEditSql: String =
+    raw"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, list_slice(
+       |    string_split_regex(lower(trim(text)), '\s+'), 1, 8) AS t
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id,
+       |    array_to_string(t, ' ') AS cand,
+       |    array_to_string(list_sort(t), ' ') AS ref
+       |  FROM base),
+       |tok AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(cand)), '\s+') AS ct,
+       |  string_split_regex(lower(trim(ref)), '\s+') AS rt FROM pairs),
+       |sz AS (SELECT doc_id, ct, rt, len(ct) AS lc, len(rt) AS lr
+       |  FROM tok),
+       |dp AS (
+       |  SELECT doc_id, ct, rt, lc, lr, 0 AS i,
+       |         list_transform(range(1, lr + 1), x -> x) AS r
+       |  FROM sz
+       |  UNION ALL
+       |  SELECT doc_id, ct, rt, lc, lr, i + 1,
+       |    list_transform(range(1, lr + 1), j ->
+       |      least(i + 1 + j,
+       |        list_min(list_transform(range(1, j + 1), k ->
+       |          least(r[k] + 1,
+       |            (CASE WHEN k = 1 THEN i ELSE r[k - 1] END) +
+       |            (CASE WHEN rt[k] = ct[i + 1] THEN 0 ELSE 1 END))
+       |          + (j - k)))))
+       |  FROM dp WHERE i < lc),
+       |fin AS (SELECT doc_id, lc, lr,
+       |  CASE WHEN lr = 0 THEN lc WHEN lc = 0 THEN lr ELSE r[lr] END
+       |    AS edits
+       |  FROM dp WHERE i = lc)
+       |SELECT doc_id, CAST(edits AS BIGINT) AS edits,
+       |  CAST(lc AS BIGINT) AS n_cand, CAST(lr AS BIGINT) AS n_ref,
+       |  CAST(edits * 10000 // greatest(lr, 1) AS BIGINT) AS wer_bp
+       |FROM fin""".stripMargin
+
+  // --------------------------------------------- WordPiece trainer
+  // Three likelihood-scored merge rounds (Schuster & Nakajima, ICASSP
+  // 2012): argmax of pair_count/(lhs_count·rhs_count) over adjacent
+  // symbols of the ##-marked anchored word representation — see
+  // operators/WordPiece.scala for why the score compares EXACTLY
+  // across engines (one IEEE division of exact integers; no
+  // transcendentals). The oracle replays the rounds as materialized
+  // CTEs, scoring with the same division.
+  private val wordpieceRounds = 3
+  private def wordpieceMergesPath(spark: SparkSession, dir: String): String =
+    Fixtures.cached("wordpiece-merges", dir) { root =>
+      val p = new java.io.File(root, "merges").toString
+      graft.operators.WordPiece
+        .trainMerges(docs(spark, dir), "text", wordpieceRounds)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+  def wordpieceTrainQ(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(wordpieceMergesPath(spark, dir))
+      .select(col("ord"), col("lhs"), col("rhs"), col("pair_count"),
+        col("lhs_count"), col("rhs_count"))
+  private def wordpieceTrainCtes(): String = {
+    val rounds = (1 to wordpieceRounds).map { r =>
+      s"""s$r AS (SELECT sym, sum(cnt) AS c FROM (
+         |  SELECT cnt, unnest(list_filter(string_split(rep, chr(31)),
+         |    x -> x <> '')) AS sym
+         |  FROM w${r - 1}) GROUP BY 1),
+         |p$r AS (SELECT p.lhs, p.rhs, sum(cnt) AS pair_count FROM (
+         |  SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |    i -> struct_pack(lhs := syms[CAST(i AS INT)],
+         |                     rhs := syms[CAST(i AS INT)+1]))) AS p
+         |  FROM (SELECT cnt, list_filter(string_split(rep, chr(31)),
+         |          x -> x <> '') AS syms
+         |        FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT p.lhs, p.rhs, p.pair_count,
+         |    sl.c AS lhs_count, sr.c AS rhs_count
+         |  FROM p$r p JOIN s$r sl ON sl.sym = p.lhs
+         |    JOIN s$r sr ON sr.sym = p.rhs
+         |  ORDER BY CAST(p.pair_count AS DOUBLE) /
+         |    CAST(sl.c * sr.c AS DOUBLE) DESC, p.lhs, p.rhs LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT cnt, replace(rep,
+         |    chr(31) || b.lhs || chr(31) || b.rhs || chr(31),
+         |    chr(31) || b.lhs ||
+         |      (CASE WHEN b.rhs LIKE '##%' THEN b.rhs[3:] ELSE b.rhs END)
+         |      || chr(31)) AS rep
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    raw"""w0 AS MATERIALIZED (
+       |  SELECT count(*) AS cnt,
+       |    CASE WHEN len(w) = 1 THEN chr(31) || w || chr(31)
+       |    ELSE chr(31) || substr(w, 1, 1) || chr(31) ||
+       |      array_to_string(list_transform(
+       |        string_split(substr(w, 2), ''), c -> '##' || c), chr(31))
+       |      || chr(31) END AS rep
+       |  FROM (SELECT unnest(
+       |          string_split_regex(lower(trim(text)), '\s+')) AS w
+       |        FROM documents)
+       |  WHERE len(w) >= 1 AND w NOT LIKE '%#%'
+       |    AND strpos(w, chr(31)) = 0
+       |  GROUP BY w)""".stripMargin + ",\n" + rounds
+    // NOTE: the round blocks are stripped individually and concatenated
+    // OUTSIDE the w0 literal — interpolating already-stripped text into
+    // another stripMargin string re-strips any line that begins with
+    // whitespace + '|' (the `|| chr(31)` continuations here), silently
+    // corrupting the SQL
+  }
+  val wordpieceTrainSql: String = {
+    val unions = (1 to wordpieceRounds).map(r =>
+      s"SELECT $r AS ord, lhs, rhs, pair_count, lhs_count, rhs_count " +
+        s"FROM b$r").mkString(" UNION ALL ")
+    "WITH " + wordpieceTrainCtes() + "\n" +
+      s"""SELECT CAST(ord AS BIGINT) AS ord, lhs, rhs,
+         |  CAST(pair_count AS BIGINT) AS pair_count,
+         |  CAST(lhs_count AS BIGINT) AS lhs_count,
+         |  CAST(rhs_count AS BIGINT) AS rhs_count
+         |FROM ($unions)""".stripMargin
+  }
+
+  // --------------------------------------------- WordPiece application
+  // Greedy longest-match-first segmentation (the BERT inference rule,
+  // deliberately a DIFFERENT algorithm from the trainer's merge
+  // replay) of the corpus's distinct pretokens (≤ 12 chars — bounds
+  // the oracle's recursion width; the engine expression has no such
+  // bound) under the trained vocabulary = the symbols still occurring
+  // after the merges. Words with no match at some position collapse to
+  // [UNK] — WordPiece's all-or-nothing rule. The oracle replays
+  // training, derives the same vocabulary, and walks the greedy rule
+  // as a recursive CTE with a correlated longest-piece probe.
+  def wordpieceApplyQ(spark: SparkSession, dir: String): DataFrame = {
+    val merges = spark.read.parquet(wordpieceMergesPath(spark, dir))
+      .orderBy(col("ord")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.operators.WordPiece
+      .finalSymbols(docs(spark, dir), "text", merges)
+    val words = graft.operators.WordPiece
+      .pretokens(docs(spark, dir), "text")
+      .where(length(col("word")) <= 12).distinct()
+    graft.operators.WordPiece.segmentWords(words, "word", vocab)
+  }
+  val wordpieceApplySql: String =
+    "WITH RECURSIVE " + wordpieceTrainCtes() + ",\n" +
+    raw"""vocab AS (SELECT DISTINCT sym FROM (
+       |  SELECT unnest(list_filter(string_split(rep, chr(31)),
+       |    x -> x <> '')) AS sym FROM w$wordpieceRounds)),
+       |vr AS (SELECT
+       |  CASE WHEN sym LIKE '##%' THEN 1 ELSE 0 END AS form,
+       |  CASE WHEN sym LIKE '##%' THEN sym[3:] ELSE sym END AS body
+       |  FROM vocab),
+       |words AS (SELECT DISTINCT w AS word FROM (
+       |  SELECT unnest(
+       |    string_split_regex(lower(trim(text)), '\s+')) AS w
+       |  FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND 12 AND w NOT LIKE '%#%'
+       |    AND strpos(w, chr(31)) = 0),
+       |seg AS (
+       |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+       |    0 AS unk
+       |  FROM words
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN best IS NULL THEN len(word) + 1
+       |         ELSE pos + len(best) END AS pos,
+       |    CASE WHEN best IS NULL THEN ['[UNK]']
+       |         WHEN pos = 1 THEN pieces || [best]
+       |         ELSE pieces || ['##' || best] END AS pieces,
+       |    CASE WHEN best IS NULL THEN 1 ELSE 0 END AS unk
+       |  FROM (
+       |    SELECT word, pos, pieces,
+       |      (SELECT v.body FROM vr v
+       |       WHERE v.form = (CASE WHEN s.pos = 1 THEN 0 ELSE 1 END)
+       |         AND v.body = substr(s.word, CAST(s.pos AS INT),
+       |                             len(v.body))
+       |       ORDER BY len(v.body) DESC LIMIT 1) AS best
+       |    FROM seg s WHERE s.pos <= len(s.word) AND s.unk = 0))
+       |SELECT word, array_to_string(pieces, chr(31)) AS pieces,
+       |  CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |  CAST(unk AS BIGINT) AS is_unk
+       |FROM seg WHERE pos > len(word) OR unk = 1""".stripMargin
+
+  // ------------------------------------------ batch perceptron trainer
+  // Model-based quality filtering's trainable core, gated end to end in
+  // EXACT integers (operators/Perceptron.scala): features are token
+  // statistics (bias, token count, distinct tokens, duplicated tokens),
+  // the label is the deterministic diversity rule 4·distinct ≥ 3·total,
+  // and four batch rounds run w ← w + Σ_misclassified y·x with
+  // margin 0 counting as a miss. Round 1 fires from w = 0 (the whole
+  // corpus misclassified), rounds 2-4 chase the minority class — n_mis
+  // and every weight component hash bit-for-bit because nothing here
+  // is transcendental. The oracle replays the rounds as chained
+  // single-row CTEs re-entering the weights as columns.
+  private val PerceptronRounds = 4
+  private val perceptronFeatCols = Seq("f1", "f2", "f3", "f4")
+  private def perceptronFeatures(spark: SparkSession,
+                                 dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"),
+        when(lit(4) * size(array_distinct(col("t"))) >=
+          lit(3) * size(col("t")), 1L).otherwise(-1L).as("y"),
+        lit(1L).as("f1"),
+        size(col("t")).cast("long").as("f2"),
+        size(array_distinct(col("t"))).cast("long").as("f3"),
+        (size(col("t")) - size(array_distinct(col("t"))))
+          .cast("long").as("f4"))
+  private val perceptronFeaturesSql: String =
+    raw"""f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN 4*len(list_distinct(t)) >= 3*len(t)
+       |         THEN 1 ELSE -1 END AS y,
+       |    1 AS f1, len(t) AS f2, len(list_distinct(t)) AS f3,
+       |    len(t) - len(list_distinct(t)) AS f4
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(lower(trim(text)), '\s+') AS t
+       |        FROM documents))""".stripMargin
+  private def perceptronRoundCtes(): String = {
+    val margin = "y*(w.w1*f1 + w.w2*f2 + w.w3*f3 + w.w4*f4)"
+    val rounds = (1 to PerceptronRounds).map { r =>
+      val grads = (1 to 4).map(j =>
+        s"any_value(w.w$j) + COALESCE(sum(y*f$j) " +
+          s"FILTER (WHERE $margin <= 0), 0) AS w$j").mkString(",\n    ")
+      s"""r$r AS MATERIALIZED (
+         |  SELECT count(*) FILTER (WHERE $margin <= 0) AS n_mis,
+         |    $grads
+         |  FROM f, r${r - 1} w)""".stripMargin
+    }.mkString(",\n")
+    """r0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+      |  CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4)"""
+      .stripMargin + ",\n" + rounds
+  }
+  def perceptronTrainQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Perceptron.train(
+      perceptronFeatures(spark, dir), "y", perceptronFeatCols,
+      PerceptronRounds)
+  val perceptronTrainSql: String = {
+    val unions = (1 to PerceptronRounds).map(r =>
+      s"SELECT $r AS round, n_mis, w1, w2, w3, w4 FROM r$r")
+      .mkString(" UNION ALL ")
+    "WITH " + perceptronFeaturesSql + ",\n" + perceptronRoundCtes() +
+      "\n" +
+      """SELECT CAST(round AS BIGINT) AS round,
+        |  CAST(n_mis AS BIGINT) AS n_mis,
+        |  CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+        |  CAST(w3 AS BIGINT) AS w3, CAST(w4 AS BIGINT) AS w4
+        |FROM (""".stripMargin + unions + ")"
+  }
+  // The trained model APPLIED as a quality screen: per-doc integer
+  // margin and ±1 prediction under the final round's weights (margin 0
+  // predicts −1, the trainer's own miss convention).
+  def perceptronScreenQ(spark: SparkSession, dir: String): DataFrame = {
+    val feats = perceptronFeatures(spark, dir)
+    val last = graft.operators.Perceptron
+      .train(feats, "y", perceptronFeatCols, PerceptronRounds)
+      .orderBy(col("round").desc).limit(1).collect()(0)
+    val w = (1 to 4).map(j => last.getLong(1 + j))
+    graft.operators.Perceptron.score(feats, perceptronFeatCols, w)
+      .select(col("doc_id"), col("y"), col("score"), col("predicted"))
+  }
+  val perceptronScreenSql: String =
+    "WITH " + perceptronFeaturesSql + ",\n" + perceptronRoundCtes() +
+      "\n" +
+      s"""SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+         |  CAST(w.w1*f1 + w.w2*f2 + w.w3*f3 + w.w4*f4
+         |    AS BIGINT) AS score,
+         |  CAST(CASE WHEN w.w1*f1 + w.w2*f2 + w.w3*f3 + w.w4*f4 > 0
+         |       THEN 1 ELSE -1 END AS BIGINT) AS predicted
+         |FROM f, r$PerceptronRounds w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_perceptron_train" -> (perceptronTrainQ _),
+    "x_perceptron_screen" -> (perceptronScreenQ _),
+    "x_token_edit" -> (tokenEditQ _),
+    "x_wordpiece_train" -> (wordpieceTrainQ _),
+    "x_wordpiece_apply" -> (wordpieceApplyQ _),
     "x_line_dedup_roi" -> (lineDedupRoiQ _),
     "x_line_dedup_incr" -> (lineDedupIncrQ _),
     "x_kfold" -> (kfoldQ _),
@@ -10570,6 +10867,11 @@ object TrainingData {
     "x_rouge_l" -> rougeLSql,
     "x_bleu34" -> bleu34Sql,
     "x_chrf" -> chrfSql,
+    "x_token_edit" -> tokenEditSql,
+    "x_wordpiece_train" -> wordpieceTrainSql,
+    "x_wordpiece_apply" -> wordpieceApplySql,
+    "x_perceptron_train" -> perceptronTrainSql,
+    "x_perceptron_screen" -> perceptronScreenSql,
     "x_gopher_battery" -> gopherBatterySql,
     "x_pii_summary" -> piiSummarySql,
     "x_ann_ivf" -> annIvfSql,

@@ -26,11 +26,12 @@ class JobsSpec extends SparkSpec {
     // sketch_users, audit_leakage and scan_rowkeys two each
     // rank_missing_edges, excerpt_audit, quote_audit and embed_pca also
     // emit two tables each; train_tokenizer emits three (vocab,
-    // segments, usage); screen_blocklist three (hits, verdicts, clean);
-    // compact_screen_tables four (winnow + sig tables and their
-    // compacted rewrites)
-    assert(dirs.size == Jobs.all.size + 40,
-      s"expected ${Jobs.all.size + 40} output tables, got $dirs")
+    // segments, usage); train_wordpiece two (merges, segments);
+    // train_quality_model two (weights, scores); screen_blocklist
+    // three (hits, verdicts, clean); compact_screen_tables four
+    // (winnow + sig tables and their compacted rewrites)
+    assert(dirs.size == Jobs.all.size + 42,
+      s"expected ${Jobs.all.size + 42} output tables, got $dirs")
     dirs.foreach {
       case "ann_index" =>
         // composite SQ8/IVF layout, not one parquet relation — validate

@@ -214,6 +214,75 @@ class TextEvalSpec extends SparkSpec {
     (1 to 12).foreach(i => assert(rows(1).getLong(i) == 10000L))
   }
 
+  test("tokenEditReport matches hand-computed distances") {
+    // [kitten sat on mat] vs [sitting sat mat]:
+    //   sub kitten→sitting + delete "on" = 2 edits
+    val pairs = Seq(
+      (1L, "kitten sat on mat", "sitting sat mat"),
+      (2L, "a b c d", "a b c d"),
+      (3L, "x y z", "p q")).toDF("id", "cand", "ref")
+    val rows = TextEval.tokenEditReport(pairs, "id", "cand", "ref")
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) == 2L)     // edits
+    assert(rows(0).getLong(2) == 4L && rows(0).getLong(3) == 3L)
+    assert(rows(0).getLong(4) == 6666L)  // 2e4 div 3
+    assert(rows(1).getLong(1) == 0L && rows(1).getLong(4) == 0L)
+    assert(rows(2).getLong(1) == 3L)     // 2 subs + 1 delete
+    assert(rows(2).getLong(4) == 15000L) // WER exceeds 10⁴, documented
+  }
+
+  test("graft_tok_edit agrees with a reference DP on random token arrays") {
+    def ref(a: Seq[String], b: Seq[String]): Long = {
+      var prev = (0 to b.length).toArray
+      for (i <- a.indices) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i + 1
+        for (j <- b.indices)
+          cur(j + 1) = math.min(math.min(prev(j + 1) + 1, cur(j) + 1),
+            prev(j) + (if (a(i) == b(j)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length).toLong
+    }
+    val rnd = new scala.util.Random(4711)
+    val alphabet = Vector("aa", "bb", "cc", "dd")
+    val cases = (1 to 60).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(9))(alphabet(rnd.nextInt(4)))
+      (i.toLong, arr(), arr())
+    }
+    graft.functions.native.NativeFns.register(spark)
+    val got = cases.toDF("id", "a", "b")
+      .select($"id", graft.functions.native.NativeFns
+        .tokenEdit($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, a, b) =>
+      assert(got(id) == ref(a, b), s"case $id: $a vs $b")
+    }
+  }
+
+  test("graft_tok_edit null semantics: null side → null, null token never matches") {
+    graft.functions.native.NativeFns.register(spark)
+    val r = spark.sql(
+      "SELECT graft_tok_edit(array('a', CAST(NULL AS STRING)), " +
+        "array('a', 'b')) AS d, " +
+        "graft_tok_edit(CAST(NULL AS ARRAY<STRING>), array('a')) AS n")
+      .head()
+    assert(r.getLong(0) == 1L) // null vs 'b' costs one substitution
+    assert(r.isNullAt(1))
+  }
+
+  test("x_token_edit lane: sorted-prefix reference varies per doc") {
+    val q = queries.TrainingData.queries("x_token_edit")
+    val df = q(spark, sf0001).cache()
+    try {
+      assert(df.count() == Tables.load(spark, sf0001, "documents").count())
+      // cand and ref are permutations of the same multiset, so the
+      // distance is bounded by the token count and never negative
+      assert(df.filter($"edits" > $"n_ref").count() == 0)
+      assert(df.select(countDistinct($"edits")).head().getLong(0) >= 2)
+    } finally df.unpersist()
+  }
+
   test("x_rouge_bleu lane: near-dup candidate keeps recall below precision") {
     val q = queries.TrainingData.queries("x_rouge_bleu")
     val df = q(spark, sf0001).cache()

@@ -45,7 +45,14 @@ object Perceptron {
     * columns and a ±1 long label column. Returns one row per round:
     * (round, n_mis, w_1..w_d) — n_mis counted under the PRE-update
     * weights, w the POST-update vector (so round 1's n_mis is the
-    * whole corpus under w = 0: zero margin counts as a miss). */
+    * whole corpus under w = 0: zero margin counts as a miss).
+    *
+    * NULL CONTRACT: a row with a null label or any null feature has a
+    * null margin, which is neither ≤ 0 nor > 0 — SQL three-valued
+    * logic silently excludes it from both the miss count and the
+    * gradient, exactly as the oracle's FILTER clauses do. Feed
+    * null-free features (the fixture's token statistics never null);
+    * rows you want ignored are better dropped explicitly. */
   def train(features: DataFrame, labelCol: String, featCols: Seq[String],
             rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16,

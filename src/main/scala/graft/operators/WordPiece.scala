@@ -91,7 +91,12 @@ object WordPiece {
   /** Train `rounds` WordPiece merges. Returns the learned merge table
     * (ord, lhs, rhs, pair_count, lhs_count, rhs_count) — all exact
     * longs; the selection score pair_count/(lhs_count·rhs_count) is
-    * derived, not stored, so the gate hashes only integers. */
+    * derived, not stored, so the gate hashes only integers.
+    *
+    * A round with NO adjacent pair left (every word fused to a single
+    * symbol, or an empty/ineligible corpus) ends training early with
+    * the merges learned so far — possibly zero rows — rather than
+    * failing mid-job on an empty argmax. */
   def trainMerges(docsDf: DataFrame, textCol: String,
                   rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds must be 1..8, got $rounds")
@@ -116,7 +121,7 @@ object WordPiece {
           .agg(sum(col("cnt")).as("pair_count"))
         // symbol alphabets are bounded (chars + learned merges), so
         // both count relations broadcast; the argmax collects ONE row
-        val best = pairCounts
+        val bestRows = pairCounts
           .join(broadcast(symCounts.select(col("sym").as("lhs"),
             col("c").as("lhs_count"))), Seq("lhs"))
           .join(broadcast(symCounts.select(col("sym").as("rhs"),
@@ -127,7 +132,14 @@ object WordPiece {
           .limit(1)
           .select(col("lhs"), col("rhs"), col("pair_count"),
             col("lhs_count"), col("rhs_count"))
-          .collect()(0)
+          .collect()
+        if (bestRows.isEmpty) {
+          // nothing left to fuse: corpus exhausted, stop early
+          import spark.implicits._
+          return merges.toSeq.toDF("ord", "lhs", "rhs", "pair_count",
+            "lhs_count", "rhs_count")
+        }
+        val best = bestRows(0)
         val (l, rr) = (best.getString(0), best.getString(1))
         merges += ((r.toLong, l, rr, best.getLong(2), best.getLong(3),
           best.getLong(4)))

@@ -40,11 +40,12 @@ class PerceptronSpec extends SparkSpec {
   }
 
   test("score: integer margin, zero margin predicts −1") {
-    val f = Seq((1L, 1L, 2L), (1L, 2L, -1L)).toDF("id", "f1", "f2")
+    val f = Seq((1L, 1L, 2L), (2L, 2L, -1L)).toDF("id", "f1", "f2")
     val got = Perceptron.score(f, Seq("f1", "f2"), Seq(2L, -1L))
-      .orderBy("id").collect()
-    assert(got(0).getLong(2) == 0L && got(0).getLong(3) == -1L)
-    assert(got(1).getLong(2) == 5L && got(1).getLong(3) == 1L)
+      .orderBy("id")
+      .select("id", "score", "predicted").collect()
+    assert(got(0).getLong(1) == 0L && got(0).getLong(2) == -1L)
+    assert(got(1).getLong(1) == 5L && got(1).getLong(2) == 1L)
   }
 
   test("x_perceptron lanes: round-1 misses everything, screen is total") {

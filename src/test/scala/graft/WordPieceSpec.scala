@@ -25,6 +25,20 @@ class WordPieceSpec extends SparkSpec {
     assert(m(2) == ((3L, "a", "##b", 2L, 2L, 2L)))
   }
 
+  test("trainMerges ends early when no pair is left to fuse") {
+    // one distinct word "ab": round 1 fuses it whole; rounds 2-3 have
+    // no adjacent pair — the trainer returns the single learned merge
+    // instead of failing on an empty argmax
+    val docsDf = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = WordPiece.trainMerges(docsDf, "text", 3).collect()
+    assert(m.length == 1)
+    assert(m(0).getString(1) == "a" && m(0).getString(2) == "##b")
+    // fully ineligible corpus (every word carries '#') → zero merges
+    assert(WordPiece.trainMerges(
+      Seq((1L, "a#b c#d")).toDF("doc_id", "text"), "text", 2)
+      .count() == 0L)
+  }
+
   test("finalSymbols drops fully-fused characters (observed-symbol vocab)") {
     val docsDf = Seq((1L, "aab aab aab ab ab")).toDF("doc_id", "text")
     val merges = Seq(("##a", "##b"), ("a", "##ab"), ("a", "##b"))

@@ -84,6 +84,10 @@ object GraftExtensions {
       "graft_bloom_contains(bloom, xxh64) - bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es(0), es(1))),
+    (NativeFns.ArgMaxLongName,
+      "graft_argmax_long(ord, tie) - tie value of the max-ord row " +
+        "(ties to smallest tie); primitive-buffer hash aggregate",
+      es => ArgMaxLongAgg(es(0), es(1))),
     (NativeFns.HeavyHittersName,
       "graft_heavy_hitters(item, k) - Misra-Gries candidate heavy hitters",
       es => HeavyHittersAgg(es(0), es(1).eval().asInstanceOf[Int])),

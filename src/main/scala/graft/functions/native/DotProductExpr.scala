@@ -90,6 +90,7 @@ object NativeFns {
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
   val HeavyHittersName = "graft_heavy_hitters"
+  val ArgMaxLongName = "graft_argmax_long"
   val NfcName = "graft_nfc"
   val StripAccentsName = "graft_strip_accents"
   val DeflateRatioName = "graft_deflate_ratio"
@@ -144,6 +145,14 @@ object NativeFns {
 
   def jaccardNative(a: Column, b: Column): Column =
     call_function(JaccardName, a, b)
+
+  /** Deterministic argmax: the `tie` (bigint) of the row with the
+    * largest `ord` (double), ties toward the smallest tie — a
+    * primitive-buffer HashAggregate-eligible DeclarativeAggregate
+    * (see [[ArgMaxLongAgg]] for why neither a window nor
+    * max(struct) keeps the fast path). */
+  def argmaxLong(ord: Column, tie: Column): Column =
+    call_function(ArgMaxLongName, ord, tie)
 
   def simhashNative(text: Column): Column =
     call_function(SimhashName, text)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond connected components
@@ -278,18 +279,25 @@ object Graph {
       var nEdges = eM.df.count()
       var round = 0
       var converged = nEdges == 0L
+      // Each round's materialized survivors KEEP their support column
+      // (computed over the pre-peel set). When the peel converges —
+      // |E_r| = |E_{r-1}| ⟹ E_r = E_{r-1} (the filter only removes) —
+      // those supports ARE edgeSupport(E_final), so the final
+      // recompute (a full triangle pass, the loop's dominant cost) is
+      // skipped. A maxRounds exhaustion still recomputes honestly.
+      var haveSupport = false
       while (round < maxRounds && !converged) {
         val e = eM.df
         val nextM = Materialize(
           edgeSupport(e, "a", "b")
-            .where(col("support") >= k - 2)
-            .select(col("a"), col("b")),
+            .where(col("support") >= k - 2),
           roundMat)
         val nNext = nextM.df.count() // O(1) convergence witness
         converged = nNext == nEdges
         nEdges = nNext
         eM.release()
         eM = nextM
+        haveSupport = true
         round += 1
       }
       if (!converged)
@@ -297,7 +305,10 @@ object Graph {
           s"kTruss(k=$k) did not reach its fixed point in $maxRounds " +
             "rounds: returning a partially peeled SUPERSET of the " +
             "truss (check TrussResult.converged)")
-      val outM = Materialize(edgeSupport(eM.df, "a", "b"), mat)
+      val outM = Materialize(
+        if (converged && haveSupport)
+          eM.df.select(col("a"), col("b"), col("support"))
+        else edgeSupport(eM.df, "a", "b"), mat)
       val out =
         if (mat == graft.ops.MatStrategy.PassThrough) {
           // a lazy result replays edgeSupport over the final round's
@@ -568,34 +579,41 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
     val e = canonicalEdges(edges, aCol, bCol)
+    // The materialized edge list CARRIES the source degree (one
+    // grouped-window count over the src-partitioned union — no join):
+    // the original shape re-joined a separate degree relation into
+    // every round, one |E|-scale hash join per iteration that this
+    // column makes free.
     val directedM = Materialize(
       e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")),
+        .repartition(col("src"))
+        .withColumn("d",
+          count(lit(1)).over(Window.partitionBy(col("src")))),
       roundMat)
-    // deg and nodes are aggregations over the edges, re-read every
-    // round — materialize them once too, not just the edge list
-    var degM: graft.ops.Materialized = null
     var nodesM: graft.ops.Materialized = null
     try {
       val directed = directedM.df
-      degM = Materialize(
-        directed.groupBy("src").agg(count(lit(1)).as("d")), roundMat)
       nodesM = Materialize(
         directed.select(col("src").as("v")).distinct(), roundMat)
-      val deg = degM.df
       val nodes = nodesM.df
       var ranks = nodes.withColumn("r", lit(1000000L))
       var freeRanks: () => Unit = () => ()
       for (i <- 1 to iters) {
-        val contrib = directed.join(deg, "src")
+        // Node completion rides the aggregation itself: a zero
+        // contribution row per node unions into the same groupBy, so
+        // the per-round left join that re-completed the node set is
+        // gone — each round is ONE |E|-scale hash join + ONE
+        // aggregation (sum(0 ∪ contribs) = coalesce(sum(contribs), 0)
+        // exactly, all integer lanes).
+        val contrib = directed
           .join(ranks.withColumnRenamed("v", "src"), "src")
           .select(col("dst").as("v"), expr("r div d").as("c"))
+        val nextDf = contrib
+          .union(nodes.select(col("v"), lit(0L).as("c")))
           .groupBy("v").agg(sum(col("c")).as("s"))
-        val nextDf = nodes.join(contrib, Seq("v"), "left")
           .select(col("v"),
-            (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
-              .as("r"))
+            (lit(150000L) + expr("(17 * s) div 20")).as("r"))
         if (i % matEvery == 0 || i == iters) {
           val next = Materialize(nextDf, roundMat)
           // the lazy rounds since the last checkpoint rebuilt from the
@@ -612,7 +630,6 @@ object Graph {
       out
     } finally {
       directedM.release()
-      if (degM != null) degM.release()
       if (nodesM != null) nodesM.release()
     }
   }
@@ -659,21 +676,21 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
     val e = canonicalEdges(edges, aCol, bCol)
+    // degree carried on the materialized edge list + node completion
+    // fused into the round aggregation — see [[pageRankM]]
     val directedM = Materialize(
       e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")),
+        .repartition(col("src"))
+        .withColumn("d",
+          count(lit(1)).over(Window.partitionBy(col("src")))),
       roundMat)
-    var degM: graft.ops.Materialized = null
     var nodesM: graft.ops.Materialized = null
     var r0M: graft.ops.Materialized = null
     try {
       val directed = directedM.df
-      degM = Materialize(
-        directed.groupBy("src").agg(count(lit(1)).as("d")), roundMat)
       nodesM = Materialize(
         directed.select(col("src").as("v")).distinct(), roundMat)
-      val deg = degM.df
       val nodes = nodesM.df
       // seed from the stored ranks; the left join prices one hash
       // shuffle of |V| rows — ~one extra round — and truncates the
@@ -688,27 +705,28 @@ object Graph {
       var ranks = r0M.df
       var freeRanks: () => Unit = () => ()
       for (i <- 1 to iters) {
-        val contrib = directed.join(deg, "src")
+        val contrib = directed
           .join(ranks.withColumnRenamed("v", "src"), "src")
           .select(col("dst").as("v"), expr("r div d").as("c"))
+        val sums = contrib
+          .union(nodes.select(col("v"), lit(0L).as("c")))
           .groupBy("v").agg(sum(col("c")).as("s"))
         // keepPrevRank: the LAST round's seed join reads the previous
         // ranks instead of the bare node set (same rows — every round
         // is node-complete), so the penultimate rank rides into the
-        // output as a column with ZERO extra shuffle — the staleness
-        // witness (round-over-round delta) costs nothing
+        // output as a column — the staleness witness (round-over-round
+        // delta) costs one |V| join on the final round only
         val nextDf =
           if (keepPrevRank && i == iters)
             ranks.select(col("v"), col("r").as("__pr"))
-              .join(contrib, Seq("v"), "left")
+              .join(sums, Seq("v"), "left")
               .select(col("v"),
                 (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
                   .as("r"),
                 col("__pr"))
-          else nodes.join(contrib, Seq("v"), "left")
+          else sums
             .select(col("v"),
-              (lit(150000L) + expr("(17 * coalesce(s, 0L)) div 20"))
-                .as("r"))
+              (lit(150000L) + expr("(17 * s) div 20")).as("r"))
         if (i % matEvery == 0 || i == iters) {
           val next = Materialize(nextDf, roundMat)
           freeRanks()
@@ -726,7 +744,6 @@ object Graph {
       out
     } finally {
       directedM.release()
-      if (degM != null) degM.release()
       if (nodesM != null) nodesM.release()
       if (r0M != null) r0M.release()
     }
@@ -808,18 +825,17 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(matEvery >= 1, s"matEvery must be >= 1, got $matEvery")
     val e = canonicalEdges(edges, aCol, bCol)
+    // degree carried on the materialized edge list — see [[pageRankM]]
     val directedM = Materialize(
       e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")),
+        .repartition(col("src"))
+        .withColumn("d",
+          count(lit(1)).over(Window.partitionBy(col("src")))),
       roundMat)
-    var degM: graft.ops.Materialized = null
     var baseM: graft.ops.Materialized = null
     try {
       val directed = directedM.df
-      degM = Materialize(
-        directed.groupBy("src").agg(count(lit(1)).as("d")), roundMat)
-      val deg = degM.df
       val nodes = directed.select(col("src").as("v")).distinct()
       val seedSet = nodes.join(
         seeds.select(col(seedCol).as("v")).distinct(), Seq("v"),
@@ -840,14 +856,23 @@ object Graph {
       var ranks = base.select(col("v"), col("base").as("r"))
       var freeRanks: () => Unit = () => ()
       for (i <- 1 to iters) {
-        val contrib = directed.join(deg, "src")
+        // the per-node restart base rides the contribution aggregation
+        // as a tagged zero-contribution row (node completion included:
+        // the base relation is node-complete), so each round is ONE
+        // |E| join + ONE aggregation — the per-round base left join is
+        // gone. sum(b) recovers base exactly (one base row per node),
+        // sum(c) the contributions; integer lanes unchanged.
+        val contrib = directed
           .join(ranks.select(col("v").as("src"), col("r")), "src")
-          .select(col("dst").as("v"), expr("r div d").as("c"))
-          .groupBy("v").agg(sum(col("c")).as("s"))
-        val nextDf = base.join(contrib, Seq("v"), "left")
+          .select(col("dst").as("v"), expr("r div d").as("c"),
+            lit(0L).as("b"))
+        val nextDf = contrib
+          .union(base.select(col("v"), lit(0L).as("c"),
+            col("base").as("b")))
+          .groupBy("v")
+          .agg(sum(col("c")).as("s"), sum(col("b")).as("bb"))
           .select(col("v"),
-            (col("base") + expr("(17 * coalesce(s, 0L)) div 20"))
-              .as("r"))
+            (col("bb") + expr("(17 * s) div 20")).as("r"))
         if (i % matEvery == 0 || i == iters) {
           val next = Materialize(nextDf, roundMat)
           freeRanks()
@@ -861,7 +886,6 @@ object Graph {
       out
     } finally {
       directedM.release()
-      if (degM != null) degM.release()
       if (baseM != null) baseM.release()
     }
   }
@@ -1146,25 +1170,29 @@ object Graph {
       def matRenorm(raw: DataFrame) = renormFused(raw, roundMat)
       var hub: DataFrame = nodes.withColumn("s", lit(1000000L))
       var auth: DataFrame = nodes.withColumn("s", lit(1000000L))
+      // node completion rides each half-round's aggregation as a
+      // zero-score union row per node (the pageRankM device): one
+      // join + one aggregation per half-round, the node-set left join
+      // is gone. sum(0 ∪ scores) = coalesce(sum(scores), 0) exactly —
+      // integer lanes unchanged.
+      val zeros = nodes.select(col("v"), lit(0L).as("s"))
       for (_ <- 1 to iters) {
         // hub half-round: h_raw(v) = Σ_{v→w} auth(w)
         val (hRawM, hubN) = matRenorm(
-          nodes.join(
-            e.join(auth.withColumnRenamed("v", "dst"), "dst")
-              .groupBy(col("src").as("v")).agg(sum(col("s")).as("hs")),
-            Seq("v"), "left")
-            .select(col("v"), coalesce(col("hs"), lit(0L)).as("s")))
+          e.join(auth.withColumnRenamed("v", "dst"), "dst")
+            .select(col("src").as("v"), col("s"))
+            .union(zeros)
+            .groupBy(col("v")).agg(sum(col("s")).as("s")))
         freeAuth() // last consumer of the previous auth raw has landed
         freeHub()  // previous hub raw died with last round's auth join
         hub = hubN
         freeHub = hRawM.release
         // authority half-round: a_raw(w) = Σ_{v→w} hub(v)
         val (aRawM, authN) = matRenorm(
-          nodes.join(
-            e.join(hub.withColumnRenamed("v", "src"), "src")
-              .groupBy(col("dst").as("v")).agg(sum(col("s")).as("as_")),
-            Seq("v"), "left")
-            .select(col("v"), coalesce(col("as_"), lit(0L)).as("s")))
+          e.join(hub.withColumnRenamed("v", "src"), "src")
+            .select(col("dst").as("v"), col("s"))
+            .union(zeros)
+            .groupBy(col("v")).agg(sum(col("s")).as("s")))
         auth = authN
         freeAuth = aRawM.release
       }

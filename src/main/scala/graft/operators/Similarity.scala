@@ -40,6 +40,70 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Deterministic per-key argmax WITHOUT a window: one row per `keys`
+    * — the `tieCol` (bigint) of the row with the largest `ordCol`
+    * (double), ties toward the smallest tie — via the native
+    * primitive-buffer aggregate
+    * [[graft.functions.native.ArgMaxLongAgg]]. Replaces the
+    * crossJoin(broadcast)+row_number()=1 idiom in every assignment
+    * path: the centroid fan-out collapses MAP-SIDE (nlist/ksub
+    * candidate rows per key → 1 before the exchange) inside a
+    * HashAggregate, and the window's per-partition sort disappears.
+    * Row selection is identical (NaN-largest double order, smallest
+    * tie on equality — see the aggregate's doc). Output: keys, tie.
+    * Wide payload columns (vectors, codes) are re-attached by a thin
+    * post-argmax key join — an array in an aggregation buffer would
+    * demote the plan to SortAggregate (measured slower than the
+    * window this replaces).
+    */
+  private[graft] def argmaxPick(df: DataFrame, keys: Seq[String],
+                                ordCol: String, tieCol: String,
+                                keep: Seq[String] = Nil): DataFrame = {
+    require(keep.isEmpty, "argmaxPick carries no payload — re-attach " +
+      "wide columns with a post-argmax key join (see doc)")
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.native.NativeFns
+        .argmaxLong(col(ordCol), col(tieCol)).as(tieCol))
+  }
+
+  /** Bounded-centroid fast path: how many centroids a nearest-centroid
+    * assignment will fold ROW-LOCALLY against a collected literal
+    * codebook before falling back to the broadcast-join + argmax
+    * aggregation. Small codebooks (every fixed-nlist ANN lane; FAISS
+    * keeps them in registers for the same reason) assign with ZERO
+    * exchanges — the argmax fuses into the scan; large trained
+    * codebooks (auto-nlist at 100 TB) keep the broadcast shape. */
+  private val MaxLiteralCents = 128
+
+  /** Collect a centroid table `(c_id, c_v, c_norm)` when it is small
+    * enough for the literal fast path; None ⇒ caller takes the
+    * broadcast fallback. The collect evaluates the SAME plan the
+    * broadcast would have shipped, so c_norm doubles are bit-identical
+    * to the in-plan norm the join formulation compared. */
+  private def centsLocal(cents: DataFrame)
+      : Option[Seq[(Long, Seq[Double], Double)]] = {
+    val rows = cents.select(col("c_id"), col("c_v"), col("c_norm"))
+      .limit(MaxLiteralCents + 1).collect()
+    if (rows.length > MaxLiteralCents) None
+    else Some(rows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
+  }
+
+  /** Row-local nearest-centroid id over a LITERAL codebook: the c_id
+    * maximizing dot(v, c_v)/(vNorm·c_norm), ties to the smallest c_id
+    * — exactly the row the window / argmax formulations select
+    * (array_max compares struct(s, -c_id) under the same NaN-largest
+    * double order), with the similarity computed by the SAME dot/÷
+    * expression tree, so the chosen ids are bit-identical. */
+  private def nearestCidExpr(v: Column, vNorm: Column,
+      cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val cands = cents.sortBy(_._1).map { case (cid, cv, cn) =>
+      struct((dot(v, typedLit(cv)) / (vNorm * lit(cn))).as("s"),
+        lit(-cid).as("nc"))
+    }
+    -array_max(array(cands: _*)).getField("nc")
+  }
+
   /** Exact cosine top-k: for each query row (small side, broadcast), the
     * k nearest corpus rows by cosine, ranked on (round(sim,4) desc, id)
     * so ordering is total and oracle-stable.
@@ -192,14 +256,24 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("n_v"))
       .withColumn("n_norm", norm(col("n_v")))
-    val wAssign = Window.partitionBy(col("n_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("c_id"), col("n_id"), col("n_v"), col("n_norm"))
+    // bounded codebooks assign row-locally (zero exchange, argmax
+    // fused into the scan); large ones take the broadcast + thin
+    // argmax + vector re-attach shape
+    val assigned = centsLocal(cents) match {
+      case Some(cl) =>
+        c.withColumn("c_id",
+            nearestCidExpr(col("n_v"), col("n_norm"), cl))
+          .select(col("c_id"), col("n_id"), col("n_v"), col("n_norm"))
+      case None => argmaxPick(
+          c.crossJoin(broadcast(cents))
+            .withColumn("c_sim",
+              dot(col("n_v"), col("c_v")) /
+                (col("n_norm") * col("c_norm")))
+            .select(col("n_id"), col("c_id"), col("c_sim")),
+          Seq("n_id"), "c_sim", "c_id", Nil)
+          .join(c, "n_id")
+          .select(col("c_id"), col("n_id"), col("n_v"), col("n_norm"))
+    }
     val q = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("q_v"))
       .withColumn("q_norm", norm(col("q_v")))
@@ -239,13 +313,19 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("n_v"))
       .withColumn("n_norm", norm(col("n_v")))
-    val w = Window.partitionBy(col("n_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    c.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    (centsLocal(cents) match {
+      case Some(cl) =>
+        c.withColumn("c_id",
+          nearestCidExpr(col("n_v"), col("n_norm"), cl))
+      case None => argmaxPick(
+          c.crossJoin(broadcast(cents))
+            .withColumn("c_sim",
+              dot(col("n_v"), col("c_v")) /
+                (col("n_norm") * col("c_norm")))
+            .select(col("n_id"), col("c_id"), col("c_sim")),
+          Seq("n_id"), "c_sim", "c_id", Nil)
+          .join(c, "n_id")
+    })
       .select(col("n_id"), col("n_v"), col("n_norm"),
         col("c_id").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
@@ -339,14 +419,36 @@ object Similarity {
         val centDf = spark.createDataFrame(cents)
           .toDF("c_id", "csum", "cnt")
           .withColumn("cn2", sumSqDec(col("csum")).cast("double"))
-        val wBest = Window.partitionBy(col("n_id"))
-          .orderBy(col("c_sim").desc, col("c_id"))
-        val assigned = mat.df.crossJoin(broadcast(centDf))
-          .withColumn("c_sim", dotDec(col("qv"), col("csum")).cast("double") /
-            (sqrt(col("qn2")) * sqrt(col("cn2"))))
-          .withColumn("rn", row_number().over(wBest))
-          .where(col("rn") === 1)
-          .select(col("c_id"), col("qv"))
+        // bounded codebooks fold row-locally against the literal
+        // centroid sums (zero exchange — the assignment fuses into
+        // the update scan); the cn2 doubles come from collecting the
+        // same centDf expression the broadcast shipped, so every
+        // compared similarity is bit-identical. Large auto-nlist
+        // codebooks keep the broadcast + thin argmax shape.
+        val assigned =
+          if (cents.size <= 128) {
+            val cl = centDf.select(col("c_id"), col("csum"), col("cn2"))
+              .collect()
+              .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+              .sortBy(_._1)
+            val cands = cl.map { case (cid, csum, cn2) =>
+              struct((dotDec(col("qv"), typedLit(csum)).cast("double") /
+                (sqrt(col("qn2")) * sqrt(lit(cn2)))).as("s"),
+                lit(-cid).as("nc"))
+            }
+            mat.df.select(
+              (-array_max(array(cands.toSeq: _*)).getField("nc"))
+                .as("c_id"),
+              col("qv"))
+          } else argmaxPick(
+              mat.df.crossJoin(broadcast(centDf))
+                .withColumn("c_sim",
+                  dotDec(col("qv"), col("csum")).cast("double") /
+                    (sqrt(col("qn2")) * sqrt(col("cn2"))))
+                .select(col("n_id"), col("c_id"), col("c_sim")),
+              Seq("n_id"), "c_sim", "c_id", Nil)
+              .join(mat.df.select(col("n_id"), col("qv")), "n_id")
+              .select(col("c_id"), col("qv"))
         val updated = assigned
           .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy(col("c_id"), col("pos"))
@@ -399,14 +501,15 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"),
         asDouble(col(vecCol)).as("n_v"))
       .withColumn("n_norm", norm(col("n_v")))
-    val w = Window.partitionBy(col("n_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    c.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("n_id").as(idCol), col("c_id"))
+    (centsLocal(cents) match {
+      case Some(cl) => c.withColumn("c_id",
+        nearestCidExpr(col("n_v"), col("n_norm"), cl))
+      case None => argmaxPick(
+        c.crossJoin(broadcast(cents))
+          .withColumn("c_sim",
+            dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm"))),
+        Seq("n_id"), "c_sim", "c_id", Nil)
+    }).select(col("n_id").as(idCol), col("c_id"))
   }
 
   /** Product-quantization codebooks (Jégou, Douze, Schmid 2011): the
@@ -459,13 +562,34 @@ object Similarity {
           s"slice(n_v, s * (size(n_v) div $m) + 1, size(n_v) div $m))"))
         .as(Seq("s", "sub_v")))
       .withColumn("sub_norm", norm(col("sub_v")))
-    val w = Window.partitionBy(col("n_id"), col("s"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    exploded.join(broadcast(cb), "s")
-      .withColumn("c_sim",
-        dot(col("sub_v"), col("c_v")) / (col("sub_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    // bounded sub-codebooks encode ROW-LOCALLY: per exploded slice the
+    // argmax folds over its subspace's literal codewords (zero
+    // exchange beyond the explode's own narrow shape); the codeword
+    // norms come from collecting the same cb expression the broadcast
+    // shipped, so compared similarities are bit-identical. Oversized
+    // codebooks keep the broadcast + argmax aggregation.
+    val ksub = codebooks.map(_._2).distinct.size
+    if (ksub <= 128) {
+      val rows = cb.select(col("s"), col("c_id"), col("c_v"),
+          col("c_norm")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2),
+          r.getDouble(3)))
+      val bySub = rows.groupBy(_._1)
+      val codeExpr = (0 until m).foldRight(lit(null).cast("long")) {
+        case (si, acc) =>
+          val cl = bySub.getOrElse(si, Array.empty).toSeq
+            .map { case (_, cid, cv, cn) => (cid, cv, cn) }
+          if (cl.isEmpty) acc
+          else when(col("s") === si,
+            nearestCidExpr(col("sub_v"), col("sub_norm"), cl))
+            .otherwise(acc)
+      }
+      exploded.select(col("n_id"), col("s"), codeExpr.as("code"))
+    } else argmaxPick(
+      exploded.join(broadcast(cb), "s")
+        .withColumn("c_sim",
+          dot(col("sub_v"), col("c_v")) / (col("sub_norm") * col("c_norm"))),
+      Seq("n_id", "s"), "c_sim", "c_id", Nil)
       .select(col("n_id"), col("s"), col("c_id").as("code"))
   }
 
@@ -561,14 +685,15 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"),
         asDouble(col(vecCol)).as("n_v"))
       .withColumn("n_norm", norm(col("n_v")))
-    val wAssign = Window.partitionBy(col("n_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("c_id"), col("n_id"))
+    val assigned = (centsLocal(cents) match {
+      case Some(cl) => c.withColumn("c_id",
+        nearestCidExpr(col("n_v"), col("n_norm"), cl))
+      case None => argmaxPick(
+        c.crossJoin(broadcast(cents))
+          .withColumn("c_sim",
+            dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm"))),
+        Seq("n_id"), "c_sim", "c_id", Nil)
+    }).select(col("c_id"), col("n_id"))
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters,
       trainSample)
     val recon = pqReconTable(corpus, idCol, vecCol, cbs, m)
@@ -1059,14 +1184,19 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"),
         asDouble(col(vecCol)).as("n_v"))
       .withColumn("n_norm", norm(col("n_v")))
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        dot(col("n_v"), col("c_v")) / (col("n_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("c_id"), col("id"), col("n_v"), col("n_norm"))
+    val assigned = (centsLocal(cents) match {
+      case Some(cl) =>
+        c.withColumn("c_id",
+          nearestCidExpr(col("n_v"), col("n_norm"), cl))
+      case None => argmaxPick(
+          c.crossJoin(broadcast(cents))
+            .withColumn("c_sim",
+              dot(col("n_v"), col("c_v")) /
+                (col("n_norm") * col("c_norm")))
+            .select(col("id"), col("c_id"), col("c_sim")),
+          Seq("id"), "c_sim", "c_id", Nil)
+          .join(c, "id")
+    }).select(col("c_id"), col("id"), col("n_v"), col("n_norm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = assigned.select(col("c_id"), col("id"))
     val pairs = ids.as("a").join(ids.as("b"),
@@ -1174,13 +1304,18 @@ object Similarity {
       // c_id tie-break) so the stored list_id IS ivfSearch's assignment
       val withNorm = enc
         .withColumn("n_norm", norm(col("dv")))
-      val w = Window.partitionBy(col("n_id"))
-        .orderBy(col("c_sim").desc, col("c_id"))
-      withNorm.crossJoin(broadcast(cents))
-        .withColumn("c_sim",
-          dot(col("dv"), col("c_v")) / (col("n_norm") * col("c_norm")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+      (centsLocal(cents) match {
+        case Some(cl) => withNorm.withColumn("c_id",
+          nearestCidExpr(col("dv"), col("n_norm"), cl))
+        case None => argmaxPick(
+            withNorm.crossJoin(broadcast(cents))
+              .withColumn("c_sim",
+                dot(col("dv"), col("c_v")) /
+                  (col("n_norm") * col("c_norm")))
+              .select(col("n_id"), col("c_id"), col("c_sim")),
+            Seq("n_id"), "c_sim", "c_id", Nil)
+            .join(enc.select(col("n_id"), col("codes")), "n_id")
+      })
         .select(col("n_id"),
           transform(col("codes"), x => x.cast("smallint")).as("codes"),
           col("c_id").as("list_id"))
@@ -1218,19 +1353,25 @@ object Similarity {
     val sv = spark.read.parquet(s"$path/sq_stats")
     val cents = spark.read.parquet(s"$path/centroids")
       .withColumn("c_norm", norm(col("c_v")))
-    val w = Window.partitionBy(col("n_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = batch
+    val bEnc = batch
       .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(sv))
       .withColumn("codes", sqEncodeExpr)
       .withColumn("dv", sqDecodeExpr)
       .withColumn("n_norm", norm(col("dv")))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        dot(col("dv"), col("c_v")) / (col("n_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    val assigned = (centsLocal(cents) match {
+      case Some(cl) => bEnc.withColumn("c_id",
+        nearestCidExpr(col("dv"), col("n_norm"), cl))
+      case None => argmaxPick(
+          bEnc
+            .crossJoin(broadcast(cents))
+            .withColumn("c_sim",
+              dot(col("dv"), col("c_v")) /
+                (col("n_norm") * col("c_norm")))
+            .select(col("n_id"), col("c_id"), col("c_sim")),
+          Seq("n_id"), "c_sim", "c_id", Nil)
+          .join(bEnc.select(col("n_id"), col("codes")), "n_id")
+    })
       .select(col("n_id"), col("codes"), col("c_id").as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

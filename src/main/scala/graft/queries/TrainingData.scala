@@ -1129,14 +1129,31 @@ object TrainingData {
   // big the data. Exact integer counts plus a rounded span-Jaccard.
   def sourceOverlapQ(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.native.NativeFns
+    // (source, h) pairs — deduplication happens inside the per-h
+    // collect_set below, so no separate distinct pass is needed for
+    // the pair side; `sizes` keeps its own distinct
     val sh = docs(spark, dir)
       .select(col("source"), explode(
         NativeFns.shingleHashes(col("text"), 20)).as("h"))
-      .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    sh.select(col("source").as("source_a"), col("h"))
-      .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .where(col("source_a") < col("source_b"))
+    val sizes = sh.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // Pair expansion per hash instead of the h-keyed SELF-JOIN the
+    // original shape used: sources-per-hash is bounded by the corpus's
+    // source count (single digits), so sorting the set and emitting
+    // ordered pairs row-locally replaces a second full shuffle + join
+    // of the shingle relation with a flat map over the aggregated
+    // rows. collect_set dedups (source, h) exactly like the removed
+    // distinct; sort_array + slice emit each unordered pair once with
+    // source_a < source_b — identical to the join + filter.
+    sh.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), y -> " +
+          "named_struct('source_a', x, 'source_b', y))))")).as("p"))
+      .select(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("source").as("source_a"),

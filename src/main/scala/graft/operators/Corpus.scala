@@ -723,6 +723,32 @@ object Corpus {
     // pass builds its envelope stats
     ensureWinnowDfState(spark, tablePath)
     ensureWinnowScreenIndex(spark, tablePath)
+    // BULK / SMALL-TABLE REGIME: when the table reads whole anyway
+    // (≤ two task waves of files — the same rule the pruned reads
+    // use), the sidecar path buys nothing and its machinery costs
+    // plenty: four multi-million-row persists and five sequential
+    // action barriers per call (measured 6.5-7.5 s per corpus-scale
+    // batch at sf0.1, where the equivalent ONE-SHOT screen runs the
+    // whole computation as a single lazy DAG in 1-2 s — Catalyst
+    // shares the distinct/aggregation exchanges via ReusedExchange).
+    // The one-shot df over (corpus ∪ batch) equals stored-df + batch
+    // df hash by hash in every reachable state — the sidecar is an
+    // EFFICIENCY device, not a correctness one: appends write table
+    // rows and df deltas under one batch-named idempotence, replay
+    // windows exclude the batch's own rows on BOTH paths (ids
+    // corpus-side here, batch_id < ownId on the sidecar), and
+    // ScreenPruneSpec pins pruned == maintained == one-shot. Output
+    // and hashes are therefore identical; only the plan changes.
+    if (MaintainedIndex.dataFileCount(spark, tablePath) <=
+        2 * spark.sessionState.conf.numShufflePartitions) {
+      val corpus = excludeIds.fold(
+          spark.read.parquet(tablePath).select(col("id"), col("h")))(e =>
+        spark.read.parquet(tablePath).select(col("id"), col("h"))
+          .join(broadcast(e.select(col("id"))), Seq("id"), "left_anti"))
+      return graft.ops.Materialize(
+        winnowingContainmentScreen(batchFps, corpus, maxDf,
+          minContainmentBp), mat)
+    }
     val dfPath = winnowDfStatePath(tablePath)
     val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = {

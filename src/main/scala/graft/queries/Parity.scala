@@ -384,10 +384,17 @@ object Parity {
       .withColumn("dwd_insert_time", fmt(col("dwd_insert_time")))
       .withColumn("dwd_modify_time", fmt(col("dwd_modify_time")))
     val table = "graft_dwd_orders"
+    // hash-cluster each write by its partition column (guide §6 /
+    // Iceberg write.distribution-mode=hash): without it every scan
+    // task emits a sliver file into every month directory — ~80
+    // partitions × task-count tiny files per write, three writes.
+    // Row content is unchanged; only file placement.
     val b1 = stamped.filter(col("o_orderkey") % 3 =!= 0)
+      .repartition(col("etl_date"))
     CatalogSinks.saveAsTableOverwrite(b1, table, Seq("etl_date"))
     // batch 2 arrives with a scrambled column order — realigned by name
     val b2 = stamped.filter(col("o_orderkey") % 3 === 0)
+      .repartition(col("etl_date"))
       .select(col("dwd_insert_user"), col("etl_date"), col("o_orderkey"),
         col("o_totalprice"), col("o_custkey"), col("o_orderstatus"),
         col("dwd_insert_time"), col("dwd_modify_user"),
@@ -397,6 +404,7 @@ object Parity {
     // dynamic reload of the latest month only: modify stamp moves to T1
     val latest = stamped.agg(max(col("etl_date"))).head().getString(0)
     val reload = stamped.filter(col("etl_date") === latest)
+      .coalesce(1) // single surviving month — one output file
       .withColumn("dwd_modify_user", lit("user2"))
       .withColumn("dwd_modify_time", lit(T1))
     CatalogSinks.insertOverwritePartitions(spark, reload, table, "etl_date")

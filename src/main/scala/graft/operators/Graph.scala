@@ -1038,18 +1038,27 @@ object Graph {
         .union(e.select(col("b").as("src"), col("a").as("dst")))
         .repartition(col("src")),
       roundMat)
+    var keepM: graft.ops.Materialized = null
     try {
       var nEdges = adjM.df.count()
       var round = 0
       var converged = nEdges == 0L
       while (round < maxRounds && !converged) {
         val adj = adjM.df
-        val keep = adj.groupBy("src").agg(count(lit(1)).as("d"))
-          .where(col("d") >= k).select(col("src").as("v"))
+        // the keep set is MATERIALIZED with its degree column: on
+        // convergence (nothing deleted ⟹ final adjacency = pre-peel
+        // adjacency ⟹ final degrees = these degrees) it IS the
+        // output, so the final degree aggregation is skipped
+        val nextKeepM = Materialize(
+          adj.groupBy("src").agg(count(lit(1)).as("d"))
+            .where(col("d") >= k)
+            .select(col("src").as("v"), col("d")),
+          roundMat)
+        val keep = nextKeepM.df
         val nextM = Materialize(
-          adj.join(keep.withColumnRenamed("v", "src"), Seq("src"),
+          adj.join(keep.select(col("v").as("src")), Seq("src"),
               "left_semi")
-            .join(keep.withColumnRenamed("v", "dst"), Seq("dst"),
+            .join(keep.select(col("v").as("dst")), Seq("dst"),
               "left_semi")
             .select(col("src"), col("dst")),
           roundMat)
@@ -1058,6 +1067,8 @@ object Graph {
         nEdges = nNext
         adjM.release()
         adjM = nextM
+        if (keepM != null) keepM.release()
+        keepM = nextKeepM
         round += 1
       }
       if (!converged)
@@ -1066,19 +1077,33 @@ object Graph {
             "rounds: returning a partially peeled SUPERSET of the " +
             "core (check CoreResult.converged)")
       val outM = Materialize(
-        adjM.df.groupBy("src").agg(count(lit(1)).as("core_deg"))
-          .select(col("src").as("node"), col("core_deg")),
+        if (converged && keepM != null)
+          keepM.df.select(col("v").as("node"), col("d").as("core_deg"))
+        else
+          adjM.df.groupBy("src").agg(count(lit(1)).as("core_deg"))
+            .select(col("src").as("node"), col("core_deg")),
         mat)
       val out =
         if (mat == graft.ops.MatStrategy.PassThrough) {
-          // lazy result re-aggregates the final round's blocks: defer
-          // their release into the handle (same contract as kTrussM)
-          val dep = adjM
+          // lazy result re-reads the final round's blocks (adjacency
+          // or, when converged, the kept-degree relation): defer both
+          // releases into the handle (same contract as kTrussM)
+          val depA = adjM
+          val depK = keepM
           graft.ops.Materialized(outM.df,
-            () => { outM.release(); dep.release() })
-        } else { adjM.release(); outM }
+            () => { outM.release(); depA.release()
+              if (depK != null) depK.release() })
+        } else {
+          adjM.release()
+          if (keepM != null) keepM.release()
+          outM
+        }
       CoreResult(out, converged, round)
-    } catch { case t: Throwable => adjM.release(); throw t }
+    } catch { case t: Throwable =>
+      adjM.release()
+      if (keepM != null) keepM.release()
+      throw t
+    }
   }
 
   /** [[kCoreM]] with default materialization, returning the bare

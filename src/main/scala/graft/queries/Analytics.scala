@@ -1037,13 +1037,20 @@ object Analytics {
   // pair is one row, and a total (count desc, part_a, part_b) order
   // makes the top-20 boundary engine-deterministic.
   def copurchaseQ(spark: SparkSession, dir: String): DataFrame = {
+    // row-local per-basket pair expansion — the q_basket_lift /
+    // x_source_overlap device: collect_set dedups (ok, pk) and the
+    // ok-keyed self-join disappears; identical ordered pairs
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    val pairs = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), y -> " +
+          "named_struct('part_a', x, 'part_b', y))))")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"),
+        col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
     pairs
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
@@ -1401,16 +1408,28 @@ object Analytics {
   // broadcast one-row stat; everything else is the same wedge
   // self-join + hash aggregates as q_copurchase.
   def basketLiftQ(spark: SparkSession, dir: String): DataFrame = {
+    // One basket aggregation feeds everything (the x_source_overlap
+    // device): collect_set dedups (ok, pk) — the separate distinct
+    // pass is gone — and per-basket item pairs expand ROW-LOCALLY
+    // from the sorted set (basket sizes are single digits), replacing
+    // the ok-keyed self-join's second shuffle + join with a flat map.
+    // sort_array + slice emit each pair once with part_a < part_b —
+    // identical to the join + filter.
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val baskets = li.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    val grouped = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ss"))
+    val baskets = grouped.agg(count(lit(1)).as("n_baskets"))
+    val cnt = grouped.select(explode(col("ss")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+    val pairs = grouped
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), y -> " +
+          "named_struct('part_a', x, 'part_b', y))))")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"),
+        col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 3)
     pairs

@@ -167,6 +167,16 @@ object GraftExtensions {
       "graft_wordpiece_segment(word, vocab) - greedy longest-match " +
         "WordPiece segmentation under a literal vocabulary",
       es => WordPieceSegmentExpr(es(0), es(1))),
+    (NativeFns.CmCellsName,
+      "graft_cm_cells(key, depth, width) - Count-Min md5-fold cell " +
+        "vector of a string key, one pass",
+      es => CmCellsExpr(es(0),
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int])),
+    (NativeFns.VocabHitsName,
+      "graft_vocab_hits(text, vocab) - sorted distinct vocabulary " +
+        "tokens of lower(trim(text)), one pass",
+      es => VocabHitsExpr(es(0), es(1))),
     (NativeFns.AhoCountsName,
       "graft_aho_counts(text, terms) - per-term Aho-Corasick occurrence " +
         "counts under a literal dictionary",

@@ -103,6 +103,8 @@ object NativeFns {
   val AhoFoldScrubName = "graft_aho_fold_scrub"
   val TokenEditName = "graft_tok_edit"
   val WordPieceSegmentName = "graft_wordpiece_segment"
+  val CmCellsName = "graft_cm_cells"
+  val VocabHitsName = "graft_vocab_hits"
 
   /** Idempotent; called from Tables.load so every query path (including
     * driver-built sessions) has the functions available. Sessions built
@@ -156,6 +158,22 @@ object NativeFns {
 
   def simhashNative(text: Column): Column =
     call_function(SimhashName, text)
+
+  /** Count-Min cell vector of a string key: array<long>(depth), element
+    * d = md5-fold-hash32("cm<d>:" ++ key) % width — one pass, no hex
+    * string round-trip (see [[CmCellsExpr]]). */
+  def cmCells(key: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(CmCellsName, key, lit(depth), lit(width))
+  }
+
+  /** Sorted distinct vocabulary hits of lower(trim(text))'s whitespace
+    * tokenization under a LITERAL vocabulary — one pass, no
+    * intermediate token array (see [[VocabHitsExpr]]). */
+  def vocabHits(text: Column, vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function(VocabHitsName, text, typedLit(vocab))
+  }
 
   /** Distributed bloom sketch over a LONG hash column (mergeable
     * TypedImperativeAggregate — Spark's own, not SQL-registered by

@@ -725,29 +725,72 @@ object Corpus {
     ensureWinnowScreenIndex(spark, tablePath)
     // BULK / SMALL-TABLE REGIME: when the table reads whole anyway
     // (≤ two task waves of files — the same rule the pruned reads
-    // use), the sidecar path buys nothing and its machinery costs
-    // plenty: four multi-million-row persists and five sequential
-    // action barriers per call (measured 6.5-7.5 s per corpus-scale
-    // batch at sf0.1, where the equivalent ONE-SHOT screen runs the
-    // whole computation as a single lazy DAG in 1-2 s — Catalyst
-    // shares the distinct/aggregation exchanges via ReusedExchange).
-    // The one-shot df over (corpus ∪ batch) equals stored-df + batch
-    // df hash by hash in every reachable state — the sidecar is an
-    // EFFICIENCY device, not a correctness one: appends write table
-    // rows and df deltas under one batch-named idempotence, replay
-    // windows exclude the batch's own rows on BOTH paths (ids
-    // corpus-side here, batch_id < ownId on the sidecar), and
-    // ScreenPruneSpec pins pruned == maintained == one-shot. Output
-    // and hashes are therefore identical; only the plan changes.
+    // use), the sidecar path's persist/barrier machinery buys nothing
+    // and costs plenty: four multi-million-row persists and five
+    // sequential action barriers per call (measured 6.5-7.5 s per
+    // corpus-scale batch at sf0.1, where the equivalent screen runs
+    // as ONE lazy DAG — Catalyst shares exchanges via ReusedExchange).
+    // The DAG below is the one-shot screen restated over the
+    // MAINTAINED ARTIFACTS (r12):
+    //  - the corpus side reads the doc-keyed PROJECTION
+    //    ([[winnowByIdPath]]) — already distinct (id, h) (ids are
+    //    unique across appends, so per-append distincts compose), so
+    //    the one-shot form's corpus-wide distinct exchange disappears
+    //    and the scan carries fewer, narrower rows than the (id, pos,
+    //    h) table;
+    //  - corpus document frequencies FOLD from the df sidecar (one
+    //    aggregation over pre-aggregated `(h, d)` deltas) instead of
+    //    being re-counted from the corpus fingerprint stream, and the
+    //    df cap is judged on stored-df + batch-df via a full-outer
+    //    hash join (corpus-scale batches make broadcast semi-joins —
+    //    the micro-batch path's device — driver-sized, measured 2×
+    //    slower here).
+    // Identical results in every reachable state: stored df (deltas
+    // with batch_id < ownId) + the batch's own df = df over
+    // (corpus ∖ ownIds) ∪ batch, hash by hash — appends write table
+    // rows, projection rows and df deltas under one batch-named
+    // idempotence, and replay windows exclude the batch's own rows on
+    // BOTH sides (ids corpus-side, batch_id < ownId on the sidecar).
+    // NOTE the replay contract this branch shares with the pruned
+    // path below: a caller passing `ownBatchId` relies on SEQUENTIAL
+    // replay — no rows from batches > ownBatchId exist in the table,
+    // the projection, or the sidecar at replay time (true for the
+    // curate loop; an out-of-order caller would get divergent screens
+    // on either path) — and `excludeIds`/`ownBatchId` travel together
+    // (both or neither), as in the curate loop.
+    // ScreenPruneSpec pins pruned == maintained == one-shot.
     if (MaintainedIndex.dataFileCount(spark, tablePath) <=
         2 * spark.sessionState.conf.numShufflePartitions) {
-      val corpus = excludeIds.fold(
-          spark.read.parquet(tablePath).select(col("id"), col("h")))(e =>
-        spark.read.parquet(tablePath).select(col("id"), col("h"))
-          .join(broadcast(e.select(col("id"))), Seq("id"), "left_anti"))
+      val proj = spark.read.parquet(winnowByIdPath(tablePath))
+        .select(col("id"), col("h"))
+      val ihC = excludeIds.fold(proj)(e =>
+        proj.join(broadcast(e.select(col("id"))), Seq("id"), "left_anti"))
+      val ihB = batchFps.select(col("id"), col("h")).distinct()
+      val dfB = ihB.groupBy(col("h")).agg(count(lit(1)).as("db"))
+      val dfC = spark.read.parquet(winnowDfStatePath(tablePath))
+        .where(col("batch_id") < lit(ownBatchId))
+        .groupBy(col("h")).agg(sum(col("d")).as("dc"))
+      val rare = dfB.join(dfC, Seq("h"), "full_outer")
+        .where(coalesce(col("db"), lit(0L)) +
+          coalesce(col("dc"), lit(0L)) <= maxDf)
+        .select(col("h"))
+      val pB = ihB.join(rare, Seq("h"))
+      val pC = ihC.join(rare, Seq("h"))
+      val nB = pB.groupBy(col("id")).agg(count(lit(1)).as("n_batch"))
+        .withColumnRenamed("id", "batch_id")
+      val nC = pC.groupBy(col("id")).agg(count(lit(1)).as("n_corpus"))
+        .withColumnRenamed("id", "corpus_id")
+      val pairs = pB.select(col("h"), col("id").as("batch_id"))
+        .join(pC.select(col("h"), col("id").as("corpus_id")), Seq("h"))
+        .groupBy(col("batch_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("shared"))
       return graft.ops.Materialize(
-        winnowingContainmentScreen(batchFps, corpus, maxDf,
-          minContainmentBp), mat)
+        pairs.join(nB, Seq("batch_id")).join(nC, Seq("corpus_id"))
+          .select(col("batch_id"), col("corpus_id"),
+            col("n_batch"), col("n_corpus"), col("shared"),
+            expr("(shared * 10000) div least(n_batch, n_corpus)")
+              .as("containment_bp"))
+          .where(col("containment_bp") >= minContainmentBp), mat)
     }
     val dfPath = winnowDfStatePath(tablePath)
     val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

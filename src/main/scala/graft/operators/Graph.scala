@@ -1055,6 +1055,12 @@ object Graph {
             .select(col("src").as("v"), col("d")),
           roundMat)
         val keep = nextKeepM.df
+        // swap keepM in BEFORE materializing nextM: if that
+        // materialization throws, the catch below releases keepM —
+        // which must by then be the round's fresh relation, or it
+        // would leak (the old one is released here instead)
+        if (keepM != null) keepM.release()
+        keepM = nextKeepM
         val nextM = Materialize(
           adj.join(keep.select(col("v").as("src")), Seq("src"),
               "left_semi")
@@ -1067,8 +1073,6 @@ object Graph {
         nEdges = nNext
         adjM.release()
         adjM = nextM
-        if (keepM != null) keepM.release()
-        keepM = nextKeepM
         round += 1
       }
       if (!converged)

@@ -38,14 +38,19 @@ import graft.functions.TextFns
 object Sketches {
 
   /** Row-local cell projection: for each input row, `depth` rows
-    * `(d, cell)` with `cell = hash32("cm<d>:" || key) % width`.
+    * `(d, cell)` with `cell = hash32("cm<d>:" || key) % width`. The
+    * hashing runs in the native one-pass [[graft.functions.native.CmCellsExpr]]
+    * (r12): the expression-chain form paid `depth` × (string concat →
+    * md5 → 32-char hex string → substring → base-16 parse) PER
+    * OCCURRENCE — the sketch's whole CPU on n-gram streams. Cells are
+    * bit-identical (same md5-fold, same unsigned fold, same `% width`);
+    * posexplode's ordinal IS the depth index d.
     */
-  private def cellsOf(keyCol: String, depth: Int, width: Int) =
-    explode(array((0 until depth).map { d =>
-      struct(lit(d).as("d"),
-        (TextFns.hash32(concat(lit(s"cm$d:"), col(keyCol))) %
-          width).as("cell"))
-    }: _*))
+  private def cellsOf(keyCol: String, depth: Int, width: Int) = {
+    import graft.functions.native.NativeFns
+    posexplode(NativeFns.cmCells(col(keyCol), depth, width))
+      .as(Seq("d", "cell"))
+  }
 
   /** Build the `(d, cell, cnt)` Count-Min cell table over the
     * occurrence stream in `stream(keyCol)`. One hash aggregation;
@@ -56,8 +61,9 @@ object Sketches {
                     depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2,
       s"need depth >= 1 and width >= 2, got d=$depth w=$width")
-    stream.select(cellsOf(keyCol, depth, width).as("dc"))
-      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+    graft.functions.native.NativeFns.register(stream.sparkSession)
+    stream.select(cellsOf(keyCol, depth, width))
+      .groupBy(col("d"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -69,12 +75,13 @@ object Sketches {
     * out of the same `coalesce`.
     */
   def cmEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
-                 depth: Int, width: Int): DataFrame =
-    probes.select(col(keyCol), cellsOf(keyCol, depth, width).as("dc"))
-      .select(col(keyCol), col("dc.d").as("d"), col("dc.cell").as("cell"))
+                 depth: Int, width: Int): DataFrame = {
+    graft.functions.native.NativeFns.register(probes.sparkSession)
+    probes.select(col(keyCol), cellsOf(keyCol, depth, width))
       .join(broadcast(sketch), Seq("d", "cell"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
 
   /** Merge Count-Min cell tables built with the SAME (depth, width):
     * cell-wise sum — the linearity that makes the sketch incremental

@@ -1072,16 +1072,36 @@ object Analytics {
       col("l_returnflag"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
       expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("cents"), col("qty"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("l_returnflag"))
-    li.withColumn("cum", sum(col("qty")).over(w))
-      .withColumn("tw", sum(col("qty")).over(tot))
-      .where(col("cum") * 2 >= col("tw"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(col("cents")).as("wmedian_cents"),
-        max(col("tw")).as("total_qty"))
+    if (!robustPreAgg(li)) {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"), col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("cum", sum(col("qty")).over(w))
+        .withColumn("tw", sum(col("qty")).over(tot))
+        .where(col("cum") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("cents")).as("wmedian_cents"),
+          max(col("tw")).as("total_qty"))
+    } else {
+      // pre-aggregated cumulative form (see robustPreAgg): qty ≥ 0
+      // makes the raw cumulative weight monotone, so the qualifying
+      // rows are a suffix and the boundary row sits inside the first
+      // (cents, qty) GROUP whose group-level cumulative weight clears
+      // the threshold — min(cents) and max(tw) are unchanged
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"), col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("l_returnflag"))
+      li.groupBy(col("l_returnflag"), col("cents"), col("qty"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("cum", sum(col("qty") * col("__c")).over(w))
+        .withColumn("tw", sum(col("qty") * col("__c")).over(tot))
+        .where(col("cum") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("cents")).as("wmedian_cents"),
+          max(col("tw")).as("total_qty"))
+    }
   }
   val weightedMedianSql: String =
     """WITH li AS (
@@ -1113,12 +1133,35 @@ object Analytics {
   // float percentile and no engine disagreement. The 4-row median
   // relation broadcasts back onto the fact scan for the deviation
   // pass.
-  def madQ(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem").select(
-      col("l_returnflag"),
-      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-    def lowerMedian(df: DataFrame, valueCol: String,
-                    outCol: String): DataFrame = {
+  /** Scale gate for the robust-stats rank windows (r12, r11 verdict
+    * item 7): true when the scan feeding the window is estimated past
+    * `graft.robustStats.preAggBytes` (default 4 GiB). The flag
+    * cardinality bounds the window's PARTITIONS, not the rows per
+    * partition, so at 100 TB the raw-row window is a single-task
+    * billion-row sort per flag — the rank selection must switch to the
+    * PRE-AGGREGATED cumulative form (count duplicates first, window
+    * over distinct values). Locally the raw window stays: cents are
+    * near-distinct at bench SFs, so pre-aggregation adds a hash
+    * shuffle without shrinking the window input (measured q_mad
+    * 1.67 → 2.77 s in the r11 rejected-experiments record). Both forms
+    * are bit-equal (RobustStatsSpec pins the hash equality). */
+  private[graft] def robustPreAgg(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf
+      .getOption("graft.robustStats.preAggBytes")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024 * 1024)
+    scala.util.Try(df.queryExecution.optimizedPlan.stats.sizeInBytes
+      >= BigInt(threshold)).getOrElse(false)
+  }
+
+  /** Lower median per l_returnflag by cumulative-rank selection —
+    * raw-row window or pre-aggregated cumulative form per `preAgg`
+    * (bit-equal: a value v qualifies iff its run's LARGEST row_number,
+    * which is the cumulative count ≤ v, clears the n/2 threshold, and
+    * min over qualifying values is the same value either way). */
+  private[graft] def lowerMedianBy(df: DataFrame, valueCol: String,
+                                   outCol: String,
+                                   preAgg: Boolean): DataFrame =
+    if (!preAgg) {
       val wo = Window.partitionBy(col("l_returnflag"))
         .orderBy(col(valueCol))
       val wp = Window.partitionBy(col("l_returnflag"))
@@ -1127,7 +1170,28 @@ object Analytics {
         .where(col("__rn") * 2 >= col("__n"))
         .groupBy(col("l_returnflag"))
         .agg(min(col(valueCol)).as(outCol), max(col("__n")).as("n_rows"))
+    } else {
+      val wo = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("l_returnflag"))
+      df.groupBy(col("l_returnflag"), col(valueCol))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wo))
+        .withColumn("__n", sum(col("__c")).over(wp))
+        .where(col("__cum") * 2 >= col("__n"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col(valueCol)).as(outCol), max(col("__n")).as("n_rows"))
     }
+
+  def madQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val preAgg = robustPreAgg(li)
+    def lowerMedian(df: DataFrame, valueCol: String,
+                    outCol: String): DataFrame =
+      lowerMedianBy(df, valueCol, outCol, preAgg)
     val med = lowerMedian(li, "cents", "median_cents")
     val dev = li.join(broadcast(med), "l_returnflag")
       .select(col("l_returnflag"), col("median_cents"),
@@ -1177,16 +1241,39 @@ object Analytics {
     val li = Tables.load(spark, dir, "lineitem").select(
       col("l_returnflag"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-    val wo = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-    val wp = Window.partitionBy(col("l_returnflag"))
-    li.withColumn("rn", row_number().over(wo))
-      .withColumn("n", count(lit(1)).over(wp))
-      .where(col("rn") > expr("n div 10") &&
-        col("rn") <= col("n") - expr("n div 10"))
-      .groupBy(col("l_returnflag"))
-      .agg(expr("sum(cents) div count(*)").as("trimmed_mean_cents"),
-        count(lit(1)).as("n_kept"),
-        max(col("n")).as("n_rows"))
+    if (!robustPreAgg(li)) {
+      val wo = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      val wp = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("rn", row_number().over(wo))
+        .withColumn("n", count(lit(1)).over(wp))
+        .where(col("rn") > expr("n div 10") &&
+          col("rn") <= col("n") - expr("n div 10"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("sum(cents) div count(*)").as("trimmed_mean_cents"),
+          count(lit(1)).as("n_kept"),
+          max(col("n")).as("n_rows"))
+    } else {
+      // pre-aggregated cumulative form (see robustPreAgg): value v's
+      // raw rows hold ranks (cum − c, cum]; the kept interval is
+      // (n div 10, n − n div 10], so v keeps the overlap of the two —
+      // swapping equal values across a trim boundary never moves the
+      // kept SUM, exactly the raw form's tie-stability argument
+      val wo = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("l_returnflag"))
+      li.groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wo))
+        .withColumn("__n", sum(col("__c")).over(wp))
+        .withColumn("__k", greatest(lit(0L),
+          least(col("__cum"), col("__n") - expr("__n div 10")) -
+            greatest(col("__cum") - col("__c"), expr("__n div 10"))))
+        .where(col("__k") > 0)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("sum(cents * __k) div sum(__k)").as("trimmed_mean_cents"),
+          sum(col("__k")).as("n_kept"),
+          max(col("__n")).as("n_rows"))
+    }
   }
   val trimmedMeanSql: String =
     """WITH li AS (

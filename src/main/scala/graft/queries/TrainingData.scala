@@ -5490,27 +5490,50 @@ object TrainingData {
   // shuffle join; the 38-digit decimal lane keeps n_ab·N·10⁴ exact at
   // any corpus size.
   def cooccurrenceQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.native.NativeFns
     val top = graft.operators.Corpus
       .topKVocab(docs(spark, dir), "text", 50)
       .select(col("token")).collect().map(_.getString(0)).sorted
-    val vocabArr = array(top.map(lit).toSeq: _*)
-    val hits = array_sort(array_intersect(
-      array_distinct(split(lower(trim(col("text"))), "\\s+")), vocabArr))
-    val pairArr = flatten(transform(hits, (x, i) =>
-      transform(slice(hits, i + 2, size(hits)),
-        y => concat(x, lit(" "), y))))
+    // per-doc sorted distinct vocab hits in ONE native pass (r12,
+    // guide §4): the expression-chain form re-ran the \s+ regex
+    // tokenization and three array passes (distinct, intersect, sort)
+    // per corpus scan — and the lazy plan scanned the corpus TWICE
+    // (pair counts + per-token dfs). Results are pinned identical by
+    // the unchanged oracle (VocabHitsExpr doc lists the equivalences).
+    // hits is PROJECTED to a concrete column before the pair fan-out:
+    // the expansion references it from inside per-element lambdas, and
+    // an inlined expression tree re-tokenizes the document once per
+    // array element (measured 470 CPU-s); a multiply-referenced
+    // non-cheap alias survives CollapseProject, so the tokenization
+    // runs exactly once per row
+    val hits = NativeFns.vocabHits(col("text"), top.toSeq)
+    def pairArrOf(h: org.apache.spark.sql.Column) =
+      flatten(transform(h, (x, i) =>
+        transform(slice(h, i + 2, size(h)),
+          y => concat(x, lit(" "), y))))
     // the O(|vocab-hits|²) pair fan-out is the CPU here and runs
     // before any shuffle — doc-keyed repartition at explicit width
     // fans it past the scan's split count (the SparseSim device)
     val fan = spark.sessionState.conf.numShufflePartitions
     val d = docs(spark, dir).repartition(fan, col("doc_id"))
-    val pairs = d.select(explode(pairArr).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= 10)
-      .select(split(col("pair"), " ").getItem(0).as("tok_a"),
-        split(col("pair"), " ").getItem(1).as("tok_b"), col("n_ab"))
-    val dfs = d.select(explode(hits).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // pair keys carry a space, single tokens never do (they are
+    // whitespace-split), so BOTH aggregations ride one corpus pass and
+    // split by key shape afterwards; the ≤(50·51/2 + 50)-row aggregate
+    // is spilled once (bare-wrapper Materialize: reclaimed at JVM
+    // exit) because pairs and dfs both read it
+    val aggM = graft.ops.Materialize(
+      d.select(hits.as("__hits"))
+        .select(explode(concat(pairArrOf(col("__hits")),
+          col("__hits"))).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n")),
+      graft.ops.MatStrategy.Default)
+    val pairs = aggM.df.where(col("k").contains(" "))
+      .where(col("n") >= 10)
+      .select(split(col("k"), " ").getItem(0).as("tok_a"),
+        split(col("k"), " ").getItem(1).as("tok_b"),
+        col("n").as("n_ab"))
+    val dfs = aggM.df.where(!col("k").contains(" "))
+      .select(col("k").as("token"), col("n").as("df"))
     pairs
       .join(broadcast(dfs.select(col("token").as("tok_a"),
         col("df").as("df_a"))), Seq("tok_a"))
@@ -6163,12 +6186,14 @@ object TrainingData {
       .parquet(feedDir)
     graft.streaming.StreamingOps.continuousCurate(
       src, sigPath, outPath, "text", "doc_id", k = 5, threshold = 0.5,
-      // 32, not the sibling lanes' 8: the quote screen's corpus-side
-      // work (two winnow-table scans + distincts over millions of
-      // fingerprint rows per batch) is NOT the near-empty-join regime
-      // the runToMemory 8-partition discipline is for — at 8 the
-      // corpus distincts serialize on a quarter of the machine
-      shufflePartitions = Some(32),
+      // 16, not the sibling lanes' 8: the batch FINGERPRINTING fan-out
+      // (the lane's CPU) still wants width. The r11 rationale for 32 —
+      // corpus-side distincts over millions of fingerprint rows per
+      // batch — is gone since the bulk screen reads the pre-deduped
+      // doc-keyed projection and folds the df sidecar (r12); measured
+      // 16 ≈ 32 on the lane total, and narrower stages cut the
+      // many-tiny-stages floor everywhere else in the batch body
+      shufflePartitions = Some(16),
       winnowTablePath = fpPath, minContainmentBp = 8000L,
       winnowMaxDf = 50L)
     spark.read.parquet(outPath).select(col("doc_id"))

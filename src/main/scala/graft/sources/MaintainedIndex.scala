@@ -126,7 +126,28 @@ object MaintainedIndex {
   def clusteredIdempotentAppend(df: DataFrame, dir: String, prefix: String,
                                 keyCol: String): Unit = {
     val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // SCALE-ADAPTIVE file count (guide §6): the session's shuffle
+    // width is a parallelism knob, not a file-sizing one. At local[32]
+    // a micro-batch append range-partitioned into 32 landed 32 sliver
+    // files PER ARTIFACT per batch (and the post-append stats pass
+    // then re-read 32 footers); at 100 TB a fixed 32 would make
+    // multi-GB files. Plan the range-partition count from the
+    // optimizer's size estimate of the batch against a target file
+    // size (conf `graft.append.targetFileBytes`; the estimate is
+    // uncompressed-row bytes, so the default lands parquet files
+    // well under it), clamped to [1, shuffle width] so a wide
+    // cluster's appends keep their parallelism bound and an
+    // unknown-size plan (estimate saturated) degrades to exactly the
+    // old behavior. Layout only — row content, idempotence, and the
+    // safety rule are unchanged.
+    val maxParts = spark.sessionState.conf.numShufflePartitions
+    val targetBytes = spark.conf.getOption("graft.append.targetFileBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val estParts = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / targetBytes + 1)
+      .getOrElse(BigInt(maxParts))
+    val parts =
+      if (estParts >= maxParts) maxParts else math.max(1, estParts.toInt)
     val landed = idempotentAppend(
       df.repartitionByRange(parts, col(keyCol))
         .sortWithinPartitions(col(keyCol)),

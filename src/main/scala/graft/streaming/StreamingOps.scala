@@ -516,48 +516,64 @@ object StreamingOps {
               .persist(lvl)
           }
           // Local (executor-block) materialization, not the default
-          // parquet spill: the screen result never escapes the batch
-          // (released in the finally) and a retry rebuilds it, so the
+          // parquet spill: the screen results never escape the batch
+          // (released in the finally) and a retry rebuilds them, so the
           // DFS round-trip would buy nothing — this is the documented
           // bounded-intra-job-state case for MatStrategy.Local
-          val screened = tdbg("lsh screen")(graft.operators.Dedup
-            .incrementalNearDupAgainstPreSigsM(sigB, sigTablePath,
-              threshold, graft.ops.MatStrategy.Local))
+          var screened: graft.ops.Materialized = null
           var dupIdsM: graft.ops.Materialized = null
           var quoteM: graft.ops.Materialized = null
+          var survivorFpsP: DataFrame = null
           try {
             val own = batch.select(col(idCol).as("corpus_id"))
-            val lshDup = screened.df
-              .join(broadcast(own), Seq("corpus_id"), "left_anti")
-              .select(col("batch_id").as(idCol))
+            // The LSH screen and the quote screen are INDEPENDENT —
+            // disjoint maintained tables, both feeding the one dupIds
+            // union — so their eager materializations are submitted
+            // from two driver threads and their jobs OVERLAP (guide
+            // §2.6: each screen's stage tails leave most of the
+            // machine idle; the other screen's stages back-fill it).
+            // Both handles are captured before either failure
+            // re-throws, so the finally releases whatever landed.
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            import scala.concurrent.duration.Duration
+            val fScr = Future(tdbg("lsh screen")(graft.operators.Dedup
+              .incrementalNearDupAgainstPreSigsM(sigB, sigTablePath,
+                threshold, graft.ops.MatStrategy.Local)))
             // quote screen: batch fingerprints vs the maintained table,
             // with the batch's own ids excluded from the corpus side
             // (replay safety — a crash after the fingerprint append
             // must not make the replay quote-reject the batch against
-            // its own fingerprints)
-            val quoteDup = (winnowTablePath, fpB) match {
+            // its own fingerprints). Stored-table reads are
+            // file-pruned against the batch's bounded probe sets in
+            // the micro-batch regime; bulk batches take the
+            // maintained-artifact one-shot DAG (projection + df
+            // sidecar) inside the screen. Deltas filtered to
+            // batch_id < ownId — the same replay safety as before.
+            val fQuote = (winnowTablePath, fpB) match {
               case (Some(wp), Some(fp)) =>
-                // the PRUNED maintained screen: stored-table reads are
-                // file-pruned against the batch's bounded probe sets
-                // (pair probe by rare batch hashes on the h-clustered
-                // table; denominators by candidate ids on the
-                // id-clustered projection; df pulls on the h-clustered
-                // sidecar). Own ids excluded corpus-side and deltas
-                // filtered to batch_id < ownId — the same replay
-                // safety as before, now inside the screen. Local
-                // materialization: the result never escapes the batch.
-                if (dbg) tdbg("fp batch")(fp.count())
-                quoteM = tdbg("quote screen")(graft.operators.Corpus
+                Some(Future(tdbg("quote screen")(graft.operators.Corpus
                   .winnowingContainmentScreenPrunedM(fp, wp,
                     excludeIds =
                       Some(own.select(col("corpus_id").as("id"))),
                     ownBatchId = batchId,
                     maxDf = winnowMaxDf,
                     minContainmentBp = minContainmentBp,
-                    mat = graft.ops.MatStrategy.Local))
-                Some(quoteM.df.select(col("batch_id").as(idCol)))
+                    mat = graft.ops.MatStrategy.Local))))
               case _ => None
             }
+            val scrT = scala.util.Try(Await.result(fScr, Duration.Inf))
+            val quoteT = fQuote.map(f =>
+              scala.util.Try(Await.result(f, Duration.Inf)))
+            screened = scrT.toOption.orNull
+            quoteM = quoteT.flatMap(_.toOption).orNull
+            scrT.get // re-throw AFTER both handles are tracked above
+            quoteT.foreach(_.get)
+            val lshDup = screened.df
+              .join(broadcast(own), Seq("corpus_id"), "left_anti")
+              .select(col("batch_id").as(idCol))
+            val quoteDup = fQuote.map(_ =>
+              quoteM.df.select(col("batch_id").as(idCol)))
             // the POLICY screen (optional): one Aho-Corasick pass over
             // the batch text — a zero-exchange row-local projection
             // that pipelines inside the batch scan; total hits at or
@@ -616,9 +632,16 @@ object StreamingOps {
             // OWN docs (never candidates — those come from the table).
             val fFp: Seq[Future[Unit]] = (winnowTablePath, fpB) match {
               case (Some(wp), Some(fp)) =>
+                // persisted ONCE: the three fingerprint-family sinks
+                // each evaluate their input twice (range sample +
+                // shuffle map), so a lazy survivorFps would run this
+                // anti-join six times per batch; cached blocks make
+                // those six passes cache reads (released in the
+                // finally below with the other batch intermediates)
                 val survivorFps = fp.join(
                   dupIds.select(col(idCol).as("id")), Seq("id"),
-                  "left_anti")
+                  "left_anti").persist(lvl)
+                survivorFpsP = survivorFps
                 Seq(
                   Future {
                     graft.sources.MaintainedIndex.clusteredIdempotentAppend(
@@ -647,9 +670,11 @@ object StreamingOps {
             }
             fs.create(marker, true).close()
           } finally {
-            screened.release(); sigB.unpersist(false)
+            if (screened != null) screened.release()
+            sigB.unpersist(false)
             if (dupIdsM != null) dupIdsM.release()
             if (quoteM != null) quoteM.release()
+            if (survivorFpsP != null) survivorFpsP.unpersist(false)
             fpB.foreach(_.unpersist(false)); ()
           }
         }

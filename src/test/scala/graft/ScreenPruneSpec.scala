@@ -27,7 +27,11 @@ class ScreenPruneSpec extends SparkSpec {
     "identical rows") {
     val dir = tmpDir("synth")
     val d = (0L until 4000L).map(i => (i, s"v$i")).toDF("h", "v")
-    withSQLConf("spark.sql.shuffle.partitions" -> "16") {
+    // appends size their file count by bytes (scale-adaptive, r12);
+    // this fixture needs MANY files per generation to observe pruning,
+    // so force the per-file target down to one byte
+    withSQLConf("spark.sql.shuffle.partitions" -> "16",
+      "graft.append.targetFileBytes" -> "1") {
       MaintainedIndex.writeClusteredIndexed(d, dir, "h")
       // three append generations — envelopes overlap ACROSS
       // generations, stay narrow within each
@@ -110,7 +114,9 @@ class ScreenPruneSpec extends SparkSpec {
     def doc(i: Long, salt: String) = (i,
       s"document $i $salt " + (1 to 12).map(j => s"tok${i}x$j").mkString(" "))
     val base = (0L until 40L).map(doc(_, "base")).toDF("doc_id", "text")
-    withSQLConf("spark.sql.shuffle.partitions" -> "16") {
+    // force many files per append generation (see the synth fixture)
+    withSQLConf("spark.sql.shuffle.partitions" -> "16",
+      "graft.append.targetFileBytes" -> "1") {
       Corpus.writeWinnowTable(base, "text", "doc_id", table)
       Corpus.appendToWinnowTable(
         (40L until 60L).map(doc(_, "appA")).toDF("doc_id", "text"),
